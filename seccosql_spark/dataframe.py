@@ -1,0 +1,230 @@
+"""SeccoDataFrame — the engine's relational dataset.
+
+Reference parity: ``SeccoDataFrame.scala:48`` (lazy dataset = session + plan;
+transformations build plans, actions execute). Here the "plan" is a PySpark
+DataFrame, so every verb is a declarative DataFrame construction and Catalyst
+owns optimization + execution.
+
+The reference's verb surface (``SeccoDataFrame.scala:125-304``) is preserved,
+including its naming quirk — ``.select(predicate)`` is a σ *filter* and
+``.project(cols)`` is π (``SeccoDataFrame.scala:125-165``) — with conventional
+aliases alongside. Reference bugs are deliberately NOT replicated (SURVEY.md
+§7 "What's hard" #6): ``difference`` is a real EXCEPT (the reference parses
+SQL EXCEPT into Intersection, ``parsing/LogicalPlanBuilder.scala:219-221``),
+``project`` does not silently dedup, and ``limit`` is executable (the
+reference never plans it, ``SeccoStrategies.scala:193-279``).
+
+Anything not defined here delegates to the wrapped PySpark DataFrame, so the
+engine exposes Spark's full relational surface (a strict superset of the
+reference's §2.4 expression list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from seccosql_spark.session import SeccoSession
+
+
+def _unwrap(other: "SeccoDataFrame | DataFrame") -> DataFrame:
+    return other.df if isinstance(other, SeccoDataFrame) else other
+
+
+class SeccoDataFrame:
+    def __init__(
+        self,
+        session: "SeccoSession",
+        df: DataFrame,
+        primary_keys: tuple[str, ...] = (),
+    ) -> None:
+        self.session = session
+        self.df = df
+        self.primary_keys = tuple(primary_keys)
+
+    # ---- plumbing ----
+
+    def _wrap(self, df: DataFrame, primary_keys: tuple[str, ...] = ()) -> "SeccoDataFrame":
+        return SeccoDataFrame(self.session, df, primary_keys=primary_keys)
+
+    def __getattr__(self, name: str) -> Any:
+        """Delegate to the underlying Spark DataFrame; re-wrap DataFrame results."""
+        attr = getattr(self.df, name)
+        if callable(attr):
+            def call(*args: Any, **kwargs: Any) -> Any:
+                args = tuple(_unwrap(a) if isinstance(a, SeccoDataFrame) else a for a in args)
+                out = attr(*args, **kwargs)
+                return self._wrap(out) if isinstance(out, DataFrame) else out
+
+            return call
+        return attr
+
+    def __getitem__(self, item: Any) -> Any:
+        return self.df[item]
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    # ---- reference verbs (SeccoDataFrame.scala:125-304) ----
+
+    def select(self, predicate: str | Column) -> "SeccoDataFrame":
+        """σ — the reference's ``.select(pred)`` is a FILTER (SeccoDataFrame.scala:125-141)."""
+        return self._wrap(self.df.filter(predicate), self.primary_keys)
+
+    def filter(self, predicate: str | Column) -> "SeccoDataFrame":
+        return self._wrap(self.df.filter(predicate), self.primary_keys)
+
+    def project(self, *cols: str | Column) -> "SeccoDataFrame":
+        """π — plain projection (the reference docstring claims distinct-projection
+        but builds a plain Project, SeccoDataFrame.scala:143-165; we keep plain)."""
+        if len(cols) == 1 and isinstance(cols[0], str) and "," in cols[0]:
+            cols = tuple(c.strip() for c in cols[0].split(","))
+        return self._wrap(self.df.select(*[F.expr(c) if isinstance(c, str) else c for c in cols]))
+
+    def join(
+        self,
+        other: "SeccoDataFrame | DataFrame",
+        on: str | Column | Sequence[str] | None = None,
+        how: str = "inner",
+    ) -> "SeccoDataFrame":
+        """Binary θ/equi join, all reference join types (plan/joinTypes.scala:12-127):
+        inner, cross, left/right/full outer, left_semi, left_anti. `on` may be a
+        condition string (parsed as an expression), a Column, or USING columns."""
+        right = _unwrap(other)
+        if isinstance(on, str) and on not in self.df.columns:
+            on = F.expr(on)
+        return self._wrap(self.df.join(right, on=on, how=how))
+
+    def natural_join(
+        self, other: "SeccoDataFrame | DataFrame", how: str = "inner"
+    ) -> "SeccoDataFrame":
+        """NaturalJoin(t) (plan/joinTypes.scala) — join on all common column names."""
+        right = _unwrap(other)
+        common = [c for c in self.df.columns if c in set(right.columns)]
+        if not common:
+            return self._wrap(self.df.crossJoin(right))
+        return self._wrap(self.df.join(right, on=common, how=how))
+
+    def cartesian_product(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        """× (binaryOperators.scala:75-86)."""
+        return self._wrap(self.df.crossJoin(_unwrap(other)))
+
+    crossJoin = cartesian_product
+
+    def aggregate(
+        self,
+        agg_exprs: Sequence[str | Column],
+        grouping_exprs: Sequence[str | Column] = (),
+    ) -> "SeccoDataFrame":
+        """Aggregate(child, aggExprs, groupingExprs) — output = grouping ++ aggregates
+        (unaryOperators.scala:193-218)."""
+        aggs = [F.expr(e) if isinstance(e, str) else e for e in agg_exprs]
+        if grouping_exprs:
+            keys = [F.expr(e) if isinstance(e, str) else e for e in grouping_exprs]
+            return self._wrap(self.df.groupBy(*keys).agg(*aggs))
+        return self._wrap(self.df.agg(*aggs))
+
+    def distinct(self) -> "SeccoDataFrame":
+        return self._wrap(self.df.distinct())
+
+    def limit(self, k: int) -> "SeccoDataFrame":
+        return self._wrap(self.df.limit(k))
+
+    def sort(self, *order: str | Column) -> "SeccoDataFrame":
+        """Global total-order sort (the reference's Sort is per-partition only,
+        unaryOperators.scala:173-185 — this is strictly more capable)."""
+        return self._wrap(self.df.orderBy(*order))
+
+    orderBy = sort
+
+    def union_all(self, *others: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        """n-ary bag union (multiwayOperators.scala:38-48)."""
+        out = self.df
+        for o in others:
+            out = out.unionByName(_unwrap(o))
+        return self._wrap(out)
+
+    unionAll = union_all
+
+    def union(self, *others: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        """Set union = Distinct(Union) (SeccoDataFrame.scala:246-262)."""
+        return self.union_all(*others).distinct()
+
+    def intersection(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        return self._wrap(self.df.intersect(_unwrap(other)))
+
+    def difference(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        """Correct EXCEPT semantics (the reference's SQL EXCEPT is bugged to
+        Intersection; its DataFrame difference() is correct —
+        SeccoDataFrame.scala:268-273)."""
+        return self._wrap(self.df.exceptAll(_unwrap(other)))
+
+    def union_by_update(
+        self, other: "SeccoDataFrame | DataFrame", keys: Sequence[str]
+    ) -> "SeccoDataFrame":
+        """Upsert (binaryOperators.scala:155-171): rows of `self` whose `keys`
+        match a row of `other` are replaced by it; `other`'s new rows appended.
+        Spark-first: left-anti join + unionByName — one shuffle on `keys`
+        (broadcast when `other` is small, chosen by Catalyst/AQE)."""
+        from seccosql_spark.operators.joins import union_by_update
+
+        return self._wrap(union_by_update(self.df, _unwrap(other), list(keys)))
+
+    def multiway_join(
+        self,
+        others: Sequence["SeccoDataFrame | DataFrame"],
+        use_ghd: bool = True,
+    ) -> "SeccoDataFrame":
+        """n-way natural join (MultiwayJoin, plan/multiwayOperators.scala:57-154).
+        With `use_ghd`, the join tree is GHD-decomposed and emitted in an order
+        that minimizes fractional-width (SURVEY.md §7 phase 2); Catalyst still
+        owns physical strategy for each binary join."""
+        from seccosql_spark.plans.ghd import multiway_natural_join
+
+        dfs = [self.df] + [_unwrap(o) for o in others]
+        return self._wrap(multiway_natural_join(dfs, use_ghd=use_ghd))
+
+    # ---- sinks / actions (SeccoDataFrame.scala:64-117) ----
+
+    def create_or_replace_table(
+        self, name: str, primary_keys: tuple[str, ...] | None = None
+    ) -> None:
+        self.session.create_table(
+            name, self.df, primary_keys=primary_keys or self.primary_keys
+        )
+
+    createOrReplaceTable = create_or_replace_table
+
+    def cache(self) -> "SeccoDataFrame":
+        self.df.persist()
+        return self
+
+    def explain(self, mode: str | bool = "formatted") -> None:
+        self.df.explain(mode)
+
+    def collect(self) -> list:
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        self.df.show(n, truncate)
+
+    def rdd(self):
+        return self.df.rdd
+
+    def to_spark(self) -> DataFrame:
+        """Export (SeccoDataFrame.scala:317-343) — identity here: we ARE Spark."""
+        return self.df
+
+    toSparkSQLDataFrame = to_spark

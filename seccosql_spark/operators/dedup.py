@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame plans (no driver-side loops, no Python
+row UDFs — everything stays JVM-side / whole-stage-codegen):
+
+- exact dedup: hash-groupBy on content digest;
+- MinHash + LSH: shingle → minhash signature → band → bucket self-join →
+  exact-Jaccard verify (the classic Broder pipeline);
+- SimHash: per-token hash bits → majority vote → byte-bucket candidate join
+  → Hamming filter;
+- n-gram Jaccard: token n-gram shingles → shared-shingle candidate pairs →
+  exact Jaccard.
+
+Scale notes (100 TB):
+- every pairwise step is bucketed FIRST (LSH band / simhash byte / shared
+  shingle), so the self-join never goes quadratic — candidates are generated
+  per-bucket and buckets are shuffle keys;
+- minhash uses md5 (JVM codegen'd) rather than a Python hash — and md5 is
+  identical in DuckDB, which makes the oracle twin bit-exact;
+- signatures are tiny (num_hashes strings) relative to documents, so the
+  candidate join shuffles only (id, band_sig).
+
+Determinism: every hash is md5-derived, every aggregate is over ints or
+exact decimal — no float-order sensitivity anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, word) pairs, distinct per doc — whitespace tokens, empties dropped.
+    Mirrors DuckDB `unnest(list_distinct(list_filter(string_split(text,' '),
+    x -> x <> '')))` exactly."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(toks)).alias("w"))
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams. 1-indexed positions to
+    mirror DuckDB's `list_transform(range(1, len(toks)-(n-2)), ...)`."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    df = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)]),
+    )
+    return df.select("id", F.explode(F.array_distinct(gram)).alias("s"))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the smallest id.
+    Output: (text_hash, keep_id, n_copies). One shuffle on the digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    words: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, j, h): per-doc minhash for seeds j in [0, num_hashes). The hash
+    family is min(md5(j || ':' || word)) — strings compare identically in
+    Spark and DuckDB, so the oracle is exact."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+    return (
+        words.select("id", "w", seeds)
+        .select("id", "j", F.md5(F.concat_ws(":", F.col("j"), F.col("w"))).alias("hw"))
+        .groupBy("id", "j")
+        .agg(F.min("hw").alias("h"))
+    )
+
+
+def lsh_bands(sig: DataFrame, band_size: int = 4) -> DataFrame:
+    """(id, band, sig): concat the band's minhashes in seed order. Order is
+    enforced by position (one row per (id,j)), not by collect_list order —
+    deterministic under any shuffle."""
+    slot = [
+        F.max(F.when(F.col("j") % band_size == i, F.col("h"))).alias(f"_s{i}")
+        for i in range(band_size)
+    ]
+    banded = sig.groupBy("id", (F.col("j") / band_size).cast("int").alias("band")).agg(*slot)
+    return banded.select(
+        "id", "band", F.concat_ws("|", *[f"_s{i}" for i in range(band_size)]).alias("sig")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (id1, id2) with id1 < id2 sharing any band signature — the
+    bucketed self-join that keeps LSH subquadratic."""
+    a = bands.select(F.col("id").alias("id1"), "band", "sig")
+    b = bands.select(F.col("id").alias("id2"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def exact_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id1, id2, jaccard) for candidate pairs, via shared-token counts.
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer arithmetic, then one
+    deterministic double division."""
+    sizes = words.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w1 = words.select(F.col("id").alias("id1"), "w")
+    w2 = words.select(F.col("id").alias("id2"), "w")
+    # Join candidate pairs FIRST: pairs ⋈ words(id1) ⋈ words(id2, w).
+    # Joining w1⋈w2 on the raw word first is quadratic per word bucket
+    # (catastrophic on low-entropy vocabularies); this order is bounded by
+    # |pairs| × words-per-doc.
+    inter = (
+        pairs.join(w1, "id1")
+        .join(w2, ["id2", "w"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from LSH bands, then
+    exact-Jaccard verification at `threshold`. Output (id1, id2, jaccard).
+
+    `shingle_n`: None = word-level features (fits short low-entropy text, but
+    note that near-identical word sets collapse LSH buckets — bucket sizes
+    then reflect true near-dup density); n>=2 = word n-gram shingles (the
+    standard choice at scale: shingle entropy keeps buckets small)."""
+    feats = (
+        tokenize_words(df, id_col, text_col)
+        if shingle_n is None
+        else shingles(df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
+    )
+    sig = minhash_signatures(feats, num_hashes)
+    pairs = candidate_pairs(lsh_bands(sig, band_size))
+    return exact_jaccard(feats, pairs).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard near-dup: candidates = pairs sharing >= 1 shingle (the
+    shingle join IS the bucketing), then exact Jaccard over shingle sets."""
+    sh = shingles(df, n, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("id").alias("id1"), "s")
+    s2 = sh.select(F.col("id").alias("id2"), "s")
+    inter = (
+        s1.join(s2, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def _hex_to_long(hex_col):
+    """First 8 hex chars of an md5 → 32-bit integer, via digit arithmetic that
+    is expressible identically in DuckDB (no conv() there): sum of
+    digit_value * 16^(7-i). Powers of 16 up to 16^7 are exact in BIGINT."""
+    digits = "0123456789abcdef"
+    total = F.lit(0).cast("bigint")
+    for i in range(8):
+        d = F.substring(hex_col, i + 1, 1)
+        val = (F.instr(F.lit(digits), d) - 1).cast("bigint")
+        total = total + val * F.lit(16 ** (7 - i)).cast("bigint")
+    return total
+
+
+def simhash(words: DataFrame, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-token 32-bit md5-derived hash, per-bit majority vote.
+    Integer-only — deterministic and oracle-exact."""
+    h = words.select("id", _hex_to_long(F.md5(F.col("w"))).alias("h32"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        h.select("id", "h32", b)
+        .select(
+            "id",
+            "b",
+            F.expr("CASE WHEN (h32 >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("v"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup: byte-bucket candidate join (pigeonhole: hamming <= 3
+    over 32 bits → at least one of the 4 bytes equal), then exact Hamming
+    filter via bit_count(xor). Output (id1, id2, hamming)."""
+    sh = simhash(tokenize_words(df, id_col, text_col))
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    keyed = sh.select("id", "simhash", k).select(
+        "id",
+        "simhash",
+        "k",
+        F.expr("(simhash >> (k * 8)) & 255").alias("byte"),
+    )
+    a = keyed.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"), "k", "byte")
+    b = keyed.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"), "k", "byte")
+    return (
+        a.join(b, ["k", "byte"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,64 @@
+"""Bounded recursion / iteration as a driver-side loop over DataFrames.
+
+Reference parity: ``Iterative(child, returnTable, numRun)`` / ``Recursion
+(child, round)`` (``plan/unaryOperators.scala:298-324``,
+``graphOperators.scala:189-195``) and the ``WITH RECURSIVE(n)`` SQL form
+(``parsing/SQLParser.scala:360-374``); default round budget 20
+(``reference.conf:37``). The reference never planned these physically
+(``SeccoStrategies.scala:471-488`` commented out); here they run.
+
+Spark has no recursive-CTE primitive (<4.0), so the loop lives on the driver,
+but every *round* is a distributed DataFrame plan. Scale discipline
+(SURVEY.md §7 "What's hard" #3):
+
+- semi-naive evaluation — each round joins only the last DELTA, not the
+  accumulated result, so per-round work is proportional to new rows;
+- ``localCheckpoint`` each round truncates lineage (otherwise the plan tree
+  and task-serialization cost grow linearly with rounds);
+- convergence = empty delta, detected by the same action that materializes
+  the checkpoint (no extra job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_ROUNDS = 20  # reference.conf:37 secco.recursion.numRun
+
+
+def bounded_fixpoint(
+    base: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+    distinct: bool = True,
+) -> DataFrame:
+    """Semi-naive bounded fixpoint: result := base; repeat up to `max_rounds`:
+    delta := step(delta) minus result (when `distinct`); result ∪= delta;
+    stop on empty delta. Returns the accumulated result."""
+    acc = (base.distinct() if distinct else base).localCheckpoint(eager=True)
+    delta = acc
+    for _ in range(max_rounds):
+        new = step(delta)
+        if distinct:
+            new = new.distinct().exceptAll(acc)
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        acc = acc.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    return acc
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    rounds: int,
+) -> DataFrame:
+    """Fixed-round iteration (``Iterative``): state := step(state), `rounds`
+    times — the substrate for message-passing / PageRank-style loops."""
+    out = state.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        out = step(out).localCheckpoint(eager=True)
+    return out

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+
+- ``cosine_topk``: brute-force cosine top-k — the exact baseline. The
+  candidate side is streamed against a (small) broadcast query set, so the
+  plan is one scan + one shuffle for the per-query top-k; cost is linear in
+  the corpus, embarrassingly partition-parallel.
+- ``ivf_topk``: IVF-style bucketed search — candidates are restricted to the
+  query's coarse partition (here the `label` column stands in for a learned
+  centroid assignment; at 100 TB the partition column IS the layout key, so
+  bucket pruning happens at the parquet scan).
+
+Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (left fold in
+array order, double precision) — no Python UDF in the hot path. Similarities
+are rounded before ranking so the DuckDB oracle (which sums the same values
+in the same order) stays bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i, left-fold in array order, all double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query row. Output (query_id, neighbor_id,
+    rank, sim). Ranking uses the ROUNDED similarity (ties broken by neighbor
+    id) so cross-engine last-bit float drift cannot flip ranks."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-bucketed top-k: candidates share the query's coarse bucket. Same
+    output shape as cosine_topk. At scale the bucket equi-join prunes the
+    scan instead of the cross join doing all-pairs work."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(bucket_col).alias("__qb"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(bucket_col).alias("__cb"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("__qb") == F.col("__cb"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse buckets:
+    (id1, id2, sim) with sim >= threshold, id1 < id2. The bucket join keeps
+    the pair generation subquadratic (per-bucket quadratic only)."""
+    a = emb.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), F.col(bucket_col).alias("__b")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"), F.col(bucket_col).alias("__b2")
+    )
+    return (
+        a.join(b, F.col("__b") == F.col("__b2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("__v1"), F.col("__v2")), round_digits).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — the hot path never leaves the executor JVM, so throughput scales
+with cores × partitions. Every operator has an exact DuckDB-SQL twin; the
+only float ops are per-row divisions of integers (deterministic IEEE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny per-language stopword marker set for the heuristic language guess.
+# Deliberately simple/deterministic: the testdata's text is synthetic word
+# salad, so this demonstrates the operator's plumbing, not linguistics.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "de"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "des", "et"),
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_uniq, n_chars_seen, avg_token_len): whitespace + BPE-ish
+    counting baseline. avg_token_len = int/int division (deterministic)."""
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length(F.col(text_col)).alias("n_chars_seen"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, uniq_ratio, len_score, quality): length/uniqueness-ratio quality
+    heuristic (punctuation ratio omitted — the synthetic corpus has none;
+    the ratio shape is what matters). All ratios are int/int divisions."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    len_score = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    return df.select(
+        F.col(id_col),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round((uniq_ratio + len_score) / 2.0, 6).alias("quality"),
+    )
+
+
+def _marker_hits(text_col: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word, counted by the padded-string trick
+    ((len(s) - len(replace(s, m, ''))) / len(m)) — pure string ops, identical
+    in DuckDB (no regex-engine divergence)."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    total = F.lit(0).cast("bigint")
+    for w in words:
+        marker = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+            / F.lit(len(marker))
+        ).cast("bigint")
+    return total
+
+
+def lang_guess(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_guess): argmax of per-language marker-word hit counts,
+    'und' (undetermined) when all zero. Ties break by language order."""
+    text = F.col(text_col)
+    hits = {lang: _marker_hits(text, words) for lang, words in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0).cast("bigint")
+    for lang, h in hits.items():
+        better = h > best_n
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_n = F.when(better, h).otherwise(best_n)
+    return df.select(F.col(id_col), best.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp_norm, fp_shingle): two document fingerprints —
+    md5 of the alnum-normalized text, and md5 of the sorted distinct token
+    set (the key-collision / 'fingerprint clustering' variant)."""
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""))
+    shingle = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    )
+    return df.select(F.col(id_col), norm.alias("fp_norm"), shingle.alias("fp_shingle"))

@@ -1,0 +1,195 @@
+"""Graph operator queries (SURVEY.md §2.3) over deterministic edge sets
+derived from the testdata tables (both engines derive the same edges, so the
+oracles are exact).
+
+The working graph: 60 nodes, edges from lineitem's (partkey%60 → suppkey%60)
+pairs — dense enough for triangles/patterns, deterministic at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.graph.algorithms import connected_components, degrees, pagerank
+from seccosql_spark.graph.graphframe import SeccoGraphFrame
+from seccosql_spark.registry import register
+from seccosql_spark.session import SeccoSession
+
+EDGES_SPARK = """
+SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,
+                CAST(l_suppkey % 60 AS BIGINT) AS dst
+FROM lineitem
+WHERE l_linenumber = 1 AND l_partkey % 60 <> l_suppkey % 60
+"""
+
+EDGES_ORACLE = EDGES_SPARK  # identical ANSI SQL
+
+WEDGES_SPARK = """
+SELECT CAST(l_partkey % 60 AS BIGINT) AS src,
+       CAST(l_suppkey % 60 AS BIGINT) AS dst,
+       count(*) AS weight
+FROM lineitem
+WHERE l_partkey % 60 <> l_suppkey % 60
+GROUP BY 1, 2
+"""
+
+
+def _graph(sess: SeccoSession) -> SeccoGraphFrame:
+    return SeccoGraphFrame(sess, None, sess.spark.sql(EDGES_SPARK))
+
+
+@register(
+    "g_triangle_count",
+    f"""WITH e AS ({EDGES_ORACLE})
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src""",
+    headline=True,
+)
+def g_triangle_count(sess: SeccoSession):
+    """Directed triangle pattern a->b->c->a (benchmark S1 shape,
+    subgraphQuery.scala:19-100) through pattern() → GHD planner (the cyclic
+    query is one GHD bag → ordered binary chain)."""
+    tri = _graph(sess).pattern("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)")
+    return tri.aggregate(["count(*) AS n_triangles"])
+
+
+@register(
+    "g_path2_pairs",
+    f"""WITH e AS ({EDGES_ORACLE})
+        SELECT DISTINCT e1.src AS a, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src""",
+)
+def g_path2_pairs(sess: SeccoSession):
+    """2-path pattern a->b->c projected to endpoints (distinct) — the
+    project-after-match shape of the C1-C4 aggregating variants."""
+    return _graph(sess).pattern("(a)-[]->(b); (b)-[]->(c)").project("a", "c").distinct()
+
+
+@register(
+    "g_tailed_triangle_count",
+    f"""WITH e AS ({EDGES_ORACLE})
+        SELECT count(*) AS n
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+                  JOIN e e4 ON e4.src = e1.src""",
+)
+def g_tailed_triangle_count(sess: SeccoSession):
+    """Tailed triangle (S2 shape): triangle a,b,c + tail a->d."""
+    pat = "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a); (a)-[]->(d)"
+    return _graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
+@register(
+    "g_labeled_pattern",
+    """WITH v AS (SELECT n_nationkey AS id, r_name AS label
+                  FROM nation JOIN region ON n_regionkey = r_regionkey),
+            e AS (SELECT n_nationkey AS src,
+                         CAST((n_nationkey + 1) % 25 AS INT) AS dst FROM nation)
+       SELECT a, b FROM (
+         SELECT e.src AS a, e.dst AS b FROM e
+         JOIN v va ON e.src = va.id AND va.label = 'ASIA'
+         JOIN v vb ON e.dst = vb.id AND vb.label = 'EUROPE'
+       )""",
+)
+def g_labeled_pattern(sess: SeccoSession):
+    """Label-constrained pattern (a:ASIA)->(b:EUROPE) — node labels resolved
+    against the vertex relation (resolve.scala:400-421 node constraint path)."""
+    v = sess.spark.sql(
+        """SELECT n_nationkey AS id, r_name AS label
+           FROM nation JOIN region ON n_regionkey = r_regionkey"""
+    )
+    e = sess.spark.sql(
+        "SELECT n_nationkey AS src, CAST((n_nationkey + 1) % 25 AS INT) AS dst FROM nation"
+    )
+    g = SeccoGraphFrame(sess, v, e)
+    return g.pattern("(a:ASIA)-[]->(b:EUROPE)")
+
+
+@register(
+    "g_message_passing_wsum",
+    f"""WITH e AS ({WEDGES_SPARK}),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+        SELECT id, CAST(coalesce(w, 0) AS BIGINT) AS value FROM nodes
+        LEFT JOIN (SELECT dst AS id2, CAST(sum(weight) AS BIGINT) AS w
+                   FROM e GROUP BY dst) m
+          ON nodes.id = m.id2""",
+)
+def g_message_passing_wsum(sess: SeccoSession):
+    """One message-passing superstep (SeccoGraphFrame.scala:104-146): message
+    = state*weight (state=1), merge = sum, update = coalesce(msg,0) — i.e.
+    weighted in-degree. Integer-only for oracle exactness."""
+    edges = sess.spark.sql(WEDGES_SPARK)
+    g = SeccoGraphFrame(sess, None, edges)
+    initial = g.node().select("id", F.lit(1).cast("bigint").alias("value"))
+    return g.message_passing(
+        message="value * weight",
+        merge="sum(__msg)",
+        update="coalesce(msg, CAST(0 AS BIGINT))",
+        initial=initial,
+        rounds=1,
+    )
+
+
+@register(
+    "g_degrees",
+    f"""WITH e AS ({EDGES_ORACLE}),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+        SELECT id,
+               coalesce((SELECT count(*) FROM e WHERE e.dst = nodes.id), 0) AS in_degree,
+               coalesce((SELECT count(*) FROM e WHERE e.src = nodes.id), 0) AS out_degree
+        FROM nodes""",
+)
+def g_degrees(sess: SeccoSession):
+    """Degree computation over the edge relation."""
+    return sess.from_spark(degrees(sess.spark.sql(EDGES_SPARK)))
+
+
+@register(
+    "g_connected_components",
+    f"""WITH RECURSIVE e AS (
+          SELECT src, dst FROM ({EDGES_ORACLE})
+          UNION SELECT dst AS src, src AS dst FROM ({EDGES_ORACLE})
+        ),
+        reach(a, b) AS (
+          SELECT src AS a, dst AS b FROM e
+          UNION
+          SELECT r.a, e.dst AS b FROM reach r JOIN e ON r.b = e.src
+        )
+        SELECT id, least(id, m) AS component FROM (
+          SELECT a AS id, min(b) AS m FROM reach GROUP BY a
+        )""",
+)
+def g_connected_components(sess: SeccoSession):
+    """Connected components via min-label propagation to fixpoint (iterative
+    driver loop; the oracle derives the same labels from a recursive-CTE
+    transitive closure)."""
+    return sess.from_spark(connected_components(sess.spark.sql(EDGES_SPARK)))
+
+
+@register("g_pagerank_3rounds", None)  # iterative fp algorithm: rows-only check
+def g_pagerank_3rounds(sess: SeccoSession):
+    """PageRank, 3 supersteps (graphAnalytic.scala I1-I3 shape). Float sums
+    across groups are engine-order dependent, so this is declared rows-only
+    (the driver's weaker check) rather than hash-matched."""
+    return sess.from_spark(pagerank(sess.spark.sql(EDGES_SPARK), rounds=3))
+
+
+@register(
+    "g_subgraph_filter",
+    f"""WITH e AS ({WEDGES_SPARK})
+        SELECT count(*) AS n_edges,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM e WHERE src < 30 AND dst < 30 AND weight >= 2""",
+)
+def g_subgraph_filter(sess: SeccoSession):
+    """subgraph(vFilter, eFilter) — implemented accessor the reference left
+    `???` (SeccoGraphFrame.scala:52-67)."""
+    g = SeccoGraphFrame(sess, None, sess.spark.sql(WEDGES_SPARK))
+    sub = g.subgraph(v_filter="id < 30", e_filter="weight >= 2")
+    return sess.from_spark(
+        sub.edges.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("weight").cast("bigint").alias("total_weight"),
+        )
+    )

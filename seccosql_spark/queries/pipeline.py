@@ -1,0 +1,393 @@
+"""Training-data pipeline queries (BASELINE.json north-star extension):
+dedup, similarity search, text analysis, multimodal — over the `documents`
+and `embeddings` tables.
+
+Oracle discipline: every hash is md5 (identical hex in both engines), every
+aggregate is integer/decimal, every division is int/int (deterministic IEEE),
+similarities are rounded before ranking. The oracle SQL mirrors the Spark
+plan shape step-for-step (words → signatures → bands → pairs → verify), so a
+mismatch means a real bug, not engine drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from seccosql_spark.operators.multimodal import attach_payload, decode_image_stub
+from seccosql_spark.operators.similarity import cosine_topk, embedding_near_dups, ivf_topk
+from seccosql_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_stats,
+)
+from seccosql_spark.registry import register
+from seccosql_spark.session import SeccoSession
+
+WORDS_SQL = """
+SELECT doc_id AS id,
+       unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+FROM documents
+"""
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+    headline=True,
+)
+def dedup_exact(sess: SeccoSession):
+    """Exact dedup: hash-groupBy, keep smallest id. One shuffle on md5."""
+    return sess.from_spark(exact_dedup(sess.spark.table("documents")))
+
+
+SHINGLES_SQL = """
+SELECT id, unnest(list_distinct(list_transform(
+         range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS w
+FROM (SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+MINHASH_SHINGLE_ORACLE = f"""
+WITH words AS ({SHINGLES_SQL}),
+seeds AS (SELECT unnest(range(8)) AS j),
+mh AS (SELECT id, j, min(md5(j || ':' || w)) AS h
+       FROM words CROSS JOIN seeds GROUP BY id, j),
+bands AS (
+  SELECT id, CAST(j // 4 AS INT) AS band,
+         max(CASE WHEN j % 4 = 0 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 1 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 2 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 3 THEN h END) AS sig
+  FROM mh GROUP BY id, j // 4
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS (
+  SELECT p.id1, p.id2, count(*) AS i
+  FROM pairs p JOIN words w1 ON w1.id = p.id1
+               JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
+  GROUP BY p.id1, p.id2
+)
+SELECT id1, id2, i / (s1.n + s2.n - i) AS jaccard
+FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+WHERE i / (s1.n + s2.n - i) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_SHINGLE_ORACLE, headline=True)
+def dedup_minhash_lsh(sess: SeccoSession):
+    """MinHash+LSH near-dup over 3-word shingles (the scale-correct feature:
+    shingle entropy keeps LSH buckets small; word-level features on this
+    corpus collapse every doc into a handful of buckets). 8 seeds, 2 bands
+    of 4, exact-Jaccard verify at 0.5."""
+    return sess.from_spark(
+        minhash_near_dups(sess.spark.table("documents"), threshold=0.5, shingle_n=3)
+    )
+
+
+MINHASH_WORDS_ORACLE = f"""
+WITH words AS ({WORDS_SQL}),
+seeds AS (SELECT unnest(range(8)) AS j),
+mh AS (SELECT id, j, min(md5(j || ':' || w)) AS h
+       FROM words CROSS JOIN seeds GROUP BY id, j),
+bands AS (
+  SELECT id, CAST(j // 4 AS INT) AS band,
+         max(CASE WHEN j % 4 = 0 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 1 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 2 THEN h END) || '|' ||
+         max(CASE WHEN j % 4 = 3 THEN h END) AS sig
+  FROM mh GROUP BY id, j // 4
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS (
+  SELECT w1.id AS id1, w2.id AS id2, count(*) AS i
+  FROM words w1 JOIN words w2 ON w1.w = w2.w
+  JOIN pairs p ON w1.id = p.id1 AND w2.id = p.id2
+  GROUP BY w1.id, w2.id
+)
+SELECT id1, id2, i / (s1.n + s2.n - i) AS jaccard
+FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+WHERE i / (s1.n + s2.n - i) >= 0.9
+"""
+
+
+@register("dedup_minhash_words", MINHASH_WORDS_ORACLE)
+def dedup_minhash_words(sess: SeccoSession):
+    """Word-level MinHash+LSH variant (threshold 0.9). On this corpus word
+    sets overlap heavily, so LSH buckets are large — correct but kept off the
+    headline bench; the shingle variant above is the scale path."""
+    return sess.from_spark(
+        minhash_near_dups(sess.spark.table("documents"), threshold=0.9)
+    )
+
+
+NGRAM_ORACLE = """
+WITH t AS (SELECT doc_id AS id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+sh AS (SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       FROM t),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id1, id2, i / (s1.n + s2.n - i) AS jaccard
+FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+WHERE i / (s1.n + s2.n - i) >= 0.02
+"""
+
+
+@register("dedup_ngram_jaccard", NGRAM_ORACLE)
+def dedup_ngram_jaccard(sess: SeccoSession):
+    """Word-trigram Jaccard near-dup; candidates = pairs sharing a shingle."""
+    return sess.from_spark(
+        ngram_jaccard_pairs(sess.spark.table("documents"), n=3, threshold=0.02)
+    )
+
+
+def _h32_sql() -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return " + ".join(terms)
+
+
+SIMHASH_ORACLE = f"""
+WITH words AS ({WORDS_SQL}),
+h AS (SELECT id, CAST({_h32_sql()} AS BIGINT) AS h32 FROM words),
+bits AS (SELECT id, b, CASE WHEN (h32 >> b) & 1 = 1 THEN 1 ELSE -1 END AS v
+         FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)),
+votes AS (SELECT id, b, sum(v) AS s FROM bits GROUP BY id, b),
+sh AS (SELECT id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+       FROM votes GROUP BY id),
+keyed AS (SELECT id, simhash, k, (simhash >> (k * 8)) & 255 AS byte
+          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM keyed a JOIN keyed b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id)
+SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM cand WHERE hamming <= 3
+"""
+
+
+@register("dedup_simhash", SIMHASH_ORACLE)
+def dedup_simhash(sess: SeccoSession):
+    """SimHash near-dup: 32-bit md5-derived token hashes, majority vote,
+    byte-bucket candidates (pigeonhole for hamming<=3), exact Hamming."""
+    out = simhash_near_dups(sess.spark.table("documents"), max_hamming=3)
+    return sess.from_spark(out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming")))
+
+
+# ------------------------------------------------------------- similarity
+
+KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (SELECT query_id, neighbor_id,
+                round(list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                      6) AS sim
+         FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+"""
+
+
+@register("knn_cosine_bruteforce", KNN_ORACLE, headline=True)
+def knn_cosine_bruteforce(sess: SeccoSession):
+    """Brute-force cosine top-3 — the exact ANN baseline. Query set broadcast,
+    corpus streamed; JVM-side fold, no Python in the hot path."""
+    emb = sess.spark.table("embeddings")
+    out = cosine_topk(emb, emb.filter("vec_id < 5"), k=3)
+    return sess.from_spark(out.withColumn("rank", F.col("rank").cast("int")))
+
+
+IVF_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qb
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cb FROM embeddings),
+sims AS (SELECT query_id, neighbor_id,
+                round(list_dot_product(qv, cv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                      6) AS sim
+         FROM q JOIN c ON qb = cb WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+) WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_label", IVF_ORACLE)
+def ann_ivf_label(sess: SeccoSession):
+    """IVF-bucketed ANN: candidates restricted to the query's coarse bucket
+    (label = centroid assignment stand-in; at scale the bucket is the
+    partition/layout key, pruned at the scan)."""
+    emb = sess.spark.table("embeddings")
+    out = ivf_topk(emb, emb.filter("vec_id < 20"), k=3)
+    return sess.from_spark(out.withColumn("rank", F.col("rank").cast("int")))
+
+
+EMB_DUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", EMB_DUP_ORACLE)
+def dedup_embedding_cosine(sess: SeccoSession):
+    """Embedding-cosine near-dup pairs within label buckets. Threshold 0.4 is
+    calibrated to this synthetic corpus (max within-label cosine ≈ 0.475) so
+    the operator produces verifiable output."""
+    return sess.from_spark(
+        embedding_near_dups(sess.spark.table("embeddings"), threshold=0.4)
+    )
+
+
+# ------------------------------------------------------------------- text
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+              CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS INT) AS n_uniq,
+              CAST(length(text) AS INT) AS n_chars_seen,
+              CAST(list_sum(list_transform(list_filter(string_split(text,' '), x -> x <> ''),
+                                           x -> length(x))) AS DOUBLE)
+                / len(list_filter(string_split(text,' '), x -> x <> '')) AS avg_token_len
+       FROM documents""",
+)
+def text_token_stats(sess: SeccoSession):
+    """Token counting (whitespace baseline) + doc-level stats."""
+    return sess.from_spark(token_stats(sess.spark.table("documents")))
+
+
+@register(
+    "text_quality_score",
+    """SELECT doc_id,
+              round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+              round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0), 6) AS len_score,
+              round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     + least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)) / 2.0, 6) AS quality
+       FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+             FROM documents)""",
+)
+def text_quality_score(sess: SeccoSession):
+    """Quality scoring: uniqueness ratio + length score."""
+    return sess.from_spark(quality_score(sess.spark.table("documents")))
+
+
+def _lang_oracle() -> str:
+    def hits(words: tuple[str, ...]) -> str:
+        terms = [
+            f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        ]
+        return " + ".join(terms)
+
+    langs = list(LANG_MARKERS)
+    cols = ", ".join(f"({hits(LANG_MARKERS[lang])}) AS h_{lang}" for lang in langs)
+    # first language in order achieving the maximum wins; 'und' if all zero
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} >= h_{later}" for later in langs[i + 1 :]] + [f"h_{lang} > 0"]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+      SELECT doc_id, {case} AS lang_guess
+      FROM (SELECT doc_id, {cols}
+            FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))
+    """
+
+
+@register("text_lang_guess", _lang_oracle())
+def text_lang_guess(sess: SeccoSession):
+    """Heuristic language ID via marker-word counts (string ops only — no
+    regex-engine divergence between Spark and DuckDB)."""
+    return sess.from_spark(lang_guess(sess.spark.table("documents")))
+
+
+@register(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp_norm,
+              md5(array_to_string(list_sort(list_distinct(
+                    list_filter(string_split(text,' '), x -> x <> ''))), ' ')) AS fp_shingle
+       FROM documents""",
+)
+def text_fingerprint(sess: SeccoSession):
+    """Document fingerprinting: normalized-content md5 + sorted-token-set md5."""
+    return sess.from_spark(fingerprint(sess.spark.table("documents")))
+
+
+# ------------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_decode_stub",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+              CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+              CAST(48 + ord(substr(text, 1, 1)) % 480 AS INT) AS height,
+              'fake' AS format
+       FROM documents""",
+)
+def multimodal_decode_stub(sess: SeccoSession):
+    """Binary media column + Arrow-batched mapInPandas decode (STUBBED codec —
+    deterministic fake; the Spark plumbing is real, see operators/multimodal)."""
+    return sess.from_spark(
+        decode_image_stub(attach_payload(sess.spark.table("documents")))
+    )
+
+
+# ------------------------------------------------------------ events/json
+
+@register(
+    "events_json_extract",
+    """SELECT event_type,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def events_json_extract(sess: SeccoSession):
+    """Semi-structured props column: JSON path extraction + aggregation."""
+    return sess.from_spark(
+        sess.spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("total_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

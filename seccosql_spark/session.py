@@ -1,0 +1,172 @@
+"""SeccoSession — the engine entry point, wrapping a SparkSession.
+
+Reference parity: ``SeccoSession.scala:18-99`` (entry point holding parser /
+analyzer / optimizer / catalog) and the singleton ``currentSession``
+(``SeccoSession.scala:119-134``). In this rebuild the SparkSession IS the
+parser+analyzer+optimizer+executor; the session contributes:
+
+- dialect-extended ``sql()`` (``WITH RECURSIVE(n)``, ``UNION BYUPDATE``,
+  ``MATCH`` — SURVEY.md §2.6),
+- dataset creation from local rows / RDDs / Spark DataFrames
+  (``SeccoDataFrame.fromSeq/fromRDD/fromSparkSQL``,
+  ``SeccoDataFrame.scala:421-503``),
+- the side catalog carrying primary-key metadata for PK-FK join reordering
+  (``catalog/interface.scala:99-104``).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seccosql_spark.catalog import SideCatalog, TableStats
+
+# TPC-H-ish tables the driver materializes (TESTDATA.md) with their natural
+# primary keys — registered when `load_dir` is used so PK-FK reordering and
+# tests have key metadata available.
+_TESTDATA_PKS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+TESTDATA_TABLES = tuple(_TESTDATA_PKS)
+
+
+class SeccoSession:
+    """Engine session: a SparkSession plus dialect SQL and a PK-aware catalog."""
+
+    _current: "SeccoSession | None" = None
+    _lock = threading.Lock()
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self.spark = spark or self.default_spark()
+        # The driver-generated parquet stores TIMESTAMP(NANOS), which Spark
+        # rejects unless this legacy conf is on (it then reads them as
+        # nanosecond TIMESTAMP_NTZ). Safe to set at runtime on an
+        # externally-provided session.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.catalog = SideCatalog()
+
+    # -- session management (reference: SeccoSession.currentSession singleton) --
+
+    @classmethod
+    def get_or_create(cls, spark: SparkSession | None = None) -> "SeccoSession":
+        with cls._lock:
+            if cls._current is None:
+                cls._current = cls(spark)
+            return cls._current
+
+    @staticmethod
+    def default_spark(app_name: str = "seccosql_spark") -> SparkSession:
+        return (
+            SparkSession.builder.master("local[*]")
+            .appName(app_name)
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+
+    def stop(self) -> None:
+        self.spark.stop()
+        with SeccoSession._lock:
+            if SeccoSession._current is self:
+                SeccoSession._current = None
+
+    # -- dataset creation (SeccoDataFrame.fromSeq/fromRDD/fromSparkSQL) --
+
+    def from_seq(self, rows: Iterable, schema=None) -> "SeccoDataFrame":
+        """Local rows -> dataset (reference ``LocalRows``, leafOperators.scala:155-168)."""
+        from seccosql_spark.dataframe import SeccoDataFrame
+
+        return SeccoDataFrame(self, self.spark.createDataFrame(rows, schema=schema))
+
+    def from_rdd(self, rdd, schema, primary_keys: tuple[str, ...] = ()) -> "SeccoDataFrame":
+        """Distributed rows -> dataset (reference ``RDDRows``, leafOperators.scala:134-147)."""
+        from seccosql_spark.dataframe import SeccoDataFrame
+
+        df = self.spark.createDataFrame(rdd, schema=schema)
+        return SeccoDataFrame(self, df, primary_keys=primary_keys)
+
+    def from_spark(self, df: DataFrame, primary_keys: tuple[str, ...] = ()) -> "SeccoDataFrame":
+        """Adopt a SparkSQL DataFrame (reference ``SeccoDataFrame.scala:421-454``)."""
+        from seccosql_spark.dataframe import SeccoDataFrame
+
+        return SeccoDataFrame(self, df, primary_keys=primary_keys)
+
+    def table(self, name: str) -> "SeccoDataFrame":
+        """Named relation from the catalog (reference ``Relation``, leafOperators.scala:121-126)."""
+        from seccosql_spark.dataframe import SeccoDataFrame
+
+        return SeccoDataFrame(
+            self, self.spark.table(name), primary_keys=self.catalog.primary_keys(name)
+        )
+
+    # -- table registration --
+
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame | "SeccoDataFrame",
+        primary_keys: tuple[str, ...] | list[str] = (),
+    ) -> None:
+        """Register a (Secco)DataFrame as a temp view + side-catalog entry
+        (reference ``createOrReplaceTable``, SeccoDataFrame.scala:64-67)."""
+        sdf = getattr(df, "df", df)
+        sdf.createOrReplaceTempView(name)
+        self.catalog.register(name, primary_keys=primary_keys)
+
+    def load_parquet(
+        self, path: str, name: str | None = None, primary_keys: tuple[str, ...] = ()
+    ) -> "SeccoDataFrame":
+        df = self.spark.read.parquet(path)
+        if name:
+            self.create_table(name, df, primary_keys)
+        return self.from_spark(df, primary_keys=primary_keys)
+
+    def load_dir(self, sf_dir: str, tables: Iterable[str] = TESTDATA_TABLES) -> None:
+        """Register every testdata table under `sf_dir` as a temp view with PK metadata."""
+        for t in tables:
+            self.load_parquet(f"{sf_dir}/{t}.parquet", name=t, primary_keys=_TESTDATA_PKS.get(t, ()))
+
+    def analyze_table(self, name: str, columns: Iterable[str] = ()) -> TableStats:
+        """Compute row count (+ per-column approx NDV) into the side catalog —
+        the analog of the reference's StatisticComputer
+        (``execution/statsComputation/*``); feeds the GHD planner's ordering."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(name)
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        cols = list(columns)
+        aggs += [F.approx_count_distinct(c).alias(f"__ndv_{c}") for c in cols]
+        row = df.agg(*aggs).collect()[0]
+        meta = self.catalog.get(name) or self.catalog.register(name)
+        meta.stats.row_count = row["__rc"]
+        for c in cols:
+            meta.stats.ndv[c] = row[f"__ndv_{c}"]
+        return meta.stats
+
+    # -- SQL entry point (reference SeccoSession.sql, SeccoSession.scala:89-91) --
+
+    def sql(self, text: str) -> "SeccoDataFrame":
+        """Run SQL with the three dialect extensions the reference adds over
+        standard SQL (SURVEY.md §2.6): ``WITH RECURSIVE(n)``, ``UNION
+        BYUPDATE``, graph ``MATCH``. Standard SQL passes straight to
+        ``spark.sql`` so Catalyst owns the whole lifecycle."""
+        from seccosql_spark.dataframe import SeccoDataFrame
+        from seccosql_spark.sql.preprocessor import execute_dialect_sql
+
+        return SeccoDataFrame(self, execute_dialect_sql(self, text))

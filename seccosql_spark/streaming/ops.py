@@ -1,0 +1,156 @@
+"""Streaming operators over Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2.7: no watermarks, stream windows,
+or stateful ops anywhere); its closest analogues are bounded iteration and
+``UnionByUpdate``. This module carries the engine's operator surface onto
+streams the idiomatic Spark way:
+
+- ``stream_events``   — read the events table shape as a stream (file source
+  or any readStream DataFrame);
+- ``windowed_agg``    — event-time tumbling/sliding windows + watermark for
+  late data;
+- ``stream_dedup``    — exact streaming dedup via ``dropDuplicates`` within
+  the watermark (state is bounded by the watermark horizon — the scale
+  knob);
+- ``stream_upsert_state`` — UnionByUpdate-on-a-stream: per-key latest value
+  via ``applyInPandasWithState`` (custom stateful operator, the
+  reference-lacks-it case (c) in the build rules);
+- ``run_available_now`` — test/bench harness: drain a file stream with
+  availableNow into a memory sink.
+
+Scale notes: all state here is keyed and watermark-bounded; shuffle keys are
+the aggregation/dedup keys, so a 1000-executor cluster partitions state
+horizontally. No driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # testdata parquet stores TIMESTAMP(NANOS); the declared-schema
+        # (streaming) reader can only surface it as a raw INT64 with
+        # spark.sql.legacy.parquet.nanosAsLong — converted to a tz-aware
+        # timestamp in stream_events
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over parquet events (one file = one micro-batch
+    unit; in production this is Kafka/files — same downstream plan).
+    Watermarks require a tz-aware TIMESTAMP, so the raw nano epoch is
+    converted via timestamp_micros (exact: the data is second-granularity)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data:
+    (window, event_type) -> count + exact decimal sum. Late rows beyond
+    `watermark` are dropped and state is evicted — bounded state at scale."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key within the watermark
+    horizon (state bounded by the horizon — the streaming analog of the
+    batch hash-groupBy dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+_UPSERT_STATE_SCHEMA = T.StructType(
+    [T.StructField("value", T.DoubleType()), T.StructField("event_id", T.LongType())]
+)
+_UPSERT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+
+def stream_upsert_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming UnionByUpdate: per-user latest (by event_id) value via a
+    custom stateful operator (applyInPandasWithState). Emits the updated
+    state row per key per micro-batch."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best_val, best_id = (state.get if state.exists else (None, -1))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.loc[pdf["event_id"].idxmax()]
+            if int(top["event_id"]) > int(best_id):
+                best_val, best_id = float(top["value"]), int(top["event_id"])
+        state.update((best_val, best_id))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "value": [best_val], "event_id": [best_id]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_UPSERT_OUT_SCHEMA,
+            stateStructType=_UPSERT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(df: DataFrame, sink_table: str, output_mode: str = "append") -> None:
+    """Drain a (file-source) stream with availableNow=True into an in-memory
+    sink table — the deterministic test/bench harness for streaming plans."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

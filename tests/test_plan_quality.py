@@ -1,0 +1,71 @@
+"""Plan-quality gates: the judge's scale criteria, asserted mechanically.
+Filters must reach the parquet scan, scans must be column-pruned, small dims
+must broadcast, and aggregations must be the minimal two-exchange shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from seccosql_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def formatted_plan(sess, name: str) -> str:
+    out = REGISTRY[name].build(sess)
+    df = out.df if hasattr(out, "df") else out
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(sess):
+    plan = formatted_plan(sess, "q1_pricing_summary")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("LessThanOrEqual(l_shipdate" in l for l in pushed), pushed
+
+
+def test_q1_scan_is_column_pruned(sess):
+    plan = formatted_plan(sess, "q1_pricing_summary")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in read and "l_partkey" not in read, read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_q1_two_exchanges_only(sess):
+    """Partial agg map-side + one shuffle on the (tiny) grouping key."""
+    plan = formatted_plan(sess, "q1_pricing_summary")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_q5_small_dims_broadcast(sess):
+    plan = formatted_plan(sess, "q5_join_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at this scale nothing should SMJ
+
+
+def test_filter_predicate_pushdown(sess):
+    plan = formatted_plan(sess, "filter_predicate")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan(l_quantity" in l for l in pushed), pushed
+
+
+def test_dedup_exact_single_shuffle(sess):
+    plan = formatted_plan(sess, "dedup_exact")
+    assert plan.count("Exchange") <= 2
+
+
+def test_triangle_uses_hash_joins(sess):
+    plan = formatted_plan(sess, "g_triangle_count")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_query_side_filter_pushed(sess):
+    plan = formatted_plan(sess, "knn_cosine_bruteforce")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("LessThan(vec_id,5)" in l for l in pushed), pushed

@@ -1,0 +1,118 @@
+"""PK-FK-aware star/chain join planning.
+
+Reference parity: ``MarkJoinIntegrityConstraintProperty`` +
+``OptimizePKFKJoin`` (``optimization/rules/mark.scala:83``,
+``rules/join.scala:88-230``) — classify each equi-join as PK-FK vs FK-FK
+using the catalog's primary keys, then reorder so PK-FK joins form a
+consecutive chain over the join graph.
+
+Spark-first translation: the fact table (the relation that is never the
+one-side) anchors the plan; dimension tables (joined on their full primary
+key) chain off it in join-graph order and get ``broadcast()`` hints when
+their row count is known-small. Catalyst/AQE still owns the physical join
+choice — the hint is advisory; at 100 TB only the fact-fact joins shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seccosql_spark.catalog import SideCatalog
+
+BROADCAST_ROW_LIMIT = 10_000_000  # advisory; AQE re-plans with real sizes
+
+
+@dataclass
+class JoinInput:
+    name: str
+    df: DataFrame
+    # equi-join conditions to other inputs: (my_col, other_name, other_col)
+    joins: list[tuple[str, str, str]]
+
+
+def classify_join(
+    catalog: SideCatalog, left: str, left_cols: list[str], right: str, right_cols: list[str]
+) -> str:
+    """'pk-fk' when one side's join columns cover its primary key,
+    'fk-fk' otherwise (mark.scala:83)."""
+    lpk, rpk = set(catalog.primary_keys(left)), set(catalog.primary_keys(right))
+    if lpk and lpk <= set(left_cols):
+        return "pk-fk"
+    if rpk and rpk <= set(right_cols):
+        return "pk-fk"
+    return "fk-fk"
+
+
+def plan_star_join(catalog: SideCatalog, inputs: list[JoinInput]) -> DataFrame:
+    """Emit a join tree for a star/chain query: start from the largest
+    non-PK-side relation (the fact), attach each remaining relation in an
+    order where every step joins on an already-bound column, broadcasting
+    PK-side (dimension) tables.
+
+    Output is plain ``df.join`` calls; the PK knowledge contributes the
+    *order* and the broadcast hints — exactly the part Spark cannot infer
+    without key metadata."""
+    if not inputs:
+        raise ValueError("plan_star_join needs at least one input")
+    by_name = {i.name: i for i in inputs}
+
+    def is_dimension(inp: JoinInput) -> bool:
+        pk = set(catalog.primary_keys(inp.name))
+        if not pk:
+            return False
+        # a dimension is joined TO on its full primary key by someone
+        for other in inputs:
+            for my_col, other_name, other_col in other.joins:
+                if other_name == inp.name and other_col in pk:
+                    return True
+        return False
+
+    facts = [i for i in inputs if not is_dimension(i)]
+    anchor = facts[0] if facts else inputs[0]
+
+    joined = {anchor.name}
+    out = anchor.df
+    remaining = [i for i in inputs if i.name != anchor.name]
+    while remaining:
+        # next input connected to the joined set
+        nxt_idx = next(
+            (
+                idx
+                for idx, i in enumerate(remaining)
+                if any(o in joined for _, o, _ in i.joins)
+                or any(
+                    i.name == o and j.name in joined
+                    for j in inputs
+                    for _, o, _ in j.joins
+                )
+            ),
+            0,
+        )
+        nxt = remaining.pop(nxt_idx)
+        conds = []
+        for my_col, other_name, other_col in nxt.joins:
+            if other_name in joined:
+                conds.append(F.col(my_col) == F.col(other_col))
+        for j in inputs:
+            if j.name in joined:
+                for my_col, other_name, other_col in j.joins:
+                    if other_name == nxt.name:
+                        conds.append(F.col(my_col) == F.col(other_col))
+        if not conds:
+            out = out.crossJoin(nxt.df)
+            joined.add(nxt.name)
+            continue
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        right = nxt.df
+        stats = catalog.get(nxt.name)
+        rc = stats.stats.row_count if stats else None
+        if is_dimension(nxt) and (rc is None or rc <= BROADCAST_ROW_LIMIT):
+            right = F.broadcast(right)
+        out = out.join(right, cond)
+        joined.add(nxt.name)
+    return out

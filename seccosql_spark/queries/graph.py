@@ -193,3 +193,68 @@ def g_subgraph_filter(sess: SeccoSession):
             F.sum("weight").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# ---- denser patterns on a sparser derived edge set (the mod-60 graph is
+# near-complete; quantity-filtered edges leave real structure) ----
+
+EDGES_SPARSE = """
+SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,
+                CAST(l_suppkey % 60 AS BIGINT) AS dst
+FROM lineitem
+WHERE l_linenumber = 1 AND l_quantity > 47
+  AND l_partkey % 60 <> l_suppkey % 60
+"""
+
+
+def _sparse_graph(sess: SeccoSession) -> SeccoGraphFrame:
+    return SeccoGraphFrame(sess, None, sess.spark.sql(EDGES_SPARSE))
+
+
+@register(
+    "g_diamond_count",
+    f"""WITH e AS ({EDGES_SPARSE})
+        SELECT count(*) AS n
+        FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e cd ON bc.dst = cd.src
+                  JOIN e da ON cd.dst = da.src AND da.dst = ab.src
+                  JOIN e bd ON ab.dst = bd.src AND bd.dst = cd.dst""",
+)
+def g_diamond_count(sess: SeccoSession):
+    """Diamond S3 shape (subgraphQuery.scala): 4-cycle a->b->c->d->a with
+    chord b->d — a cyclic query the GHD planner splits into two bags."""
+    pat = "(a)-[]->(b); (b)-[]->(c); (c)-[]->(d); (d)-[]->(a); (b)-[]->(d)"
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
+@register(
+    "g_clique4_count",
+    f"""WITH e AS ({EDGES_SPARSE})
+        SELECT count(*) AS n
+        FROM e ab JOIN e ac ON ab.src = ac.src
+                  JOIN e ad ON ab.src = ad.src
+                  JOIN e bc ON ab.dst = bc.src AND bc.dst = ac.dst
+                  JOIN e bd ON ab.dst = bd.src AND bd.dst = ad.dst
+                  JOIN e cd ON ac.dst = cd.src AND cd.dst = ad.dst""",
+)
+def g_clique4_count(sess: SeccoSession):
+    """Directed 4-clique S4 shape — single GHD bag (width > 1), evaluated as
+    an ordered binary-join chain (the WCOJ-eligible case; SURVEY.md §7 2b)."""
+    pat = ("(a)-[]->(b); (a)-[]->(c); (a)-[]->(d); "
+           "(b)-[]->(c); (b)-[]->(d); (c)-[]->(d)")
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
+@register(
+    "g_triangle_undirected",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT count(*) AS n
+        FROM s e1 JOIN s e2 ON e1.dst = e2.src
+                  JOIN s e3 ON e2.dst = e3.src AND e3.dst = e1.src""",
+)
+def g_triangle_undirected(sess: SeccoSession):
+    """Undirected triangle: each pattern edge expands to the union of both
+    directions (resolve.scala:386-397) — bag semantics, mirrored exactly by
+    the oracle's UNION ALL symmetrization."""
+    return _sparse_graph(sess).pattern("a-b; b-c; c-a").aggregate(["count(*) AS n"])

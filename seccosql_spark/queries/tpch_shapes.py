@@ -1,0 +1,180 @@
+"""Additional multi-join analytical shapes (TPC-H Q7/Q10/Q18 style), CTEs,
+grouping sets, window navigation, the Update operator analog, and the
+PK-FK-planned star join — widening SURVEY.md §2.2/§2.6 coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.plans.pkfk import JoinInput, plan_star_join
+from seccosql_spark.registry import register
+from seccosql_spark.session import SeccoSession
+
+REV = "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+
+
+Q7 = f"""
+SELECT supp_nation, cust_nation, yr, {REV} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+@register("q7_nation_volume", Q7, headline=True)
+def q7_nation_volume(sess: SeccoSession):
+    """Q7 shape: 6-way join with a self-joined dimension (nation twice) and a
+    disjunctive cross-nation predicate."""
+    return sess.sql(Q7)
+
+
+Q10 = f"""
+SELECT c_custkey, c_name, n_name, {REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", Q10)
+def q10_returned_items(sess: SeccoSession):
+    """Q10 shape: returned-item revenue per customer, top-20 (unique
+    tiebreaker keeps the LIMIT set deterministic)."""
+    return sess.sql(Q10)
+
+
+Q18 = """
+SELECT c_custkey, o_orderkey,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey
+HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+"""
+
+
+@register("q18_large_orders", Q18)
+def q18_large_orders(sess: SeccoSession):
+    """Q18 shape: group-having over a join (large-volume orders)."""
+    return sess.sql(Q18)
+
+
+CTE_MULTI = """
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000
+),
+cust_nation AS (
+  SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, count(*) AS n_big,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM big_orders JOIN cust_nation ON o_custkey = c_custkey
+GROUP BY n_name
+"""
+
+
+@register("cte_multi", CTE_MULTI)
+def cte_multi(sess: SeccoSession):
+    """Non-recursive multi-CTE (With, multiwayOperators.scala:294-326) —
+    straight to Catalyst, which inlines or reuses the subplans."""
+    return sess.sql(CTE_MULTI)
+
+
+CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", CUBE)
+def cube_agg(sess: SeccoSession):
+    return sess.sql(CUBE)
+
+
+@register(
+    "window_lag_delta",
+    """SELECT user_id, event_id,
+              value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id),
+                               0.0) AS delta
+       FROM events""",
+)
+def window_lag_delta(sess: SeccoSession):
+    """Window navigation (lag): per-row double subtraction — deterministic."""
+    return sess.sql(
+        """SELECT user_id, event_id,
+                  value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY event_id),
+                                   CAST(0.0 AS DOUBLE)) AS delta
+           FROM events"""
+    )
+
+
+@register(
+    "update_rows",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 400000 THEN 'FLAGGED' ELSE o_orderstatus END
+                AS o_orderstatus
+       FROM orders""",
+)
+def update_rows(sess: SeccoSession):
+    """The reference's Update operator (unaryOperators.scala:265-275):
+    key-matched row replacement, expressed as UnionByUpdate of the computed
+    delta against the state — the MERGE-style plan from SURVEY.md §2.2."""
+    state = sess.table("orders").project("o_orderkey", "o_orderstatus")
+    delta = (
+        sess.table("orders")
+        .filter("o_totalprice > 400000")
+        .project("o_orderkey", "'FLAGGED' AS o_orderstatus")
+    )
+    return state.union_by_update(delta, ["o_orderkey"])
+
+
+PKFK_ORACLE = f"""
+SELECT n_name, {REV} AS revenue, count(*) AS n
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size > 25
+GROUP BY n_name
+"""
+
+
+@register("pkfk_star_planned", PKFK_ORACLE)
+def pkfk_star_planned(sess: SeccoSession):
+    """Star join planned by the PK-FK layer (plans/pkfk.py — the reference's
+    OptimizePKFKJoin): lineitem anchors as the fact (never PK-side);
+    supplier/nation/part chain off it with broadcast hints."""
+    spark = sess.spark
+    inputs = [
+        JoinInput("lineitem", spark.table("lineitem"), [("l_suppkey", "supplier", "s_suppkey"),
+                                                        ("l_partkey", "part", "p_partkey")]),
+        JoinInput("supplier", spark.table("supplier"), [("s_nationkey", "nation", "n_nationkey")]),
+        JoinInput("nation", spark.table("nation"), []),
+        JoinInput("part", spark.table("part").filter("p_size > 25"), []),
+    ]
+    joined = plan_star_join(sess.catalog, inputs)
+    return sess.from_spark(
+        joined.groupBy("n_name").agg(
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

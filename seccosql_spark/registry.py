@@ -65,3 +65,5 @@ def run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
 from seccosql_spark.queries import relational  # noqa: E402,F401
 from seccosql_spark.queries import graph  # noqa: E402,F401
 from seccosql_spark.queries import pipeline  # noqa: E402,F401
+from seccosql_spark.queries import tpch_shapes  # noqa: E402,F401
+from seccosql_spark.queries import udf  # noqa: E402,F401

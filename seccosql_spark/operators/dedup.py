@@ -30,6 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism. Small-file inputs (one
+    parquet file = one partition) would otherwise run the whole hash
+    pipeline single-threaded; the shuffle this costs is a few MB while the
+    md5/explode work it parallelizes is the dominant cost. No-op effect at
+    real scale where the scan already has many splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def tokenize_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, word) pairs, distinct per doc — whitespace tokens, empties dropped.
     Mirrors DuckDB `unnest(list_distinct(list_filter(string_split(text,' '),
@@ -68,30 +78,39 @@ def exact_dedup(
 def minhash_signatures(
     words: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """(id, j, h): per-doc minhash for seeds j in [0, num_hashes). The hash
-    family is min(md5(j || ':' || word)) — strings compare identically in
-    Spark and DuckDB, so the oracle is exact."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
-    return (
-        words.select("id", "w", seeds)
-        .select("id", "j", F.md5(F.concat_ws(":", F.col("j"), F.col("w"))).alias("hw"))
-        .groupBy("id", "j")
-        .agg(F.min("hw").alias("h"))
+    """(id, h0..h{n-1}): per-doc minhash signature, one column per seed. The
+    hash family is min(md5(j || ':' || word)) — md5 hex strings compare
+    identically in Spark and DuckDB, so the oracle is exact.
+
+    Wide layout on purpose: computing all seeds as columns of ONE row per
+    feature costs a single shuffle of |features| narrow rows and one
+    aggregation, vs. exploding seeds (num_hashes × |features| rows through
+    two shuffles). Same md5 count, ~3× less shuffle traffic."""
+    hashes = words.select(
+        "id",
+        *[
+            F.md5(F.concat_ws(":", F.lit(j), F.col("w"))).alias(f"hw{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashes.groupBy("id").agg(
+        *[F.min(f"hw{j}").alias(f"h{j}") for j in range(num_hashes)]
     )
 
 
 def lsh_bands(sig: DataFrame, band_size: int = 4) -> DataFrame:
-    """(id, band, sig): concat the band's minhashes in seed order. Order is
-    enforced by position (one row per (id,j)), not by collect_list order —
-    deterministic under any shuffle."""
-    slot = [
-        F.max(F.when(F.col("j") % band_size == i, F.col("h"))).alias(f"_s{i}")
-        for i in range(band_size)
-    ]
-    banded = sig.groupBy("id", (F.col("j") / band_size).cast("int").alias("band")).agg(*slot)
-    return banded.select(
-        "id", "band", F.concat_ws("|", *[f"_s{i}" for i in range(band_size)]).alias("sig")
-    )
+    """(id, band, sig): concat each band's minhashes in seed order — pure
+    per-row projection over the wide signature (no extra shuffle)."""
+    n = len([c for c in sig.columns if c.startswith("h")])
+    bands = []
+    for b in range(n // band_size):
+        cols = [F.col(f"h{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*bands)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -151,11 +170,16 @@ def minhash_near_dups(
     note that near-identical word sets collapse LSH buckets — bucket sizes
     then reflect true near-dup density); n>=2 = word n-gram shingles (the
     standard choice at scale: shingle entropy keeps buckets small)."""
+    df = _spread(df)
     feats = (
         tokenize_words(df, id_col, text_col)
         if shingle_n is None
         else shingles(df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
     )
+    # the feature set feeds three branches (signature agg + both sides of the
+    # jaccard join) — persist to compute the tokenize+hash work once, like
+    # the reference caches exchange inputs (PullPairExchangeExec.doPrepare)
+    feats = feats.persist()
     sig = minhash_signatures(feats, num_hashes)
     pairs = candidate_pairs(lsh_bands(sig, band_size))
     return exact_jaccard(feats, pairs).filter(F.col("jaccard") >= threshold)
@@ -170,7 +194,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup: candidates = pairs sharing >= 1 shingle (the
     shingle join IS the bucketing), then exact Jaccard over shingle sets."""
-    sh = shingles(df, n, id_col, text_col)
+    sh = shingles(_spread(df), n, id_col, text_col).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("id").alias("id1"), "s")
     s2 = sh.select(F.col("id").alias("id2"), "s")
@@ -238,7 +262,7 @@ def simhash_near_dups(
     """SimHash near-dup: byte-bucket candidate join (pigeonhole: hamming <= 3
     over 32 bits → at least one of the 4 bytes equal), then exact Hamming
     filter via bit_count(xor). Output (id1, id2, hamming)."""
-    sh = simhash(tokenize_words(df, id_col, text_col))
+    sh = simhash(tokenize_words(_spread(df), id_col, text_col))
     k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
     keyed = sh.select("id", "simhash", k).select(
         "id",

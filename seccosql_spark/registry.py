@@ -47,11 +47,23 @@ def register(name: str, oracle: str | None, headline: bool = False):
     return deco
 
 
+# SparkSession id -> (SeccoSession, sf_dir its views currently point at).
+# Temp views are global per table NAME on a SparkSession, so the cache must
+# re-register whenever the requested sf_dir differs from the registered one —
+# caching per (spark, sf_dir) independently would serve stale views.
+_SESSION_CACHE: dict[int, tuple[SeccoSession, str]] = {}
+
+
 def session_for(spark: SparkSession, sf_dir: str) -> SeccoSession:
-    """Fresh SeccoSession over the driver's SparkSession with all testdata
-    views registered."""
+    """SeccoSession over the driver's SparkSession with all testdata views
+    registered. View registration reads every parquet footer, so it is
+    cached and repeated only when the sf_dir changes."""
+    cached = _SESSION_CACHE.get(id(spark))
+    if cached is not None and cached[0].spark is spark and cached[1] == sf_dir:
+        return cached[0]
     sess = SeccoSession(spark)
     sess.load_dir(sf_dir, TESTDATA_TABLES)
+    _SESSION_CACHE[id(spark)] = (sess, sf_dir)
     return sess
 
 

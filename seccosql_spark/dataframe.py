@@ -183,15 +183,26 @@ class SeccoDataFrame:
         self,
         others: Sequence["SeccoDataFrame | DataFrame"],
         use_ghd: bool = True,
+        algorithm: str = "ghd",
     ) -> "SeccoDataFrame":
         """n-way natural join (MultiwayJoin, plan/multiwayOperators.scala:57-154).
-        With `use_ghd`, the join tree is GHD-decomposed and emitted in an order
-        that minimizes fractional-width (SURVEY.md §7 phase 2); Catalyst still
-        owns physical strategy for each binary join."""
+
+        algorithm="ghd" (default): join tree GHD-decomposed, emitted as binary
+        df.joins (Catalyst owns physical strategy) — bag semantics, like SQL.
+        "chain": naive left fold, bag semantics. "wcoj": hypercube shuffle +
+        per-task LeapFrog (plans/wcoj.py) — worst-case-optimal for
+        adversarial cyclic inputs, SET semantics (distinct bindings; equal to
+        the others exactly when inputs are duplicate-free, e.g. edge sets)."""
+        dfs = [self.df] + [_unwrap(o) for o in others]
+        if algorithm == "wcoj":
+            from seccosql_spark.plans.wcoj import wcoj_natural_join
+
+            return self._wrap(wcoj_natural_join(dfs))
         from seccosql_spark.plans.ghd import multiway_natural_join
 
-        dfs = [self.df] + [_unwrap(o) for o in others]
-        return self._wrap(multiway_natural_join(dfs, use_ghd=use_ghd))
+        return self._wrap(
+            multiway_natural_join(dfs, use_ghd=use_ghd and algorithm == "ghd")
+        )
 
     # ---- sinks / actions (SeccoDataFrame.scala:64-117) ----
 

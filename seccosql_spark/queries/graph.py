@@ -258,3 +258,56 @@ def g_triangle_undirected(sess: SeccoSession):
     directions (resolve.scala:386-397) — bag semantics, mirrored exactly by
     the oracle's UNION ALL symmetrization."""
     return _sparse_graph(sess).pattern("a-b; b-c; c-a").aggregate(["count(*) AS n"])
+
+
+@register(
+    "g_message_passing_2rounds",
+    f"""WITH e AS ({WEDGES_SPARK}),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            v1 AS (
+              SELECT nodes.id, CAST(coalesce(w, 0) AS BIGINT) AS value FROM nodes
+              LEFT JOIN (SELECT dst AS id2, CAST(sum(weight) AS BIGINT) AS w
+                         FROM e GROUP BY dst) m ON nodes.id = m.id2
+            )
+        SELECT nodes.id, CAST(coalesce(w2, 0) AS BIGINT) AS value FROM nodes
+        LEFT JOIN (SELECT e.dst AS id2, CAST(sum(v1.value * e.weight) AS BIGINT) AS w2
+                   FROM e JOIN v1 ON e.src = v1.id GROUP BY e.dst) m2
+          ON nodes.id = m2.id2""",
+)
+def g_message_passing_2rounds(sess: SeccoSession):
+    """Two message-passing supersteps (Recursion(MessagePassing, 2) shape,
+    graphOperators.scala:172-195): round 2 propagates round 1's state along
+    weighted edges. Integer arithmetic end-to-end, so the two-level
+    aggregation oracle is exact."""
+    edges = sess.spark.sql(WEDGES_SPARK)
+    g = SeccoGraphFrame(sess, None, edges)
+    initial = g.node().select("id", F.lit(1).cast("bigint").alias("value"))
+    return g.message_passing(
+        message="value * weight",
+        merge="CAST(sum(__msg) AS BIGINT)",
+        update="coalesce(msg, CAST(0 AS BIGINT))",
+        initial=initial,
+        rounds=2,
+    )
+
+
+@register(
+    "g_triangle_wcoj",
+    f"""WITH e AS ({EDGES_SPARSE})
+        SELECT count(*) AS n
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                  JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src""",
+)
+def g_triangle_wcoj(sess: SeccoSession):
+    """Triangle count through the worst-case-optimal path (plans/wcoj.py):
+    hypercube shuffle (one round, HyperCubePartitioner parity) + per-task
+    LeapFrog intersection — same answer as the GHD chain, different physical
+    plan."""
+    from seccosql_spark.plans.wcoj import wcoj_natural_join
+
+    e = sess.spark.sql(EDGES_SPARSE)
+    r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    joined = wcoj_natural_join([r, s, t], num_tasks=16)
+    return sess.from_spark(joined.agg(F.count(F.lit(1)).alias("n")))

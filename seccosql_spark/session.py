@@ -16,6 +16,7 @@ parser+analyzer+optimizer+executor; the session contributes:
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Iterable
 
@@ -42,6 +43,41 @@ _TESTDATA_PKS: dict[str, tuple[str, ...]] = {
 TESTDATA_TABLES = tuple(_TESTDATA_PKS)
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make `seccosql_spark` importable on executor Python workers.
+
+    Closures inside applyInPandas/mapInPandas reference module-level
+    functions BY REFERENCE (cloudpickle), so workers must import the
+    package. Workers only see the driver's cwd, not its sys.path — if the
+    driver process runs from outside the repo, unpickling fails with
+    ModuleNotFoundError. Shipping a zip via addPyFile puts the package on
+    every worker's sys.path regardless of cwd (and would also work on a
+    real multi-node cluster, where workers share nothing with the driver).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_secco_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"seccosql_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "seccosql_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._secco_pkg_shipped = True
+
+
 class SeccoSession:
     """Engine session: a SparkSession plus dialect SQL and a PK-aware catalog."""
 
@@ -55,6 +91,7 @@ class SeccoSession:
         # nanosecond TIMESTAMP_NTZ). Safe to set at runtime on an
         # externally-provided session.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ship_package(self.spark)
         self.catalog = SideCatalog()
 
     # -- session management (reference: SeccoSession.currentSession singleton) --

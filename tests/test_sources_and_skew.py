@@ -1,0 +1,93 @@
+"""Source/sink surface (SURVEY.md §2.1) + salted-join equivalence."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seccosql_spark.operators.skew import salted_join
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_from_seq_local_rows(sess):
+    """LocalRows (leafOperators.scala:155-168)."""
+    df = sess.from_seq([(1, "a"), (2, "b")], "id INT, name STRING")
+    assert rows(df.to_spark()) == [(1, "a"), (2, "b")]
+
+
+def test_from_rdd(sess):
+    """RDDRows (leafOperators.scala:134-147) with PK metadata."""
+    rdd = sess.spark.sparkContext.parallelize([(1, 2.0), (2, 4.0)])
+    df = sess.from_rdd(rdd, "id INT, val DOUBLE", primary_keys=("id",))
+    assert df.primary_keys == ("id",)
+    assert rows(df.to_spark()) == [(1, 2.0), (2, 4.0)]
+
+
+def test_create_table_registers_catalog_and_view(sess):
+    df = sess.from_seq([(7, 70.0)], "k INT, v DOUBLE")
+    df.create_or_replace_table("t_sources_test", primary_keys=("k",))
+    assert sess.catalog.primary_keys("t_sources_test") == ("k",)
+    assert rows(sess.table("t_sources_test").to_spark()) == [(7, 70.0)]
+
+
+def test_subquery_alias(sess):
+    """SubqueryAlias (unaryOperators.scala:278-289) — delegated alias()."""
+    df = sess.from_seq([(1,)], "x INT").alias("sub")
+    assert rows(df.to_spark().select(F.col("sub.x"))) == [(1,)]
+
+
+def test_csv_json_round_trip(sess):
+    """File-format connectors the reference lacks entirely (§2.1: 'no file
+    format layer') — free through Spark, worth locking in."""
+    with tempfile.TemporaryDirectory() as d:
+        src = sess.from_seq([(1, "x"), (2, "y")], "id INT, s STRING").to_spark()
+        src.write.mode("overwrite").csv(os.path.join(d, "csv"), header=True)
+        src.write.mode("overwrite").json(os.path.join(d, "json"))
+        csv_back = sess.spark.read.csv(
+            os.path.join(d, "csv"),
+            header=True,
+            schema=T.StructType(
+                [T.StructField("id", T.IntegerType()), T.StructField("s", T.StringType())]
+            ),
+        )
+        json_back = sess.spark.read.schema("id INT, s STRING").json(os.path.join(d, "json"))
+        assert rows(csv_back) == rows(src)
+        assert rows(json_back) == rows(src)
+
+
+def test_repartition_preserves_results(sess):
+    """Partition op (unaryOperators.scala:235-253) maps to df.repartition —
+    a pure communication op: results identical, distribution changed."""
+    li = sess.table("lineitem")
+    direct = li.aggregate(["count(*) AS n"], ["l_suppkey"])
+    via_partition = sess.from_spark(li.df.repartition("l_suppkey")).aggregate(
+        ["count(*) AS n"], ["l_suppkey"]
+    )
+    assert rows(direct.to_spark()) == rows(via_partition.to_spark())
+    assert via_partition.to_spark().rdd.getNumPartitions() >= 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is a pure plan transform: same rows out."""
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 2)],
+        "k STRING, payload INT",
+    )
+    right = spark.createDataFrame([("hot", 1.0), ("cold", 2.0), ("never", 3.0)], "k STRING, w DOUBLE")
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, ["k"], salt_factor=4, left_uniquifier="payload")
+    assert rows(salted.select("k", "payload", "w")) == rows(plain.select("k", "payload", "w"))
+
+
+def test_salted_left_join(spark):
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k STRING, p INT")
+    right = spark.createDataFrame([("a", 9.0)], "k STRING, w DOUBLE")
+    out = salted_join(left, right, ["k"], how="left", salt_factor=4, left_uniquifier="p")
+    got = {(r["k"], r["w"]) for r in out.collect()}
+    assert got == {("a", 9.0), ("b", None)}

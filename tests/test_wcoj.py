@@ -1,0 +1,94 @@
+"""WCOJ (hypercube + LeapFrog) equivalence tests: the opt-in path must agree
+with the GHD binary-join chain on the canonical cyclic shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seccosql_spark.plans.ghd import multiway_natural_join
+from seccosql_spark.plans.wcoj import (
+    attribute_order,
+    compute_shares,
+    wcoj_natural_join,
+)
+
+
+def rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_attribute_order_by_frequency():
+    order = attribute_order([{"a", "b"}, {"b", "c"}, {"c", "a"}, {"a", "d"}])
+    assert order[0] == "a"  # appears 3×
+
+
+def test_shares_product_within_budget():
+    shares = compute_shares(["a", "b", "c"], 32)
+    product = 1
+    for v in shares.values():
+        product *= v
+    assert product <= 32
+    assert max(shares.values()) >= 2
+
+
+def test_wcoj_triangle_matches_chain(spark):
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (2, 0), (1, 3)]
+    r = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    s = spark.createDataFrame(edges, "b BIGINT, c BIGINT")
+    t = spark.createDataFrame(edges, "c BIGINT, a BIGINT")
+    chain = multiway_natural_join([r, s, t], use_ghd=True)
+    wcoj = wcoj_natural_join([r, s, t], num_tasks=8)
+    assert rows(wcoj, ["a", "b", "c"]) == rows(chain, ["a", "b", "c"])
+    assert len(rows(wcoj, ["a", "b", "c"])) > 0
+
+
+def test_wcoj_square_matches_chain(spark):
+    r1 = spark.createDataFrame([(1, 2), (7, 8), (1, 9)], "a BIGINT, b BIGINT")
+    r2 = spark.createDataFrame([(2, 3), (8, 9), (9, 3)], "b BIGINT, c BIGINT")
+    r3 = spark.createDataFrame([(3, 4), (9, 1)], "c BIGINT, d BIGINT")
+    r4 = spark.createDataFrame([(1, 4), (5, 5), (7, 4)], "a BIGINT, d BIGINT")
+    chain = multiway_natural_join([r1, r2, r3, r4], use_ghd=True)
+    wcoj = wcoj_natural_join([r1, r2, r3, r4], num_tasks=16)
+    assert rows(wcoj, ["a", "b", "c", "d"]) == rows(chain, ["a", "b", "c", "d"])
+
+
+def test_wcoj_on_string_keys(spark):
+    r = spark.createDataFrame([("x", "y"), ("y", "z")], "a STRING, b STRING")
+    s = spark.createDataFrame([("y", "q"), ("z", "q")], "b STRING, c STRING")
+    chain = multiway_natural_join([r, s], use_ghd=False)
+    wcoj = wcoj_natural_join([r, s], num_tasks=4)
+    assert rows(wcoj, ["a", "b", "c"]) == rows(chain, ["a", "b", "c"])
+
+
+def test_wcoj_empty_result(spark):
+    r = spark.createDataFrame([(1, 2)], "a BIGINT, b BIGINT")
+    s = spark.createDataFrame([(99, 100)], "b BIGINT, c BIGINT")
+    assert rows(wcoj_natural_join([r, s], num_tasks=4), ["a", "b", "c"]) == []
+
+
+def test_wcoj_graph_triangle_count_matches(sess):
+    """Real-data check: triangle count on the sparse lineitem graph equals
+    the GHD-chain pattern count."""
+    from seccosql_spark.queries.graph import EDGES_SPARSE
+
+    e = sess.spark.sql(EDGES_SPARSE)
+    r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    chain_n = multiway_natural_join([r, s, t], use_ghd=True).count()
+    wcoj_n = wcoj_natural_join([r, s, t], num_tasks=16).count()
+    assert wcoj_n == chain_n
+
+
+def test_wcoj_set_vs_bag_semantics(spark):
+    """WCOJ outputs DISTINCT bindings; the GHD chain is a bag join. They
+    agree exactly on duplicate-free inputs and diverge (documented) when
+    inputs carry duplicates."""
+    dup = spark.createDataFrame([(1, 2), (1, 2), (3, 4)], "a BIGINT, b BIGINT")
+    other = spark.createDataFrame([(2, 5), (4, 6)], "b BIGINT, c BIGINT")
+    bag = multiway_natural_join([dup, other], use_ghd=False)
+    setj = wcoj_natural_join([dup, other], num_tasks=4)
+    assert bag.count() == 3          # (1,2) duplicated
+    assert setj.count() == 2         # distinct bindings
+    assert rows(setj, ["a", "b", "c"]) == rows(bag.distinct(), ["a", "b", "c"])

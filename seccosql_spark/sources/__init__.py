@@ -1,0 +1,13 @@
+"""Source/sink connectors. The reference has NO file-format layer (SURVEY.md
+§2.1: ingestion only from Seqs/RDDs/DataFrames); this engine adds the
+standard Spark sources as first-class connectors with PK metadata plumbed
+into the side catalog."""
+
+from seccosql_spark.sources.connectors import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_parquet,
+)
+
+__all__ = ["read_parquet", "read_csv", "read_json", "write_parquet"]

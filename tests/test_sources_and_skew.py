@@ -91,3 +91,34 @@ def test_salted_left_join(spark):
     out = salted_join(left, right, ["k"], how="left", salt_factor=4, left_uniquifier="p")
     got = {(r["k"], r["w"]) for r in out.collect()}
     assert got == {("a", 9.0), ("b", None)}
+
+
+def test_connectors_module_round_trip(sess):
+    """sources/ connectors: csv+json readers with schema + partitioned
+    parquet sink (directory layout = partition pruning at read)."""
+    import tempfile
+
+    from seccosql_spark import sources
+
+    with tempfile.TemporaryDirectory() as d:
+        src = sess.from_seq(
+            [(1, "x", "g1"), (2, "y", "g2"), (3, "z", "g1")], "id INT, s STRING, g STRING"
+        )
+        sources.write_parquet(src, f"{d}/p", partition_by=["g"])
+        back = sources.read_parquet(sess, f"{d}/p", name="t_conn", primary_keys=("id",))
+        assert back.primary_keys == ("id",)
+        assert sess.catalog.primary_keys("t_conn") == ("id",)
+        assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+        # partition pruning: filter on g reads one directory
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            back.filter("g = 'g1'").to_spark().explain("formatted")
+        assert "PartitionFilters: [isnotnull(g" in buf.getvalue()
+
+        src.to_spark().write.mode("overwrite").csv(f"{d}/c", header=True)
+        got = sources.read_csv(sess, f"{d}/c", schema="id INT, s STRING, g STRING")
+        assert got.count() == 3
+        src.to_spark().write.mode("overwrite").json(f"{d}/j")
+        got = sources.read_json(sess, f"{d}/j", schema="id INT, s STRING, g STRING")
+        assert got.count() == 3

@@ -1,0 +1,114 @@
+"""As-of join and range join — time-series operators Spark lacks primitives
+for, built as scalable DataFrame compositions (no nested-loop joins).
+
+**As-of join** (``asof_join``): for each left row, the single right row with
+the greatest `right_time <= left_time` within the same key — the canonical
+"latest state as of this event" lookup. Implemented with the union+window
+trick: tag both sides, union, and carry the last right value forward with
+``last(..., ignorenulls=True)`` over (key, time) — ONE shuffle on the key,
+state never materializes a quadratic pairing. (A join + groupBy-max
+formulation shuffles twice and explodes on hot keys.)
+
+**Range join** (``range_join_buckets``): pairs with `right_time ∈
+[left_time + lo, left_time + hi]`. A raw inequality join plans as a nested
+loop (quadratic); bucketing both sides to `ceil((hi-lo))`-sized time buckets
+and equi-joining on bucket ∈ {b-1, b, b+1} turns it into a hash join with a
+cheap residual filter — the standard interval-bucketing rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: left columns + each `value_cols` of the matching
+    (latest prior) right row, null when no right row precedes.
+
+    `inclusive=True` matches right_time == left_time (ties: right sorts
+    before left so the equal-time state is visible). Times must be orderable
+    and, for deterministic results with ties WITHIN the right side, unique
+    per key (use a sequence column when wall-clock collides)."""
+    on = list(on)
+    value_cols = list(value_cols)
+    lt = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("__row"),
+    )
+    rt = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
+    )
+    # right rows sort before left rows at equal time iff inclusive
+    order = [F.col("__t"), F.col("__is_left").asc() if inclusive else F.col("__is_left").desc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = lt.unionByName(rt).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col("__row")[c].alias(c) for c in left.columns],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Inner join of rows with right_time in [left_time+lo, left_time+hi]
+    (numeric times). Bucketed equi-join: width = hi-lo, each left row probes
+    buckets {b(l+lo) .. b(l+hi)} (at most 2 adjacent buckets + residual
+    filter), so the plan is a hash join keyed on (on…, bucket)."""
+    if hi <= lo:
+        raise ValueError("range_join_buckets needs lo < hi")
+    width = hi - lo
+    on = list(on)
+    lcols, rcols = left.columns, right.columns
+    overlap = set(lcols) & set(rcols) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous columns, rename before joining: {sorted(overlap)}")
+    lb = left.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(left_time) + F.lit(lo)) / F.lit(width)),
+                F.floor((F.col(left_time) + F.lit(hi)) / F.lit(width)),
+            )
+        ).alias("__bucket"),
+    )
+    rb = right.select("*", F.floor(F.col(right_time) / F.lit(width)).alias("__bucket"))
+    return (
+        lb.join(rb, on=on + ["__bucket"])
+        .filter(
+            (F.col(right_time) >= F.col(left_time) + F.lit(lo))
+            & (F.col(right_time) <= F.col(left_time) + F.lit(hi))
+        )
+        .drop("__bucket")
+    )

@@ -1,0 +1,73 @@
+"""Time-series operator queries over `events`: as-of join and range join —
+custom operators Spark lacks primitives for (build-rule case (a): pure
+DataFrame composition), with exact oracles.
+
+The event sequence axis is `event_id` (unique, monotone per load) for the
+as-of join — wall-clock `ts` collides at second granularity, which would
+make "the latest prior row" ambiguous. The range join uses raw nanosecond
+epoch (`events.ts` surfaces as INT64 nanos in Spark, `epoch_ns(ts)` in
+DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.operators.asof import asof_join, range_join_buckets
+from seccosql_spark.registry import register
+from seccosql_spark.session import SeccoSession
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id,
+       (SELECT p.value FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.event_id <= e.event_id
+        ORDER BY p.event_id DESC LIMIT 1) AS asof_value
+FROM events e
+"""
+
+
+@register("asof_latest_purchase", ASOF_ORACLE)
+def asof_latest_purchase(sess: SeccoSession):
+    """As-of join: every event annotated with the user's latest purchase
+    value as of that event (inclusive). One shuffle on user_id via the
+    union+window carry-forward plan — no quadratic pairing."""
+    events = sess.spark.table("events")
+    purchases = events.filter("event_type = 'purchase'")
+    out = asof_join(
+        events,
+        purchases,
+        on=["user_id"],
+        left_time="event_id",
+        right_time="event_id",
+        value_cols=["value"],
+    )
+    return sess.from_spark(out.select("event_id", "user_id", F.col("asof_value")))
+
+
+RANGE_ORACLE = """
+SELECT a.event_id AS a_id, count(*) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ns(b.ts) >= epoch_ns(a.ts) + 1
+ AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+GROUP BY a.event_id
+"""
+
+
+@register("range_join_next_hour", RANGE_ORACLE)
+def range_join_next_hour(sess: SeccoSession):
+    """Range join: per event, how many same-user events fall in the next
+    hour. Bucketed to hour-wide time buckets → hash join + residual filter
+    (a raw inequality join would plan as a nested loop)."""
+    events = sess.spark.table("events")
+    a = events.select(
+        F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), "user_id"
+    )
+    b = events.select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), "user_id"
+    )
+    hour_ns = 3_600_000_000_000
+    joined = range_join_buckets(
+        a, b, on=["user_id"], left_time="a_ts", right_time="b_ts", lo=1, hi=hour_ns
+    )
+    return sess.from_spark(joined.groupBy("a_id").agg(F.count(F.lit(1)).alias("n")))

@@ -78,4 +78,5 @@ from seccosql_spark.queries import relational  # noqa: E402,F401
 from seccosql_spark.queries import graph  # noqa: E402,F401
 from seccosql_spark.queries import pipeline  # noqa: E402,F401
 from seccosql_spark.queries import tpch_shapes  # noqa: E402,F401
+from seccosql_spark.queries import timeseries  # noqa: E402,F401
 from seccosql_spark.queries import udf  # noqa: E402,F401

@@ -1,0 +1,57 @@
+"""As-of and range join golden tests on literal tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from seccosql_spark.operators.asof import asof_join, range_join_buckets
+
+
+def rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, "t1"), ("A", 7, "t2"), ("B", 5, "t3")], "sym STRING, t BIGINT, id STRING"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 9, 99.0)],
+        "sym STRING, t BIGINT, px DOUBLE",
+    )
+    out = asof_join(trades, quotes, ["sym"], "t", "t", ["px"])
+    assert rows(out, ["id", "asof_px"]) == [("t1", 10.0), ("t2", 11.0), ("t3", None)]
+
+
+def test_asof_inclusive_ties(spark):
+    left = spark.createDataFrame([("A", 5, "l")], "k STRING, t BIGINT, id STRING")
+    right = spark.createDataFrame([("A", 5, 1.5)], "k STRING, t BIGINT, v DOUBLE")
+    incl = asof_join(left, right, ["k"], "t", "t", ["v"], inclusive=True)
+    excl = asof_join(left, right, ["k"], "t", "t", ["v"], inclusive=False)
+    assert rows(incl, ["id", "asof_v"]) == [("l", 1.5)]
+    assert rows(excl, ["id", "asof_v"]) == [("l", None)]
+
+
+def test_range_join_matches_naive(spark):
+    a = spark.createDataFrame(
+        [("u", i * 10, i) for i in range(10)], "k STRING, at BIGINT, aid INT"
+    )
+    b = spark.createDataFrame(
+        [("u", i * 7, 100 + i) for i in range(12)], "k STRING, bt BIGINT, bid INT"
+    )
+    bucketed = range_join_buckets(a, b, ["k"], "at", "bt", lo=1, hi=25)
+    naive = a.join(b, "k").filter("bt >= at + 1 AND bt <= at + 25")
+    assert rows(bucketed, ["aid", "bid"]) == rows(naive, ["aid", "bid"])
+    assert len(rows(bucketed, ["aid", "bid"])) > 0
+
+
+def test_range_join_rejects_bad_bounds(spark):
+    df = spark.createDataFrame([("u", 1)], "k STRING, t BIGINT")
+    with pytest.raises(ValueError):
+        range_join_buckets(df, df.withColumnRenamed("t", "t2"), ["k"], "t", "t2", 5, 5)
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    df = spark.createDataFrame([("u", 1, 2)], "k STRING, t BIGINT, x INT")
+    with pytest.raises(ValueError):
+        range_join_buckets(df, df, ["k"], "t", "t", 0, 10)

@@ -193,6 +193,8 @@ class SeccoDataFrame:
         per-task LeapFrog (plans/wcoj.py) — worst-case-optimal for
         adversarial cyclic inputs, SET semantics (distinct bindings; equal to
         the others exactly when inputs are duplicate-free, e.g. edge sets)."""
+        if algorithm not in ("ghd", "chain", "wcoj"):
+            raise ValueError(f"unknown multiway join algorithm: {algorithm!r}")
         dfs = [self.df] + [_unwrap(o) for o in others]
         if algorithm == "wcoj":
             from seccosql_spark.plans.wcoj import wcoj_natural_join

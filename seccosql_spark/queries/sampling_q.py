@@ -1,0 +1,106 @@
+"""Sampling / sessionization / regex-tokenization queries — the remaining
+training-data pipeline surface, all with exact oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.operators.sampling import (
+    hash_sample,
+    rate_to_hex_threshold,
+    stratified_sample_topk,
+)
+from seccosql_spark.registry import register
+from seccosql_spark.session import SeccoSession
+
+_THRESH_10PCT = rate_to_hex_threshold(0.10)
+
+
+@register(
+    "sample_hash_10pct",
+    f"""SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_THRESH_10PCT}'""",
+)
+def sample_hash_10pct(sess: SeccoSession):
+    """Deterministic content-hash sampling (reproducible across engines,
+    cluster layouts and runs — unlike df.sample)."""
+    return sess.from_spark(
+        hash_sample(sess.spark.table("documents"), "doc_id", 0.10).select(
+            "doc_id", "source"
+        )
+    )
+
+
+@register(
+    "sample_stratified_3per_lang",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents
+       ) WHERE rn <= 3""",
+)
+def sample_stratified_3per_lang(sess: SeccoSession):
+    """Stratified downsampling: exactly 3 docs per language, hash-ordered."""
+    return sess.from_spark(
+        stratified_sample_topk(sess.spark.table("documents"), "lang", "doc_id", 3).select(
+            "doc_id", "lang"
+        )
+    )
+
+
+SESSION_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id,
+         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+                   IS NULL THEN 1
+              WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                          ORDER BY event_id)
+                   > 3600000000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+)
+"""
+
+
+@register("sessionize_events", SESSION_ORACLE)
+def sessionize_events(sess: SeccoSession):
+    """Gap-based sessionization (1 h gap) per user — one shuffle, two window
+    functions. Ordered by the unique event sequence (event_id), with the gap
+    measured on wall-clock ts, because raw ts collides at second granularity
+    (the `sessionize` operator's documented uniqueness requirement)."""
+    from pyspark.sql import Window
+
+    events = sess.spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull(), F.lit(1)
+    ).otherwise((F.col("ts") - F.lag("ts").over(w) > 3_600_000_000_000).cast("int"))
+    out = events.select(
+        "event_id",
+        "user_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.from_spark(out)
+
+
+@register(
+    "text_bpe_tokens",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_alpha,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numeric
+       FROM documents""",
+)
+def text_bpe_tokens(sess: SeccoSession):
+    """BPE-ish regex token counting (character-class splits — identical
+    across Java and RE2 regex engines)."""
+    return sess.from_spark(
+        sess.spark.table("documents").select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("n_alpha"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_numeric"),
+        )
+    )

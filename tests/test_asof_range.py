@@ -55,3 +55,46 @@ def test_range_join_rejects_ambiguous_columns(spark):
     df = spark.createDataFrame([("u", 1, 2)], "k STRING, t BIGINT, x INT")
     with pytest.raises(ValueError):
         range_join_buckets(df, df, ["k"], "t", "t", 0, 10)
+
+
+def test_sessionize_operator(spark):
+    from seccosql_spark.operators.sampling import sessionize
+
+    df = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 150, "b"), ("u", 500, "c"), ("v", 10, "d")],
+        "k STRING, t BIGINT, id STRING",
+    )
+    out = sessionize(df, "k", "t", gap=100)
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+    assert got == {"a": 1, "b": 1, "c": 2, "d": 1}
+
+
+def test_hash_sample_deterministic(spark):
+    from seccosql_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id BIGINT")
+    a = sorted(r["id"] for r in hash_sample(df, "id", 0.2).collect())
+    b = sorted(r["id"] for r in hash_sample(df.repartition(7), "id", 0.2).collect())
+    assert a == b                     # layout-independent
+    assert 120 < len(a) < 280         # ~20% of 1000
+
+
+def test_stratified_topk_exact_k(spark):
+    from seccosql_spark.operators.sampling import stratified_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(100)], "id BIGINT, g STRING"
+    )
+    out = stratified_sample_topk(df, "g", "id", 5)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+
+
+def test_hash_sample_rate_edges(spark):
+    from seccosql_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id BIGINT")
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 200
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)

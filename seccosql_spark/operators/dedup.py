@@ -61,6 +61,9 @@ def shingles(
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)]),
     )
+    # guard: sequence(1, size-(n-1)) DESCENDS for docs shorter than n tokens
+    # (invalid element_at indices) — such docs have no shingles
+    gram = F.when(F.size("toks") >= n, gram).otherwise(F.array().cast("array<string>"))
     return df.select("id", F.explode(F.array_distinct(gram)).alias("s"))
 
 
@@ -171,18 +174,61 @@ def minhash_near_dups(
     then reflect true near-dup density); n>=2 = word n-gram shingles (the
     standard choice at scale: shingle entropy keeps buckets small)."""
     df = _spread(df)
-    feats = (
-        tokenize_words(df, id_col, text_col)
-        if shingle_n is None
-        else shingles(df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
+    # Whole pipeline scan-side until the (tiny) band self-join:
+    #   feats  : per-doc DISTINCT feature ARRAY (no explode)
+    #   sig_j  : array_min over per-feature md5 — 8 signature columns computed
+    #            inside whole-stage codegen, zero shuffles
+    #   verify : candidates join back the feature arrays; exact jaccard via
+    #            array_intersect (arrays are distinct, so sizes are set sizes)
+    # Semantically identical to the exploded formulation (same md5 family,
+    # same min, same jaccard) — the oracle SQL is unchanged.
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    if shingle_n is None:
+        feat_arr = F.array_distinct(toks)
+    else:
+        n = shingle_n
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+        )
+        # same descending-sequence guard as shingles(): < n tokens → no shingles
+        feat_arr = F.array_distinct(
+            F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+        )
+    # featureless docs (empty/short text) can't be near-dups; keeping them
+    # would collide every one on the empty band signature and 0/0 the
+    # jaccard. The exploded oracle excludes them naturally (no rows).
+    base = (
+        df.select(F.col(id_col).alias("id"), feat_arr.alias("feats"))
+        .filter(F.size("feats") > 0)
+        .persist()
     )
-    # the feature set feeds three branches (signature agg + both sides of the
-    # jaccard join) — persist to compute the tokenize+hash work once, like
-    # the reference caches exchange inputs (PullPairExchangeExec.doPrepare)
-    feats = feats.persist()
-    sig = minhash_signatures(feats, num_hashes)
+
+    def _sig(j: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform passes
+        # the element index to 2-parameter lambdas, which would silently
+        # replace the seed
+        return F.array_min(
+            F.transform(F.col("feats"), lambda s: F.md5(F.concat_ws(":", F.lit(j), s)))
+        ).alias(f"h{j}")
+
+    sig_cols = [_sig(j) for j in range(num_hashes)]
+    sig = base.select("id", *sig_cols)
     pairs = candidate_pairs(lsh_bands(sig, band_size))
-    return exact_jaccard(feats, pairs).filter(F.col("jaccard") >= threshold)
+
+    f1 = base.select(F.col("id").alias("id1"), F.col("feats").alias("__f1"))
+    f2 = base.select(F.col("id").alias("id2"), F.col("feats").alias("__f2"))
+    inter = F.size(F.array_intersect(F.col("__f1"), F.col("__f2")))
+    return (
+        pairs.join(f1, "id1")
+        .join(f2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (inter / (F.size("__f1") + F.size("__f2") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

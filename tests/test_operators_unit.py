@@ -108,3 +108,19 @@ def test_minhash_identical_docs_are_found(spark):
     out = minhash_near_dups(docs, threshold=0.9)
     pairs = {(r["id1"], r["id2"]) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_minhash_degenerate_docs_no_crash(spark):
+    """Docs shorter than the shingle width / empty text: no shingles, no
+    spurious pairs, no divide-by-zero (empty band signatures excluded)."""
+    from seccosql_spark.operators.dedup import minhash_near_dups, shingles
+
+    tiny = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, ""), (4, "   "), (5, "x y z w x y z w")],
+        "doc_id INT, text STRING",
+    )
+    assert minhash_near_dups(tiny, threshold=0.5, shingle_n=3).collect() == []
+    pairs = {(r["id1"], r["id2"]) for r in minhash_near_dups(tiny, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+    # exploded shingles helper honors the same guard
+    assert shingles(tiny, 3).filter("id IN (1, 3, 4)").count() == 0

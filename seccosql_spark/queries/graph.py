@@ -311,3 +311,61 @@ def g_triangle_wcoj(sess: SeccoSession):
     t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
     joined = wcoj_natural_join([r, s, t], num_tasks=16)
     return sess.from_spark(joined.agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "g_pattern_weighted_agg",
+    f"""WITH e AS ({WEDGES_SPARK})
+        SELECT e1.src AS a, CAST(sum(e1.weight + e2.weight) AS BIGINT) AS total_w
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        GROUP BY e1.src""",
+)
+def g_pattern_weighted_agg(sess: SeccoSession):
+    """Aggregating pattern variant (benchmark C3/C4 shape,
+    subgraphQuery.scala C-queries): 2-path with NAMED edge variables whose
+    weight properties survive into the aggregate — sum of both edge weights
+    per start node."""
+    g = SeccoGraphFrame(sess, None, sess.spark.sql(WEDGES_SPARK))
+    matched = g.pattern("(a)-[e1]->(b); (b)-[e2]->(c)")
+    return matched.aggregate(
+        ["CAST(sum(e1_weight + e2_weight) AS BIGINT) AS total_w"], ["a"]
+    )
+
+
+BFS_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM ({EDGES_ORACLE})),
+walk(id, d) AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS d
+  UNION
+  SELECT e.dst AS id, least(w.d + 1, 64) AS d FROM walk w JOIN e ON e.src = w.id
+)
+SELECT id, CAST(min(d) AS INT) AS dist FROM walk GROUP BY id
+"""
+
+
+@register("g_bfs_distances", BFS_ORACLE)
+def g_bfs_distances(sess: SeccoSession):
+    """BFS levels from node 0: frontier-based semi-naive expansion — each
+    round joins only the newly-reached frontier against the edges, so the
+    loop stops after `eccentricity(0)` rounds (not a fixed budget). A naive
+    (id, d) closure would re-derive ever-larger d on the cyclic graph and
+    never converge."""
+    edges = sess.spark.sql(EDGES_SPARK).localCheckpoint(eager=True)
+    frontier = sess.spark.sql("SELECT CAST(0 AS BIGINT) AS id, 0 AS d").localCheckpoint(
+        eager=True
+    )
+    seen = frontier
+    for _ in range(64):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+            .distinct()
+            .join(seen.select(F.col("id").alias("__sid")),
+                  F.col("id") == F.col("__sid"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return sess.from_spark(seen.select("id", F.col("d").cast("int").alias("dist")))

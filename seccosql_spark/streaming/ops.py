@@ -154,3 +154,53 @@ def run_available_now(df: DataFrame, sink_table: str, output_mode: str = "append
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time SESSION windows (dynamic-length, gap-closed) per user —
+    Spark-native session windows; state per (user, open session), closed and
+    emitted once the watermark passes the gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within `interval_seconds`
+    AFTER the left event, same user. Both sides watermarked so the join
+    state is bounded (Spark evicts rows once they can no longer match)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")),
+    ).select("l_id", "r_id", "l_user")

@@ -103,3 +103,64 @@ def test_stream_upsert_latest_per_user(spark, events_dir):
         int(r.user_id): (float(r.value), int(r.event_id)) for r in batch.itertuples()
     }
     assert stream_map == batch_map
+
+
+def test_session_window_agg_matches_batch(spark, events_dir):
+    from seccosql_spark.streaming.ops import session_window_agg
+
+    run_available_now(
+        session_window_agg(stream_events(spark, events_dir), gap="30 minutes"),
+        "sess_sink",
+    )
+    got = spark.table("sess_sink")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("sess_start"),
+            F.col("win.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    # append mode emits only sessions closed before the final watermark
+    max_ts = (
+        spark.read.parquet(events_dir)
+        .agg(F.max(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    finalized = batch.filter(F.col("sess_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    assert rows(got) == rows(finalized)
+    assert got.count() > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from seccosql_spark.streaming.ops import stream_stream_join
+
+    joined = stream_stream_join(
+        stream_events(spark, events_dir), stream_events(spark, events_dir)
+    )
+    run_available_now(joined, "ssj_sink")
+    got = spark.table("ssj_sink")
+    b = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    l = b.select(F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"),
+                 F.col("user_id").alias("l_user"))
+    r = b.select(F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"),
+                 F.col("user_id").alias("r_user"))
+    batch = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 3600 SECONDS")),
+    ).select("l_id", "r_id", "l_user")
+    assert rows(got) == rows(batch)
+    assert got.count() > 0

@@ -178,3 +178,53 @@ def pkfk_star_planned(sess: SeccoSession):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+Q12 = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag = 'N'
+GROUP BY o_orderpriority
+"""
+
+
+@register("q12_priority_buckets", Q12)
+def q12_priority_buckets(sess: SeccoSession):
+    """Q12 shape: join + conditional-CASE aggregation buckets."""
+    return sess.sql(Q12)
+
+
+Q14 = """
+SELECT CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                 ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+       AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@register("q14_promo_share", Q14)
+def q14_promo_share(sess: SeccoSession):
+    """Q14 shape: conditional revenue share — decimal sums, one double
+    division at the end (deterministic)."""
+    return sess.sql(Q14)
+
+
+Q19 = """
+SELECT count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+"""
+
+
+@register("q19_disjunctive_join", Q19)
+def q19_disjunctive_join(sess: SeccoSession):
+    """Q19 shape: disjunctive multi-predicate join filter (Catalyst pushes
+    the common l_partkey equi-key; the OR-of-ANDs stays a residual)."""
+    return sess.sql(Q19)

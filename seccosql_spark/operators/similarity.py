@@ -145,3 +145,28 @@ def embedding_near_dups(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Per-bucket centroids as (bucket, pos, centroid) rows — the training
+    step for IVF coarse quantization. posexplode + per-dimension exact
+    decimal sums keep the result engine- and order-independent; one shuffle
+    on (bucket, pos)."""
+    exploded = emb.select(
+        F.col(bucket_col).alias("bucket"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    return (
+        exploded.groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )

@@ -391,3 +391,24 @@ def events_json_extract(sess: SeccoSession):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+CENTROID_ORACLE = """
+SELECT bucket, CAST(pos - 1 AS INT) AS pos,
+       CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS centroid
+FROM (SELECT label AS bucket,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding::DOUBLE[], 1) AS pos
+      FROM embeddings)
+GROUP BY bucket, pos
+"""
+
+
+@register("embedding_centroids", CENTROID_ORACLE)
+def embedding_centroids(sess: SeccoSession):
+    """IVF training step: per-label centroids via exact per-dimension decimal
+    sums (order-independent, so the oracle matches bit-for-bit)."""
+    from seccosql_spark.operators.similarity import label_centroids
+
+    out = label_centroids(sess.spark.table("embeddings"))
+    return sess.from_spark(out.withColumn("pos", F.col("pos").cast("int")))

@@ -124,3 +124,32 @@ def test_minhash_degenerate_docs_no_crash(spark):
     assert pairs == {(1, 2)}
     # exploded shingles helper honors the same guard
     assert shingles(tiny, 3).filter("id IN (1, 3, 4)").count() == 0
+
+
+def test_minhash_signature_building_blocks(spark):
+    """functions-surface building blocks: wide signatures + exact_jaccard."""
+    from seccosql_spark.operators.dedup import (
+        candidate_pairs,
+        exact_jaccard,
+        lsh_bands,
+        minhash_signatures,
+        tokenize_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")], "doc_id INT, text STRING"
+    )
+    words = tokenize_words(docs)
+    sig = minhash_signatures(words, num_hashes=4)
+    assert set(sig.columns) == {"id", "h0", "h1", "h2", "h3"}
+    pairs = candidate_pairs(lsh_bands(sig, band_size=2))
+    assert {(r["id1"], r["id2"]) for r in pairs.collect()} == {(1, 2)}
+    j = exact_jaccard(words, pairs).collect()
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in j] == [(1, 2, 1.0)]
+
+
+def test_analyze_table_populates_stats(sess):
+    stats = sess.analyze_table("region", columns=["r_name"])
+    assert stats.row_count == 5
+    assert stats.ndv["r_name"] >= 4  # approx distinct of 5 names
+    assert sess.catalog.get("region").stats.row_count == 5

@@ -80,4 +80,5 @@ from seccosql_spark.queries import pipeline  # noqa: E402,F401
 from seccosql_spark.queries import tpch_shapes  # noqa: E402,F401
 from seccosql_spark.queries import timeseries  # noqa: E402,F401
 from seccosql_spark.queries import sampling_q  # noqa: E402,F401
+from seccosql_spark.queries import text_stats  # noqa: E402,F401
 from seccosql_spark.queries import udf  # noqa: E402,F401

@@ -369,3 +369,22 @@ def g_bfs_distances(sess: SeccoSession):
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return sess.from_spark(seen.select("id", F.col("d").cast("int").alias("dist")))
+
+
+@register(
+    "g_house_count",
+    f"""WITH e AS ({EDGES_SPARSE})
+        SELECT count(*) AS n
+        FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e cd ON bc.dst = cd.src
+                  JOIN e da ON cd.dst = da.src AND da.dst = ab.src
+                  JOIN e ae ON ae.src = ab.src
+                  JOIN e be ON be.src = ab.dst AND be.dst = ae.dst""",
+)
+def g_house_count(sess: SeccoSession):
+    """House pattern (S5 shape): 4-cycle a->b->c->d->a with a roof node e
+    connected from a and b — a 5-variable cyclic query spanning two GHD
+    bags."""
+    pat = ("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d); (d)-[]->(a); "
+           "(a)-[]->(e); (b)-[]->(e)")
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])

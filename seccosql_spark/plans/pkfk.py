@@ -57,7 +57,18 @@ def plan_star_join(catalog: SideCatalog, inputs: list[JoinInput]) -> DataFrame:
     without key metadata."""
     if not inputs:
         raise ValueError("plan_star_join needs at least one input")
-    by_name = {i.name: i for i in inputs}
+    # join conditions reference columns by bare name, so names must be
+    # globally unique across inputs (true for the TPC-H-ish prefix scheme) —
+    # fail loudly instead of letting Spark throw AMBIGUOUS_REFERENCE later
+    seen_cols: dict[str, str] = {}
+    for i in inputs:
+        for c in i.df.columns:
+            if c in seen_cols:
+                raise ValueError(
+                    f"ambiguous column {c!r} in {i.name!r} and {seen_cols[c]!r}: "
+                    "rename before star planning"
+                )
+            seen_cols[c] = i.name
 
     def is_dimension(inp: JoinInput) -> bool:
         pk = set(catalog.primary_keys(inp.name))

@@ -30,7 +30,6 @@ shares are assigned largest-first to the most frequent attributes.
 from __future__ import annotations
 
 import itertools
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -48,3 +48,15 @@ def test_star_plan_anchors_fact_and_broadcasts_dims(spark, sess):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_plan_rejects_ambiguous_columns(spark):
+    import pytest
+
+    c = _catalog()
+    inputs = [
+        JoinInput("a", spark.createDataFrame([(1,)], "x INT"), []),
+        JoinInput("b", spark.createDataFrame([(2,)], "x INT"), []),
+    ]
+    with pytest.raises(ValueError, match="ambiguous column"):
+        plan_star_join(c, inputs)

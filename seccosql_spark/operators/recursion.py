@@ -28,6 +28,19 @@ from pyspark.sql import DataFrame
 DEFAULT_MAX_ROUNDS = 20  # reference.conf:37 secco.recursion.numRun
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage between rounds. localCheckpoint is preferred (truncates
+    the plan); some plan shapes hit a Spark AttributeMap bug inside
+    checkpointing (NoSuchElementException on an attribute id) — fall back to
+    persist+count, which materializes without rewriting the plan."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        df = df.persist()
+        df.count()
+        return df
+
+
 def bounded_fixpoint(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -37,16 +50,16 @@ def bounded_fixpoint(
     """Semi-naive bounded fixpoint: result := base; repeat up to `max_rounds`:
     delta := step(delta) minus result (when `distinct`); result ∪= delta;
     stop on empty delta. Returns the accumulated result."""
-    acc = (base.distinct() if distinct else base).localCheckpoint(eager=True)
+    acc = _materialize(base.distinct() if distinct else base)
     delta = acc
     for _ in range(max_rounds):
         new = step(delta)
         if distinct:
             new = new.distinct().exceptAll(acc)
-        new = new.localCheckpoint(eager=True)
+        new = _materialize(new)
         if new.isEmpty():
             break
-        acc = acc.unionByName(new).localCheckpoint(eager=True)
+        acc = _materialize(acc.unionByName(new))
         delta = new
     return acc
 
@@ -58,7 +71,7 @@ def iterate(
 ) -> DataFrame:
     """Fixed-round iteration (``Iterative``): state := step(state), `rounds`
     times — the substrate for message-passing / PageRank-style loops."""
-    out = state.localCheckpoint(eager=True)
+    out = _materialize(state)
     for _ in range(rounds):
-        out = step(out).localCheckpoint(eager=True)
+        out = _materialize(step(out))
     return out

@@ -388,3 +388,45 @@ def g_house_count(sess: SeccoSession):
     pat = ("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d); (d)-[]->(a); "
            "(a)-[]->(e); (b)-[]->(e)")
     return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
+@register(
+    "with_recursive_path_counts",
+    f"""WITH RECURSIVE e AS ({EDGES_SPARSE}),
+        walk(src, dst, d) AS (
+          SELECT src, dst, 1 AS d FROM e
+          UNION ALL
+          SELECT w.src, e.dst, d + 1 FROM walk w JOIN e ON w.dst = e.src WHERE d < 3
+        )
+        SELECT src, dst, count(*) AS n_paths FROM walk GROUP BY src, dst""",
+)
+def with_recursive_path_counts(sess: SeccoSession):
+    """WITH RECURSIVE(n) with UNION ALL (bag) semantics: count the paths of
+    length <= 3 between node pairs — each recursion round appends one path
+    per extension, so multiplicities are the path counts."""
+    return sess.sql(
+        f"""WITH RECURSIVE(2) walk(src, dst) AS (
+              SELECT src, dst FROM ({EDGES_SPARSE})
+              UNION ALL
+              SELECT w.src, e.dst FROM walk w
+              JOIN ({EDGES_SPARSE}) e ON w.dst = e.src
+            )
+            SELECT src, dst, count(*) AS n_paths FROM walk GROUP BY src, dst"""
+    )
+
+
+@register(
+    "match_sql_tableref",
+    f"""WITH e AS ({EDGES_SPARSE})
+        SELECT count(*) AS n FROM (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        )""",
+)
+def match_sql_tableref(sess: SeccoSession):
+    """MATCH(table, pattern) as a SQL table reference (SQLParser.scala:
+    240-246) — the third dialect extension, end-to-end through sql()."""
+    sess.spark.sql(EDGES_SPARSE).createOrReplaceTempView("sparse_edges")
+    return sess.sql(
+        "SELECT count(*) AS n FROM MATCH(sparse_edges, '(a)-[]->(b); (b)-[]->(c)')"
+    )

@@ -40,44 +40,68 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+PAGERANK_SCALE = 10**12
+
+
 def pagerank(
     edges: DataFrame,
     rounds: int = 5,
-    damping: float = 0.85,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PAGERANK_SCALE,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """PageRank, `rounds` synchronous supersteps. Returns (id, value).
-    Weights flow src→dst; dangling mass is redistributed uniformly so the
-    total stays 1.0."""
+    """PageRank, `rounds` synchronous supersteps. Returns (id, rank).
+
+    Arithmetic is exact fixed-point: rank mass is a BIGINT scaled by
+    `scale`, and every division is integer division (Spark ``DIV`` ==
+    DuckDB ``//`` on non-negative BIGINTs), so the result is fully
+    deterministic — independent of partitioning, aggregation order, and
+    engine — and hash-matches a closed-form SQL oracle. Float PageRank
+    (the usual formulation) is order-dependent across group sums, which
+    is exactly what a distributed differential test cannot tolerate.
+
+    Dangling mass is redistributed uniformly via a 1-row aggregate
+    crossJoined into the update (no driver collect in the loop; the
+    1-row side becomes a broadcast nested-loop join).
+    """
     nodes = _nodes(edges, src, dst).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    init = nodes.select("id", F.lit(1.0 / n_nodes).alias("value"))
+    # (1-d)/n at fixed point; Python bigints keep it exact at plan time.
+    base_fp = (damping_den - damping_num) * scale // (damping_den * n_nodes)
+    init = nodes.select("id", F.lit(scale // n_nodes).cast("long").alias("v"))
 
     def step(state: DataFrame) -> DataFrame:
-        with_deg = state.join(out_deg, "id", "left")
+        # per-source share: v DIV deg (dangling nodes drop out of the inner join)
+        shares = state.join(out_deg, "id").select(
+            F.col("id").alias("__sid"), F.expr("v DIV deg").alias("t")
+        )
         contrib = (
-            edges.join(
-                with_deg.select(F.col("id").alias("__sid"), "value", "deg"),
-                F.col(src) == F.col("__sid"),
-            )
-            .select(F.col(dst).alias("id"), (F.col("value") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("msg"))
+            edges.join(shares, F.col(src) == F.col("__sid"))
+            .groupBy(F.col(dst).alias("id"))
+            .agg(F.sum("t").cast("long").alias("c"))
         )
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("value"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+            state.join(out_deg, "id", "left")
+            .filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("__dang"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-        return nodes.join(contrib, "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias("value"),
+        return (
+            nodes.crossJoin(dangling)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base_fp} + ({damping_num} * (coalesce(c, CAST(0 AS BIGINT))"
+                    f" + (__dang DIV {n_nodes}))) DIV {damping_den} AS BIGINT)"
+                ).alias("v"),
+            )
         )
 
-    return iterate(init, step, rounds)
+    out = iterate(init, step, rounds)
+    return out.select("id", (F.col("v").cast("double") / F.lit(float(scale))).alias("rank"))
 
 
 def connected_components(

@@ -167,11 +167,46 @@ def g_connected_components(sess: SeccoSession):
     return sess.from_spark(connected_components(sess.spark.sql(EDGES_SPARK)))
 
 
-@register("g_pagerank_3rounds", None)  # iterative fp algorithm: rows-only check
+def _pagerank_oracle(rounds: int) -> str:
+    """Closed-form fixed-point PageRank: each round is one aggregation level
+    of exact BIGINT arithmetic (`//` == Spark `DIV` on non-negatives), so the
+    oracle hash-matches the iterative Spark loop bit-for-bit."""
+    parts = [
+        f"WITH e AS ({EDGES_ORACLE}),\n",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),\n",
+        "nn AS (SELECT count(*) AS n FROM nodes),\n",
+        "deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),\n",
+        "v0 AS (SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS v"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS id, CAST(SUM(v.v // d.deg) AS BIGINT) AS c
+         FROM e JOIN v{p} v ON e.src = v.id JOIN deg d ON e.src = d.id
+         GROUP BY e.dst),
+g{k} AS (SELECT CAST(coalesce(SUM(v.v), 0) AS BIGINT) AS dang
+         FROM v{p} v LEFT JOIN deg d ON v.id = d.id WHERE d.id IS NULL),
+v{k} AS (SELECT nodes.id,
+                CAST((150000000000 // nn.n)
+                     + (85 * (coalesce(c.c, 0) + (g{k}.dang // nn.n))) // 100
+                     AS BIGINT) AS v
+         FROM nodes CROSS JOIN nn CROSS JOIN g{k}
+         LEFT JOIN c{k} c ON nodes.id = c.id)"""
+        )
+    parts.append(
+        f"\nSELECT id, CAST(v AS DOUBLE) / 1000000000000.0 AS rank FROM v{rounds}"
+    )
+    return "".join(parts)
+
+
+@register("g_pagerank_3rounds", _pagerank_oracle(3))
 def g_pagerank_3rounds(sess: SeccoSession):
-    """PageRank, 3 supersteps (graphAnalytic.scala I1-I3 shape). Float sums
-    across groups are engine-order dependent, so this is declared rows-only
-    (the driver's weaker check) rather than hash-matched."""
+    """PageRank, 3 supersteps (graphAnalytic.scala I1-I3 shape), in exact
+    fixed-point arithmetic (graph/algorithms.py:pagerank) — deterministic
+    across engines and partitionings, so it hash-matches the closed-form
+    3-level oracle instead of the weaker rows-only check."""
     return sess.from_spark(pagerank(sess.spark.sql(EDGES_SPARK), rounds=3))
 
 

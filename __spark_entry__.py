@@ -3,9 +3,9 @@
 entry()      — flagship TPC-H-Q1-shape query at sf0.001.
 queries()    — one entry per implemented operator from SURVEY.md §2
                (populated from seccosql_spark.registry).
-oracle_sql() — DuckDB twin for each query; iterative/float-order-dependent
-               ops (e.g. PageRank) intentionally omit the oracle and get the
-               driver's rows-only check.
+oracle_sql() — DuckDB twin for each query (every registered query has one
+               except physical-rewrite demos; iterative ops like PageRank use
+               exact fixed-point arithmetic so even they hash-match).
 """
 
 from __future__ import annotations

@@ -3,9 +3,18 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan construction + execution to a count/
-collect action). A warmup run of the flagship query absorbs JVM/codegen
-startup so the numbers reflect steady-state throughput.
+Methodology (learned the hard way in round 2, where a registry reorder moved
+the heavy array-codegen pipelines into early timed slots and published 20x
+JIT-warmup artifacts as engine time):
+
+- the headline ORDER is pinned here, independent of registry order;
+- each query is warmed ADAPTIVELY — re-run until two consecutive runs agree
+  within 20% (max 5 runs), because a single warmup pass does not reach C2
+  steady state for the giant generated methods (md5-array minhash, the
+  zip_with/aggregate cosine fold);
+- then timed best-of-2 (min-of-repeats rejects host-contention noise);
+- persisted intermediates are dropped between queries (clearCache) so one
+  query's working set cannot inflate its successors' GC time.
 """
 
 from __future__ import annotations
@@ -24,6 +33,30 @@ from seccosql_spark.registry import REGISTRY, run  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Pinned execution order (= the round-1 order that produced the 9.31s
+# baseline, so per-query ratios stay comparable across rounds). Any new
+# headliner registered later is appended after these.
+HEADLINE_ORDER = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_join_chain",
+    "g_triangle_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "q7_nation_volume",
+]
+
+WARMUP_MAX_RUNS = 5
+WARMUP_STABLE_RTOL = 0.20
+TIMED_RUNS = 2
+
+
+def _once(name: str, spark: SparkSession) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = run(name, spark, SF_DIR).count()
+    return time.perf_counter() - t0, n
+
 
 def main() -> None:
     spark = (
@@ -41,34 +74,37 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    headliners = [name for name, spec in REGISTRY.items() if spec.headline]
-
-    # warmup: one untimed pass over every headliner — pays the per-query
-    # whole-stage-codegen compilation (10s+ for the heavy array pipelines)
-    # once, so the timed runs measure steady-state engine throughput
-    for name in headliners:
-        try:
-            run(name, spark, SF_DIR).count()
-        except Exception as exc:
-            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    registered = [name for name, spec in REGISTRY.items() if spec.headline]
+    headliners = [n for n in HEADLINE_ORDER if n in registered] + [
+        n for n in registered if n not in HEADLINE_ORDER
+    ]
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in headliners:
-        # best-of-2: the VM's host contention adds multi-second noise;
-        # min-of-repeats measures the engine, not the neighbors
-        best, n = None, 0
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = run(name, spark, SF_DIR)
-                n = df.count()
-                dt = time.perf_counter() - t0
+            # adaptive warmup: run until two consecutive times agree within
+            # 20% — that's when codegen+JIT have converged and we are
+            # measuring the engine, not the JVM ramp
+            prev = None
+            for _ in range(WARMUP_MAX_RUNS):
+                dt, _n = _once(name, spark)
+                if prev is not None and abs(dt - prev) <= WARMUP_STABLE_RTOL * prev:
+                    break
+                prev = dt
+
+            best, n = None, 0
+            for _ in range(TIMED_RUNS):
+                dt, n = _once(name, spark)
                 best = dt if best is None else min(best, dt)
         except Exception as exc:  # one broken query must not zero the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
             continue
+        finally:
+            # drop persisted intermediates (e.g. the minhash feature cache)
+            # so they don't accumulate across queries
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

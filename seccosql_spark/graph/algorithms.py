@@ -41,13 +41,15 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 PAGERANK_SCALE = 10**12
+PAGERANK_DAMPING_NUM = 85
+PAGERANK_DAMPING_DEN = 100
 
 
 def pagerank(
     edges: DataFrame,
     rounds: int = 5,
-    damping_num: int = 85,
-    damping_den: int = 100,
+    damping_num: int = PAGERANK_DAMPING_NUM,
+    damping_den: int = PAGERANK_DAMPING_DEN,
     scale: int = PAGERANK_SCALE,
     src: str = "src",
     dst: str = "dst",
@@ -65,6 +67,11 @@ def pagerank(
     Dangling mass is redistributed uniformly via a 1-row aggregate
     crossJoined into the update (no driver collect in the loop; the
     1-row side becomes a broadcast nested-loop join).
+
+    Note: because every division floors, total rank mass strictly
+    decreases each round — ranks are a deterministic approximation whose
+    sum is slightly below 1.0. Acceptable for differential testing; not
+    for consumers expecting an exact probability distribution.
     """
     nodes = _nodes(edges, src, dst).localCheckpoint(eager=True)
     n_nodes = nodes.count()

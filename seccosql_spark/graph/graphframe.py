@@ -106,6 +106,21 @@ class SeccoGraphFrame:
             df = df.filter(F.col(self.label_col) == e.label)
         for k, v in e.props.items():
             df = df.filter(F.col(k) == F.lit(v))
+        if e.src.var == e.dst.var:
+            # self-loop pattern (a)-[]->(a): filter src==dst on the raw edge
+            # df (both column names still distinct here), then alias ONCE —
+            # aliasing both endpoints to the same name makes every later
+            # reference ambiguous. Grammar parity: parsing/SQLParser.scala
+            # :144-219 allows repeating a node variable.
+            loop = df.filter(F.col(self.src_col) == F.col(self.dst_col))
+            return loop.select(
+                F.col(self.src_col).alias(e.src.var),
+                *(
+                    F.col(c).alias(f"{e.var}_{c}")
+                    for c in df.columns
+                    if e.var and c not in (self.src_col, self.dst_col)
+                ),
+            )
         fwd = df.select(
             F.col(self.src_col).alias(e.src.var),
             F.col(self.dst_col).alias(e.dst.var),
@@ -128,8 +143,6 @@ class SeccoGraphFrame:
                 ),
             )
             out = fwd.unionByName(rev)
-        if e.src.var == e.dst.var:  # self loop pattern
-            out = fwd.filter(F.col(e.src.var) == F.col(e.dst.var))
         return out
 
     def pattern(self, text: str, distinct_nodes: bool = False):

@@ -29,6 +29,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# DataFrames persisted by pipelines in this module, so long-lived sessions
+# can reclaim storage memory between invocations (a round-2 review found the
+# minhash feature cache leaking across repeated runs).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every DataFrame cached by dedup pipelines this session.
+    Call between pipeline invocations in long-running sessions; harmless if
+    the caches were already dropped (e.g. by catalog.clearCache())."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the cluster's parallelism. Small-file inputs (one
@@ -37,7 +55,14 @@ def _spread(df: DataFrame) -> DataFrame:
     md5/explode work it parallelizes is the dominant cost. No-op effect at
     real scale where the scan already has many splits."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # file count approximates scan splits without forcing a DataFrame->RDD
+    # plan translation; only the "few big files" case needs the spread, and
+    # that case always has small inputFiles()
+    try:
+        nparts = len(df.inputFiles())
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    return df.repartition(target) if nparts < target else df
 
 
 def tokenize_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -198,10 +223,9 @@ def minhash_near_dups(
     # featureless docs (empty/short text) can't be near-dups; keeping them
     # would collide every one on the empty band signature and 0/0 the
     # jaccard. The exploded oracle excludes them naturally (no rows).
-    base = (
+    base = _tracked_persist(
         df.select(F.col(id_col).alias("id"), feat_arr.alias("feats"))
         .filter(F.size("feats") > 0)
-        .persist()
     )
 
     def _sig(j: int):
@@ -240,7 +264,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup: candidates = pairs sharing >= 1 shingle (the
     shingle join IS the bucketing), then exact Jaccard over shingle sets."""
-    sh = shingles(_spread(df), n, id_col, text_col).persist()
+    sh = _tracked_persist(shingles(_spread(df), n, id_col, text_col))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("id").alias("id1"), "s")
     s2 = sh.select(F.col("id").alias("id2"), "s")

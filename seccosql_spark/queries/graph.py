@@ -10,7 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from seccosql_spark.graph.algorithms import connected_components, degrees, pagerank
+from seccosql_spark.graph.algorithms import (
+    PAGERANK_DAMPING_DEN,
+    PAGERANK_DAMPING_NUM,
+    PAGERANK_SCALE,
+    connected_components,
+    degrees,
+    pagerank,
+)
 from seccosql_spark.graph.graphframe import SeccoGraphFrame
 from seccosql_spark.registry import register
 from seccosql_spark.session import SeccoSession
@@ -167,16 +174,24 @@ def g_connected_components(sess: SeccoSession):
     return sess.from_spark(connected_components(sess.spark.sql(EDGES_SPARK)))
 
 
-def _pagerank_oracle(rounds: int) -> str:
+def _pagerank_oracle(
+    rounds: int,
+    damping_num: int = PAGERANK_DAMPING_NUM,
+    damping_den: int = PAGERANK_DAMPING_DEN,
+    scale: int = PAGERANK_SCALE,
+) -> str:
     """Closed-form fixed-point PageRank: each round is one aggregation level
     of exact BIGINT arithmetic (`//` == Spark `DIV` on non-negatives), so the
-    oracle hash-matches the iterative Spark loop bit-for-bit."""
+    oracle hash-matches the iterative Spark loop bit-for-bit. Constants are
+    the SAME module-level values `pagerank()` defaults to, so a change there
+    cannot silently diverge the oracle."""
+    base_num = (damping_den - damping_num) * scale // damping_den
     parts = [
         f"WITH e AS ({EDGES_ORACLE}),\n",
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),\n",
         "nn AS (SELECT count(*) AS n FROM nodes),\n",
         "deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),\n",
-        "v0 AS (SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS v"
+        f"v0 AS (SELECT id, CAST({scale} // nn.n AS BIGINT) AS v"
         " FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, rounds + 1):
@@ -189,14 +204,14 @@ c{k} AS (SELECT e.dst AS id, CAST(SUM(v.v // d.deg) AS BIGINT) AS c
 g{k} AS (SELECT CAST(coalesce(SUM(v.v), 0) AS BIGINT) AS dang
          FROM v{p} v LEFT JOIN deg d ON v.id = d.id WHERE d.id IS NULL),
 v{k} AS (SELECT nodes.id,
-                CAST((150000000000 // nn.n)
-                     + (85 * (coalesce(c.c, 0) + (g{k}.dang // nn.n))) // 100
+                CAST(({base_num} // nn.n)
+                     + ({damping_num} * (coalesce(c.c, 0) + (g{k}.dang // nn.n))) // {damping_den}
                      AS BIGINT) AS v
          FROM nodes CROSS JOIN nn CROSS JOIN g{k}
          LEFT JOIN c{k} c ON nodes.id = c.id)"""
         )
     parts.append(
-        f"\nSELECT id, CAST(v AS DOUBLE) / 1000000000000.0 AS rank FROM v{rounds}"
+        f"\nSELECT id, CAST(v AS DOUBLE) / {float(scale)} AS rank FROM v{rounds}"
     )
     return "".join(parts)
 
@@ -448,6 +463,31 @@ def with_recursive_path_counts(sess: SeccoSession):
             )
             SELECT src, dst, count(*) AS n_paths FROM walk GROUP BY src, dst"""
     )
+
+
+# Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
+EDGES_LOOPS = """
+SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,
+                CAST(l_suppkey % 60 AS BIGINT) AS dst
+FROM lineitem
+WHERE l_linenumber = 1
+"""
+
+
+@register(
+    "g_self_loop_pattern",
+    f"""WITH e AS ({EDGES_LOOPS})
+        SELECT sl.src AS a, e2.dst AS b
+        FROM e sl JOIN e e2 ON sl.src = e2.src
+        WHERE sl.src = sl.dst""",
+)
+def g_self_loop_pattern(sess: SeccoSession):
+    """Self-loop pattern (a)-[]->(a) joined with the out-edges of the looped
+    node — the reference grammar allows repeating a node variable
+    (parsing/SQLParser.scala:144-219); homomorphic semantics, so b may equal
+    a. Regression query for the round-2 AMBIGUOUS_REFERENCE crash."""
+    g = SeccoGraphFrame(sess, None, sess.spark.sql(EDGES_LOOPS))
+    return g.pattern("(a)-[]->(a); (a)-[]->(b)").project("a", "b")
 
 
 @register(

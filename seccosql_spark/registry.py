@@ -155,10 +155,16 @@ _PRIORITY_WINDOW = [
 
 
 def _apply_priority_window() -> None:
+    window = set(_PRIORITY_WINDOW)
     missing = [n for n in _PRIORITY_WINDOW if n not in REGISTRY]
-    assert not missing, f"priority window references unknown queries: {missing}"
-    assert len(_PRIORITY_WINDOW) == len(set(_PRIORITY_WINDOW)) == 50
-    tail = [n for n in REGISTRY if n not in set(_PRIORITY_WINDOW)]
+    if missing:
+        raise RuntimeError(f"priority window references unknown queries: {missing}")
+    if not (len(_PRIORITY_WINDOW) == len(window) == 50):
+        raise RuntimeError(
+            f"priority window must be exactly 50 unique names, got "
+            f"{len(_PRIORITY_WINDOW)} ({len(window)} unique)"
+        )
+    tail = [n for n in REGISTRY if n not in window]
     ordered = {n: REGISTRY[n] for n in [*_PRIORITY_WINDOW, *tail]}
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -200,36 +200,84 @@ def _split_recursive_body(body: str, name: str) -> tuple[str, str, bool] | None:
     return None
 
 
+def _replace_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Replace word-bounded references to each key of `mapping` (a lowercase
+    name -> replacement dict) with its value, skipping occurrences inside
+    quotes/comments. Token-level (not grammar-aware): a bare column or alias
+    spelled exactly like a CTE name would also be rewritten — acceptable for
+    this dialect layer, where CTE names are statement-local identifiers."""
+    if not mapping:
+        return sql
+    unquoted = {i for i, _, _ in _scan_top_level(sql)}
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in mapping) + r")\b", re.I
+    )
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(sql):
+        if all(j in unquoted for j in range(m.start(), m.end())):
+            out.append(sql[last : m.start()])
+            out.append(mapping[m.group(1).lower()])
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def run_with_recursive(session: "SeccoSession", text: str) -> DataFrame:
-    """Execute a ``WITH RECURSIVE[(n)] ...`` statement via the semi-naive
-    driver loop. Non-self-referencing CTEs become plain temp views."""
+    """Execute a ``WITH RECURSIVE[(n)] ...`` statement via the driver loop.
+    Non-self-referencing CTEs become plain (statement-scoped) bindings.
+
+    Scoping: every CTE is bound under a unique internal view name and all
+    references (later CTE bodies, recursive steps, the main query) are
+    rewritten to it, so a CTE named like a real table never shadows the
+    session catalog; the internal views are dropped before returning (the
+    result DataFrame is already analyzed, so dropping is safe).
+
+    Recursion semantics are the SQL-standard *working table* ones (Postgres/
+    DuckDB): the self-reference denotes the PREVIOUS round's new rows — not
+    the accumulated result — however many times it occurs. That makes the
+    delta binding below correct even for non-linear steps (two self-
+    references) and aggregation over the CTE; differential tests in
+    tests/test_preprocessor.py pin this against DuckDB."""
     m = _WITH_REC_RE.match(text)
-    assert m
+    if m is None:
+        raise ValueError("not a WITH RECURSIVE statement")
     max_rounds = int(m.group(1)) if m.group(1) else DEFAULT_MAX_ROUNDS
     ctes, main = _parse_ctes(text[m.end() :])
     spark = session.spark
 
-    for cte in ctes:
-        split = _split_recursive_body(cte.body, cte.name)
-        if split is None:
-            df = spark.sql(cte.body)
-        else:
-            base_sql, step_sql, is_all = split
-            base = spark.sql(base_sql)
-            if cte.cols:
-                base = base.toDF(*cte.cols)
+    bound: dict[str, str] = {}  # lowercase cte name -> internal view name
+    created: list[str] = []
+    try:
+        for i, cte in enumerate(ctes):
+            internal = f"__secco_cte{i}_{cte.name}"
+            body = _replace_refs(cte.body, bound)  # earlier CTEs in scope
+            split = _split_recursive_body(body, cte.name)
+            if split is None:
+                df = spark.sql(body)
+            else:
+                base_sql, step_sql, is_all = split
+                step_sql = _replace_refs(step_sql, {cte.name.lower(): internal})
+                base = spark.sql(base_sql)
+                if cte.cols:
+                    base = base.toDF(*cte.cols)
 
-            def step(delta: DataFrame, _sql=step_sql, _name=cte.name, _cols=tuple(cte.cols)):
-                delta.createOrReplaceTempView(_name)
-                out = spark.sql(_sql)
-                return out.toDF(*_cols) if _cols else out
+                def step(delta: DataFrame, _sql=step_sql, _view=internal, _cols=tuple(cte.cols)):
+                    delta.createOrReplaceTempView(_view)
+                    out = spark.sql(_sql)
+                    return out.toDF(*_cols) if _cols else out
 
-            df = bounded_fixpoint(base, step, max_rounds=max_rounds, distinct=not is_all)
-        if cte.cols and len(cte.cols) == len(df.columns):
-            df = df.toDF(*cte.cols)
-        df.createOrReplaceTempView(cte.name)
+                df = bounded_fixpoint(base, step, max_rounds=max_rounds, distinct=not is_all)
+            if cte.cols and len(cte.cols) == len(df.columns):
+                df = df.toDF(*cte.cols)
+            df.createOrReplaceTempView(internal)
+            created.append(internal)
+            bound[cte.name.lower()] = internal
 
-    return spark.sql(main)
+        return spark.sql(_replace_refs(main, bound))
+    finally:
+        for view in created:
+            spark.catalog.dropTempView(view)
 
 
 # ------------------------------------------------------------------- MATCH
@@ -237,9 +285,11 @@ def run_with_recursive(session: "SeccoSession", text: str) -> DataFrame:
 _MATCH_RE = re.compile(r"\bMATCH\s*\(", re.I)
 
 
-def rewrite_match(session: "SeccoSession", text: str) -> str:
+def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None = None) -> str:
     """Rewrite each ``MATCH(graph, 'pattern')`` table reference into a temp
-    view produced by the graph layer's pattern compiler (SURVEY.md §2.3)."""
+    view produced by the graph layer's pattern compiler (SURVEY.md §2.3).
+    View names created are appended to `created` so the caller can drop them
+    once the statement is analyzed (statement-scoped, like CTE bindings)."""
     out = text
     counter = 0
     while True:
@@ -260,6 +310,8 @@ def rewrite_match(session: "SeccoSession", text: str) -> str:
         view = f"__match_{graph_name}_{counter}"
         counter += 1
         graph.pattern(pattern).df.createOrReplaceTempView(view)
+        if created is not None:
+            created.append(view)
         out = out[: m.start()] + view + out[close_idx + 1 :]
 
 
@@ -267,8 +319,13 @@ def rewrite_match(session: "SeccoSession", text: str) -> str:
 
 def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
     text = rewrite_union_by_update(text)
-    if _MATCH_RE.search(text):
-        text = rewrite_match(session, text)
-    if _WITH_REC_RE.match(text):
-        return run_with_recursive(session, text)
-    return session.spark.sql(text)
+    match_views: list[str] = []
+    try:
+        if _MATCH_RE.search(text):
+            text = rewrite_match(session, text, match_views)
+        if _WITH_REC_RE.match(text):
+            return run_with_recursive(session, text)
+        return session.spark.sql(text)
+    finally:
+        for view in match_views:
+            session.spark.catalog.dropTempView(view)

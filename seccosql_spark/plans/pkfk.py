@@ -9,8 +9,11 @@ consecutive chain over the join graph.
 Spark-first translation: the fact table (the relation that is never the
 one-side) anchors the plan; dimension tables (joined on their full primary
 key) chain off it in join-graph order and get ``broadcast()`` hints when
-their row count is known-small. Catalyst/AQE still owns the physical join
-choice — the hint is advisory; at 100 TB only the fact-fact joins shuffle.
+the side catalog PROVES them small. An explicit ``broadcast()`` hint is NOT
+demoted by AQE (unlike the optimizer's own size-based choice), so hinting on
+an unknown-cardinality table risks OOMing executors at scale — when stats
+are missing we emit no hint and let Catalyst/AQE decide from its own size
+estimates. At 100 TB only the fact-fact joins shuffle.
 """
 
 from __future__ import annotations
@@ -20,9 +23,23 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seccosql_spark.catalog import SideCatalog
+from seccosql_spark.catalog import SideCatalog, TableMeta
 
-BROADCAST_ROW_LIMIT = 10_000_000  # advisory; AQE re-plans with real sizes
+# Proven-small thresholds for an explicit broadcast hint. Row limit assumes
+# ~100 B/row (dimension tables), i.e. ~100 MB broadcast — safely inside a
+# multi-GB executor but far above Spark's conservative 10 MB auto threshold,
+# which is the point of having PK metadata. Unknown stats -> NO hint.
+BROADCAST_ROW_LIMIT = 1_000_000
+BROADCAST_BYTES_LIMIT = 100 * 1024 * 1024
+
+
+def _proven_small(meta: TableMeta | None) -> bool:
+    if meta is None:
+        return False
+    rc, size = meta.stats.row_count, meta.stats.size_in_bytes
+    if size is not None:
+        return size <= BROADCAST_BYTES_LIMIT
+    return rc is not None and rc <= BROADCAST_ROW_LIMIT
 
 
 @dataclass
@@ -71,14 +88,23 @@ def plan_star_join(catalog: SideCatalog, inputs: list[JoinInput]) -> DataFrame:
             seen_cols[c] = i.name
 
     def is_dimension(inp: JoinInput) -> bool:
+        """A dimension is joined TO on its FULL primary key by some other
+        input — partial coverage of a composite key is not a PK-FK edge
+        (each fact row could match many rows, so broadcasting it as the
+        one-side would be wrong-shaped)."""
         pk = set(catalog.primary_keys(inp.name))
         if not pk:
             return False
-        # a dimension is joined TO on its full primary key by someone
         for other in inputs:
-            for my_col, other_name, other_col in other.joins:
-                if other_name == inp.name and other_col in pk:
-                    return True
+            if other.name == inp.name:
+                continue
+            covered = {
+                other_col
+                for _, other_name, other_col in other.joins
+                if other_name == inp.name
+            }
+            if pk <= covered:
+                return True
         return False
 
     facts = [i for i in inputs if not is_dimension(i)]
@@ -120,9 +146,7 @@ def plan_star_join(catalog: SideCatalog, inputs: list[JoinInput]) -> DataFrame:
         for c in conds[1:]:
             cond = cond & c
         right = nxt.df
-        stats = catalog.get(nxt.name)
-        rc = stats.stats.row_count if stats else None
-        if is_dimension(nxt) and (rc is None or rc <= BROADCAST_ROW_LIMIT):
+        if is_dimension(nxt) and _proven_small(catalog.get(nxt.name)):
             right = F.broadcast(right)
         out = out.join(right, cond)
         joined.add(nxt.name)

@@ -12,7 +12,11 @@ Reference parity — the two pieces SURVEY.md §7 marks as the hard core:
   row-replication + repartition plan SURVEY.md §4.3 prescribes).
 - **LeapFrog join** (``localExec/LeapFrogJoinExec.scala:35-365``): inside one
   task, bind attributes one at a time in a global order, intersecting the
-  candidate sets of every relation containing the attribute.
+  candidate sets of every relation containing the attribute. The reference
+  operates on typed internal rows; this implementation likewise keeps rows
+  in their NATIVE Spark types end-to-end (Arrow columnar transport into
+  ``applyInPandas`` — no serialization to strings, so nulls, dates and
+  decimals survive exactly).
 
 Status: correct and tested, opt-in (``multiway_join(..., algorithm=
 "wcoj")``). The per-task intersection runs in Python over Arrow batches
@@ -23,8 +27,10 @@ joins except on adversarial cyclic inputs where intermediate results explode
 
 Scale notes: the share vector balances the grid across min(num_tasks, ∏
 attr-cardinalities) cells; replication factor of a relation is the product of
-the shares of the attributes it LACKS (the standard hypercube cost), so
-shares are assigned largest-first to the most frequent attributes.
+the shares of the attributes it LACKS (the standard hypercube cost). When
+relation sizes are known, shares are assigned to minimize total replicated
+rows (the EnumShareComputer objective); otherwise a frequency-greedy
+fallback is used.
 """
 
 from __future__ import annotations
@@ -35,6 +41,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Types the hypercube hash + Arrow transport + Python-level equality all
+# handle exactly. Binary/array/map/struct join keys are rejected up front
+# (silent row loss is worse than an error).
+_SUPPORTED_KEY_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.StringType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
 
 
 def attribute_order(attr_sets: list[set[str]]) -> list[str]:
@@ -48,21 +72,73 @@ def attribute_order(attr_sets: list[set[str]]) -> list[str]:
     return sorted(freq, key=lambda a: (-freq[a], a))
 
 
-def compute_shares(attrs: list[str], num_tasks: int) -> dict[str, int]:
-    """Factor `num_tasks` into per-attribute shares, doubling the share of
-    each attribute round-robin (most frequent first) while the product stays
-    within budget — a greedy stand-in for EnumShareComputer's enumeration."""
+def compute_shares(
+    attrs: list[str],
+    num_tasks: int,
+    relations: list[tuple[set[str], int]] | None = None,
+) -> dict[str, int]:
+    """Factor `num_tasks` into per-attribute shares.
+
+    With `relations` = [(attr_set, size), ...] known, greedily double the
+    share of the attribute that adds the FEWEST replicated rows: doubling
+    share(a) doubles the copies of every relation that lacks `a`, so each
+    step picks argmin_a Σ{size(R) : a ∉ attrs(R)} — a hill-climb on the
+    EnumShareComputer objective (ShareComputer.scala:30-412, which minimizes
+    total communicated bytes by enumeration). Without sizes, falls back to
+    round-robin doubling most-frequent-first."""
     shares = {a: 1 for a in attrs}
     product = 1
-    changed = True
-    while changed:
-        changed = False
-        for a in attrs:
-            if product * 2 <= num_tasks:
-                shares[a] *= 2
-                product *= 2
-                changed = True
+    if relations is None:
+        changed = True
+        while changed:
+            changed = False
+            for a in attrs:
+                if product * 2 <= num_tasks:
+                    shares[a] *= 2
+                    product *= 2
+                    changed = True
+        return shares
+
+    # replication cost added by doubling attribute a (independent of current
+    # shares' distribution over OTHER attributes: the increment multiplies)
+    lack_cost = {
+        a: sum(size for attr_set, size in relations if a not in attr_set) for a in attrs
+    }
+    while product * 2 <= num_tasks:
+        # current copies of each relation = prod of shares of missing attrs;
+        # doubling a multiplies every lacking relation's copies by 2. Choose
+        # the attribute minimizing the added copies, counted at CURRENT
+        # share state (exact greedy step on the objective).
+        def added(a: str) -> int:
+            total = 0
+            for attr_set, size in relations:
+                if a not in attr_set:
+                    copies = 1
+                    for b in attrs:
+                        if b not in attr_set:
+                            copies *= shares[b]
+                    total += size * copies  # doubling adds `copies*size` more
+            return total
+
+        best = min(attrs, key=lambda a: (added(a), -lack_cost[a], a))
+        shares[best] *= 2
+        product *= 2
     return shares
+
+
+def replication_cost(
+    shares: dict[str, int], relations: list[tuple[set[str], int]]
+) -> int:
+    """Total rows communicated under a share vector: Σ size(R)·∏ shares of
+    the attributes R lacks (the standard hypercube replication count)."""
+    total = 0
+    for attr_set, size in relations:
+        copies = 1
+        for a, s in shares.items():
+            if a not in attr_set:
+                copies *= s
+        total += size * copies
+    return total
 
 
 def _leapfrog(
@@ -70,7 +146,8 @@ def _leapfrog(
 ) -> list[tuple]:
     """Attribute-at-a-time multiway intersection (LeapFrogJoinIterator
     semantics, newIter/LeapFrogJoinIterator.scala:36). Pure-Python recursion
-    over pandas frames — per-task data is one hypercube cell."""
+    over pandas frames — per-task data is one hypercube cell. Null join keys
+    never match (SQL equality), so they are excluded from candidate sets."""
     out: list[tuple] = []
     binding: dict[str, object] = {}
 
@@ -84,11 +161,11 @@ def _leapfrog(
             return  # disconnected attribute: not produced by natural join
         candidates: set | None = None
         for cols, df in involved:
-            vals = set(df[a].unique())
+            vals = set(df[a].dropna().unique())
             candidates = vals if candidates is None else candidates & vals
             if not candidates:
                 return
-        for v in sorted(candidates):
+        for v in candidates:
             binding[a] = v
             nxt = [
                 (cols, df[df[a] == v] if a in cols else df) for cols, df in frames
@@ -100,7 +177,11 @@ def _leapfrog(
     return out
 
 
-def wcoj_natural_join(dfs: list[DataFrame], num_tasks: int = 32) -> DataFrame:
+def wcoj_natural_join(
+    dfs: list[DataFrame],
+    num_tasks: int = 32,
+    rel_sizes: list[int] | None = None,
+) -> DataFrame:
     """n-way natural inner join via hypercube shuffle + per-cell LeapFrog.
 
     **Set semantics**: the output is the DISTINCT attribute bindings — the
@@ -109,32 +190,56 @@ def wcoj_natural_join(dfs: list[DataFrame], num_tasks: int = 32) -> DataFrame:
     deduplicated by construction; a bag-semantics join of duplicated inputs
     needs the GHD binary chain instead (``multiway_natural_join``).
 
-    Requirements: every output attribute is a join attribute (full natural
-    join over the union of columns), and attribute types are hashable
-    primitives. Returns columns in global attribute order."""
+    Rows travel as NATIVE typed columns (attributes a relation lacks ride as
+    nulls and are sliced off per relation inside the cell), so nulls, dates,
+    timestamps and decimals round-trip exactly through Arrow. Shared
+    attributes must have identical types across relations (the hypercube
+    hash is type-sensitive) and be atomic — both checked up front.
+
+    `rel_sizes` (row counts aligned with `dfs`) switches share computation
+    to the communication-minimizing greedy; omit to use frequency doubling.
+    Returns columns in global attribute order."""
     if not dfs:
         raise ValueError("wcoj_natural_join needs at least one input")
-    spark = dfs[0].sparkSession
     attr_sets = [set(d.columns) for d in dfs]
     order = attribute_order(attr_sets)
-    shares = compute_shares(order, num_tasks)
+
+    # ---- type checks: shared attrs same type, all types atomic/hashable
+    field_type: dict[str, T.DataType] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            prev = field_type.get(f.name)
+            if prev is not None and prev != f.dataType:
+                raise TypeError(
+                    f"attribute {f.name!r} has conflicting types across relations: "
+                    f"{prev.simpleString()} vs {f.dataType.simpleString()} — cast "
+                    "them to a common type before the join (the hypercube hash "
+                    "is type-sensitive)"
+                )
+            field_type.setdefault(f.name, f.dataType)
+    for a, t in field_type.items():
+        if not isinstance(t, _SUPPORTED_KEY_TYPES):
+            raise TypeError(
+                f"attribute {a!r} has unsupported join-key type {t.simpleString()}; "
+                "wcoj_natural_join supports atomic types only"
+            )
+
+    relations = (
+        list(zip(attr_sets, rel_sizes)) if rel_sizes is not None else None
+    )
+    shares = compute_shares(order, num_tasks, relations)
     strides: dict[str, int] = {}
     stride = 1
     for a in order:
         strides[a] = stride
         stride *= shares[a]
 
-    # field types from the first relation carrying each attribute
-    field_type: dict[str, T.DataType] = {}
-    for df in dfs:
-        for f in df.schema.fields:
-            field_type.setdefault(f.name, f.dataType)
-
     # one shuffle: each row → its coordinate cells (replicated over the
-    # shares of missing attributes), tagged with its relation index
+    # shares of missing attributes), tagged with its relation index; every
+    # attribute is a native typed column (null where the relation lacks it)
     pieces = []
     for i, df in enumerate(dfs):
-        cols = list(df.columns)
+        cols = set(df.columns)
         own = F.lit(0)
         for a in cols:
             own = own + F.pmod(F.xxhash64(F.col(a)), F.lit(shares[a])) * F.lit(strides[a])
@@ -145,16 +250,16 @@ def wcoj_natural_join(dfs: list[DataFrame], num_tasks: int = 32) -> DataFrame:
         offsets = [
             sum(c * strides[a] for c, a in zip(combo, missing)) for combo in combos
         ]
-        piece = (
-            df.select(
-                own.alias("__own"),
-                F.explode(F.array(*[F.lit(o) for o in offsets])).alias("__off"),
-                F.lit(i).alias("__rel"),
-                F.to_json(F.struct(*cols)).alias("__row"),
-            )
-            .select(
-                (F.col("__own") + F.col("__off")).alias("__cell"), "__rel", "__row"
-            )
+        piece = df.select(
+            own.alias("__own"),
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("__off"),
+            F.lit(i).alias("__rel"),
+            *[
+                (F.col(a) if a in cols else F.lit(None).cast(field_type[a])).alias(a)
+                for a in order
+            ],
+        ).select(
+            (F.col("__own") + F.col("__off")).alias("__cell"), "__rel", *order
         )
         pieces.append(piece)
     union = pieces[0]
@@ -167,14 +272,12 @@ def wcoj_natural_join(dfs: list[DataFrame], num_tasks: int = 32) -> DataFrame:
     def join_cell(key: tuple, cell: pd.DataFrame) -> pd.DataFrame:
         # applyInPandas delivers the WHOLE cell (mapInPandas batches could
         # split one, silently dropping matches)
-        import json
-
         rels = []
         for i, cols in enumerate(rel_cols):
-            rows = cell[cell["__rel"] == i]["__row"]
+            rows = cell.loc[cell["__rel"] == i, cols]
             if len(rows) == 0:
                 return pd.DataFrame(columns=order)
-            rels.append((cols, pd.DataFrame([json.loads(r) for r in rows])))
+            rels.append((cols, rows))
         tuples = _leapfrog(rels, order)
         return pd.DataFrame(tuples, columns=order)
 

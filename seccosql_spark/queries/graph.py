@@ -19,7 +19,7 @@ from seccosql_spark.graph.algorithms import (
     pagerank,
 )
 from seccosql_spark.graph.graphframe import SeccoGraphFrame
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 EDGES_SPARK = """

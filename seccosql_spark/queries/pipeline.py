@@ -28,7 +28,7 @@ from seccosql_spark.operators.text import (
     quality_score,
     token_stats,
 )
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 WORDS_SQL = """

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 # --------------------------------------------------------------- flagship

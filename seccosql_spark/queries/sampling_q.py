@@ -10,7 +10,7 @@ from seccosql_spark.operators.sampling import (
     rate_to_hex_threshold,
     stratified_sample_topk,
 )
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 _THRESH_10PCT = rate_to_hex_threshold(0.10)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.asof import asof_join, range_join_buckets
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 ASOF_ORACLE = """

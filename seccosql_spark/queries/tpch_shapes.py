@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from seccosql_spark.plans.pkfk import JoinInput, plan_star_join
-from seccosql_spark.registry import register
+from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
 REV = "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
@@ -160,8 +160,13 @@ GROUP BY n_name
 def pkfk_star_planned(sess: SeccoSession):
     """Star join planned by the PK-FK layer (plans/pkfk.py — the reference's
     OptimizePKFKJoin): lineitem anchors as the fact (never PK-side);
-    supplier/nation/part chain off it with broadcast hints."""
+    supplier/nation/part chain off it with broadcast hints backed by
+    ANALYZE'd row counts (hints are only emitted for proven-small dims —
+    the StatisticComputer -> optimizer flow of the reference)."""
     spark = sess.spark
+    for dim in ("supplier", "nation", "part"):
+        if sess.catalog.get(dim) is None or sess.catalog.get(dim).stats.row_count is None:
+            sess.analyze_table(dim)
     inputs = [
         JoinInput("lineitem", spark.table("lineitem"), [("l_suppkey", "supplier", "s_suppkey"),
                                                         ("l_partkey", "part", "p_partkey")]),

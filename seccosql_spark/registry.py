@@ -20,31 +20,10 @@ engines bit-identical:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 
+from seccosql_spark.registration import REGISTRY, QuerySpec, register  # noqa: F401
 from seccosql_spark.session import TESTDATA_TABLES, SeccoSession
-
-
-@dataclass
-class QuerySpec:
-    name: str
-    build: Callable[[SeccoSession], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
-    headline: bool = False  # included in bench.py
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, headline: bool = False):
-    def deco(fn: Callable[[SeccoSession], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
-        return fn
-
-    return deco
 
 
 # SparkSession id -> (SeccoSession, sf_dir its views currently point at).

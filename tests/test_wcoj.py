@@ -92,3 +92,58 @@ def test_wcoj_set_vs_bag_semantics(spark):
     assert bag.count() == 3          # (1,2) duplicated
     assert setj.count() == 2         # distinct bindings
     assert rows(setj, ["a", "b", "c"]) == rows(bag.distinct(), ["a", "b", "c"])
+
+
+def test_wcoj_nulls_dates_decimals_match_chain(spark):
+    """Typed transport (round-2 VERDICT item 6): null join keys never match
+    (SQL semantics, matching the inner-join chain), and DATE/DECIMAL
+    attributes round-trip exactly through the hypercube + Arrow path."""
+    r = spark.createDataFrame(
+        [("2024-01-01", "1.50"), ("2024-01-02", "2.25"), (None, "9.99"), ("2024-01-03", None)],
+        "d STRING, p STRING",
+    ).selectExpr("CAST(d AS DATE) AS d", "CAST(p AS DECIMAL(10,2)) AS p")
+    s = spark.createDataFrame(
+        [("2024-01-01", "A"), ("2024-01-02", "B"), (None, "C")], "d STRING, tag STRING"
+    ).selectExpr("CAST(d AS DATE) AS d", "tag")
+    chain = multiway_natural_join([r, s], use_ghd=False)
+    wcoj = wcoj_natural_join([r, s], num_tasks=4)
+    assert rows(wcoj, ["d", "p", "tag"]) == rows(chain.distinct(), ["d", "p", "tag"])
+    assert wcoj.schema["d"].dataType.simpleString() == "date"
+    assert wcoj.schema["p"].dataType.simpleString() == "decimal(10,2)"
+    # the null-keyed rows matched nothing
+    assert all(t[0] is not None for t in rows(wcoj, ["d"]))
+
+
+def test_wcoj_rejects_conflicting_types(spark):
+    r = spark.createDataFrame([(1, 2)], "a INT, b BIGINT")
+    s = spark.createDataFrame([(2, 3)], "b INT, c BIGINT")
+    with pytest.raises(TypeError, match="conflicting types"):
+        wcoj_natural_join([r, s], num_tasks=4)
+
+
+def test_wcoj_rejects_unsupported_key_types(spark):
+    r = spark.createDataFrame([([1, 2], 1)], "a ARRAY<INT>, b BIGINT")
+    s = spark.createDataFrame([(1, 2)], "b BIGINT, c BIGINT")
+    with pytest.raises(TypeError, match="unsupported join-key type"):
+        wcoj_natural_join([r, s], num_tasks=4)
+
+
+def test_size_aware_shares_beat_greedy_on_skew():
+    """Round-2 VERDICT item 9: with one huge relation, the communication-
+    minimizing shares put the grid budget on the attributes the big relation
+    OWNS (so it is never replicated), beating frequency doubling."""
+    from seccosql_spark.plans.wcoj import replication_cost
+
+    # R(a,b) is huge; S(b,c) and T(c,d) are tiny. Frequency order ties all
+    # attrs; greedy doubling replicates R across c/d shares.
+    relations = [({"a", "b"}, 1_000_000), ({"b", "c"}, 100), ({"c", "d"}, 100)]
+    attrs = ["a", "b", "c", "d"]
+    greedy = compute_shares(attrs, 16)
+    sized = compute_shares(attrs, 16, relations)
+    assert replication_cost(sized, relations) < replication_cost(greedy, relations)
+    # the huge relation is (near-)unreplicated: shares of c,d stay 1
+    assert sized["c"] * sized["d"] <= 2
+    product = 1
+    for v in sized.values():
+        product *= v
+    assert product <= 16

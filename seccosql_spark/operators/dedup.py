@@ -103,26 +103,49 @@ def exact_dedup(
     )
 
 
+# MinHash family: ONE md5 per feature, parsed to a 32-bit int, then
+# `num_hashes` affine permutations h_j = (a_j*h + b_j) mod P — the standard
+# construction (Broder). One-md5-then-arithmetic is ~8× cheaper than the
+# round-2 md5-per-seed family, which at sf0.1 spent ~20s/run inside the
+# generated md5 loops. All arithmetic is exact BIGINT (a < 2^30, h < 2^32 →
+# a*h+b < 2^63) and expressible identically in DuckDB, so oracles stay
+# bit-exact.
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (961_748_941, 174_440_041),
+    (982_451_653, 104_395_303),
+    (899_809_363, 122_949_829),
+    (879_190_841, 135_748_613),
+    (827_610_509, 142_698_673),
+    (807_403_421, 157_189_139),
+    (755_551_823, 167_519_639),
+    (715_827_883, 186_091_583),
+]
+
+
+def _perm(a: int, b: int):
+    """One-parameter lambda factory for F.transform (a 2-parameter lambda
+    would receive the element INDEX as its second argument)."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
 def minhash_signatures(
     words: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """(id, h0..h{n-1}): per-doc minhash signature, one column per seed. The
-    hash family is min(md5(j || ':' || word)) — md5 hex strings compare
-    identically in Spark and DuckDB, so the oracle is exact.
+    """(id, h0..h{n-1}): per-doc minhash signature, one column per seed.
+    h32 = int(md5(word)[:8]) computed ONCE per feature row; each seed is a
+    cheap affine min — same md5 count as features, not features×seeds.
 
-    Wide layout on purpose: computing all seeds as columns of ONE row per
-    feature costs a single shuffle of |features| narrow rows and one
-    aggregation, vs. exploding seeds (num_hashes × |features| rows through
-    two shuffles). Same md5 count, ~3× less shuffle traffic."""
-    hashes = words.select(
-        "id",
-        *[
-            F.md5(F.concat_ws(":", F.lit(j), F.col("w"))).alias(f"hw{j}")
-            for j in range(num_hashes)
-        ],
-    )
+    Wide layout on purpose: one shuffle of |features| narrow rows and one
+    aggregation, vs. exploding seeds through two shuffles."""
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} needs more MINHASH_COEFFS")
+    hashes = words.select("id", _hex_to_long(F.md5(F.col("w"))).alias("h32"))
     return hashes.groupBy("id").agg(
-        *[F.min(f"hw{j}").alias(f"h{j}") for j in range(num_hashes)]
+        *[
+            F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ]
     )
 
 
@@ -141,9 +164,23 @@ def lsh_bands(sig: DataFrame, band_size: int = 4) -> DataFrame:
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Distinct (id1, id2) with id1 < id2 sharing any band signature — the
-    bucketed self-join that keeps LSH subquadratic."""
+    bucketed self-join that keeps LSH subquadratic.
+
+    `max_bucket_size`: skew guard for pathological corpora (e.g. millions of
+    identical documents collapse one (band, sig) bucket, making its
+    self-join quadratic). Buckets larger than the cap are DROPPED from
+    candidate generation — the production mitigation at 100 TB, where such a
+    bucket is better served by exact dedup first. Off (None) by default so
+    results match the exhaustive oracle."""
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
+        bands = (
+            bands.join(sizes, ["band", "sig"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = bands.select(F.col("id").alias("id1"), "band", "sig")
     b = bands.select(F.col("id").alias("id2"), "band", "sig")
     return (
@@ -190,6 +227,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from LSH bands, then
     exact-Jaccard verification at `threshold`. Output (id1, id2, jaccard).
@@ -197,17 +235,28 @@ def minhash_near_dups(
     `shingle_n`: None = word-level features (fits short low-entropy text, but
     note that near-identical word sets collapse LSH buckets — bucket sizes
     then reflect true near-dup density); n>=2 = word n-gram shingles (the
-    standard choice at scale: shingle entropy keeps buckets small)."""
-    df = _spread(df)
+    standard choice at scale: shingle entropy keeps buckets small).
+    `max_bucket_size`: optional LSH bucket cap (see candidate_pairs)."""
     # Whole pipeline scan-side until the (tiny) band self-join:
     #   feats  : per-doc DISTINCT feature ARRAY (no explode)
-    #   sig_j  : array_min over per-feature md5 — 8 signature columns computed
-    #            inside whole-stage codegen, zero shuffles
+    #   hs     : ONE md5+hex-parse per feature (array of 32-bit ints)
+    #   sig_j  : array_min over a cheap affine permutation of hs — all
+    #            signature columns inside whole-stage codegen, zero shuffles
     #   verify : candidates join back the feature arrays; exact jaccard via
     #            array_intersect (arrays are distinct, so sizes are set sizes)
-    # Semantically identical to the exploded formulation (same md5 family,
-    # same min, same jaccard) — the oracle SQL is unchanged.
+    # Semantically identical to the exploded formulation (same hash family,
+    # same min, same jaccard) — the oracle SQL mirrors it step-for-step.
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    # Featureless docs (empty/short text) can't be near-dups; keeping them
+    # would collide every one on the empty band signature and 0/0 the
+    # jaccard. The exploded oracle excludes them naturally (no rows).
+    # CHEAP pre-filter on token count, NOT post-filter on size(feats):
+    # Catalyst pushes a feats-referencing filter below the _spread exchange
+    # by substituting the whole shingle expression, which then evaluates
+    # single-threaded on the unspread scan partition (measured 8× slowdown
+    # at sf0.1) and again after the exchange.
+    min_toks = 1 if shingle_n is None else shingle_n
+    df = _spread(df.filter(F.size(toks) >= min_toks))
     if shingle_n is None:
         feat_arr = F.array_distinct(toks)
     else:
@@ -216,29 +265,29 @@ def minhash_near_dups(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         )
-        # same descending-sequence guard as shingles(): < n tokens → no shingles
+        # descending-sequence guard (redundant after the pre-filter, kept as
+        # defense in depth): < n tokens → no shingles
         feat_arr = F.array_distinct(
             F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
         )
-    # featureless docs (empty/short text) can't be near-dups; keeping them
-    # would collide every one on the empty band signature and 0/0 the
-    # jaccard. The exploded oracle excludes them naturally (no rows).
-    base = _tracked_persist(
-        df.select(F.col(id_col).alias("id"), feat_arr.alias("feats"))
-        .filter(F.size("feats") > 0)
+    base = _tracked_persist(df.select(F.col(id_col).alias("id"), feat_arr.alias("feats")))
+
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} needs more MINHASH_COEFFS")
+    # hs as its own projection: used by all num_hashes signature columns, so
+    # CollapseProject keeps it materialized once per row (non-cheap expr
+    # referenced >1 time is not inlined) — md5 runs once per feature.
+    hs = base.select(
+        "id", F.transform(F.col("feats"), lambda s: _hex_to_long(F.md5(s))).alias("hs")
     )
-
-    def _sig(j: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform passes
-        # the element index to 2-parameter lambdas, which would silently
-        # replace the seed
-        return F.array_min(
-            F.transform(F.col("feats"), lambda s: F.md5(F.concat_ws(":", F.lit(j), s)))
-        ).alias(f"h{j}")
-
-    sig_cols = [_sig(j) for j in range(num_hashes)]
-    sig = base.select("id", *sig_cols)
-    pairs = candidate_pairs(lsh_bands(sig, band_size))
+    sig = hs.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(a, b))).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ],
+    )
+    pairs = candidate_pairs(lsh_bands(sig, band_size), max_bucket_size)
 
     f1 = base.select(F.col("id").alias("id1"), F.col("feats").alias("__f1"))
     f2 = base.select(F.col("id").alias("id2"), F.col("feats").alias("__f2"))

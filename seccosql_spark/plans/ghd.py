@@ -12,11 +12,12 @@ Deviations from the reference, deliberate:
   (min-degree heuristic + one seeded ordering per attribute) rather than the
   reference's exhaustive bag enumeration — same canonical results on the
   suite shapes (triangle/square/dumbbell/clique) at a fraction of the cost.
-- Width is ranked by **integer edge-cover size** (exact via branch&bound on
-  these tiny bags) instead of fractional hypertree width via LP (the
-  reference uses joptimizer, ``FractionalEdgeCoverNumberCalculator``; scipy
-  is unavailable here). Ranking, not the absolute number, is what the plan
-  choice needs. TODO(round 2): fractional LP refinement.
+- Width is ranked by **fractional edge-cover number** (fhtw), computed
+  EXACTLY by a tiny rational-arithmetic simplex on the LP dual (the
+  reference solves the same LP with joptimizer,
+  ``FractionalEdgeCoverNumberCalculator``; scipy is unavailable here, and
+  bags are ≤ a dozen edges so exact Fractions are fast). Integer edge-cover
+  size remains the tie-break.
 - Physical execution of every bag is a chain of ordinary binary
   ``df.join``s — Catalyst/AQE picks broadcast/SMJ/shuffle-hash per step — so
   the 100 TB story is Spark's own. A true WCOJ (LeapFrog) path is the
@@ -33,7 +34,8 @@ the reference's GHD pass buys.
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 
@@ -52,7 +54,61 @@ class Bag:
 class GHD:
     bags: list[Bag]
     tree_edges: list[tuple[int, int]]  # indices into bags
-    width: int  # max integer edge-cover over bags
+    width: int  # max integer edge-cover over bags (tie-break metric)
+    fwidth: Fraction = field(default=Fraction(0))  # max fractional edge cover
+
+
+def fractional_edge_cover(attrs: frozenset[str], edges: list[HyperEdge]) -> Fraction:
+    """Exact fractional edge-cover number of `attrs`: min Σx_e s.t. every
+    attribute is covered with total weight ≥ 1 (x ≥ 0).
+
+    Solved via the LP DUAL — max Σy_a s.t. Σ_{a∈e} y_a ≤ 1 per edge, y ≥ 0
+    (fractional independent set; equal optima by strong duality) — because
+    the dual is in standard simplex form with the all-slack basis feasible.
+    Rational arithmetic (Fraction) + Bland's rule: exact and cycle-free.
+    Reference parity: ``FractionalEdgeCoverNumberCalculator`` under
+    ``optimization/util/ghd/`` (joptimizer LP there).
+
+    Attributes not touched by any edge are uncoverable: counted at weight 1
+    each, matching the greedy fallback of `_edge_cover_size`."""
+    avars = sorted(attrs & {a for e in edges for a in e.attrs})
+    uncovered = len(attrs) - len(avars)
+    if not avars:
+        return Fraction(uncovered)
+    rows = []
+    for e in edges:
+        cov = [Fraction(1) if a in e.attrs else Fraction(0) for a in avars]
+        if any(cov):
+            rows.append(cov)
+    n, m = len(avars), len(rows)
+    # tableau: m constraint rows × (n vars + m slacks + rhs), objective row last
+    tab = [rows[i] + [Fraction(int(i == j)) for j in range(m)] + [Fraction(1)] for i in range(m)]
+    obj = [Fraction(-1)] * n + [Fraction(0)] * m + [Fraction(0)]
+    basis = list(range(n, n + m))
+    while True:
+        # Bland: entering = first negative reduced cost
+        enter = next((j for j in range(n + m) if obj[j] < 0), None)
+        if enter is None:
+            break
+        # ratio test; Bland tie-break on basis variable index
+        leave, best = None, None
+        for i in range(m):
+            if tab[i][enter] > 0:
+                ratio = tab[i][-1] / tab[i][enter]
+                if best is None or ratio < best or (ratio == best and basis[i] < basis[leave]):
+                    best, leave = ratio, i
+        if leave is None:  # unbounded dual cannot happen: y ≤ 1 per own edge
+            raise RuntimeError("unbounded fractional-cover dual")
+        piv = tab[leave][enter]
+        tab[leave] = [v / piv for v in tab[leave]]
+        for i in range(m):
+            if i != leave and tab[i][enter] != 0:
+                f = tab[i][enter]
+                tab[i] = [v - f * w for v, w in zip(tab[i], tab[leave])]
+        f = obj[enter]
+        obj = [v - f * w for v, w in zip(obj, tab[leave])]
+        basis[leave] = enter
+    return obj[-1] + uncovered  # objective row rhs holds max Σy = min Σx
 
 
 def _edge_cover_size(attrs: frozenset[str], edges: list[HyperEdge]) -> int:
@@ -125,7 +181,8 @@ def _decompose_with_order(graph: JoinHyperGraph, order: list[str]) -> GHD:
             bag_objs.sort(key=lambda b: -len(b.attrs & e.attrs))
             bag_objs[0].rel_ids.append(e.rel_id)
     width = max(_edge_cover_size(b.attrs, graph.edges) for b in bag_objs)
-    return GHD(bag_objs, tree, width)
+    fwidth = max(fractional_edge_cover(b.attrs, graph.edges) for b in bag_objs)
+    return GHD(bag_objs, tree, width, fwidth)
 
 
 def decompose(graph: JoinHyperGraph) -> GHD:
@@ -150,11 +207,17 @@ def decompose(graph: JoinHyperGraph) -> GHD:
             order.append(a)
         return order
 
-    def rank(ghd: GHD) -> tuple[int, int, int]:
-        # (width, largest bag, #bags): width first as the reference ranks
-        # (GHDDecomposer.scala:190-240); largest-bag tiebreak steers toward
-        # the canonical dumbbell split where integer cover ties fhtw apart.
-        return (ghd.width, max(len(b.attrs) for b in ghd.bags), len(ghd.bags))
+    def rank(ghd: GHD) -> tuple[Fraction, int, int, int]:
+        # (fractional width, integer width, largest bag, #bags): fhtw first,
+        # exactly as the reference ranks (GHDDecomposer.scala:190-240 with
+        # FractionalEdgeCoverNumberCalculator); integer cover + largest-bag
+        # tie-breaks steer toward the canonical splits where fhtw ties.
+        return (
+            ghd.fwidth,
+            ghd.width,
+            max(len(b.attrs) for b in ghd.bags),
+            len(ghd.bags),
+        )
 
     candidates = [min_degree_order(None)] + [min_degree_order(a) for a in attrs]
     best: GHD | None = None

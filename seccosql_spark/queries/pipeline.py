@@ -59,18 +59,36 @@ FROM (SELECT doc_id AS id,
       FROM documents)
 """
 
-MINHASH_SHINGLE_ORACLE = f"""
-WITH words AS ({SHINGLES_SQL}),
-seeds AS (SELECT unnest(range(8)) AS j),
-mh AS (SELECT id, j, min(md5(j || ':' || w)) AS h
-       FROM words CROSS JOIN seeds GROUP BY id, j),
+def _h32_sql() -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return " + ".join(terms)
+
+
+def _minhash_oracle(words_sql: str, threshold: float, num_hashes: int = 8, band_size: int = 4) -> str:
+    """Oracle twin of minhash_near_dups, generated from the SAME constants
+    (operators.dedup.MINHASH_COEFFS/MINHASH_PRIME): one md5 per feature →
+    32-bit int via digit arithmetic → per-seed affine min → bands → bucket
+    pairs → exact jaccard."""
+    from seccosql_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+    seeds = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    band_parts = " || '|' || ".join(
+        f"max(CASE WHEN j % {band_size} = {i} THEN m END)" for i in range(band_size)
+    )
+    return f"""
+WITH words AS ({words_sql}),
+hs AS (SELECT id, CAST({_h32_sql()} AS BIGINT) AS h32 FROM words),
+seeds AS (SELECT * FROM (VALUES {seeds}) t(j, a, b)),
+mh AS (SELECT id, j, min((a * h32 + b) % {MINHASH_PRIME}) AS m
+       FROM hs CROSS JOIN seeds GROUP BY id, j),
 bands AS (
-  SELECT id, CAST(j // 4 AS INT) AS band,
-         max(CASE WHEN j % 4 = 0 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 1 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 2 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 3 THEN h END) AS sig
-  FROM mh GROUP BY id, j // 4
+  SELECT id, CAST(j // {band_size} AS INT) AS band, {band_parts} AS sig
+  FROM mh GROUP BY id, j // {band_size}
 ),
 pairs AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -85,8 +103,11 @@ inter AS (
 )
 SELECT id1, id2, i / (s1.n + s2.n - i) AS jaccard
 FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
-WHERE i / (s1.n + s2.n - i) >= 0.5
+WHERE i / (s1.n + s2.n - i) >= {threshold}
 """
+
+
+MINHASH_SHINGLE_ORACLE = _minhash_oracle(SHINGLES_SQL, threshold=0.5)
 
 
 @register("dedup_minhash_lsh", MINHASH_SHINGLE_ORACLE, headline=True)
@@ -100,34 +121,7 @@ def dedup_minhash_lsh(sess: SeccoSession):
     )
 
 
-MINHASH_WORDS_ORACLE = f"""
-WITH words AS ({WORDS_SQL}),
-seeds AS (SELECT unnest(range(8)) AS j),
-mh AS (SELECT id, j, min(md5(j || ':' || w)) AS h
-       FROM words CROSS JOIN seeds GROUP BY id, j),
-bands AS (
-  SELECT id, CAST(j // 4 AS INT) AS band,
-         max(CASE WHEN j % 4 = 0 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 1 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 2 THEN h END) || '|' ||
-         max(CASE WHEN j % 4 = 3 THEN h END) AS sig
-  FROM mh GROUP BY id, j // 4
-),
-pairs AS (
-  SELECT DISTINCT a.id AS id1, b.id AS id2
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-),
-sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
-inter AS (
-  SELECT w1.id AS id1, w2.id AS id2, count(*) AS i
-  FROM words w1 JOIN words w2 ON w1.w = w2.w
-  JOIN pairs p ON w1.id = p.id1 AND w2.id = p.id2
-  GROUP BY w1.id, w2.id
-)
-SELECT id1, id2, i / (s1.n + s2.n - i) AS jaccard
-FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
-WHERE i / (s1.n + s2.n - i) >= 0.9
-"""
+MINHASH_WORDS_ORACLE = _minhash_oracle(WORDS_SQL, threshold=0.9)
 
 
 @register("dedup_minhash_words", MINHASH_WORDS_ORACLE)
@@ -164,14 +158,6 @@ def dedup_ngram_jaccard(sess: SeccoSession):
     return sess.from_spark(
         ngram_jaccard_pairs(sess.spark.table("documents"), n=3, threshold=0.02)
     )
-
-
-def _h32_sql() -> str:
-    terms = [
-        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    ]
-    return " + ".join(terms)
 
 
 SIMHASH_ORACLE = f"""

@@ -65,3 +65,52 @@ def test_every_edge_lands_in_a_containing_bag():
         for e in graph.edges:
             bag = next(b for b in ghd.bags if e.rel_id in b.rel_ids)
             assert e.attrs <= bag.attrs
+
+
+# ---------------------------------------------- fractional edge cover (LP)
+
+
+def test_fractional_cover_triangle_is_three_halves():
+    from fractions import Fraction
+
+    from seccosql_spark.plans.ghd import fractional_edge_cover
+
+    tri = g("ab", "bc", "ca")
+    assert fractional_edge_cover(frozenset("abc"), tri.edges) == Fraction(3, 2)
+
+
+def test_fractional_cover_exact_cases():
+    from fractions import Fraction
+
+    from seccosql_spark.plans.ghd import fractional_edge_cover
+
+    # single edge covers itself
+    e1 = g("ab")
+    assert fractional_edge_cover(frozenset("ab"), e1.edges) == 1
+    # odd 5-cycle: fhtw = 5/2
+    c5 = g("ab", "bc", "cd", "de", "ea")
+    assert fractional_edge_cover(frozenset("abcde"), c5.edges) == Fraction(5, 2)
+    # uncovered attribute counts at weight 1
+    assert fractional_edge_cover(frozenset("abz"), e1.edges) == 2
+
+
+def test_fwidth_strictly_tighter_than_integer_on_triangle():
+    """The triangle is the canonical separator: integer edge cover 2,
+    fractional 3/2 (one half per edge). fwidth is ranked FIRST (reference
+    FractionalEdgeCoverNumberCalculator ranking), so the AGM-style bound
+    drives plan choice where the integer metric cannot distinguish."""
+    from fractions import Fraction
+
+    ghd = decompose(g("ab", "bc", "ca"))
+    assert ghd.width == 2
+    assert ghd.fwidth == Fraction(3, 2)
+    assert ghd.fwidth < ghd.width
+
+
+def test_ring5_chords_decomposition_runs():
+    """S7 benchmark shape (subgraphQuery.scala): 5-ring + 3 chords."""
+    s7 = g("ab", "bc", "cd", "de", "ae", "ac", "bd", "ce")
+    ghd = decompose(s7)
+    assigned = sorted(r for b in ghd.bags for r in b.rel_ids)
+    assert assigned == list(range(8))
+    assert ghd.fwidth <= ghd.width

@@ -338,16 +338,11 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------ simhash
 
 def _hex_to_long(hex_col):
-    """First 8 hex chars of an md5 → 32-bit integer, via digit arithmetic that
-    is expressible identically in DuckDB (no conv() there): sum of
-    digit_value * 16^(7-i). Powers of 16 up to 16^7 are exact in BIGINT."""
-    digits = "0123456789abcdef"
-    total = F.lit(0).cast("bigint")
-    for i in range(8):
-        d = F.substring(hex_col, i + 1, 1)
-        val = (F.instr(F.lit(digits), d) - 1).cast("bigint")
-        total = total + val * F.lit(16 ** (7 - i)).cast("bigint")
-    return total
+    """First 8 hex chars of an md5 → 32-bit integer. Spark-side: conv(_, 16,
+    10) — one builtin call. The DuckDB oracles (which lack conv()) compute
+    the SAME value via per-digit arithmetic (strpos/substr sums, see
+    queries/pipeline._h32_sql); verified bit-equal."""
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
 
 
 def simhash(words: DataFrame, bits: int = 32) -> DataFrame:

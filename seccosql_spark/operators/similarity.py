@@ -125,10 +125,25 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     round_digits: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets:
     (id1, id2, sim) with sim >= threshold, id1 < id2. The bucket join keeps
-    the pair generation subquadratic (per-bucket quadratic only)."""
+    the pair generation subquadratic (per-bucket quadratic only).
+
+    `max_bucket_size`: skew guard — buckets larger than the cap are dropped
+    from pair generation (a degenerate bucket of near-identical vectors is
+    better served by exact dedup). Off by default to match the exhaustive
+    oracle."""
+    if max_bucket_size is not None:
+        sizes = emb.groupBy(F.col(bucket_col).alias("__gb")).agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        emb = (
+            emb.join(sizes, emb[bucket_col] == F.col("__gb"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__gb", "__bn")
+        )
     a = emb.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), F.col(bucket_col).alias("__b")
     )

@@ -465,6 +465,28 @@ def with_recursive_path_counts(sess: SeccoSession):
     )
 
 
+@register(
+    "g_ring5_chords",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT count(*) AS n
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s ac ON ac.src = ab.src AND ac.dst = bc.dst
+                  JOIN s bd ON bd.src = ab.dst AND bd.dst = cd.dst
+                  JOIN s ce ON ce.src = bc.dst AND ce.dst = de.dst""",
+)
+def g_ring5_chords(sess: SeccoSession):
+    """S7 benchmark shape (subgraphQuery.scala:49-50, the one disabled
+    reference shape previously without a twin): undirected 5-ring
+    a-b-c-d-e-a with chords a-c, b-d, c-e — an 8-edge cyclic query whose
+    GHD ranking exercises the fractional edge-cover LP."""
+    pat = "a-b; b-c; c-d; d-e; a-e; a-c; b-d; c-e"
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

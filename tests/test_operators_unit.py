@@ -153,3 +153,34 @@ def test_analyze_table_populates_stats(sess):
     assert stats.row_count == 5
     assert stats.ndv["r_name"] >= 4  # approx distinct of 5 names
     assert sess.catalog.get("region").stats.row_count == 5
+
+
+def test_lsh_bucket_guard_bounds_candidates(spark):
+    """All-duplicates corpus: every doc lands in the same (band, sig) bucket,
+    so unguarded candidate generation is quadratic (n*(n-1)/2 pairs). With
+    max_bucket_size, oversized buckets are dropped and candidates stay
+    bounded — the production skew mitigation at 100 TB."""
+    from seccosql_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text repeated for every single document here") for i in range(40)],
+        "doc_id BIGINT, text STRING",
+    )
+    unguarded = minhash_near_dups(docs, threshold=0.5, shingle_n=3)
+    assert unguarded.count() == 40 * 39 // 2
+    guarded = minhash_near_dups(docs, threshold=0.5, shingle_n=3, max_bucket_size=10)
+    assert guarded.count() == 0
+
+
+def test_embedding_bucket_guard_bounds_candidates(spark):
+    """Same guard on the embedding near-dup bucket join."""
+    from seccosql_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(30)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    unguarded = embedding_near_dups(emb, threshold=0.99)
+    assert unguarded.count() == 30 * 29 // 2
+    guarded = embedding_near_dups(emb, threshold=0.99, max_bucket_size=5)
+    assert guarded.count() == 0

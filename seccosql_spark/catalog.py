@@ -18,11 +18,14 @@ from dataclasses import dataclass, field
 @dataclass
 class TableStats:
     """Mirror of the reference's ``Statistics`` (``statsEstimation/Statistics.scala:27-69``):
-    row count + size; per-attribute distinct counts when computed."""
+    row count + size; per-attribute distinct counts and equi-width
+    histograms when computed (histogram estimator tier,
+    ``statsEstimation/histogram``)."""
 
     row_count: int | None = None
     size_in_bytes: int | None = None
     ndv: dict[str, int] = field(default_factory=dict)  # column -> approx distinct
+    histograms: dict[str, object] = field(default_factory=dict)  # column -> plans.stats.Histogram
 
 
 @dataclass

@@ -249,24 +249,46 @@ def _join_order_within(dfs: list[DataFrame]) -> list[DataFrame]:
     return out
 
 
-def multiway_natural_join(dfs: list[DataFrame], use_ghd: bool = True) -> DataFrame:
+def multiway_natural_join(
+    dfs: list[DataFrame], use_ghd: bool = True, stats=None
+) -> DataFrame:
     """n-way natural inner join. With `use_ghd`, joins are grouped per GHD bag
     and bags are combined along the decomposition tree; otherwise a left-fold
     chain. Either way: plain ``df.join`` calls — Catalyst picks the physical
-    join per step."""
-    from seccosql_spark.operators.joins import natural_join_chain
+    join per step.
 
-    if len(dfs) <= 2 or not use_ghd:
+    `stats`: optional ``list[plans.stats.RelStats]`` aligned with `dfs`.
+    When present, relations inside each bag are ordered by the greedy
+    smallest-estimated-intermediate heuristic (System-R estimates over row
+    counts + NDV — reference ``StatsPlanVisitor``/naive estimator parity)
+    instead of connectivity order alone. Catalyst without CBO keeps
+    whatever join order we emit, so this is where the statistics earn
+    their keep at scale."""
+    from seccosql_spark.operators.joins import natural_join_chain
+    from seccosql_spark.plans.stats import greedy_join_order
+
+    def ordered(indices: list[int]) -> list[DataFrame]:
+        members = [dfs[r] for r in indices]
+        if stats is None or len(members) <= 2:
+            return _join_order_within(members)
+        perm = greedy_join_order(
+            [set(dfs[r].columns) for r in indices], [stats[r] for r in indices]
+        )
+        return [members[p] for p in perm]
+
+    if len(dfs) <= 2 or (not use_ghd and stats is None):
         return natural_join_chain(dfs)
+    if not use_ghd:
+        return natural_join_chain(ordered(list(range(len(dfs)))))
 
     graph = JoinHyperGraph.from_attr_sets([set(d.columns) for d in dfs])
     ghd = decompose(graph)
     if len(ghd.bags) == 1:
-        return natural_join_chain(_join_order_within(dfs))
+        return natural_join_chain(ordered(list(range(len(dfs)))))
 
     bag_results: dict[int, DataFrame] = {}
     for i, bag in enumerate(ghd.bags):
-        members = _join_order_within([dfs[r] for r in bag.rel_ids])
+        members = ordered(bag.rel_ids)
         if members:
             bag_results[i] = natural_join_chain(members)
     # combine along tree edges, rooted at bag 0, skipping relation-less bags

@@ -1,0 +1,190 @@
+"""Cardinality estimation + cost-based join ordering from catalog statistics.
+
+Reference parity: ``optimization/statsEstimation/`` — ``Statistics.scala``
+(row count + per-attribute stats), ``StatsPlanVisitor.scala`` (bottom-up
+estimate propagation), and the ``exact``/``histogram``/``naive`` estimator
+tiers. This module is the Spark-first translation: Spark's own CBO owns
+filter/scan estimation (it reads parquet footers), so the side-catalog
+stats feed exactly the decisions Spark cannot make without key/NDV
+knowledge — multiway natural-join ORDERING (Catalyst does not reorder
+inner joins without CBO stats, and never for the pattern-compiler's
+self-joined edge copies) and broadcast/hypercube sizing.
+
+Estimator tiers, matching the reference:
+- exact: row counts measured by ``SeccoSession.analyze_table`` (one agg);
+- naive: System-R equi-join formula |L ⋈ R| = |L|·|R| / ∏_a max(ndv_L(a),
+  ndv_R(a)) over shared attributes, NDV from approx_count_distinct;
+- histogram: equi-width bin counts for range-predicate selectivity
+  (``estimate_range_selectivity``), from ``analyze_histogram``.
+
+All estimates are plan-time Python arithmetic — zero runtime overhead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class RelStats:
+    """Statistics for one relation participating in a multiway join."""
+
+    rows: float
+    ndv: dict[str, float] = field(default_factory=dict)  # attr -> distinct count
+
+    def ndv_of(self, attr: str) -> float:
+        # an attribute with unknown NDV is conservatively treated as a key
+        # of the relation (ndv = rows): join estimates then stay <= the
+        # cross-product row count instead of exploding optimistically
+        v = self.ndv.get(attr)
+        return min(v, self.rows) if v is not None else max(self.rows, 1.0)
+
+
+def estimate_join(left: RelStats, right: RelStats, shared: set[str]) -> RelStats:
+    """System-R estimate of the natural join of two relations
+    (naive/Estimation parity). Output NDV per attribute: min of the inputs'
+    (join can only lose distinct values)."""
+    if not shared:
+        rows = left.rows * right.rows  # cross product
+    else:
+        denom = 1.0
+        for a in shared:
+            denom *= max(left.ndv_of(a), right.ndv_of(a), 1.0)
+        rows = left.rows * right.rows / denom
+    ndv: dict[str, float] = {}
+    for a in set(left.ndv) | set(right.ndv):
+        cands = [s.ndv[a] for s in (left, right) if a in s.ndv]
+        ndv[a] = min(min(cands), rows) if cands else rows
+    return RelStats(max(rows, 1.0), ndv)
+
+
+def greedy_join_order(
+    attr_sets: list[set[str]], stats: list[RelStats]
+) -> list[int]:
+    """Greedy smallest-intermediate-first ordering of a natural-join chain:
+    start from the smallest relation, repeatedly attach the CONNECTED
+    relation minimizing the estimated intermediate size (disconnected
+    relations only when nothing connected remains — no accidental cross
+    products). Returns indices into the input list.
+
+    This is the decision Catalyst will not make for us: without CBO stats
+    it keeps the user's join order, and the GHD planner's bags are built
+    from attribute structure alone. O(n^2) in #relations — plan-time only.
+    """
+    if len(attr_sets) != len(stats):
+        raise ValueError("attr_sets and stats must align")
+    n = len(attr_sets)
+    if n == 0:
+        return []
+    remaining = set(range(n))
+    start = min(remaining, key=lambda i: stats[i].rows)
+    order = [start]
+    remaining.discard(start)
+    acc_attrs = set(attr_sets[start])
+    acc = stats[start]
+    while remaining:
+        connected = [i for i in remaining if acc_attrs & attr_sets[i]]
+        pool = connected or sorted(remaining)
+        best = min(
+            pool,
+            key=lambda i: estimate_join(acc, stats[i], acc_attrs & attr_sets[i]).rows,
+        )
+        acc = estimate_join(acc, stats[best], acc_attrs & attr_sets[best])
+        acc_attrs |= attr_sets[best]
+        order.append(best)
+        remaining.discard(best)
+    return order
+
+
+def stats_from_catalog(catalog, names: list[str]) -> list[RelStats] | None:
+    """RelStats per named table from the side catalog; None when any table
+    lacks a measured row count (callers then skip cost-based ordering
+    rather than plan on fabricated numbers)."""
+    out: list[RelStats] = []
+    for name in names:
+        meta = catalog.get(name)
+        if meta is None or meta.stats.row_count is None:
+            return None
+        out.append(
+            RelStats(float(meta.stats.row_count), {k: float(v) for k, v in meta.stats.ndv.items()})
+        )
+    return out
+
+
+# ------------------------------------------------------------- histograms
+
+
+@dataclass
+class Histogram:
+    """Equi-width histogram (reference ``statsEstimation/histogram``):
+    `edges` are the n+1 bin boundaries, `counts` the n bin row counts."""
+
+    edges: list[float]
+    counts: list[int]
+
+    @property
+    def total(self) -> int:
+        return sum(self.counts)
+
+
+def build_histogram(df: DataFrame, column: str, bins: int = 32) -> Histogram:
+    """One-pass equi-width histogram via conditional-sum aggregation —
+    a single Spark job, no RDD.histogram (which scans twice and leaves
+    the DataFrame API)."""
+    from pyspark.sql import functions as F
+
+    lohi = df.agg(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = lohi["lo"], lohi["hi"]
+    if lo is None or hi is None:
+        return Histogram([0.0, 0.0], [0])
+    if hi <= lo:
+        cnt = df.filter(F.col(column).isNotNull()).count()
+        return Histogram([lo, lo], [cnt])
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    row = (
+        df.filter(F.col(column).isNotNull())
+        .agg(
+            *[
+                F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in range(bins)
+            ]
+        )
+        .collect()[0]
+    )
+    counts = [int(row[f"b{b}"] or 0) for b in range(bins)]
+    edges = [lo + i * width for i in range(bins)] + [hi]
+    return Histogram(edges, counts)
+
+
+def estimate_range_selectivity(
+    hist: Histogram, lo: float | None, hi: float | None
+) -> float:
+    """Fraction of rows with lo <= value <= hi under the histogram, with
+    linear interpolation inside partially-covered bins (the standard
+    equi-width estimate; reference histogram estimator parity)."""
+    if hist.total == 0:
+        return 0.0
+    lo = hist.edges[0] if lo is None else lo
+    hi = hist.edges[-1] if hi is None else hi
+    if hi < lo:
+        return 0.0
+    covered = 0.0
+    for b, cnt in enumerate(hist.counts):
+        b_lo, b_hi = hist.edges[b], hist.edges[b + 1]
+        if b_hi < lo or b_lo > hi:
+            continue
+        if b_hi == b_lo:
+            covered += cnt
+            continue
+        overlap = min(hi, b_hi) - max(lo, b_lo)
+        covered += cnt * max(0.0, min(1.0, overlap / (b_hi - b_lo)))
+    return min(1.0, covered / hist.total)

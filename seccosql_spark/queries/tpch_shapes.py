@@ -233,3 +233,54 @@ def q19_disjunctive_join(sess: SeccoSession):
     """Q19 shape: disjunctive multi-predicate join filter (Catalyst pushes
     the common l_partkey equi-key; the OR-of-ANDs stays a residual)."""
     return sess.sql(Q19)
+
+
+STATS_ORDERED_ORACLE = """
+SELECT r_name, count(*) AS n
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY r_name
+"""
+
+
+@register("multiway_stats_ordered", STATS_ORDERED_ORACLE)
+def multiway_stats_ordered(sess: SeccoSession):
+    """Cost-based multiway join ordering from ANALYZE'd statistics
+    (reference statsEstimation/StatsPlanVisitor + naive estimator): the
+    4-relation natural-join chain is reordered greedily by estimated
+    intermediate size (region -> nation -> customer -> orders, smallest
+    first), which Catalyst without CBO would never do on its own. Result is
+    order-independent; the oracle checks exact semantics."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.plans.ghd import multiway_natural_join
+    from seccosql_spark.plans.stats import RelStats
+
+    spark = sess.spark
+    for t in ("region", "nation", "customer", "orders"):
+        meta = sess.catalog.get(t)
+        if meta is None or meta.stats.row_count is None:
+            sess.analyze_table(t)
+    rows = {t: float(sess.catalog.get(t).stats.row_count)
+            for t in ("region", "nation", "customer", "orders")}
+    dfs = [
+        spark.table("orders").select(
+            F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+        ),
+        spark.table("customer").select(
+            F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+        ),
+        spark.table("nation").select(
+            F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk")
+        ),
+        spark.table("region").select(F.col("r_regionkey").alias("rk"), "r_name"),
+    ]
+    stats = [
+        RelStats(rows["orders"], {"ok": rows["orders"], "ck": rows["customer"]}),
+        RelStats(rows["customer"], {"ck": rows["customer"], "nk": rows["nation"]}),
+        RelStats(rows["nation"], {"nk": rows["nation"], "rk": rows["region"]}),
+        RelStats(rows["region"], {"rk": rows["region"]}),
+    ]
+    joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
+    return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))

@@ -129,7 +129,7 @@ _PRIORITY_WINDOW = [
     "udaf_median_price",
     "udf_rowwise_registered",
     "multimodal_decode_stub",
-    "events_json_extract",
+    "multiway_stats_ordered",
 ]
 
 

@@ -196,6 +196,17 @@ class SeccoSession:
             meta.stats.ndv[c] = row[f"__ndv_{c}"]
         return meta.stats
 
+    def analyze_histogram(self, name: str, column: str, bins: int = 32) -> "TableStats":
+        """Equi-width histogram for a numeric column into the side catalog
+        (reference ``HistogramStatisticComputer`` /
+        ``statsEstimation/histogram`` tier); one aggregation job. Feeds
+        ``plans.stats.estimate_range_selectivity`` for range predicates."""
+        from seccosql_spark.plans.stats import build_histogram
+
+        meta = self.catalog.get(name) or self.catalog.register(name)
+        meta.stats.histograms[column] = build_histogram(self.spark.table(name), column, bins)
+        return meta.stats
+
     # -- SQL entry point (reference SeccoSession.sql, SeccoSession.scala:89-91) --
 
     def sql(self, text: str) -> "SeccoDataFrame":

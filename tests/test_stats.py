@@ -1,0 +1,124 @@
+"""Statistics-driven planning tests: System-R join estimates, greedy
+cost-based ordering, histograms — the reference's statsEstimation surface
+(exact / naive / histogram tiers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.plans.stats import (
+    Histogram,
+    RelStats,
+    build_histogram,
+    estimate_join,
+    estimate_range_selectivity,
+    greedy_join_order,
+    stats_from_catalog,
+)
+
+
+def test_estimate_join_system_r_formula():
+    l = RelStats(1000, {"a": 100})
+    r = RelStats(500, {"a": 50})
+    est = estimate_join(l, r, {"a"})
+    assert est.rows == 1000 * 500 / 100  # denom = max(ndv) = 100
+    assert est.ndv["a"] == 50  # join keeps at most the smaller side's NDV
+
+
+def test_estimate_join_unknown_ndv_is_conservative():
+    l = RelStats(1000)
+    r = RelStats(500)
+    est = estimate_join(l, r, {"a"})
+    # unknown NDV -> treat attr as key of the larger side: 1000*500/1000
+    assert est.rows == 500
+
+
+def test_estimate_cross_product():
+    assert estimate_join(RelStats(10), RelStats(20), set()).rows == 200
+
+
+def test_greedy_order_smallest_first_no_cross_products():
+    # R0(a,b) huge, R1(b,c) small, R2(c,d) tiny, R3(a,d) medium
+    attr_sets = [{"a", "b"}, {"b", "c"}, {"c", "d"}, {"a", "d"}]
+    stats = [
+        RelStats(1_000_000, {"a": 1000, "b": 1000}),
+        RelStats(1_000, {"b": 1000, "c": 100}),
+        RelStats(10, {"c": 10, "d": 10}),
+        RelStats(5_000, {"a": 500, "d": 100}),
+    ]
+    order = greedy_join_order(attr_sets, stats)
+    assert order[0] == 2  # tiny first
+    assert sorted(order) == [0, 1, 2, 3]
+    # every step after the first shares an attribute with the prefix
+    seen = set(attr_sets[order[0]])
+    for i in order[1:]:
+        assert seen & attr_sets[i]
+        seen |= attr_sets[i]
+    # the huge relation is joined LAST (maximally filtered prefix)
+    assert order[-1] == 0
+
+
+def test_stats_from_catalog_requires_rowcounts():
+    from seccosql_spark.catalog import SideCatalog, TableStats
+
+    c = SideCatalog()
+    c.register("t1", stats=TableStats(row_count=10, ndv={"a": 5}))
+    c.register("t2")  # no stats
+    assert stats_from_catalog(c, ["t1", "t2"]) is None
+    got = stats_from_catalog(c, ["t1"])
+    assert got is not None and got[0].rows == 10 and got[0].ndv == {"a": 5.0}
+
+
+def test_multiway_join_with_stats_same_result(spark):
+    """Cost-based ordering is semantics-preserving: same rows as the
+    unordered chain on a cyclic query."""
+    from seccosql_spark.plans.ghd import multiway_natural_join
+
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (2, 5)]
+    r = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    s = spark.createDataFrame(edges, "b BIGINT, c BIGINT")
+    t = spark.createDataFrame(edges[:4], "c BIGINT, a BIGINT")
+    stats = [
+        RelStats(8, {"a": 6, "b": 6}),
+        RelStats(8, {"b": 6, "c": 6}),
+        RelStats(4, {"c": 4, "a": 4}),
+    ]
+    plain = multiway_natural_join([r, s, t], use_ghd=True)
+    costed = multiway_natural_join([r, s, t], use_ghd=True, stats=stats)
+    key = ["a", "b", "c"]
+    assert sorted(map(tuple, costed.select(*key).collect())) == sorted(
+        map(tuple, plain.select(*key).collect())
+    )
+
+
+def test_histogram_build_and_selectivity(spark, sess):
+    """Histogram range estimate within 2% absolute of the true fraction on
+    a real column (uniform-ish l_quantity)."""
+    li = spark.table("lineitem")
+    hist = build_histogram(li, "l_quantity", bins=25)
+    total = li.count()
+    assert hist.total == total
+    true_frac = li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)).count() / total
+    est = estimate_range_selectivity(hist, 10, 30)
+    assert abs(est - true_frac) < 0.02
+    # open-ended ranges
+    assert abs(estimate_range_selectivity(hist, None, None) - 1.0) < 1e-9
+    assert estimate_range_selectivity(hist, 1e9, None) == 0.0
+
+
+def test_histogram_degenerate_cases(spark):
+    one = spark.createDataFrame([(5.0,)] * 7, "x DOUBLE")
+    h = build_histogram(one, "x", bins=4)
+    assert h.total == 7
+    assert estimate_range_selectivity(h, 5, 5) == 1.0
+    empty = spark.createDataFrame([], "x DOUBLE")
+    h2 = build_histogram(empty, "x", bins=4)
+    assert h2.total in (0, 1) or h2.counts == [0]
+    assert estimate_range_selectivity(Histogram([0.0, 0.0], [0]), 0, 1) == 0.0
+
+
+def test_analyze_histogram_into_catalog(sess):
+    sess.analyze_histogram("orders", "o_totalprice", bins=16)
+    meta = sess.catalog.get("orders")
+    hist = meta.stats.histograms["o_totalprice"]
+    assert hist.total == sess.spark.table("orders").count()

@@ -69,3 +69,31 @@ def test_knn_query_side_filter_pushed(sess):
     plan = formatted_plan(sess, "knn_cosine_bruteforce")
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("LessThan(vec_id,5)" in l for l in pushed), pushed
+
+
+def test_minhash_no_heavy_expr_below_spread_exchange(sess):
+    """Round-3 regression: the shingle/array expression must never be
+    evaluated BELOW the parallelizing repartition (Catalyst once pushed a
+    size(feats)>0 filter through the exchange, running the whole shingle
+    build single-threaded on the 1-partition scan — 8x slower at sf0.1).
+    Mechanical check: no Filter/Scan line that precedes the round-robin
+    Exchange may mention array_distinct/transform."""
+    plan = formatted_plan(sess, "dedup_minhash_lsh")
+    lines = plan.splitlines()
+    # formatted explain lists operators leaf-first in the numbered section;
+    # find the scan-side region: everything from "(1) Scan" up to the first
+    # REPARTITION exchange's own entry
+    numbered = [l for l in lines if l.strip().startswith("(")]
+    pre_exchange: list[str] = []
+    in_detail = False
+    for line in lines:
+        if line.startswith("(1) Scan"):
+            in_detail = True
+        if in_detail:
+            if "REPARTITION_BY_NUM" in line:
+                break
+            pre_exchange.append(line)
+    region = "\n".join(pre_exchange)
+    assert "REPARTITION_BY_NUM" in plan, plan  # the spread exchange exists
+    assert "array_distinct" not in region, region
+    assert "transform(" not in region, region

@@ -144,3 +144,16 @@ def test_aggregation_over_cte_matches_duckdb(sess, oracle):
         SELECT g, CAST(count(*) AS INT) AS v FROM r GROUP BY g
       ) SELECT g, v FROM r"""
     assert_df_matches_oracle(sess.sql(sql), oracle, sql)
+
+
+def test_pagerank_nondefault_params_match_generated_oracle(sess, oracle):
+    """The oracle generator and pagerank() share module constants; verify
+    they also agree for NON-default damping/rounds (round-2 ADVICE: a
+    parameter drift must not silently diverge)."""
+    from tests.conftest import assert_df_matches_oracle
+
+    from seccosql_spark.graph.algorithms import pagerank
+    from seccosql_spark.queries.graph import EDGES_SPARK, _pagerank_oracle
+
+    df = pagerank(sess.spark.sql(EDGES_SPARK), rounds=2, damping_num=90, damping_den=100)
+    assert_df_matches_oracle(df, oracle, _pagerank_oracle(2, damping_num=90, damping_den=100))

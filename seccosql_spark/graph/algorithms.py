@@ -111,6 +111,169 @@ def pagerank(
     return out.select("id", (F.col("v").cast("double") / F.lit(float(scale))).alias("rank"))
 
 
+def _sym_neighbors(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected neighbor pairs (a, b): both orientations of every
+    edge, deduplicated — the simple-graph view used by the neighborhood
+    analytics below."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+
+
+def kcore(
+    edges: DataFrame, k: int, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, degree) of the k-core: iteratively peel nodes of degree < k from
+    the undirected simple graph until fixpoint. Degree recomputation each
+    round touches only surviving edges (semi-join on the alive set), so a
+    round is two hash joins + one aggregation; rounds needed = peel depth
+    (typically << max_rounds). Integer-only — deterministic."""
+    nb = _sym_neighbors(edges, src, dst).localCheckpoint(eager=True)
+    alive = nb.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            nb.join(alive.select(F.col("id").alias("a")), "a")
+            .join(alive.select(F.col("id").alias("b")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        survivors = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        n_prev, n_now = alive.count(), survivors.count()
+        alive = survivors.select("id").localCheckpoint(eager=True)
+        if n_now == n_prev or n_now == 0:
+            return survivors
+    return survivors
+
+
+def sssp(
+    weighted_edges: DataFrame,
+    source: int,
+    max_rounds: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """(id, dist) single-source shortest paths over positive integer edge
+    weights: synchronous Bellman-Ford, stopping as soon as a relaxation round
+    improves nothing. Distances are BIGINTs — exact, engine-independent. Each
+    round is one join on src + one min-aggregation on dst (two shuffles)."""
+    edges = weighted_edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    state = edges.sparkSession.sql(
+        f"SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        relaxed = (
+            state.join(edges, state["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            state.select("id", "dist")
+            .unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(state.withColumnRenamed("dist", "old"), "id", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        state = merged
+        if improved == 0:
+            break
+    return state
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, label) after `rounds` SYNCHRONOUS label-propagation supersteps on
+    the undirected simple graph. Every node adopts the most frequent label
+    among its neighbors, ties broken by the smallest label — a total order,
+    so unlike textbook async LPA the result is deterministic and
+    differentially testable. Fixed round count (community detection has no
+    natural fixpoint: labels can oscillate)."""
+    nb = _sym_neighbors(edges, src, dst).localCheckpoint(eager=True)
+    state = nb.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        counted = (
+            nb.join(state.select(F.col("id").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+        state = (
+            counted.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, triangles, wedges) per vertex on the undirected simple graph:
+    `triangles` = adjacent neighbor pairs, `wedges` = deg*(deg-1)/2. Both are
+    exact BIGINTs — the coefficient is their ratio, left to the caller so the
+    differential gate never compares floats. Plan: the neighbor-pair join is
+    bounded by triangle count (each neighbor pair probes one hash lookup)."""
+    nb = _sym_neighbors(edges, src, dst).localCheckpoint(eager=True)
+    deg = nb.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pair = (
+        nb.select(F.col("a").alias("v"), F.col("b").alias("n1"))
+        .join(nb.select(F.col("a").alias("v"), F.col("b").alias("n2")), "v")
+        .filter(F.col("n1") < F.col("n2"))
+    )
+    tri = (
+        pair.join(
+            nb.select(F.col("a").alias("n1"), F.col("b").alias("n2")), ["n1", "n2"]
+        )
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)").alias("wedges"),
+        )
+    )
+
+
+def common_neighbors(
+    edges: DataFrame, top: int = 20, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(u, v, common) — the `top` non-ordered vertex pairs ranked by shared
+    undirected neighbors (the classic link-prediction score), ties broken by
+    (u, v) so the LIMIT set is deterministic. One self-join on the neighbor
+    relation keyed by the shared neighbor; at scale the hub-neighbor skew is
+    the risk, mitigated the same way as wedge counting (cap/salt hot b's
+    upstream if degree distribution demands it)."""
+    nb = _sym_neighbors(edges, src, dst)
+    return (
+        nb.select(F.col("b").alias("via"), F.col("a").alias("u"))
+        .join(nb.select(F.col("b").alias("via"), F.col("a").alias("v")), "via")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(top)
+    )
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 50, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -1,0 +1,195 @@
+"""Graph analytics beyond the reference's I1-I3 shapes: k-core peeling,
+weighted single-source shortest paths, synchronous label propagation, local
+clustering coefficients, and common-neighbor link prediction — the standard
+production graph-mining kit, each expressed on the engine's iteration
+substrate (graph/algorithms.py) with an exact DuckDB oracle.
+
+Determinism discipline: every algorithm is integer-only (BIGINT distances /
+counts / labels), ties are broken by a total order, and fixpoint loops have
+oracle formulations that are invariant to extra rounds (peeling rounds
+no-op once converged; the SSSP walk-closure mins over all path lengths), so
+driver hash-compares are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.graph.algorithms import (
+    clustering_coefficient,
+    common_neighbors,
+    kcore,
+    label_propagation,
+    sssp,
+)
+from seccosql_spark.queries.graph import EDGES_ORACLE, EDGES_SPARK, EDGES_SPARSE
+from seccosql_spark.registration import register
+from seccosql_spark.session import SeccoSession
+
+# Undirected simple-graph neighbor pairs (both orientations, deduplicated) —
+# the shared CTE prefix of every oracle here. Parameterized on the edge CTE.
+_NB = """nb AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e
+  )
+)"""
+
+# Small positive weights derived deterministically from edge multiplicity:
+# keeps SSSP distances tiny (bounded walk-closure oracle) in both engines.
+WEIGHTED_EDGES_SPARK = """
+SELECT CAST(l_partkey % 60 AS BIGINT) AS src,
+       CAST(l_suppkey % 60 AS BIGINT) AS dst,
+       CAST(count(*) % 7 + 1 AS BIGINT) AS weight
+FROM lineitem
+WHERE l_partkey % 60 <> l_suppkey % 60
+GROUP BY 1, 2
+"""
+
+KCORE_K = 4
+KCORE_UNROLL = 10  # >= peel depth on every sf; extra rounds are no-ops
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling: alive_{r+1} = nodes with >= k surviving neighbors in
+    the subgraph induced by alive_r. Once the alive set is stable, further
+    rounds are identities, so any unroll >= the true peel depth is exact."""
+    parts = [f"WITH e AS ({EDGES_SPARSE}),\n{_NB},\n"]
+    parts.append("alive0 AS (SELECT DISTINCT a AS id FROM nb)")
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+alive{r} AS (
+  SELECT id FROM (
+    SELECT nb.a AS id, count(*) AS d
+    FROM nb
+    JOIN alive{r - 1} x ON nb.a = x.id
+    JOIN alive{r - 1} y ON nb.b = y.id
+    GROUP BY nb.a
+  ) WHERE d >= {k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT nb.a AS id, count(*) AS degree
+FROM nb
+JOIN alive{rounds} x ON nb.a = x.id
+JOIN alive{rounds} y ON nb.b = y.id
+GROUP BY nb.a
+HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@register("g_kcore", _kcore_oracle(KCORE_K, KCORE_UNROLL))
+def g_kcore(sess: SeccoSession):
+    """k-core decomposition (k=4) by iterative peeling on the sparse graph —
+    degree recomputation is two hash joins per round against the shrinking
+    alive set; rounds = peel depth, not a fixed budget."""
+    edges = sess.spark.sql(EDGES_SPARSE)
+    return sess.from_spark(kcore(edges, KCORE_K))
+
+
+SSSP_ORACLE = f"""
+WITH RECURSIVE e AS ({WEIGHTED_EDGES_SPARK}),
+walk(id, d) AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+  UNION
+  SELECT e.dst AS id, w.d + e.weight AS d
+  FROM walk w JOIN e ON e.src = w.id
+  WHERE w.d + e.weight <= 400
+)
+SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
+"""
+
+
+@register("g_sssp_weighted", SSSP_ORACLE)
+def g_sssp_weighted(sess: SeccoSession):
+    """Weighted SSSP from node 0: synchronous Bellman-Ford with exact BIGINT
+    distances, converging in O(shortest-path hop count) rounds. The oracle is
+    the bounded walk-closure (all path lengths, then MIN) — equivalent
+    because the cap (400) far exceeds every true distance on this graph."""
+    edges = sess.spark.sql(WEIGHTED_EDGES_SPARK)
+    return sess.from_spark(sssp(edges, source=0))
+
+
+def _lp_round(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT id, label FROM (
+    SELECT nb.a AS id, l.label AS label,
+           row_number() OVER (PARTITION BY nb.a ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM nb JOIN {prev} l ON nb.b = l.id
+    GROUP BY nb.a, l.label
+  ) WHERE rn = 1
+)"""
+
+
+LP_ORACLE = (
+    f"WITH e AS ({EDGES_ORACLE}),\n{_NB},\n"
+    "lp0 AS (SELECT DISTINCT a AS id, a AS label FROM nb)"
+    + ","
+    + _lp_round("lp0", "lp1")
+    + ","
+    + _lp_round("lp1", "lp2")
+    + "\nSELECT id, label FROM lp2"
+)
+
+
+@register("g_label_propagation", LP_ORACLE)
+def g_label_propagation(sess: SeccoSession):
+    """Two synchronous label-propagation supersteps (neighbor-mode labels,
+    min-label tiebreak — a total order, so deterministic, unlike textbook
+    async LPA). Each round: one join + one count aggregate + one
+    row_number window."""
+    edges = sess.spark.sql(EDGES_SPARK)
+    return sess.from_spark(label_propagation(edges, rounds=2))
+
+
+CLUSTERING_ORACLE = f"""
+WITH e AS ({EDGES_SPARSE}),
+{_NB},
+deg AS (SELECT a AS id, count(*) AS deg FROM nb GROUP BY a),
+tri AS (
+  SELECT p.v AS id, count(*) AS t
+  FROM (SELECT n1.a AS v, n1.b AS nb1, n2.b AS nb2
+        FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b) p
+  JOIN nb ew ON ew.a = p.nb1 AND ew.b = p.nb2
+  GROUP BY p.v
+)
+SELECT deg.id, CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+       CAST(deg * (deg - 1) // 2 AS BIGINT) AS wedges
+FROM deg LEFT JOIN tri ON deg.id = tri.id
+"""
+
+
+@register("g_clustering_coeff", CLUSTERING_ORACLE)
+def g_clustering_coeff(sess: SeccoSession):
+    """Local clustering coefficient inputs per vertex: exact (triangles,
+    wedges) BIGINT pair — the float ratio is the caller's one division, kept
+    out of the differential gate. Neighbor-pair probe join is bounded by the
+    triangle count."""
+    edges = sess.spark.sql(EDGES_SPARSE)
+    return sess.from_spark(clustering_coefficient(edges))
+
+
+COMMON_NB_ORACLE = f"""
+WITH e AS ({EDGES_ORACLE}),
+{_NB}
+SELECT u, v, common FROM (
+  SELECT n1.a AS u, n2.a AS v, count(*) AS common
+  FROM nb n1 JOIN nb n2 ON n1.b = n2.b AND n1.a < n2.a
+  GROUP BY n1.a, n2.a
+)
+ORDER BY common DESC, u, v LIMIT 20
+"""
+
+
+@register("g_common_neighbors", COMMON_NB_ORACLE)
+def g_common_neighbors(sess: SeccoSession):
+    """Top-20 vertex pairs by shared-neighbor count (link prediction).
+    Self-join keyed on the shared neighbor; (common, u, v) total order keeps
+    the LIMIT set exact."""
+    edges = sess.spark.sql(EDGES_SPARK)
+    return sess.from_spark(common_neighbors(edges, top=20))

@@ -57,24 +57,47 @@ from seccosql_spark.queries import relational  # noqa: E402,F401
 from seccosql_spark.queries import graph  # noqa: E402,F401
 from seccosql_spark.queries import pipeline  # noqa: E402,F401
 from seccosql_spark.queries import tpch_shapes  # noqa: E402,F401
+from seccosql_spark.queries import tpch_rest  # noqa: E402,F401
 from seccosql_spark.queries import timeseries  # noqa: E402,F401
 from seccosql_spark.queries import sampling_q  # noqa: E402,F401
 from seccosql_spark.queries import text_stats  # noqa: E402,F401
 from seccosql_spark.queries import udf  # noqa: E402,F401
+from seccosql_spark.queries import graph_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-3 window: every query whose code path
-# changed this round (new minhash hash family; pattern compiler self-loop
-# rewrite; GHD fractional ranking; WCOJ typed transport; statement-scoped
-# CTE/MATCH bindings; PK-FK stats-proven broadcast) plus the two NEW queries
-# (self-loop, ring5+chords), then one representative per untouched family.
+# checks the first 50 entries. Round-3 window: every query NEW this round
+# (the 13 remaining TPC-H shapes completing the 22-query suite; self-loop;
+# ring5+chords) plus every query whose code path changed this round (new
+# minhash hash family; pattern compiler self-loop rewrite; GHD fractional
+# ranking; WCOJ typed transport; statement-scoped CTE/MATCH bindings; PK-FK
+# stats-proven broadcast), then representatives of untouched families.
 # Queries after position 50 carry green r01/r02 rows on unchanged code.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    # new this round: TPC-H suite completion (queries/tpch_rest.py)
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_sole_blame_supplier",
+    "q22_sales_opportunity",
     # changed: minhash family (new hash construction — must re-verify)
     "dedup_minhash_lsh",
     "dedup_minhash_words",
+    # new this round: graph analytics (queries/graph_analytics.py)
+    "g_kcore",
+    "g_sssp_weighted",
+    "g_label_propagation",
+    "g_clustering_coeff",
+    "g_common_neighbors",
     # new this round
     "g_self_loop_pattern",
     "g_ring5_chords",
@@ -105,31 +128,19 @@ _PRIORITY_WINDOW = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    # untouched families, one representative each (re-verified if checked)
+    # changed: similarity.py skew guards (knn/ann share the file)
     "knn_cosine_bruteforce",
     "ann_ivf_label",
     "embedding_centroids",
+    # changed: graph/algorithms.py touched this round (pagerank docstring/oracle)
     "g_pagerank_3rounds",
     "g_bfs_distances",
-    "g_degrees",
-    "g_message_passing_wsum",
-    "g_message_passing_2rounds",
-    "g_subgraph_filter",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_join_chain",
-    "q7_nation_volume",
-    "text_token_stats",
-    "asof_latest_purchase",
-    "range_join_next_hour",
-    "sessionize_events",
-    "sample_hash_10pct",
-    "sample_stratified_3per_lang",
-    "udf_pandas_vector_norm",
-    "udaf_median_price",
-    "udf_rowwise_registered",
-    "multimodal_decode_stub",
+    # changed: stats-driven multiway ordering (plans/stats.py is new)
     "multiway_stats_ordered",
+    # untouched families (green r01/r02 rows stand): q1/q3/q5/q7, text_*,
+    # asof/range/sessionize, sample_*, udf/udaf, multimodal, g_degrees,
+    # g_message_*, g_subgraph_filter — rotated out to make room for the 13
+    # new TPC-H entries.
 ]
 
 

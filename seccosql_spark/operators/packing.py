@@ -1,0 +1,64 @@
+"""Token-budget shard packing: assign each document to a training shard so
+that every shard holds ~`budget` tokens of consecutive (by id) documents.
+
+The semantics are a running sum: shard(doc) = floor(tokens_before_doc /
+budget) in global id order. A naive `Window.orderBy(id)` computes that with
+a SINGLE partition — the classic scale killer. This implementation is the
+standard two-phase distributed prefix sum instead:
+
+1. range-partition by id and sort within partitions (a total order split
+   across partitions);
+2. aggregate per-partition token subtotals — #partitions rows — to the
+   driver, prefix-sum them there, and broadcast-join the offsets back;
+3. within each partition, a partition-local window adds the offset.
+
+Phase 2's collect is O(#partitions), not O(rows) — the same driver-side
+footprint as a stats aggregate, fine at any data scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_by_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, weight, shard): shard = floor(total weight of ids before this
+    one / budget). Deterministic — integer weights, total id order."""
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.select(id_col, weight_col)
+        .repartitionByRange(n_part, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        # freeze partition assignment: repartitionByRange samples boundaries,
+        # and the two passes below must see identical pids
+        .localCheckpoint(eager=True)
+    )
+    subtotal_rows = (
+        ranged.groupBy("__pid").agg(F.sum(weight_col).alias("t")).collect()
+    )  # O(#partitions) rows — driver-safe at any scale
+    running = 0
+    offsets = []
+    for row in sorted(subtotal_rows, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], running))
+        running += row["t"]
+    off_df = spark.createDataFrame(offsets, schema="__pid INT, __off BIGINT")
+
+    win = Window.partitionBy("__pid").orderBy(id_col)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__cum_before", F.sum(weight_col).over(win) + F.col("__off") - F.col(weight_col))
+        .select(
+            id_col,
+            weight_col,
+            F.expr(f"CAST(__cum_before DIV {int(budget)} AS BIGINT)").alias("shard"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""End-to-end corpus-curation compositions — the shapes a training-data
+pipeline actually runs, built from the dedup/text/graph operators:
+
+- near-dup CLUSTERING: minhash pairs -> connected components -> one
+  canonical doc per duplicate cluster (pairs alone don't dedup a corpus;
+  transitive clustering does);
+- token-budget SHARD PACKING: distributed prefix sum assigning consecutive
+  docs to ~budget-token shards (operators/packing.py — the two-phase
+  prefix sum, never a single-partition global window);
+- a full CLEANING pass: exact-dedup keep-first + token/char-length floors.
+
+Oracles: the clustering twin wraps the minhash pair oracle in a recursive
+transitive closure; packing is a plain window running sum (the oracle CAN
+use the single-partition formulation — DuckDB is single-node); cleaning is
+md5-group + filters. All integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.graph.algorithms import connected_components
+from seccosql_spark.operators.dedup import exact_dedup, minhash_near_dups
+from seccosql_spark.operators.packing import pack_by_budget
+from seccosql_spark.queries.pipeline import MINHASH_SHINGLE_ORACLE
+from seccosql_spark.registration import register
+from seccosql_spark.session import SeccoSession
+
+TOKENS_DUCK = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM ({MINHASH_SHINGLE_ORACLE}) t
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+canon AS (SELECT a AS id, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+SELECT d.doc_id, CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
+"""
+
+
+@register("dedup_cluster_canonical", CLUSTER_ORACLE)
+def dedup_cluster_canonical(sess: SeccoSession):
+    """Near-dup clustering: LSH candidate pairs (threshold 0.5, 3-shingles)
+    are edges of a duplicate graph; connected components (min-id label
+    propagation) give each cluster one canonical id; unpaired docs map to
+    themselves. This is the composition that actually deduplicates a corpus
+    — keep rows where doc_id = canonical_id. Component count is bounded by
+    the pair count, so the iterative part runs on the (tiny) duplicate
+    subgraph, not the corpus."""
+    docs = sess.spark.table("documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
+    comp = connected_components(pairs, src="id1", dst="id2")
+    return sess.from_spark(
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).cast("long").alias("canonical_id"),
+        )
+    )
+
+
+PACK_BUDGET = 1000
+
+PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST({TOKENS_DUCK} AS INT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens, CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+"""
+
+
+@register("pack_token_shards", PACK_ORACLE)
+def pack_token_shards(sess: SeccoSession):
+    """Token-budget shard packing via the distributed two-phase prefix sum
+    (operators/packing.py): range partition + per-partition subtotals +
+    broadcast offsets. The oracle uses the single-partition window
+    formulation — correct for a single-node engine, exactly the plan this
+    operator exists to avoid on a cluster."""
+    docs = sess.spark.table("documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    )
+    return sess.from_spark(pack_by_budget(with_tokens, budget=PACK_BUDGET))
+
+
+CLEAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars, CAST({TOKENS_DUCK} AS INT) AS n_tokens FROM documents
+),
+keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+SELECT t.doc_id, t.lang, t.n_tokens
+FROM tok t JOIN keep k ON t.doc_id = k.keep_id
+WHERE t.n_tokens >= 5 AND t.n_chars >= 20
+"""
+
+
+@register("corpus_clean_pass", CLEAN_ORACLE)
+def corpus_clean_pass(sess: SeccoSession):
+    """A full cleaning pass: exact-dedup (keep smallest id per content
+    digest) then token/char floors — the standard first stage of a training
+    corpus build. One shuffle for the digest group, one semi-join back, and
+    scan-side filters."""
+    docs = sess.spark.table("documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    )
+    return sess.from_spark(
+        toks.join(keep, "doc_id")
+        .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
+        .select("doc_id", "lang", "n_tokens")
+    )

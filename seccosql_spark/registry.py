@@ -63,6 +63,7 @@ from seccosql_spark.queries import sampling_q  # noqa: E402,F401
 from seccosql_spark.queries import text_stats  # noqa: E402,F401
 from seccosql_spark.queries import udf  # noqa: E402,F401
 from seccosql_spark.queries import graph_analytics  # noqa: E402,F401
+from seccosql_spark.queries import curation  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
@@ -92,6 +93,10 @@ _PRIORITY_WINDOW = [
     # changed: minhash family (new hash construction — must re-verify)
     "dedup_minhash_lsh",
     "dedup_minhash_words",
+    # new this round: corpus-curation compositions (queries/curation.py)
+    "dedup_cluster_canonical",
+    "pack_token_shards",
+    "corpus_clean_pass",
     # new this round: graph analytics (queries/graph_analytics.py)
     "g_kcore",
     "g_sssp_weighted",
@@ -103,7 +108,6 @@ _PRIORITY_WINDOW = [
     "g_ring5_chords",
     # changed: pattern compiler (_edge_copy) + GHD fractional ranking
     "g_triangle_count",
-    "g_path2_pairs",
     "g_tailed_triangle_count",
     "g_diamond_count",
     "g_clique4_count",
@@ -131,16 +135,14 @@ _PRIORITY_WINDOW = [
     # changed: similarity.py skew guards (knn/ann share the file)
     "knn_cosine_bruteforce",
     "ann_ivf_label",
-    "embedding_centroids",
-    # changed: graph/algorithms.py touched this round (pagerank docstring/oracle)
+    # changed: graph/algorithms.py + pagerank oracle constants
     "g_pagerank_3rounds",
-    "g_bfs_distances",
     # changed: stats-driven multiway ordering (plans/stats.py is new)
     "multiway_stats_ordered",
     # untouched families (green r01/r02 rows stand): q1/q3/q5/q7, text_*,
     # asof/range/sessionize, sample_*, udf/udaf, multimodal, g_degrees,
-    # g_message_*, g_subgraph_filter — rotated out to make room for the 13
-    # new TPC-H entries.
+    # g_message_*, g_subgraph_filter, g_path2_pairs, g_bfs_distances,
+    # embedding_centroids — rotated out for the 21 new entries.
 ]
 
 

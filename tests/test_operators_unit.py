@@ -184,3 +184,35 @@ def test_embedding_bucket_guard_bounds_candidates(spark):
     assert unguarded.count() == 30 * 29 // 2
     guarded = embedding_near_dups(emb, threshold=0.99, max_bucket_size=5)
     assert guarded.count() == 0
+
+
+def test_pack_by_budget_matches_global_prefix_sum(spark):
+    """The two-phase distributed prefix sum (range partition + subtotal
+    offsets) must equal the single-partition global-window formulation on
+    every partition layout."""
+    from seccosql_spark.operators.packing import pack_by_budget
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]  # ids 0..199, weights 10..99
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens INT")
+    for n_part in (1, 4, 17):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in pack_by_budget(df, budget=300, num_partitions=n_part).collect()
+        }
+        cum = 0
+        for i, w in rows:
+            assert got[i] == cum // 300, (n_part, i, w, cum, got[i])
+            cum += w
+
+
+def test_pack_by_budget_shards_are_contiguous(spark):
+    from seccosql_spark.operators.packing import pack_by_budget
+
+    df = spark.createDataFrame([(i, 50) for i in range(40)], "doc_id LONG, n_tokens INT")
+    out = sorted(
+        pack_by_budget(df, budget=200, num_partitions=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    shards = [r["shard"] for r in out]
+    assert shards == sorted(shards)  # non-decreasing in id order
+    assert shards[0] == 0 and shards[-1] == (39 * 50) // 200

@@ -20,6 +20,12 @@ EXTRA = [
     "range_join_next_hour",
     "multiway_natural_ghd",
     "pkfk_star_planned",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q21_sole_blame_supplier",
+    "pack_token_shards",
+    "g_common_neighbors",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -111,6 +111,69 @@ def pagerank(
     return out.select("id", (F.col("v").cast("double") / F.lit(float(scale))).alias("rank"))
 
 
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds vs O(diameter) for min-label propagation,
+    which is the difference between ~5 and ~50 shuffle rounds on a long
+    duplicate-chain graph at corpus scale. Each round is two
+    groupBy-min + join passes over a shrinking edge set; all BIGINT, so
+    results are deterministic and identical to connected_components()."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("x"), F.col(dst).cast("long").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("lo").alias("id")).unionByName(e.select(F.col("hi").alias("id"))).distinct()
+    ).localCheckpoint(eager=True)
+
+    def _sym(pairs: DataFrame) -> DataFrame:
+        return pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            pairs.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    for _ in range(max_rounds):
+        sym = _sym(e)
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+        )
+        sym2 = _sym(large.distinct())
+        # small-star: every neighbor v <= u (plus u) links to
+        # min({v ∈ N(u): v <= u} ∪ {u})
+        small_nb = sym2.filter(F.col("v") < F.col("u"))
+        smins = small_nb.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nb.join(smins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(smins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the edge relation stopped changing (both are distinct sets,
+        # so equal counts + empty difference is an exact check)
+        if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            e = small
+            break
+        e = small
+    # at fixpoint every edge is (component-min, member)
+    comp = e.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    return all_nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def _sym_neighbors(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distinct undirected neighbor pairs (a, b): both orientations of every
     edge, deduplicated — the simple-graph view used by the neighborhood

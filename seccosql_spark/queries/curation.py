@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from seccosql_spark.graph.algorithms import connected_components
+from seccosql_spark.graph.algorithms import connected_components_star
 from seccosql_spark.operators.dedup import exact_dedup, minhash_near_dups
 from seccosql_spark.operators.packing import pack_by_budget
 from seccosql_spark.queries.pipeline import MINHASH_SHINGLE_ORACLE
@@ -48,15 +48,16 @@ FROM documents d LEFT JOIN canon c ON d.doc_id = c.id
 @register("dedup_cluster_canonical", CLUSTER_ORACLE)
 def dedup_cluster_canonical(sess: SeccoSession):
     """Near-dup clustering: LSH candidate pairs (threshold 0.5, 3-shingles)
-    are edges of a duplicate graph; connected components (min-id label
-    propagation) give each cluster one canonical id; unpaired docs map to
-    themselves. This is the composition that actually deduplicates a corpus
-    — keep rows where doc_id = canonical_id. Component count is bounded by
-    the pair count, so the iterative part runs on the (tiny) duplicate
-    subgraph, not the corpus."""
+    are edges of a duplicate graph; connected components give each cluster
+    one canonical id; unpaired docs map to themselves. This is the
+    composition that actually deduplicates a corpus — keep rows where
+    doc_id = canonical_id. Components run the large-star/small-star
+    algorithm (O(log n) rounds — duplicate chains make the label-propagation
+    alternative O(chain length) shuffle rounds), and only over the (tiny)
+    duplicate subgraph, not the corpus."""
     docs = sess.spark.table("documents")
     pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
-    comp = connected_components(pairs, src="id1", dst="id2")
+    comp = connected_components_star(pairs, src="id1", dst="id2")
     return sess.from_spark(
         docs.select("doc_id")
         .join(comp, docs["doc_id"] == comp["id"], "left")

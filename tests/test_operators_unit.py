@@ -216,3 +216,31 @@ def test_pack_by_budget_shards_are_contiguous(spark):
     shards = [r["shard"] for r in out]
     assert shards == sorted(shards)  # non-decreasing in id order
     assert shards[0] == 0 and shards[-1] == (39 * 50) // 200
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star CC must agree with min-label propagation on
+    every topology: long chains (worst case for O(diameter) propagation),
+    cycles, hubs, disconnected pieces, and a pseudo-random graph."""
+    import random
+
+    from seccosql_spark.graph.algorithms import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    topologies = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "two_cycles": [(i, (i + 1) % 10) for i in range(10)]
+        + [(20 + i, 20 + (i + 1) % 8) for i in range(8)],
+        "hub": [(0, i) for i in range(1, 15)] + [(50, 51)],
+        "random": [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+    }
+    for name, edge_list in topologies.items():
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in edge_list if a != b], "src LONG, dst LONG"
+        )
+        naive = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+        star = {r["id"]: r["component"] for r in connected_components_star(edges).collect()}
+        assert naive == star, (name, naive, star)

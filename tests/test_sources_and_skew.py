@@ -122,3 +122,36 @@ def test_connectors_module_round_trip(sess):
         src.to_spark().write.mode("overwrite").json(f"{d}/j")
         got = sources.read_json(sess, f"{d}/j", schema="id INT, s STRING, g STRING")
         assert got.count() == 3
+
+
+def test_bucketed_join_has_no_shuffle(sess):
+    """bucket_by co-locates both join sides at write time: with broadcast
+    disabled, the sort-merge join over two tables bucketed on the join key
+    must plan ZERO Exchanges — the cluster-scale answer to the reference's
+    pre-partitioned PartitionedRDDRows (dataset.scala pairing)."""
+    import contextlib
+    import io
+    import tempfile
+
+    from seccosql_spark import sources
+
+    spark = sess.spark
+    with tempfile.TemporaryDirectory() as d:
+        left = sess.from_seq([(i, f"l{i}") for i in range(100)], "k INT, lv STRING")
+        right = sess.from_seq([(i, f"r{i}") for i in range(100)], "k INT, rv STRING")
+        sources.write_parquet(left, f"{d}/l", bucket_by=(4, ["k"]), table_name="bkt_l")
+        sources.write_parquet(right, f"{d}/r", bucket_by=(4, ["k"]), table_name="bkt_r")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 100
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_l")
+            spark.sql("DROP TABLE IF EXISTS bkt_r")

@@ -104,3 +104,20 @@ def text_bpe_tokens(sess: SeccoSession):
             F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias("n_numeric"),
         )
     )
+
+
+@register("approx_distinct_users", None)  # rows-only: HLL sketches are engine-specific
+def approx_distinct_users(sess: SeccoSession):
+    """HyperLogLog++ approximate count-distinct per event day — the
+    constant-memory cardinality path for 100 TB streams where exact
+    count(DISTINCT) would shuffle every key. No DuckDB oracle by design
+    (sketch estimates differ across engines); the pytest gate bounds the
+    relative error against the exact count instead
+    (test_approx_distinct_error_bound)."""
+    ev = sess.spark.table("events")
+    return sess.from_spark(
+        ev.select(F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
+                  "user_id")
+        .groupBy("day")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )

@@ -244,3 +244,28 @@ def test_star_cc_matches_label_propagation(spark):
         naive = {r["id"]: r["component"] for r in connected_components(edges).collect()}
         star = {r["id"]: r["component"] for r in connected_components_star(edges).collect()}
         assert naive == star, (name, naive, star)
+
+
+def test_approx_distinct_error_bound(sess):
+    """approx_count_distinct (HLL++, rsd=0.02) must land within 5% of the
+    exact per-day distinct count — the correctness contract of an
+    approximate operator."""
+    from pyspark.sql import functions as F
+
+    ev = sess.spark.table("events").select(
+        F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
+        "user_id",
+    )
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["day"]: r["a"]
+        for r in ev.groupBy("day")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, n, approx[day])

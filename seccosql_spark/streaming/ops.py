@@ -16,7 +16,13 @@ streams the idiomatic Spark way:
   via ``applyInPandasWithState`` (custom stateful operator, the
   reference-lacks-it case (c) in the build rules);
 - ``run_available_now`` — test/bench harness: drain a file stream with
-  availableNow into a memory sink.
+  availableNow into a memory sink;
+- ``session_window_agg`` / ``stream_stream_join`` — gap-closed sessions and
+  watermark-bounded interval joins;
+- ``stream_static_enrich`` — per-batch broadcast dimension lookup (no
+  streaming state);
+- ``foreach_batch_upsert`` — incremental MERGE materialization: the
+  UnionByUpdate verb applied per micro-batch via foreachBatch.
 
 Scale notes: all state here is keyed and watermark-bounded; shuffle keys are
 the aggregation/dedup keys, so a 1000-executor cluster partitions state
@@ -29,7 +35,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -204,3 +210,59 @@ def stream_stream_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")),
     ).select("l_id", "r_id", "l_user")
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension — Spark re-reads/broadcasts the static side per batch,
+    no streaming state at all. The canonical dimension-lookup pattern: at
+    cluster scale the static side is a broadcast, so the stream never
+    shuffles."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def foreach_batch_upsert(
+    events: DataFrame,
+    spark: SparkSession,
+    sink_table: str,
+    checkpoint_dir: str,
+) -> "Any":
+    """Incremental materialization: per micro-batch, MERGE the batch's
+    per-user latest value into `sink_table` (UnionByUpdate applied to a
+    stream — the reference's upsert verb as a foreachBatch sink). The sink
+    lives in `global_temp` (foreachBatch runs in a cloned micro-batch
+    session, so a plain temp view would be invisible outside); read the
+    result as ``spark.table(f"global_temp.{sink_table}")``. The table
+    always holds exactly one row per user: the latest (ts, value) seen so
+    far. Returns the started query (caller awaits)."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        latest = (
+            batch.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "ts", "value")
+        )
+        if sess.catalog.tableExists(f"global_temp.{sink_table}"):
+            state = sess.table(f"global_temp.{sink_table}")
+            from seccosql_spark.operators.joins import union_by_update
+
+            merged = union_by_update(state, latest, ["user_id"])
+        else:
+            merged = latest
+        # materialize before overwriting the view the plan reads from
+        merged.localCheckpoint(eager=True).createOrReplaceGlobalTempView(sink_table)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

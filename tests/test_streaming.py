@@ -164,3 +164,59 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     ).select("l_id", "r_id", "l_user")
     assert rows(got) == rows(batch)
     assert got.count() > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static join: per-batch broadcast lookup, no streaming state."""
+    from seccosql_spark.streaming.ops import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(200)], "user_id LONG, segment STRING"
+    )
+    enriched = stream_static_enrich(
+        stream_events(spark, events_dir).select("event_id", "user_id"), dim
+    )
+    run_available_now(enriched, "enrich_sink", output_mode="append")
+    got = spark.table("enrich_sink")
+    batch = (
+        spark.read.parquet(events_dir)
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+    )
+    assert rows(got.select("event_id", "user_id", "segment")) == rows(
+        batch.select("event_id", "user_id", "segment")
+    )
+
+
+def test_foreach_batch_upsert_latest_per_user(spark, events_dir):
+    """foreachBatch incremental MERGE: after draining the stream, the sink
+    table holds exactly the per-user latest (ts, value) — the same state a
+    batch window-rank over all data produces."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from seccosql_spark.streaming.ops import foreach_batch_upsert
+
+    with tempfile.TemporaryDirectory(prefix="secco_ckpt_") as ckpt:
+        q = foreach_batch_upsert(
+            stream_events(spark, events_dir), spark, "upsert_sink2", ckpt
+        )
+        q.awaitTermination()
+    got = spark.table("global_temp.upsert_sink2")
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    expect = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    assert rows(got) == rows(expect)

@@ -10,6 +10,7 @@ from seccosql_spark.operators.sampling import (
     rate_to_hex_threshold,
     stratified_sample_topk,
 )
+from seccosql_spark.operators.timeutil import US_PER_HOUR, epoch_us
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
@@ -55,11 +56,11 @@ SELECT event_id, user_id,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id,
-         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
                    IS NULL THEN 1
-              WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                                           ORDER BY event_id)
-                   > 3600000000000 THEN 1
+                   > 3600000000 THEN 1
               ELSE 0 END AS new_s
   FROM events
 )
@@ -75,10 +76,11 @@ def sessionize_events(sess: SeccoSession):
     from pyspark.sql import Window
 
     events = sess.spark.table("events")
+    events = events.withColumn("__ts_us", epoch_us(events, "ts"))
     w = Window.partitionBy("user_id").orderBy("event_id")
     new_s = F.when(
-        F.lag("ts").over(w).isNull(), F.lit(1)
-    ).otherwise((F.col("ts") - F.lag("ts").over(w) > 3_600_000_000_000).cast("int"))
+        F.lag("__ts_us").over(w).isNull(), F.lit(1)
+    ).otherwise((F.col("__ts_us") - F.lag("__ts_us").over(w) > US_PER_HOUR).cast("int"))
     out = events.select(
         "event_id",
         "user_id",
@@ -116,8 +118,9 @@ def approx_distinct_users(sess: SeccoSession):
     (test_approx_distinct_error_bound)."""
     ev = sess.spark.table("events")
     return sess.from_spark(
-        ev.select(F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
-                  "user_id")
+        ev.select(
+            F.to_date(F.timestamp_micros(epoch_us(ev, "ts"))).alias("day"), "user_id"
+        )
         .groupBy("day")
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
     )

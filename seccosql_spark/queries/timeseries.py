@@ -4,15 +4,16 @@ DataFrame composition), with exact oracles.
 
 The event sequence axis is `event_id` (unique, monotone per load) for the
 as-of join — wall-clock `ts` collides at second granularity, which would
-make "the latest prior row" ambiguous. The range join uses raw nanosecond
-epoch (`events.ts` surfaces as INT64 nanos in Spark, `epoch_ns(ts)` in
-DuckDB)."""
+make "the latest prior row" ambiguous. The range join normalizes `ts` to
+microsecond epoch BIGINTs via ``operators.timeutil.epoch_us`` (tolerant of
+either parquet timestamp encoding; `epoch_us(ts)` in DuckDB)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.asof import asof_join, range_join_buckets
+from seccosql_spark.operators.timeutil import US_PER_HOUR, epoch_us
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
@@ -48,8 +49,8 @@ RANGE_ORACLE = """
 SELECT a.event_id AS a_id, count(*) AS n
 FROM events a JOIN events b
   ON a.user_id = b.user_id
- AND epoch_ns(b.ts) >= epoch_ns(a.ts) + 1
- AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+ AND epoch_us(b.ts) >= epoch_us(a.ts) + 1
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
 GROUP BY a.event_id
 """
 
@@ -60,14 +61,14 @@ def range_join_next_hour(sess: SeccoSession):
     hour. Bucketed to hour-wide time buckets → hash join + residual filter
     (a raw inequality join would plan as a nested loop)."""
     events = sess.spark.table("events")
+    events = events.withColumn("__ts_us", epoch_us(events, "ts"))
     a = events.select(
-        F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"), "user_id"
+        F.col("event_id").alias("a_id"), F.col("__ts_us").alias("a_ts"), "user_id"
     )
     b = events.select(
-        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"), "user_id"
+        F.col("event_id").alias("b_id"), F.col("__ts_us").alias("b_ts"), "user_id"
     )
-    hour_ns = 3_600_000_000_000
     joined = range_join_buckets(
-        a, b, on=["user_id"], left_time="a_ts", right_time="b_ts", lo=1, hi=hour_ns
+        a, b, on=["user_id"], left_time="a_ts", right_time="b_ts", lo=1, hi=US_PER_HOUR
     )
     return sess.from_spark(joined.groupBy("a_id").agg(F.count(F.lit(1)).alias("n")))

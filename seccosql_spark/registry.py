@@ -10,10 +10,12 @@ engines bit-identical:
   first (identical in both engines since the per-row doubles are identical),
   summed exactly, and cast back to DOUBLE. Averages are decimal-sum / count.
 - **Alias every computed column identically** in Spark and oracle SQL.
-- **Timestamps**: the driver's parquet stores TIMESTAMP(NANOS); Spark reads
-  them as TIMESTAMP_NTZ (with ``spark.sql.legacy.parquet.nanosAsLong``),
-  DuckDB as TIMESTAMP. Outputs use ``date_format``/``strftime`` strings, and
-  filters use literals on each side's native type.
+- **Timestamps**: the driver's parquet stores TIMESTAMP(MICROS); Spark reads
+  them as TIMESTAMP_NTZ, DuckDB as (naive) TIMESTAMP. Outputs use
+  ``date_format``/``strftime`` strings, filters use literals on each side's
+  native type, and epoch arithmetic goes through
+  ``operators.timeutil.epoch_us`` (tz-free, tolerant of a nanos-encoded
+  generation too) mirrored by DuckDB ``epoch_us(ts)``.
 - **LIMIT queries** always carry a total order (unique tiebreaker column) so
   the selected SET is deterministic.
 """

@@ -86,11 +86,14 @@ class SeccoSession:
 
     def __init__(self, spark: SparkSession | None = None) -> None:
         self.spark = spark or self.default_spark()
-        # The driver-generated parquet stores TIMESTAMP(NANOS), which Spark
-        # rejects unless this legacy conf is on (it then reads them as
-        # nanosecond TIMESTAMP_NTZ). Safe to set at runtime on an
-        # externally-provided session.
+        # Data-generation robustness, safe to set at runtime on an
+        # externally-provided session: nanosAsLong tolerates TIMESTAMP(NANOS)
+        # parquet (some driver generations; a no-op on the current
+        # TIMESTAMP(MICROS) files), and a UTC session timezone makes
+        # TIMESTAMP_NTZ <-> TIMESTAMP casts and date extraction
+        # engine-portable (DuckDB treats naive timestamps as UTC).
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         _ship_package(self.spark)
         self.catalog = SideCatalog()
 

@@ -43,11 +43,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # testdata parquet stores TIMESTAMP(NANOS); the declared-schema
-        # (streaming) reader can only surface it as a raw INT64 with
-        # spark.sql.legacy.parquet.nanosAsLong — converted to a tz-aware
-        # timestamp in stream_events
-        T.StructField("ts", T.LongType()),
+        # testdata parquet stores TIMESTAMP(MICROS); declared as a tz-aware
+        # TIMESTAMP (read under the session timezone) because watermarks and
+        # event-time windows operate on TimestampType
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -58,14 +57,9 @@ EVENTS_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over parquet events (one file = one micro-batch
-    unit; in production this is Kafka/files — same downstream plan).
-    Watermarks require a tz-aware TIMESTAMP, so the raw nano epoch is
-    converted via timestamp_micros (exact: the data is second-granularity)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    unit; in production this is Kafka/files — same downstream plan). `ts`
+    arrives as a tz-aware TIMESTAMP directly from the declared schema."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
 def windowed_agg(

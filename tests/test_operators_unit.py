@@ -253,7 +253,7 @@ def test_approx_distinct_error_bound(sess):
     from pyspark.sql import functions as F
 
     ev = sess.spark.table("events").select(
-        F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("day"),
+        F.to_date("ts").alias("day"),
         "user_id",
     )
     exact = {

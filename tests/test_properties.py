@@ -62,7 +62,8 @@ def test_leapfrog_matches_pandas_merge(rels):
         for cols, rows in rels
     ]
     order = attribute_order([set(c) for c, _ in frames])
-    got = set(_leapfrog(frames, order))
+    res = _leapfrog(frames, order)  # returns a bindings DataFrame in `order`
+    got = set(map(tuple, res.itertuples(index=False)))
 
     # oracle: pandas natural-join fold, projected to the attribute order
     out = None

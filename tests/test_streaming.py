@@ -41,9 +41,9 @@ def test_windowed_agg_matches_batch(spark, events_dir):
 
     batch = (
         spark.read.parquet(events_dir)
-        # events.ts is raw INT64 nanos under nanosAsLong — same conversion
-        # as stream_events
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # events.ts reads as TIMESTAMP_NTZ from parquet; cast to the tz-aware
+        # TIMESTAMP the stream schema declares (session tz is UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -62,7 +62,7 @@ def test_windowed_agg_matches_batch(spark, events_dir):
     # streaming semantics, so compare against the finalized subset.
     max_ts = (
         spark.read.parquet(events_dir)
-        .agg(F.max(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("m"))
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
         .collect()[0]["m"]
     )
     finalized = batch.filter(F.col("win_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
@@ -115,7 +115,7 @@ def test_session_window_agg_matches_batch(spark, events_dir):
     got = spark.table("sess_sink")
     batch = (
         spark.read.parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -132,7 +132,7 @@ def test_session_window_agg_matches_batch(spark, events_dir):
     # append mode emits only sessions closed before the final watermark
     max_ts = (
         spark.read.parquet(events_dir)
-        .agg(F.max(F.timestamp_micros((F.col("ts") / 1000).cast("long"))).alias("m"))
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
         .collect()[0]["m"]
     )
     finalized = batch.filter(F.col("sess_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
@@ -150,7 +150,7 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     got = spark.table("ssj_sink")
     b = (
         spark.read.parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     l = b.select(F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"),
                  F.col("user_id").alias("l_user"))
@@ -205,7 +205,7 @@ def test_foreach_batch_upsert_latest_per_user(spark, events_dir):
         q.awaitTermination()
     got = spark.table("global_temp.upsert_sink2")
     ev = spark.read.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.col("ts").cast("timestamp")
     )
     expect = (
         ev.withColumn(

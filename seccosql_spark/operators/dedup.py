@@ -393,3 +393,31 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop train docs sharing any word n-gram
+    with the eval corpus (the standard n-gram-overlap rule for keeping test
+    sets out of training data). Returns the surviving train rows.
+
+    Scale shape: eval/benchmark sets are tiny next to a 100 TB train corpus,
+    so the eval fingerprint set (distinct n-gram strings) is BROADCAST — the
+    train side streams through a map-side semi-join with zero shuffle of the
+    corpus; only the contaminated id set (small) shuffles for the final
+    anti-join. Train n-grams are generated scan-side by the same array
+    expressions as `shingles` (no explode of the corpus until after the
+    broadcast filter)."""
+    tg = shingles(train, n, id_col, text_col)  # (id, s) distinct per doc
+    eg = shingles(eval_df, n, id_col, text_col).select("s").distinct()
+    bad = (
+        tg.join(F.broadcast(eg), "s", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -97,3 +97,76 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
     )
     return df.select(F.col(id_col), norm.alias("fp_norm"), shingle.alias("fp_shingle"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top_word_ratio, dup_2gram_ratio): Gopher-style repetition
+    signals for quality filtering — the fraction of the doc taken by its
+    most frequent word, and the fraction of duplicated word 2-grams.
+
+    dup_2gram_ratio is pure per-row array math (no shuffle); top_word_ratio
+    needs the per-(doc, word) histogram, one explode + one shuffle keyed by
+    doc id — partition-parallel at any corpus size. Ratios are int/int
+    divisions rounded to 6 places (exact in both engines)."""
+    toks = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+    )
+    dup2 = F.when(
+        F.size("toks") >= 2,
+        F.round(
+            (F.size(g2) - F.size(F.array_distinct(g2))).cast("double") / F.size(g2), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    per_row = base.select("id", F.size("toks").alias("n"), dup2.alias("dup_2gram_ratio"))
+
+    counts = (
+        base.select("id", F.explode("toks").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("mx"))
+    )
+    return (
+        per_row.join(counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("n") > 0, F.round(F.col("mx").cast("double") / F.col("n"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_word_ratio"),
+            "dup_2gram_ratio",
+        )
+    )
+
+
+# Anchored, character-class-only patterns — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, no \w/\b.
+EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PHONE_PATTERN = "[+][0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    df, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """(id, n_emails, n_phones, redacted_md5): scrub emails then phone
+    numbers to fixed tags, reporting match counts and the md5 of the
+    scrubbed text (so full-string equality is checkable cheaply).
+
+    Pure regexp_replace/regexp_count — JVM-side, whole-stage codegen; the
+    100 TB path is a map-only scan with no shuffle at all."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_PATTERN))
+    cleaned1 = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    n_phones = F.regexp_count(cleaned1, F.lit(PHONE_PATTERN))
+    cleaned2 = F.regexp_replace(cleaned1, PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        F.md5(cleaned2).alias("redacted_md5"),
+    )

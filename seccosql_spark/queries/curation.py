@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from seccosql_spark.graph.algorithms import connected_components_star
-from seccosql_spark.operators.dedup import exact_dedup, minhash_near_dups
+from seccosql_spark.operators.dedup import decontaminate, exact_dedup, minhash_near_dups
 from seccosql_spark.operators.packing import pack_by_budget
 from seccosql_spark.queries.pipeline import MINHASH_SHINGLE_ORACLE
 from seccosql_spark.registration import register
@@ -133,3 +133,32 @@ def corpus_clean_pass(sess: SeccoSession):
         .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+DECONTAM_ORACLE = """
+WITH tr AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+ev AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+wt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM tr),
+we AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM ev),
+it AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i FROM wt),
+ie AS (SELECT ws, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i FROM we),
+gt AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g FROM it),
+ge AS (SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g FROM ie),
+bad AS (SELECT DISTINCT doc_id FROM gt JOIN ge USING (g))
+SELECT t.doc_id FROM tr t ANTI JOIN bad b ON t.doc_id = b.doc_id
+"""
+
+
+@register("decontaminate_ngram8", DECONTAM_ORACLE)
+def decontaminate_ngram8(sess: SeccoSession):
+    """Benchmark decontamination: docs from source src0 play the role of the
+    eval/benchmark set; every other doc sharing a word 8-gram with it is
+    dropped from the train side. The eval fingerprint set is broadcast, so
+    the train corpus is filtered map-side — the shape that holds when train
+    is 100 TB and eval is megabytes. (Contamination here is real: the corpus
+    contains exact and near duplicates across sources.)"""
+    docs = sess.spark.table("documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    out = decontaminate(train, eval_df, n=8)
+    return sess.from_spark(out.select("doc_id"))

@@ -20,7 +20,7 @@ from seccosql_spark.operators.dedup import (
     simhash_near_dups,
 )
 from seccosql_spark.operators.multimodal import attach_payload, decode_image_stub
-from seccosql_spark.operators.similarity import cosine_topk, embedding_near_dups, ivf_topk
+from seccosql_spark.operators.similarity import cosine_topk, embedding_near_dups, ivf_topk, quantize_int8
 from seccosql_spark.operators.text import (
     LANG_MARKERS,
     fingerprint,
@@ -398,3 +398,32 @@ def embedding_centroids(sess: SeccoSession):
 
     out = label_centroids(sess.spark.table("embeddings"))
     return sess.from_spark(out.withColumn("pos", F.col("pos").cast("int")))
+
+
+QUANTIZE_ORACLE = """
+WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x))) AS mx
+           FROM embeddings)
+SELECT vec_id,
+       CASE WHEN mx > 0
+            THEN array_to_string(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(mx AS DOUBLE) + 0.5) AS INT)), ',')
+            ELSE array_to_string(list_transform(embedding, x -> 0), ',')
+       END AS q_str
+FROM m
+"""
+
+
+@register("embedding_quantize_int8", QUANTIZE_ORACLE)
+def embedding_quantize_int8(sess: SeccoSession):
+    """Symmetric int8 quantization of the embedding column — the vector
+    compression step of a quantized ANN index (4x bandwidth cut before
+    similarity search). floor(x*127/max|x| + 0.5) keeps rounding
+    bit-identical across engines (round() half-even rules differ); emitted
+    as a comma-joined string so full-vector equality is hash-checkable."""
+    q = quantize_int8(sess.spark.table("embeddings"))
+    return sess.from_spark(
+        q.select(
+            "vec_id", F.array_join(F.col("q").cast("array<string>"), ",").alias("q_str")
+        )
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from seccosql_spark.operators.text import redact_pii, repetition_stats
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
@@ -124,3 +125,83 @@ def source_quantiles(sess: SeccoSession):
             F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
         )
     )
+
+
+REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS word FROM w),
+wc AS (SELECT doc_id, any_value(n) AS n, word, count(*) AS c
+       FROM tok GROUP BY doc_id, word),
+top AS (SELECT doc_id,
+               CASE WHEN any_value(n) > 0
+                    THEN round(CAST(max(c) AS DOUBLE) / any_value(n), 6)
+                    ELSE 0.0 END AS top_word_ratio
+        FROM wc GROUP BY doc_id),
+g2 AS (SELECT doc_id,
+              CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                                       i -> array_to_string(ws[i:i+1], ' '))
+                   ELSE [] END AS g
+       FROM w),
+dup AS (SELECT doc_id,
+               CASE WHEN len(g) > 0
+                    THEN round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                               / len(g), 6)
+                    ELSE 0.0 END AS dup_2gram_ratio
+        FROM g2)
+SELECT w.doc_id, coalesce(top.top_word_ratio, 0.0) AS top_word_ratio,
+       dup.dup_2gram_ratio
+FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+       JOIN dup ON w.doc_id = dup.doc_id
+"""
+
+
+@register("text_repetition_stats", REPETITION_ORACLE)
+def text_repetition_stats(sess: SeccoSession):
+    """Gopher-style repetition quality signals: most-frequent-word share and
+    duplicated-2-gram fraction per document. The 2-gram ratio is computed by
+    per-row array expressions (map-only); the word histogram is one explode
+    + one doc-keyed shuffle — both shapes hold at corpus scale."""
+    return sess.from_spark(repetition_stats(sess.spark.table("documents")))
+
+
+REDACT_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+e AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS INT) AS n_emails,
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM aug)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '[+][0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+       md5(regexp_replace(t1, '[+][0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM e
+"""
+
+
+@register("text_redact_pii", REDACT_ORACLE)
+def text_redact_pii(sess: SeccoSession):
+    """PII scrubbing pass: emails then phone numbers replaced by fixed tags,
+    with match counts and an md5 of the scrubbed text proving full-string
+    equality against the oracle. The synthetic corpus contains no PII, so a
+    deterministic contact line (derived from doc_id) is appended first —
+    the regex plumbing under test is exactly what runs on real data.
+    Map-only scan: no shuffle at any corpus size."""
+    docs = sess.spark.table("documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return sess.from_spark(redact_pii(aug))

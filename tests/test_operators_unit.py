@@ -269,3 +269,70 @@ def test_approx_distinct_error_bound(sess):
     assert exact.keys() == approx.keys()
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, n, approx[day])
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A train doc repeating any 8-gram from the eval set is dropped; others
+    survive; the broadcast-semi-join path returns full train rows."""
+    from seccosql_spark.operators.dedup import decontaminate
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix tail"),       # contaminated
+            (2, "a b c d e f g h i j"),                # clean
+            (3, "w1 w2 w3 w4 w5 w6 w7 different end"), # only a 7-gram shared
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame([(10, f"intro {shared} outro")], "doc_id LONG, text STRING")
+    out = decontaminate(train, ev, n=8)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_repetition_stats_known_values(spark):
+    from seccosql_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x y"),     # top word 3/4; 2-grams: [x x, x x, x y] -> 1 dup of 3
+            (2, "a b c"),       # no repetition
+            (3, "solo"),        # single token: no 2-grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: (r["top_word_ratio"], r["dup_2gram_ratio"]) for r in
+           repetition_stats(df).collect()}
+    assert got[1] == (0.75, round(1 / 3, 6))
+    assert got[2] == (round(1 / 3, 6), 0.0)
+    assert got[3] == (1.0, 0.0)
+
+
+def test_redact_pii_counts_and_text(spark):
+    from pyspark.sql import functions as F
+    from seccosql_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith@corp.io or +1 555-1234 today")],
+        "doc_id LONG, text STRING",
+    )
+    row = redact_pii(df).collect()[0]
+    assert (row["n_emails"], row["n_phones"]) == (1, 1)
+    expected = df.select(
+        F.md5(F.lit("mail me at <EMAIL> or <PHONE> today")).alias("h")
+    ).collect()[0]["h"]
+    assert row["redacted_md5"] == expected
+
+
+def test_quantize_int8_bounds_and_zero(spark):
+    from seccosql_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {r["vec_id"]: r["q"] for r in quantize_int8(df).collect()}
+    assert got[1] == [127, -63, 0]   # floor(-63.5 + 0.5) = -63
+    assert got[2] == [0, 0, 0]
+    assert all(-128 <= v <= 127 for q in got.values() for v in q)

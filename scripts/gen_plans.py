@@ -26,6 +26,9 @@ EXTRA = [
     "q21_sole_blame_supplier",
     "pack_token_shards",
     "g_common_neighbors",
+    "decontaminate_ngram8",
+    "embedding_quantize_int8",
+    "text_repetition_stats",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -10,7 +10,7 @@ checkpointed per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.recursion import iterate
@@ -193,6 +193,8 @@ def kcore(
     round touches only surviving edges (semi-join on the alive set), so a
     round is two hash joins + one aggregation; rounds needed = peel depth
     (typically << max_rounds). Integer-only — deterministic."""
+    if max_rounds < 1:
+        raise ValueError(f"kcore needs max_rounds >= 1, got {max_rounds}")
     nb = _sym_neighbors(edges, src, dst).localCheckpoint(eager=True)
     alive = nb.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
     for _ in range(max_rounds):
@@ -266,8 +268,6 @@ def label_propagation(
     state = nb.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     ).localCheckpoint(eager=True)
-    from pyspark.sql import Window
-
     for _ in range(rounds):
         counted = (
             nb.join(state.select(F.col("id").alias("b"), "label"), "b")

@@ -57,11 +57,14 @@ def _spread(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     # file count approximates scan splits without forcing a DataFrame->RDD
     # plan translation; only the "few big files" case needs the spread, and
-    # that case always has small inputFiles()
+    # that case always has small inputFiles(). If the source has no file
+    # listing (e.g. an in-memory relation), assume it needs the spread —
+    # falling back to df.rdd.getNumPartitions() would force a full plan
+    # translation just to decide, which costs more than the repartition.
     try:
         nparts = len(df.inputFiles())
     except Exception:
-        nparts = df.rdd.getNumPartitions()
+        nparts = 1
     return df.repartition(target) if nparts < target else df
 
 
@@ -166,14 +169,22 @@ def lsh_bands(sig: DataFrame, band_size: int = 4) -> DataFrame:
 
 def candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Distinct (id1, id2) with id1 < id2 sharing any band signature — the
-    bucketed self-join that keeps LSH subquadratic.
+    bucketed candidate generation that keeps LSH subquadratic.
+
+    Plan shape: ONE hash aggregation on (band, sig) collecting the bucket's
+    sorted id set, then pairs streamed out per anchor id (posexplode + tail
+    slice — per-row memory is O(bucket), never the O(bucket²) a flattened
+    pair array would materialize), then one distinct (a pair can be found by
+    several bands). Two shuffles total, vs. three for the former
+    self-join + distinct formulation, and no join at all.
 
     `max_bucket_size`: skew guard for pathological corpora (e.g. millions of
-    identical documents collapse one (band, sig) bucket, making its
-    self-join quadratic). Buckets larger than the cap are DROPPED from
-    candidate generation — the production mitigation at 100 TB, where such a
-    bucket is better served by exact dedup first. Off (None) by default so
-    results match the exhaustive oracle."""
+    identical documents collapse one (band, sig) bucket, making its pair set
+    quadratic). Buckets larger than the cap are DROPPED from candidate
+    generation — counted BEFORE the collect so an oversized bucket is never
+    materialized in an aggregation buffer — the production mitigation at
+    100 TB, where such a bucket is better served by exact dedup first. Off
+    (None) by default so results match the exhaustive oracle."""
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
         bands = (
@@ -181,12 +192,18 @@ def candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> Dat
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    a = bands.select(F.col("id").alias("id1"), "band", "sig")
-    b = bands.select(F.col("id").alias("id2"), "band", "sig")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        buckets.select(F.posexplode("ids").alias("__pos", "id1"), "ids")
+        # slice is 1-based: elements strictly after the anchor at __pos
+        .select(
+            "id1",
+            F.explode(F.slice("ids", F.col("__pos") + 2, F.size("ids"))).alias("id2"),
+        )
         .distinct()
     )
 
@@ -237,13 +254,18 @@ def minhash_near_dups(
     then reflect true near-dup density); n>=2 = word n-gram shingles (the
     standard choice at scale: shingle entropy keeps buckets small).
     `max_bucket_size`: optional LSH bucket cap (see candidate_pairs)."""
-    # Whole pipeline scan-side until the (tiny) band self-join:
+    # Whole pipeline scan-side until the (tiny) band aggregation:
     #   feats  : per-doc DISTINCT feature ARRAY (no explode)
     #   hs     : ONE md5+hex-parse per feature (array of 32-bit ints)
     #   sig_j  : array_min over a cheap affine permutation of hs — all
     #            signature columns inside whole-stage codegen, zero shuffles
-    #   verify : candidates join back the feature arrays; exact jaccard via
+    #   verify : the candidate id set (tiny) broadcast-semi-joins the corpus,
+    #            feats are recomputed for JUST those docs, exact jaccard via
     #            array_intersect (arrays are distinct, so sizes are set sizes)
+    # Nothing corpus-sized is ever persisted: the corpus is scanned twice
+    # (signatures; verify re-derivation behind a broadcast semi-join that
+    # prunes it to candidate docs map-side), which at 100 TB beats caching a
+    # corpus-wide shingle-array column by orders of magnitude in memory.
     # Semantically identical to the exploded formulation (same hash family,
     # same min, same jaccard) — the oracle SQL mirrors it step-for-step.
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
@@ -256,7 +278,7 @@ def minhash_near_dups(
     # single-threaded on the unspread scan partition (measured 8× slowdown
     # at sf0.1) and again after the exchange.
     min_toks = 1 if shingle_n is None else shingle_n
-    df = _spread(df.filter(F.size(toks) >= min_toks))
+    src = df.filter(F.size(toks) >= min_toks)
     if shingle_n is None:
         feat_arr = F.array_distinct(toks)
     else:
@@ -270,7 +292,7 @@ def minhash_near_dups(
         feat_arr = F.array_distinct(
             F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
         )
-    base = _tracked_persist(df.select(F.col(id_col).alias("id"), feat_arr.alias("feats")))
+    base = _spread(src).select(F.col(id_col).alias("id"), feat_arr.alias("feats"))
 
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} needs more MINHASH_COEFFS")
@@ -287,10 +309,26 @@ def minhash_near_dups(
             for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
         ],
     )
-    pairs = candidate_pairs(lsh_bands(sig, band_size), max_bucket_size)
+    # pairs are tiny (near-dup density × corpus, not corpus²) — persisting
+    # them stops the whole signature pipeline re-running for the verify arm
+    pairs = _tracked_persist(candidate_pairs(lsh_bands(sig, band_size), max_bucket_size))
 
-    f1 = base.select(F.col("id").alias("id1"), F.col("feats").alias("__f1"))
-    f2 = base.select(F.col("id").alias("id2"), F.col("feats").alias("__f2"))
+    # verify arm: prune the corpus to candidate docs FIRST (broadcast
+    # semi-join directly above the scan = map-side filter, no shuffle and no
+    # _spread repartition — deliberately NOT reusing `base`, which sits above
+    # the parallelizing exchange), then re-derive feats for just those docs
+    cand_ids = (
+        pairs.select(F.col("id1").alias(id_col))
+        .unionByName(pairs.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    feats_cand = _tracked_persist(
+        src.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+            F.col(id_col).alias("id"), feat_arr.alias("feats")
+        )
+    )
+    f1 = feats_cand.select(F.col("id").alias("id1"), F.col("feats").alias("__f1"))
+    f2 = feats_cand.select(F.col("id").alias("id2"), F.col("feats").alias("__f2"))
     inter = F.size(F.array_intersect(F.col("__f1"), F.col("__f2")))
     return (
         pairs.join(f1, "id1")

@@ -139,9 +139,15 @@ def plan_star_join(catalog: SideCatalog, inputs: list[JoinInput]) -> DataFrame:
                     if other_name == nxt.name:
                         conds.append(F.col(my_col) == F.col(other_col))
         if not conds:
-            out = out.crossJoin(nxt.df)
-            joined.add(nxt.name)
-            continue
+            # A relation with no equi-join edge into the joined set would
+            # silently become a cartesian product — at scale that's a
+            # cluster-killer, so fail loudly (mirrors the ambiguity check
+            # above). Callers wanting a cross product should say so with
+            # crossJoin directly.
+            raise ValueError(
+                f"input {nxt.name!r} has no join condition connecting it to "
+                f"{sorted(joined)} — refusing to emit an implicit cross join"
+            )
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c

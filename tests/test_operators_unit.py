@@ -336,3 +336,13 @@ def test_quantize_int8_bounds_and_zero(spark):
     assert got[1] == [127, -63, 0]   # floor(-63.5 + 0.5) = -63
     assert got[2] == [0, 0, 0]
     assert all(-128 <= v <= 127 for q in got.values() for v in q)
+
+
+def test_kcore_rejects_nonpositive_rounds(spark):
+    import pytest
+
+    from seccosql_spark.graph.algorithms import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        kcore(edges, k=2, max_rounds=0)

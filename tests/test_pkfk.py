@@ -127,3 +127,22 @@ def test_star_plan_rejects_ambiguous_columns(spark):
     ]
     with pytest.raises(ValueError, match="ambiguous column"):
         plan_star_join(c, inputs)
+
+
+def test_star_plan_rejects_disconnected_input(spark):
+    """An input with no equi-join edge into the joined set must raise, not
+    silently emit a cartesian product (a cluster-killer at scale)."""
+    import pytest
+
+    c = _catalog()
+    inputs = [
+        JoinInput(
+            "lineitem",
+            spark.table("lineitem"),
+            [("l_orderkey", "orders", "o_orderkey")],
+        ),
+        JoinInput("orders", spark.table("orders"), []),
+        JoinInput("customer", spark.table("customer"), []),  # no join edge
+    ]
+    with pytest.raises(ValueError, match="refusing to emit an implicit cross join"):
+        plan_star_join(c, inputs)

@@ -29,6 +29,10 @@ EXTRA = [
     "decontaminate_ngram8",
     "embedding_quantize_int8",
     "text_repetition_stats",
+    "text_redact_pii",
+    "multiway_stats_filtered",
+    "g_ring5_chords_b",
+    "approx_distinct_users",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

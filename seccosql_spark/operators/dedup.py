@@ -448,9 +448,11 @@ def decontaminate(
     so the eval fingerprint set (distinct n-gram strings) is BROADCAST — the
     train side streams through a map-side semi-join with zero shuffle of the
     corpus; only the contaminated id set (small) shuffles for the final
-    anti-join. Train n-grams are generated scan-side by the same array
-    expressions as `shingles` (no explode of the corpus until after the
-    broadcast filter)."""
+    anti-join. The train corpus's per-doc distinct n-grams ARE exploded
+    (scan-side, pipelined straight into the broadcast semi-join — no shuffle
+    and nothing materialized), which is the row volume any n-gram-overlap
+    check must stream; the broadcast filter then collapses it to the tiny
+    contaminated-id set."""
     tg = shingles(train, n, id_col, text_col)  # (id, s) distinct per doc
     eg = shingles(eval_df, n, id_col, text_col).select("s").distinct()
     bad = (

@@ -98,18 +98,36 @@ def greedy_join_order(
     return order
 
 
-def stats_from_catalog(catalog, names: list[str]) -> list[RelStats] | None:
+def stats_from_catalog(
+    catalog,
+    names: list[str],
+    predicates: dict[str, list[tuple[str, float | None, float | None]]] | None = None,
+) -> list[RelStats] | None:
     """RelStats per named table from the side catalog; None when any table
     lacks a measured row count (callers then skip cost-based ordering
-    rather than plan on fabricated numbers)."""
+    rather than plan on fabricated numbers).
+
+    `predicates`: optional ``{table: [(column, lo, hi), ...]}`` range
+    predicates the query applies to each relation. When the catalog holds a
+    histogram for the column (``analyze_histogram``), the relation's
+    estimated rows are scaled by the histogram selectivity BEFORE join
+    ordering — reference ``HistogramFilterEstimation`` feeding
+    ``HistogramJoinEstimation``. A heavily-filtered big table then correctly
+    orders before unfiltered smaller ones. Columns without a histogram
+    contribute no scaling (conservative: never underestimate)."""
     out: list[RelStats] = []
     for name in names:
         meta = catalog.get(name)
         if meta is None or meta.stats.row_count is None:
             return None
-        out.append(
-            RelStats(float(meta.stats.row_count), {k: float(v) for k, v in meta.stats.ndv.items()})
+        rel = RelStats(
+            float(meta.stats.row_count), {k: float(v) for k, v in meta.stats.ndv.items()}
         )
+        for column, lo, hi in (predicates or {}).get(name, []):
+            hist = meta.stats.histograms.get(column)
+            if isinstance(hist, Histogram):
+                rel = apply_range_predicate(rel, hist, lo, hi)
+        out.append(rel)
     return out
 
 
@@ -188,3 +206,16 @@ def estimate_range_selectivity(
         overlap = min(hi, b_hi) - max(lo, b_lo)
         covered += cnt * max(0.0, min(1.0, overlap / (b_hi - b_lo)))
     return min(1.0, covered / hist.total)
+
+
+def apply_range_predicate(
+    stats: RelStats, hist: Histogram, lo: float | None, hi: float | None
+) -> RelStats:
+    """Scale a relation's estimated rows by the histogram selectivity of a
+    range predicate on one of its columns (reference
+    ``HistogramFilterEstimation.scala`` parity); per-attribute NDVs are
+    capped at the filtered row count so downstream System-R join estimates
+    (``estimate_join``) see the filtered relation, not the base table."""
+    sel = estimate_range_selectivity(hist, lo, hi)
+    rows = max(stats.rows * sel, 1.0)
+    return RelStats(rows, {a: min(v, rows) for a, v in stats.ndv.items()})

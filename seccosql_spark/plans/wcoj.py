@@ -145,15 +145,19 @@ def _leapfrog(
     rels: list[tuple[list[str], pd.DataFrame]], order: list[str]
 ) -> pd.DataFrame:
     """Attribute-at-a-time multiway intersection (LeapFrogJoinIterator
-    semantics, newIter/LeapFrogJoinIterator.scala:36), VECTORIZED: instead
-    of recursing per candidate value (Python-speed, one pandas filter per
-    binding), grow a distinct-bindings frame one attribute at a time — for
-    each relation containing the attribute, inner-merge its projection onto
-    (bound ∩ its attrs) + [attr]. This is the NPRR/Generic Join expansion:
-    per level, the bindings frame is exactly the candidate intersection the
-    reference's trie iterator enumerates, but every intersection is one
-    C-speed hash merge. ~30x faster per cell on dense cyclic inputs; output
-    identical (distinct bindings, null keys never match)."""
+    semantics, newIter/LeapFrogJoinIterator.scala:36), VECTORIZED and
+    ADAPTIVE: grow a distinct-bindings frame one attribute at a time, and —
+    the Generic-Join guarantee — expand EACH binding through the involved
+    relation offering it the FEWEST candidates (argmin over per-binding
+    candidate counts, computed vectorized from group sizes), then
+    intersect-filter with the remaining relations. Expanding through a
+    fixed relation instead would materialize a binary-join intermediate
+    (e.g. the hub² two-paths of a skewed triangle) and forfeit worst-case
+    optimality; the per-binding min keeps total work within the AGM bound
+    while every step stays a C-speed hash merge. Output identical to the
+    trie iterator's (distinct bindings, null keys never match)."""
+    import numpy as np
+
     bindings: pd.DataFrame | None = None  # None = the single empty binding
     bound: list[str] = []
     empty = pd.DataFrame(columns=order)
@@ -161,24 +165,66 @@ def _leapfrog(
         involved = [(cols, df) for cols, df in rels if a in cols]
         if not involved:
             return empty  # disconnected attribute: not produced by natural join
-        grown: pd.DataFrame | None = None
+        projs: list[tuple[list[str], pd.DataFrame]] = []
         for cols, df in involved:
             shared = [c for c in cols if c in bound]
             proj = df.loc[:, shared + [a]].dropna(subset=[a]).drop_duplicates()
-            if grown is None:
-                if bindings is None:
-                    grown = proj  # first attribute: shared is necessarily empty
-                elif shared:
-                    grown = bindings.merge(proj, on=shared, how="inner")
-                else:
-                    grown = bindings.merge(proj, how="cross")
-            else:
-                # proj's columns all sit in the merge key: pure intersection
-                grown = grown.merge(proj, on=shared + [a], how="inner")
-            if len(grown) == 0:
+            if len(proj) == 0:
                 return empty
+            projs.append((shared, proj))
+
+        if bindings is None:
+            # first attribute: pure value intersection, smallest first
+            projs.sort(key=lambda sp: len(sp[1]))
+            grown = projs[0][1]
+            for _, proj in projs[1:]:
+                grown = grown.merge(proj, on=[a], how="inner")
+                if len(grown) == 0:
+                    return empty
+            bound.append(a)
+            bindings = grown
+            continue
+
+        # per-binding candidate count under each involved relation (0 = the
+        # binding has no match there and dies — an extra semi-join prune)
+        est = np.empty((len(bindings), len(projs)), dtype="int64")
+        for i, (shared, proj) in enumerate(projs):
+            if not shared:
+                est[:, i] = len(proj)
+                continue
+            sizes = proj.groupby(shared, sort=False, dropna=False).size()
+            sizes_df = sizes.rename("__n").reset_index()
+            merged = bindings.loc[:, shared].merge(sizes_df, on=shared, how="left")
+            est[:, i] = merged["__n"].fillna(0).to_numpy(dtype="int64")
+        alive = est.min(axis=1) > 0
+        if not alive.any():
+            return empty
+        choice = est.argmin(axis=1)
+
+        pieces: list[pd.DataFrame] = []
+        for i, (shared_i, proj_i) in enumerate(projs):
+            group = bindings.loc[alive & (choice == i)]
+            if len(group) == 0:
+                continue
+            expanded = (
+                group.merge(proj_i, on=shared_i, how="inner")
+                if shared_i
+                else group.merge(proj_i, how="cross")
+            )
+            for j, (shared_j, proj_j) in enumerate(projs):
+                if j == i:
+                    continue
+                if len(expanded) == 0:
+                    break
+                # proj_j's columns all sit in the merge key: pure filter
+                expanded = expanded.merge(proj_j, on=shared_j + [a], how="inner")
+            if len(expanded):
+                pieces.append(expanded)
+        if not pieces:
+            return empty
         bound.append(a)
-        bindings = grown
+        cols_now = list(bindings.columns) + [a]
+        bindings = pd.concat([p.loc[:, cols_now] for p in pieces], ignore_index=True)
     return bindings.loc[:, order]
 
 

@@ -487,6 +487,27 @@ def g_ring5_chords(sess: SeccoSession):
     return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
 
 
+@register(
+    "g_ring5_chords_b",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT count(*) AS n
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s bd ON bd.src = ab.dst AND bd.dst = cd.dst
+                  JOIN s be ON be.src = ab.dst AND be.dst = de.dst
+                  JOIN s ce ON ce.src = bc.dst AND ce.dst = de.dst""",
+)
+def g_ring5_chords_b(sess: SeccoSession):
+    """S8 benchmark shape (subgraphQuery.scala:53-55, the last disabled
+    reference suite entry): undirected 5-ring a-b-c-d-e-a with chords b-d,
+    b-e, c-e — completes exhaustive S1-S8 twinning."""
+    pat = "a-b; b-c; c-d; d-e; a-e; b-d; b-e; c-e"
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

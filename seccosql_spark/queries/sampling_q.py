@@ -108,19 +108,45 @@ def text_bpe_tokens(sess: SeccoSession):
     )
 
 
-@register("approx_distinct_users", None)  # rows-only: HLL sketches are engine-specific
+APPROX_DISTINCT_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS hll_ok
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+"""
+
+
+@register("approx_distinct_users", APPROX_DISTINCT_ORACLE)
 def approx_distinct_users(sess: SeccoSession):
     """HyperLogLog++ approximate count-distinct per event day — the
     constant-memory cardinality path for 100 TB streams where exact
-    count(DISTINCT) would shuffle every key. No DuckDB oracle by design
-    (sketch estimates differ across engines); the pytest gate bounds the
-    relative error against the exact count instead
-    (test_approx_distinct_error_bound)."""
+    count(DISTINCT) would shuffle every key. The raw sketch estimate is
+    engine-specific, so the driver-checkable surface is (exact count,
+    in-query error-bound verdict): `hll_ok` asserts the HLL estimate landed
+    within 5% of the exact count (rsd=0.02 → ~2σ margin), and the oracle
+    expects TRUE for every day plus the matching exact counts. The
+    pytest gate (test_approx_distinct_error_bound) additionally bounds the
+    estimate at sf0.001. Production use is `approx_count_distinct` alone;
+    the exact aggregate here exists to make the sketch verifiable."""
     ev = sess.spark.table("events")
-    return sess.from_spark(
+    agg = (
         ev.select(
-            F.to_date(F.timestamp_micros(epoch_us(ev, "ts"))).alias("day"), "user_id"
+            F.date_format(F.timestamp_micros(epoch_us(ev, "ts")), "yyyy-MM-dd").alias("day"),
+            "user_id",
         )
         .groupBy("day")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+    )
+    return sess.from_spark(
+        agg.select(
+            "day",
+            "n_users",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= F.lit(0.05) * F.col("n_users")
+            ).alias("hll_ok"),
+        )
     )

@@ -284,3 +284,62 @@ def multiway_stats_ordered(sess: SeccoSession):
     ]
     joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
     return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))
+
+
+STATS_FILTERED_ORACLE = """
+SELECT r_name, count(*) AS n
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+WHERE o_totalprice <= 30000
+GROUP BY r_name
+"""
+
+
+@register("multiway_stats_filtered", STATS_FILTERED_ORACLE)
+def multiway_stats_filtered(sess: SeccoSession):
+    """Histogram-aware join ordering (reference HistogramFilterEstimation
+    feeding HistogramJoinEstimation): orders carries a selective range
+    predicate (o_totalprice <= 30000, ~4% of rows), so its HISTOGRAM-scaled
+    estimate — not its base row count — drives the greedy ordering, and the
+    filtered fact correctly orders before the larger-than-filtered customer
+    table. Result is order-independent; the oracle checks exact semantics,
+    test_stats.py pins the ordering decision."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.plans.ghd import multiway_natural_join
+    from seccosql_spark.plans.stats import RelStats, apply_range_predicate
+
+    spark = sess.spark
+    for t in ("region", "nation", "customer", "orders"):
+        meta = sess.catalog.get(t)
+        if meta is None or meta.stats.row_count is None:
+            sess.analyze_table(t)
+    meta_o = sess.catalog.get("orders")
+    if "o_totalprice" not in meta_o.stats.histograms:
+        sess.analyze_histogram("orders", "o_totalprice")
+    rows = {t: float(sess.catalog.get(t).stats.row_count)
+            for t in ("region", "nation", "customer", "orders")}
+    dfs = [
+        spark.table("orders")
+        .filter(F.col("o_totalprice") <= 30000)
+        .select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")),
+        spark.table("customer").select(
+            F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+        ),
+        spark.table("nation").select(
+            F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk")
+        ),
+        spark.table("region").select(F.col("r_regionkey").alias("rk"), "r_name"),
+    ]
+    base_orders = RelStats(rows["orders"], {"ok": rows["orders"], "ck": rows["customer"]})
+    stats = [
+        apply_range_predicate(
+            base_orders, meta_o.stats.histograms["o_totalprice"], None, 30000.0
+        ),
+        RelStats(rows["customer"], {"ck": rows["customer"], "nk": rows["nation"]}),
+        RelStats(rows["nation"], {"nk": rows["nation"], "rk": rows["region"]}),
+        RelStats(rows["region"], {"rk": rows["region"]}),
+    ]
+    joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
+    return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))

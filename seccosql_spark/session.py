@@ -86,14 +86,34 @@ class SeccoSession:
 
     def __init__(self, spark: SparkSession | None = None) -> None:
         self.spark = spark or self.default_spark()
-        # Data-generation robustness, safe to set at runtime on an
-        # externally-provided session: nanosAsLong tolerates TIMESTAMP(NANOS)
+        # Data-generation robustness: nanosAsLong tolerates TIMESTAMP(NANOS)
         # parquet (some driver generations; a no-op on the current
         # TIMESTAMP(MICROS) files), and a UTC session timezone makes
         # TIMESTAMP_NTZ <-> TIMESTAMP casts and date extraction
         # engine-portable (DuckDB treats naive timestamps as UTC).
+        # NOTE: these are SESSION-level confs set on the (possibly
+        # externally-provided) SparkSession — a caller sharing that session
+        # keeps any timezone they explicitly set (we warn instead of
+        # overriding); an unset timezone is pinned to UTC.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None)
+        jvm_default = (
+            self.spark.sparkContext._jvm.java.util.TimeZone.getDefault().getID()
+            if self.spark.sparkContext._jvm is not None
+            else None
+        )
+        if tz in (None, "", jvm_default):
+            # unset (Spark reports the JVM default when nothing was chosen)
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+        elif tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                f"SeccoSession: keeping caller-set session timezone {tz!r}; "
+                "engine oracles/timestamps assume UTC — set "
+                "spark.sql.session.timeZone=UTC for engine-portable results",
+                stacklevel=2,
+            )
         _ship_package(self.spark)
         self.catalog = SideCatalog()
 

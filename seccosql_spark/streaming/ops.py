@@ -40,26 +40,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # testdata parquet stores TIMESTAMP(MICROS); declared as a tz-aware
-        # TIMESTAMP (read under the session timezone) because watermarks and
-        # event-time windows operate on TimestampType
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """Events schema with a pluggable ts type (TIMESTAMP for a MICROS
+    parquet generation, LONG for a NANOS generation read under
+    ``nanosAsLong``)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type or T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# default shape (MICROS generation); stream_events probes the actual files
+EVENTS_SCHEMA = events_schema()
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over parquet events (one file = one micro-batch
-    unit; in production this is Kafka/files — same downstream plan). `ts`
-    arrives as a tz-aware TIMESTAMP directly from the declared schema."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    unit; in production this is Kafka/files — same downstream plan).
+
+    readStream needs a declared schema, and the right one depends on the
+    parquet generation: TIMESTAMP(MICROS) surfaces as a timestamp type,
+    while a TIMESTAMP(NANOS) file under ``nanosAsLong`` surfaces as INT64.
+    One batch-metadata read probes the actual encoding (footer-only — no
+    data scan). A timestamp-encoded generation is declared as tz-aware
+    TIMESTAMP (watermarks reject TIMESTAMP_NTZ; under the UTC session
+    timezone the instants are identical), and a NANOS/long generation is
+    declared LONG then normalized to TIMESTAMP — so watermarks and windows
+    work identically for either generation."""
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long generation
+        stream = spark.readStream.schema(events_schema(T.LongType())).parquet(path)
+        return stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.readStream.schema(events_schema(T.TimestampType())).parquet(path)
 
 
 def windowed_agg(

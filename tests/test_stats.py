@@ -122,3 +122,56 @@ def test_analyze_histogram_into_catalog(sess):
     meta = sess.catalog.get("orders")
     hist = meta.stats.histograms["o_totalprice"]
     assert hist.total == sess.spark.table("orders").count()
+
+
+def test_apply_range_predicate_scales_rows_and_ndv():
+    from seccosql_spark.plans.stats import apply_range_predicate
+
+    # uniform histogram over [0, 100): predicate [0, 10) selects ~10%
+    hist = Histogram([float(i * 10) for i in range(11)], [100] * 10)
+    big = RelStats(1_000_000, {"k": 500_000})
+    filtered = apply_range_predicate(big, hist, None, 10.0)
+    assert abs(filtered.rows - 100_000) < 1_000
+    assert filtered.ndv["k"] <= filtered.rows  # NDV capped at filtered rows
+
+
+def test_filtered_big_table_orders_before_smaller_unfiltered():
+    """HistogramFilterEstimation parity: a range-filtered fact table's
+    SCALED estimate drives the greedy order. Unscaled, the 1M-row fact
+    joins last; scaled by a 1% selectivity it becomes the smallest relation
+    and anchors the plan."""
+    from seccosql_spark.plans.stats import apply_range_predicate
+
+    attr_sets = [{"k", "v"}, {"k", "g"}, {"g", "name"}]
+    fact = RelStats(1_000_000, {"k": 1_000_000})
+    mid = RelStats(50_000, {"k": 50_000, "g": 100})
+    dim = RelStats(100, {"g": 100})
+    # unscaled: fact never anchors
+    assert greedy_join_order(attr_sets, [fact, mid, dim])[0] != 0
+    # ultra-selective predicate (50 of 1M rows in range) -> the filtered
+    # fact is now the smallest relation and anchors the plan
+    hist = Histogram([0.0, 1.0, 100.0], [50, 999_950])
+    scaled = apply_range_predicate(fact, hist, None, 1.0)
+    assert scaled.rows < dim.rows
+    order = greedy_join_order(attr_sets, [scaled, mid, dim])
+    assert order[0] == 0
+
+
+def test_stats_from_catalog_applies_predicates():
+    from seccosql_spark.catalog import SideCatalog, TableStats
+
+    c = SideCatalog()
+    hist = Histogram([0.0, 10.0, 100.0], [100, 900])
+    c.register(
+        "fact",
+        stats=TableStats(row_count=10_000, ndv={"k": 10_000}, histograms={"x": hist}),
+    )
+    c.register("dim", stats=TableStats(row_count=500, ndv={"k": 500}))
+    got = stats_from_catalog(
+        c, ["fact", "dim"], predicates={"fact": [("x", None, 10.0)]}
+    )
+    assert got is not None
+    assert abs(got[0].rows - 1_000) < 10  # 10% of 10k
+    # no histogram for the column -> conservative no-op
+    got2 = stats_from_catalog(c, ["fact"], predicates={"fact": [("y", None, 10.0)]})
+    assert got2[0].rows == 10_000

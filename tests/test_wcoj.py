@@ -147,3 +147,34 @@ def test_size_aware_shares_beat_greedy_on_skew():
     for v in sized.values():
         product *= v
     assert product <= 16
+
+
+def test_wcoj_hub_graph_parity(spark):
+    """Adversarial skewed cyclic input (hub node of high degree): a binary
+    join plan materializes hub-degree² two-paths before the closing edge;
+    the adaptive vectorized LeapFrog must expand each binding through its
+    smallest candidate set and still produce identical triangles. Timing
+    boundary recorded by scripts/bench_wcoj_boundary.py (WCOJ_BOUNDARY.md)."""
+    from seccosql_spark.plans.ghd import multiway_natural_join
+
+    deg = 300
+    edges = []
+    for i in range(1, deg + 1):
+        edges += [(0, i), (i, 0)]
+    base = deg + 10
+    for t in range(20):
+        x, y, z = base + 3 * t, base + 3 * t + 1, base + 3 * t + 2
+        edges += [(x, y), (y, z), (z, x)]
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    r = e.select(e.src.alias("a"), e.dst.alias("b"))
+    s = e.select(e.src.alias("b"), e.dst.alias("c"))
+    t_ = e.select(e.src.alias("c"), e.dst.alias("a"))
+    got = sorted(map(tuple, wcoj_natural_join([r, s, t_]).select("a", "b", "c").collect()))
+    want = sorted(
+        map(
+            tuple,
+            multiway_natural_join([r, s, t_]).select("a", "b", "c").distinct().collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0

@@ -41,6 +41,13 @@ Generated from `.explain("formatted")` at sf0.1 on local[32] with AQE on.
 For each query: the scan lines (pushed filters + pruned read schema) and the
 join/exchange summary — the judge-checkable claims from README "Design
 rules". Regenerate with `python scripts/gen_plans.py`.
+
+Counting caveat: numbers are occurrences in the formatted plan TEXT. A
+persisted/broadcast subtree's lineage is printed once per reference, so
+pipelines that cache small intermediates (e.g. dedup_minhash_lsh's candidate
+pairs, referenced three times) overcount their RUNTIME exchanges — the
+cached subplan executes once. Treat deltas here as a prompt to re-profile
+(`scripts/profile_minhash.py <query>`), not as the measurement.
 """
 
 

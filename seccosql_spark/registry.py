@@ -70,79 +70,77 @@ from seccosql_spark.queries import window_analytics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-3 window: all 33 queries with NO green
-# driver row yet (round-3 additions), the 2 queries rewritten for the
-# TIMESTAMP(MICROS) data generation, and the 15 riskiest changed code paths
-# (minhash hash family, shared dedup helpers, WCOJ typed+vectorized cells,
-# statement-scoped CTE bindings, pattern compiler, GHD fractional ranking,
-# PageRank constants, PK-FK broadcast policy). Queries after position 50
-# carry green r01/r02 rows on code unchanged since those runs.
+# checks the first 50 entries. Round-4 window: (a) the 2 brand-new queries
+# plus approx_distinct_users whose oracle is new this round; (b) every query
+# whose implementing code was rewritten in round 4 (dedup.py candidate
+# generation + verify arm, adaptive WCOJ LeapFrog, algorithms.py guards,
+# pkfk/stats planners); (c) the r01/r02-stale rotated-out queries whose
+# implementing files changed in round 3 (pipeline.py/similarity.py/
+# graphframe.py/pattern compiler/preprocessor families) — the VERDICT r03
+# "driver-window staleness" list. Headline bench queries with green r03
+# rows on untouched code (dedup_exact, knn_cosine_bruteforce, q1/q3/q5/q7,
+# g_triangle_count) stay out of the budget; TPC-H/window/recursion families
+# keep their green r03 rows on code unchanged since.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    # -- never driver-verified: round-3 TPC-H suite completion
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_sole_blame_supplier",
-    "q22_sales_opportunity",
-    # -- never driver-verified: corpus-curation + pipeline additions
-    "dedup_cluster_canonical",
-    "pack_token_shards",
-    "corpus_clean_pass",
-    "decontaminate_ngram8",
-    "text_repetition_stats",
-    "text_redact_pii",
-    "embedding_quantize_int8",
+    # -- new this round (no driver row yet / new oracle)
+    "g_ring5_chords_b",
+    "multiway_stats_filtered",
     "approx_distinct_users",
-    # -- never driver-verified: graph analytics + planner additions
-    "g_kcore",
-    "g_sssp_weighted",
-    "g_label_propagation",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_self_loop_pattern",
-    "g_ring5_chords",
-    "multiway_stats_ordered",
-    # -- never driver-verified: window-analytics breadth
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "window_first_last_frames",
-    "grouping_sets_id",
-    # -- changed this round: events.ts switched to TIMESTAMP(MICROS);
-    #    epoch arithmetic rewritten (timeutil.epoch_us)
-    "sessionize_events",
-    "range_join_next_hour",
-    # -- changed this round: re-verify the riskiest rewritten paths
+    # -- rewritten this round: dedup candidate generation + verify arm
     "dedup_minhash_lsh",
     "dedup_minhash_words",
     "dedup_ngram_jaccard",
-    "dedup_exact",
-    "knn_cosine_bruteforce",
+    "dedup_simhash",
+    "dedup_cluster_canonical",
+    "corpus_clean_pass",
+    "decontaminate_ngram8",
+    # -- rewritten this round: adaptive LeapFrog, planner guards, stats tier
     "g_triangle_wcoj",
-    "with_recursive_reach",
-    "with_recursive_path_counts",
-    "cte_multi",
-    "g_triangle_count",
-    "g_house_count",
-    "g_pagerank_3rounds",
+    "g_kcore",
+    "g_label_propagation",
     "g_connected_components",
     "pkfk_star_planned",
-    "multiway_natural_ghd",
-    # untouched families (green r01/r02 rows stand): q1/q3/q5/q7/q10/q12/
-    # q14/q18/q19, text_*, asof, sample_*, udf/udaf, multimodal, g_degrees,
-    # g_message_*, g_subgraph_filter, g_path2_pairs, g_bfs_distances,
-    # pattern variants (diamond/clique4/tailed/undirected/labeled/weighted),
-    # dedup_simhash, dedup_embedding_cosine, ann_ivf_label, update_rows,
-    # match_sql_tableref, embedding_centroids — rotated out for the 33
-    # never-verified entries above.
+    "multiway_stats_ordered",
+    # -- r02-stale, implementing files changed in r03 (pipeline/similarity)
+    "dedup_embedding_cosine",
+    "ann_ivf_label",
+    "embedding_centroids",
+    "asof_latest_purchase",
+    "match_sql_tableref",
+    "multimodal_decode_stub",
+    "events_json_extract",
+    # -- r02-stale text/sampling families (files changed in r03)
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_bpe_tokens",
+    "text_vocab_top20",
+    "text_tfidf_top3",
+    "text_length_histogram",
+    "source_quantiles",
+    "sample_hash_10pct",
+    "sample_stratified_3per_lang",
+    "update_rows",
+    # -- r01/r02-stale graph/pattern families (graphframe/pattern compiler
+    #    changed in r03: self-loop fix, typed pattern cells)
+    "g_diamond_count",
+    "g_clique4_count",
+    "g_tailed_triangle_count",
+    "g_triangle_undirected",
+    "g_labeled_pattern",
+    "g_pattern_weighted_agg",
+    "g_degrees",
+    "g_message_passing_wsum",
+    "g_message_passing_2rounds",
+    "g_subgraph_filter",
+    "g_path2_pairs",
+    "g_bfs_distances",
+    # -- r02-stale UDF surface
+    "udf_pandas_vector_norm",
+    "udaf_median_price",
+    "udf_rowwise_registered",
 ]
 
 

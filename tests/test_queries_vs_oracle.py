@@ -22,14 +22,16 @@ def test_query_matches_oracle(name, sess, oracle):
     assert_df_matches_oracle(df, oracle, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(name, sess):
-    spec = REGISTRY[name]
-    out = spec.build(sess)
-    df = out.df if hasattr(out, "df") else out
-    rows = df.collect()
-    assert len(rows) >= 0
-    assert len(df.columns) > 0
+def test_rows_only_queries_run(sess):
+    """Every oracle-less registry entry must at least execute with a stable
+    schema. Currently an empty set — all 129 queries carry oracles — but the
+    gate stays armed for future sketch/streaming entries."""
+    for name in ROWS_ONLY_QUERIES:
+        spec = REGISTRY[name]
+        out = spec.build(sess)
+        df = out.df if hasattr(out, "df") else out
+        assert len(df.collect()) >= 0, name
+        assert len(df.columns) > 0, name
 
 
 def test_entry_contract(sess):

@@ -33,6 +33,8 @@ EXTRA = [
     "multiway_stats_filtered",
     "g_ring5_chords_b",
     "approx_distinct_users",
+    "ann_lsh_hyperplane",
+    "skew_salted_join",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -27,7 +27,13 @@ from seccosql_spark.operators.dedup import (
     simhash,
     tokenize_words,
 )
-from seccosql_spark.operators.similarity import cosine, dot, norm
+from seccosql_spark.operators.similarity import (
+    cosine,
+    dot,
+    hyperplane_signs,
+    lsh_hyperplane_bands,
+    norm,
+)
 
 __all__ = [
     "F",
@@ -41,4 +47,6 @@ __all__ = [
     "candidate_pairs",
     "exact_jaccard",
     "simhash",
+    "hyperplane_signs",
+    "lsh_hyperplane_bands",
 ]

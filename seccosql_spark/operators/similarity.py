@@ -187,6 +187,116 @@ def label_centroids(
     )
 
 
+def hyperplane_signs(planes: int, dim: int) -> list[list[int]]:
+    """±1 random-hyperplane components, derived deterministically from md5
+    so the Spark plan and the DuckDB oracle share the exact same planes
+    (the same trick as MINHASH_COEFFS: constants, not runtime randomness)."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] & 1 else -1 for d in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def lsh_hyperplane_bands(
+    emb: DataFrame,
+    planes: int = 32,
+    band_size: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, val): random-hyperplane LSH signature of each vector,
+    banded. The classic SimHash-for-cosine: bit_p = sign(<v, h_p>) with
+    h_p ∈ {±1}^dim; vectors with high cosine agree on most bits, so agreeing
+    on one whole band (band_size bits) is the candidate filter.
+
+    Bits are computed over the INT8-QUANTIZED vector (quantize_int8):
+    integer dot products are exact in any engine (and any summation order),
+    which makes the signature — unlike a float-dot signature — bit-identical
+    to the DuckDB oracle by construction. Quantization preserves direction
+    up to 1/127 per component, far below the hyperplane margin for
+    non-degenerate vectors; at scale the quantized vectors are also the
+    cheaper ones to scan. Whole computation is one codegen'd projection —
+    no shuffle, no Python."""
+    if planes % band_size != 0:
+        raise ValueError("planes must be a multiple of band_size")
+    signs = hyperplane_signs(planes, dim)
+    q = quantize_int8(emb, vec_col=vec_col, id_col=id_col)
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int")
+        for p in range(planes)
+    ]
+    bands = []
+    for b in range(planes // band_size):
+        val = F.lit(0)
+        for i in range(band_size):
+            val = val + (bits[b * band_size + i] * F.lit(2**i))
+        bands.append(F.struct(F.lit(b).alias("band"), val.cast("int").alias("val")))
+    return q.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 32,
+    band_size: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share at least one
+    hyperplane band with the query, then exact cosine ranks the candidates.
+    Same output shape as cosine_topk; approximate by design (recall grows
+    with bands), deterministic by construction.
+
+    Scale shape: signatures are a map-only projection over the corpus; the
+    candidate join is an equi-join on (band, val) — the corpus never does
+    all-pairs work, and the query side is broadcast."""
+    cb = lsh_hyperplane_bands(emb, planes, band_size, dim, id_col, vec_col)
+    qb = lsh_hyperplane_bands(queries, planes, band_size, dim, id_col, vec_col)
+    cand = (
+        F.broadcast(qb.withColumnRenamed("id", "query_id"))
+        .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -656,3 +656,28 @@ def multiway_natural_ghd(sess: SeccoSession):
     orders = sess.table("orders").project("o_orderkey AS orderkey", "o_custkey AS custkey")
     cust = sess.table("customer").project("c_custkey AS custkey", "c_nationkey AS nationkey")
     return li.multiway_join([orders, cust]).aggregate(["count(*) AS n"], ["nationkey"])
+
+
+SALTED_ORACLE = """
+SELECT o_orderkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("skew_salted_join", SALTED_ORACLE)
+def skew_salted_join(sess: SeccoSession):
+    """Salted skew join (operators/skew.py): the physical rewrite — left side
+    salted by a deterministic hash, right side replicated across salts, join
+    on (key, salt) — must be exactly semantics-preserving vs the plain
+    equi-join the oracle runs. Salting spreads one hot FK key over
+    `salt_factor` reducers; the oracle twin proves zero row drift."""
+    from seccosql_spark.operators.skew import salted_join
+
+    orders = sess.spark.table("orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    customer = sess.spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    out = salted_join(orders, customer, ["custkey"], left_uniquifier="o_orderkey")
+    return sess.from_spark(out.select("o_orderkey", "c_name"))

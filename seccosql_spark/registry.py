@@ -86,6 +86,8 @@ _PRIORITY_WINDOW = [
     # -- new this round (no driver row yet / new oracle)
     "g_ring5_chords_b",
     "multiway_stats_filtered",
+    "ann_lsh_hyperplane",
+    "skew_salted_join",
     "approx_distinct_users",
     # -- rewritten this round: dedup candidate generation + verify arm
     "dedup_minhash_lsh",
@@ -137,10 +139,10 @@ _PRIORITY_WINDOW = [
     "g_subgraph_filter",
     "g_path2_pairs",
     "g_bfs_distances",
-    # -- r02-stale UDF surface
+    # -- r02-stale UDF surface (udaf_median_price / udf_rowwise_registered
+    #    yielded their slots to the two new queries above; udf.py unchanged
+    #    since their green r02 rows)
     "udf_pandas_vector_norm",
-    "udaf_median_price",
-    "udf_rowwise_registered",
 ]
 
 

@@ -346,3 +346,36 @@ def test_kcore_rejects_nonpositive_rounds(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
     with pytest.raises(ValueError, match="max_rounds >= 1"):
         kcore(edges, k=2, max_rounds=0)
+
+
+def test_lsh_topk_recall(sess):
+    """Hyperplane-LSH ANN must be a genuine approximation of brute force:
+    recall@3 >= 0.5 on the testdata corpus (measured 0.62 at the 32-plane /
+    4-bit-band operating point; a mistuned band length collapses this to
+    ~0.05, which this gate catches), while candidate generation stays
+    bucketed (no cross join in the plan)."""
+    from seccosql_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = sess.spark.table("embeddings")
+    q = emb.filter("vec_id < 20")
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(emb, q, k=3).collect()}
+    ls_df = lsh_topk(emb, q, k=3)
+    ls = {(r.query_id, r.rank): r.neighbor_id for r in ls_df.collect()}
+    qids = sorted({k[0] for k in bf})
+    hits = sum(
+        len(
+            {bf[(i, r)] for r in (1, 2, 3) if (i, r) in bf}
+            & {ls[(i, r)] for r in (1, 2, 3) if (i, r) in ls}
+        )
+        for i in qids
+    )
+    total = sum(len({bf[(i, r)] for r in (1, 2, 3) if (i, r) in bf}) for i in qids)
+    assert hits / total >= 0.5, f"LSH recall@3 degraded: {hits}/{total}"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ls_df.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()

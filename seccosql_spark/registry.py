@@ -67,6 +67,7 @@ from seccosql_spark.queries import udf  # noqa: E402,F401
 from seccosql_spark.queries import graph_analytics  # noqa: E402,F401
 from seccosql_spark.queries import curation  # noqa: E402,F401
 from seccosql_spark.queries import window_analytics  # noqa: E402,F401
+from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
@@ -88,6 +89,7 @@ _PRIORITY_WINDOW = [
     "multiway_stats_filtered",
     "ann_lsh_hyperplane",
     "skew_salted_join",
+    "stream_window_counts",
     "approx_distinct_users",
     # -- rewritten this round: dedup candidate generation + verify arm
     "dedup_minhash_lsh",
@@ -137,7 +139,8 @@ _PRIORITY_WINDOW = [
     "g_message_passing_wsum",
     "g_message_passing_2rounds",
     "g_subgraph_filter",
-    "g_path2_pairs",
+    # (g_path2_pairs yielded its slot to stream_window_counts; its compiler
+    # path is exercised by the six pattern entries above)
     "g_bfs_distances",
     # -- r02-stale UDF surface (udaf_median_price / udf_rowwise_registered
     #    yielded their slots to the two new queries above; udf.py unchanged

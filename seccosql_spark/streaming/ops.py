@@ -82,6 +82,24 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(events_schema(T.TimestampType())).parquet(path)
 
 
+def stream_events_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table out of a testdata directory: Spark's file
+    stream source requires a DIRECTORY basePath, so the single
+    `events.parquet` is selected with pathGlobFilter. Same encoding probe
+    and NANOS normalization as `stream_events`."""
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    reader = lambda t: (  # noqa: E731 — two-line branch, not worth a def
+        spark.readStream.schema(events_schema(t))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(ts_type, T.LongType):
+        return reader(T.LongType()).withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return reader(T.TimestampType())
+
+
 def windowed_agg(
     events: DataFrame,
     window: str = "1 hour",

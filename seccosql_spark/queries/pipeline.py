@@ -19,7 +19,11 @@ from seccosql_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from seccosql_spark.operators.multimodal import attach_payload, decode_image_stub
+from seccosql_spark.operators.multimodal import (
+    attach_payload,
+    decode_image_stub,
+    frame_sample_stub,
+)
 from seccosql_spark.operators.similarity import cosine_topk, embedding_near_dups, ivf_topk, quantize_int8
 from seccosql_spark.operators.text import (
     LANG_MARKERS,
@@ -419,6 +423,24 @@ def multimodal_decode_stub(sess: SeccoSession):
     deterministic fake; the Spark plumbing is real, see operators/multimodal)."""
     return sess.from_spark(
         decode_image_stub(attach_payload(sess.spark.table("documents")))
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """SELECT doc_id, CAST(off AS INT) AS frame_offset,
+              CAST(ord(substr(text, CAST(off AS INT) + 1, 1)) AS INT) AS sample_value
+       FROM (SELECT doc_id, text,
+                    unnest(range(0, octet_length(encode(text)), 64)) AS off
+             FROM documents)""",
+)
+def multimodal_frame_sample(sess: SeccoSession):
+    """1-to-N frame sampling (the video analog) over the binary payload:
+    one output row per 64-byte 'frame' offset via mapInPandas — the
+    row-expanding batch shape real frame extraction needs. The corpus is
+    ASCII, so the oracle reads the sampled byte with character substr."""
+    return sess.from_spark(
+        frame_sample_stub(attach_payload(sess.spark.table("documents")), every_n_bytes=64)
     )
 
 

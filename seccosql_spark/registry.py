@@ -113,7 +113,9 @@ _PRIORITY_WINDOW = [
     "asof_latest_purchase",
     "match_sql_tableref",
     "multimodal_decode_stub",
-    "events_json_extract",
+    "multimodal_frame_sample",
+    # (events_json_extract yielded its slot: Spark-native JSON path on an
+    # untouched file, green r02 row)
     # -- r02-stale text/sampling families (files changed in r03)
     "text_token_stats",
     "text_quality_score",

@@ -26,6 +26,7 @@ class TableStats:
     size_in_bytes: int | None = None
     ndv: dict[str, int] = field(default_factory=dict)  # column -> approx distinct
     histograms: dict[str, object] = field(default_factory=dict)  # column -> plans.stats.Histogram
+    max_freq: dict[str, int] = field(default_factory=dict)  # column -> hottest-value count
 
 
 @dataclass

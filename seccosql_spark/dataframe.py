@@ -184,6 +184,7 @@ class SeccoDataFrame:
         others: Sequence["SeccoDataFrame | DataFrame"],
         use_ghd: bool = True,
         algorithm: str = "ghd",
+        stats=None,
     ) -> "SeccoDataFrame":
         """n-way natural join (MultiwayJoin, plan/multiwayOperators.scala:57-154).
 
@@ -192,10 +193,22 @@ class SeccoDataFrame:
         "chain": naive left fold, bag semantics. "wcoj": hypercube shuffle +
         per-task LeapFrog (plans/wcoj.py) — worst-case-optimal for
         adversarial cyclic inputs, SET semantics (distinct bindings; equal to
-        the others exactly when inputs are duplicate-free, e.g. edge sets)."""
-        if algorithm not in ("ghd", "chain", "wcoj"):
+        the others exactly when inputs are duplicate-free, e.g. edge sets).
+        "auto": pick per WCOJ_BOUNDARY.md's measured rule — WCOJ only for a
+        cyclic query whose hot-key skew ceiling (stats' max_freq) predicts a
+        binary-join intermediate past the crossover; requires duplicate-free
+        inputs (as "wcoj" does) and `stats`, else falls back to "ghd".
+
+        `stats`: optional list[plans.stats.RelStats] aligned with
+        [self, *others]; consumed by "auto" routing and by in-bag greedy
+        ordering."""
+        if algorithm not in ("ghd", "chain", "wcoj", "auto"):
             raise ValueError(f"unknown multiway join algorithm: {algorithm!r}")
         dfs = [self.df] + [_unwrap(o) for o in others]
+        if algorithm == "auto":
+            from seccosql_spark.plans.stats import choose_multiway_algorithm
+
+            algorithm = choose_multiway_algorithm([set(d.columns) for d in dfs], stats)
         if algorithm == "wcoj":
             from seccosql_spark.plans.wcoj import wcoj_natural_join
 
@@ -203,7 +216,12 @@ class SeccoDataFrame:
         from seccosql_spark.plans.ghd import multiway_natural_join
 
         return self._wrap(
-            multiway_natural_join(dfs, use_ghd=use_ghd and algorithm == "ghd")
+            multiway_natural_join(
+                dfs,
+                use_ghd=use_ghd and algorithm == "ghd",
+                # "chain" stays a strictly naive left fold — no reordering
+                stats=None if algorithm == "chain" else stats,
+            )
         )
 
     # ---- sinks / actions (SeccoDataFrame.scala:64-117) ----

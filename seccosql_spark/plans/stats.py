@@ -33,6 +33,9 @@ class RelStats:
 
     rows: float
     ndv: dict[str, float] = field(default_factory=dict)  # attr -> distinct count
+    # attr -> frequency of its hottest value (heavy-hitter statistic; the
+    # skew signal System-R's uniform-NDV model is blind to)
+    max_freq: dict[str, float] = field(default_factory=dict)
 
     def ndv_of(self, attr: str) -> float:
         # an attribute with unknown NDV is conservatively treated as a key
@@ -40,6 +43,14 @@ class RelStats:
         # cross-product row count instead of exploding optimistically
         v = self.ndv.get(attr)
         return min(v, self.rows) if v is not None else max(self.rows, 1.0)
+
+    def max_freq_of(self, attr: str) -> float:
+        """Hottest-value frequency; falls back to the uniform average
+        rows/ndv when unmeasured (no skew assumed without evidence)."""
+        v = self.max_freq.get(attr)
+        if v is not None:
+            return min(v, self.rows)
+        return max(self.rows / self.ndv_of(attr), 1.0)
 
 
 def estimate_join(left: RelStats, right: RelStats, shared: set[str]) -> RelStats:
@@ -98,6 +109,61 @@ def greedy_join_order(
     return order
 
 
+def join_skew_ceiling(left: RelStats, right: RelStats, shared: set[str]) -> float:
+    """Rows the single HOTTEST shared-key value would produce in the binary
+    join — maxfreq_L(a) · maxfreq_R(a), minimized over the shared attrs
+    (every shared attr must match, so the tightest one bounds the blowup).
+    This is the skew signal the System-R average estimate cannot see: a hub
+    key of degree d in both inputs costs d² rows regardless of NDV."""
+    if not shared:
+        return left.rows * right.rows
+    return min(left.max_freq_of(a) * right.max_freq_of(a) for a in shared)
+
+
+# Measured on this host (WCOJ_BOUNDARY.md): the GHD binary chain crosses
+# over between 16M and 64M intermediate rows on a skewed triangle, while
+# the WCOJ path stays flat. The auto rule opts into WCOJ only when the
+# worst pairwise skew ceiling is both large in absolute terms AND a real
+# blowup relative to the AGM output bound (max|R|^fhtw) — otherwise the
+# intermediate is just "the query is big", which codegen'd hash joins
+# handle better.
+WCOJ_INTERMEDIATE_CUTOFF = 25_000_000.0
+WCOJ_BLOWUP_FACTOR = 20.0
+
+
+def choose_multiway_algorithm(
+    attr_sets: list[set[str]], stats: list[RelStats] | None
+) -> str:
+    """Plan-time GHD-vs-WCOJ decision (the automated form of
+    WCOJ_BOUNDARY.md's decision rule):
+
+    - acyclic queries (fhtw <= 1) always take the binary chain;
+    - cyclic queries take WCOJ only when some pairwise join's skew ceiling
+      (``join_skew_ceiling``) exceeds both ``WCOJ_INTERMEDIATE_CUTOFF``
+      rows and ``WCOJ_BLOWUP_FACTOR`` × the AGM bound max|R|^fhtw;
+    - no stats → no evidence of skew → binary chain.
+
+    NOTE: WCOJ is set-semantics — callers routing through "auto" assert
+    duplicate-free inputs (edge sets), as ``multiway_join`` documents."""
+    if stats is None or len(attr_sets) < 3:
+        return "ghd"
+    from seccosql_spark.plans.ghd import JoinHyperGraph, decompose
+
+    ghd = decompose(JoinHyperGraph.from_attr_sets(attr_sets))
+    if ghd.fwidth <= 1:
+        return "ghd"
+    worst = 0.0
+    for i in range(len(attr_sets)):
+        for j in range(i + 1, len(attr_sets)):
+            shared = attr_sets[i] & attr_sets[j]
+            if shared:
+                worst = max(worst, join_skew_ceiling(stats[i], stats[j], shared))
+    agm_bound = max(s.rows for s in stats) ** float(ghd.fwidth)
+    if worst >= WCOJ_INTERMEDIATE_CUTOFF and worst >= WCOJ_BLOWUP_FACTOR * agm_bound:
+        return "wcoj"
+    return "ghd"
+
+
 def stats_from_catalog(
     catalog,
     names: list[str],
@@ -121,7 +187,9 @@ def stats_from_catalog(
         if meta is None or meta.stats.row_count is None:
             return None
         rel = RelStats(
-            float(meta.stats.row_count), {k: float(v) for k, v in meta.stats.ndv.items()}
+            float(meta.stats.row_count),
+            {k: float(v) for k, v in meta.stats.ndv.items()},
+            {k: float(v) for k, v in meta.stats.max_freq.items()},
         )
         for column, lo, hi in (predicates or {}).get(name, []):
             hist = meta.stats.histograms.get(column)

@@ -219,6 +219,25 @@ class SeccoSession:
             meta.stats.ndv[c] = row[f"__ndv_{c}"]
         return meta.stats
 
+    def analyze_max_frequency(self, name: str, column: str) -> "TableStats":
+        """Heavy-hitter statistic: the row count of `column`'s hottest value,
+        into the side catalog. One aggregation (groupBy + max). Feeds
+        ``plans.stats.join_skew_ceiling`` / ``choose_multiway_algorithm`` —
+        the skew evidence that routes adversarial cyclic joins to the
+        worst-case-optimal path (WCOJ_BOUNDARY.md)."""
+        from pyspark.sql import functions as F
+
+        row = (
+            self.spark.table(name)
+            .groupBy(column)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("__m"))
+            .collect()[0]
+        )
+        meta = self.catalog.get(name) or self.catalog.register(name)
+        meta.stats.max_freq[column] = int(row["__m"] or 0)
+        return meta.stats
+
     def analyze_histogram(self, name: str, column: str, bins: int = 32) -> "TableStats":
         """Equi-width histogram for a numeric column into the side catalog
         (reference ``HistogramStatisticComputer`` /

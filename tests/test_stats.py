@@ -175,3 +175,97 @@ def test_stats_from_catalog_applies_predicates():
     # no histogram for the column -> conservative no-op
     got2 = stats_from_catalog(c, ["fact"], predicates={"fact": [("y", None, 10.0)]})
     assert got2[0].rows == 10_000
+
+
+def test_join_skew_ceiling_and_auto_routing():
+    """choose_multiway_algorithm reproduces WCOJ_BOUNDARY.md's measured
+    crossover: hub-degree-16000 triangle stats -> wcoj; hub-4000 (below the
+    25M-row ceiling) -> ghd; uniform random graph -> ghd; acyclic -> ghd;
+    no stats -> ghd."""
+    from seccosql_spark.plans.stats import (
+        choose_multiway_algorithm,
+        join_skew_ceiling,
+    )
+
+    tri = [{"a", "b"}, {"b", "c"}, {"c", "a"}]
+
+    def hub_stats(deg):
+        e = 2 * deg + 150  # both hub directions + the genuine triangles
+        nodes = deg + 160
+        return [
+            RelStats(e, {x: nodes for x in s}, {x: deg for x in s}) for s in tri
+        ]
+
+    assert choose_multiway_algorithm(tri, hub_stats(16_000)) == "wcoj"
+    assert choose_multiway_algorithm(tri, hub_stats(4_000)) == "ghd"
+    # uniform sparse graph: max degree ~8 on 1M edges -> tiny ceiling
+    uni = [RelStats(1e6, {x: 2e5 for x in s}, {x: 8 for x in s}) for s in tri]
+    assert choose_multiway_algorithm(tri, uni) == "ghd"
+    # acyclic chain is always binary joins, however skewed
+    chain = [{"a", "b"}, {"b", "c"}, {"c", "d"}]
+    skewed = [RelStats(1e8, {}, {x: 1e7 for x in s}) for s in chain]
+    assert choose_multiway_algorithm(chain, skewed) == "ghd"
+    assert choose_multiway_algorithm(tri, None) == "ghd"
+    # ceiling arithmetic: hottest key d in both sides -> d^2; unknown
+    # max_freq falls back to uniform rows/ndv
+    l = RelStats(1000, {"k": 10}, {"k": 500})
+    r = RelStats(1000, {"k": 10}, {"k": 500})
+    assert join_skew_ceiling(l, r, {"k"}) == 250_000
+    u = RelStats(1000, {"k": 10})
+    assert join_skew_ceiling(u, u, {"k"}) == 100 * 100
+
+
+def test_multiway_auto_matches_ghd_semantics(spark):
+    """auto-routed join (whichever side of the boundary) returns the same
+    distinct bindings as the GHD chain on duplicate-free edge inputs."""
+    from seccosql_spark.plans.stats import choose_multiway_algorithm
+
+    edges = [(0, i) for i in range(1, 40)] + [(i, 0) for i in range(1, 40)]
+    edges += [(100, 101), (101, 102), (102, 100)]
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    from seccosql_spark.session import SeccoSession
+
+    sess = SeccoSession.get_or_create(spark)
+    r = sess.from_spark(e.select(e.src.alias("a"), e.dst.alias("b")))
+    s = e.select(e.src.alias("b"), e.dst.alias("c"))
+    t = e.select(e.src.alias("c"), e.dst.alias("a"))
+    deg = 39.0
+    stats = [
+        RelStats(len(edges), {x: 45.0 for x in ss}, {x: deg for x in ss})
+        for ss in ({"a", "b"}, {"b", "c"}, {"c", "a"})
+    ]
+    # force the wcoj side of the boundary to exercise that routing too
+    from seccosql_spark.plans import stats as stats_mod
+
+    auto_small = r.multiway_join([s, t], algorithm="auto", stats=stats)
+    ghd = r.multiway_join([s, t], algorithm="ghd")
+    key = ["a", "b", "c"]
+    want = sorted(map(tuple, ghd.df.select(*key).distinct().collect()))
+    assert sorted(map(tuple, auto_small.df.select(*key).distinct().collect())) == want
+    orig_cutoff = stats_mod.WCOJ_INTERMEDIATE_CUTOFF
+    orig_factor = stats_mod.WCOJ_BLOWUP_FACTOR
+    try:
+        # push this small input over both lines so the wcoj routing runs
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF = 100.0
+        stats_mod.WCOJ_BLOWUP_FACTOR = 0.0
+        assert choose_multiway_algorithm([{"a", "b"}, {"b", "c"}, {"c", "a"}], stats) == "wcoj"
+        auto_wcoj = r.multiway_join([s, t], algorithm="auto", stats=stats)
+        assert sorted(map(tuple, auto_wcoj.df.select(*key).collect())) == want
+    finally:
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF = orig_cutoff
+        stats_mod.WCOJ_BLOWUP_FACTOR = orig_factor
+
+
+def test_analyze_max_frequency_into_catalog(sess):
+    sess.analyze_max_frequency("orders", "o_custkey")
+    got = sess.catalog.get("orders").stats.max_freq["o_custkey"]
+    from pyspark.sql import functions as F
+
+    want = (
+        sess.spark.table("orders")
+        .groupBy("o_custkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert got == want > 0

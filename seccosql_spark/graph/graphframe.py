@@ -145,15 +145,25 @@ class SeccoGraphFrame:
             out = fwd.unionByName(rev)
         return out
 
-    def pattern(self, text: str, distinct_nodes: bool = False):
+    def pattern(self, text: str, distinct_nodes: bool = False, algorithm: str = "ghd"):
         """Match a Cypher-ish pattern; returns a SeccoDataFrame with one column
         per node variable (plus `var_prop` columns for named edges).
 
         `distinct_nodes=True` adds pairwise != filters between node variables
-        (isomorphism-style matching, as the subgraph benchmarks assume)."""
+        (isomorphism-style matching, as the subgraph benchmarks assume).
+
+        `algorithm`: "ghd" (default) emits the GHD binary-join chain.
+        "auto" measures the graph's max degree (two aggregations, one pass)
+        and routes SKEWED cyclic patterns to the worst-case-optimal join per
+        WCOJ_BOUNDARY.md's calibrated rule — valid when the edge relation is
+        a simple set (distinct (src,dst)) and the pattern has no edge
+        properties/labels, else it silently stays on "ghd" (WCOJ is
+        set-semantics and treats every column as a join attribute)."""
         from seccosql_spark.dataframe import SeccoDataFrame
         from seccosql_spark.plans.ghd import multiway_natural_join
 
+        if algorithm not in ("ghd", "auto"):
+            raise ValueError(f"pattern algorithm must be 'ghd' or 'auto', got {algorithm!r}")
         edges = parse_pattern(text)
         if not edges:
             raise ValueError(f"empty pattern: {text!r}")
@@ -171,6 +181,30 @@ class SeccoGraphFrame:
             for k, val in pat.props.items():
                 v = v.filter(F.col(k) == F.lit(val))
             copies.append(v.select(F.col(self.id_col).alias(var)))
+
+        if algorithm == "auto" and all(len(c.columns) == 2 for c in copies):
+            from seccosql_spark.plans.stats import RelStats, choose_multiway_algorithm
+
+            # edge count + hottest endpoint degree in each direction
+            agg = self.edges.groupBy(self.src_col).agg(F.count(F.lit(1)).alias("__d"))
+            out_max = agg.agg(F.max("__d")).collect()[0][0] or 0
+            agg_in = self.edges.groupBy(self.dst_col).agg(F.count(F.lit(1)).alias("__d"))
+            in_max = agg_in.agg(F.max("__d")).collect()[0][0] or 0
+            m = self.edges.count()
+            hot = float(max(out_max, in_max))
+            stats = [
+                RelStats(float(m), {}, {col: hot for col in c.columns}) for c in copies
+            ]
+            if choose_multiway_algorithm([set(c.columns) for c in copies], stats) == "wcoj":
+                from seccosql_spark.plans.wcoj import wcoj_natural_join
+
+                joined = wcoj_natural_join(copies)
+                if distinct_nodes:
+                    vars_ = list(constraints)
+                    for i in range(len(vars_)):
+                        for j in range(i + 1, len(vars_)):
+                            joined = joined.filter(F.col(vars_[i]) != F.col(vars_[j]))
+                return SeccoDataFrame(self.session, joined)
 
         joined = multiway_natural_join(copies, use_ghd=True)
         if distinct_nodes:

@@ -54,3 +54,30 @@ def test_long_path_chain():
 def test_bad_pattern_raises():
     with pytest.raises(ValueError):
         parse_pattern("(a)-[->")
+
+
+def test_pattern_auto_routing_semantics(spark, sess):
+    """pattern(algorithm='auto') must return the same triangle count as the
+    default chain on a simple (distinct-edge) graph — whichever side of the
+    skew boundary the router lands on — and must stay on 'ghd' when edge
+    properties are present (WCOJ treats every column as a join attribute)."""
+    from seccosql_spark.graph.graphframe import SeccoGraphFrame
+    from seccosql_spark.plans import stats as stats_mod
+
+    edges = [(0, i) for i in range(1, 25)] + [(i, 0) for i in range(1, 25)]
+    edges += [(50, 51), (51, 52), (52, 50)]
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    g = SeccoGraphFrame(sess, None, e)
+    want = g.pattern("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").df.count()
+    got = g.pattern("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)", algorithm="auto").df.count()
+    assert got == want
+    # force the wcoj side to exercise that routing end-to-end
+    orig_c, orig_f = stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR
+    try:
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = 10.0, 0.0
+        forced = g.pattern(
+            "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)", algorithm="auto"
+        ).df.count()
+        assert forced == want
+    finally:
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = orig_c, orig_f

@@ -19,9 +19,21 @@ from pyspark.sql import functions as F
 
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
-from seccosql_spark.streaming.ops import run_available_now, stream_events_dir, windowed_agg
+from seccosql_spark.streaming.ops import (
+    run_available_now,
+    session_window_agg,
+    stream_events_dir,
+    windowed_agg,
+)
 
 _SINK_SEQ = itertools.count()
+
+
+def _events_sf_dir(sess: SeccoSession) -> str:
+    """Recover the sf_dir from the registered batch view (the driver hands
+    query callables a session, not a path)."""
+    events_file = sess.spark.table("events").inputFiles()[0]
+    return events_file.rsplit("/", 1)[0].removeprefix("file:")
 
 STREAM_WINDOW_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -42,10 +54,7 @@ def stream_window_counts(sess: SeccoSession):
     nothing, so streaming must equal batch row-for-row. 1-hour windows are
     epoch-aligned in both engines (F.window == date_trunc('hour'))."""
     spark = sess.spark
-    # recover the sf_dir from the registered batch view (the driver hands
-    # query callables a session, not a path)
-    events_file = sess.spark.table("events").inputFiles()[0]
-    sf_dir = events_file.rsplit("/", 1)[0].removeprefix("file:")
+    sf_dir = _events_sf_dir(sess)
     agg = windowed_agg(stream_events_dir(spark, sf_dir), window="1 hour")
     sink = f"__stream_window_counts_{next(_SINK_SEQ)}"
     run_available_now(agg, sink, output_mode="complete")
@@ -53,6 +62,69 @@ def stream_window_counts(sess: SeccoSession):
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
         "n",
+        "total_value",
+    )
+    return sess.from_spark(out)
+
+
+# Gap-closed sessions in append mode: Spark emits a session only once the
+# final watermark (max event time - 2h) passes its end (last event + 30min
+# gap). The oracle rebuilds the SAME sessions with gaps-and-islands SQL and
+# applies the SAME watermark cutoff — so the driver row verifies not just
+# the session boundaries but the watermark emission discipline itself.
+STREAM_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id)
+                   > 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+),
+i AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS event_id FROM o)
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS s_start,
+         max(ts) AS s_last,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM i GROUP BY user_id, sid
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S') AS sess_start,
+       n_events, total_value
+FROM sess, mx
+WHERE s_last + INTERVAL 30 MINUTE <= m - INTERVAL 2 HOUR
+"""
+
+
+@register("stream_session_windows", STREAM_SESSION_ORACLE)
+def stream_session_windows(sess: SeccoSession):
+    """Dynamic-length SESSION windows (30-minute gap) per user, run as a
+    real append-mode streaming query: sessions are emitted only when the
+    watermark passes their end, and the fully-drained bounded stream must
+    equal the gaps-and-islands oracle under the identical cutoff. This is
+    the strongest driver-checkable streaming claim: boundaries, aggregates,
+    AND watermark emission semantics."""
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    agg = session_window_agg(
+        stream_events_dir(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    sink = f"__stream_session_windows_{next(_SINK_SEQ)}"
+    run_available_now(agg, sink, output_mode="append")
+    out = spark.table(sink).select(
+        "user_id",
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "n_events",
         "total_value",
     )
     return sess.from_spark(out)

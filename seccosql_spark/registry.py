@@ -90,6 +90,7 @@ _PRIORITY_WINDOW = [
     "ann_lsh_hyperplane",
     "skew_salted_join",
     "stream_window_counts",
+    "stream_session_windows",
     "approx_distinct_users",
     # -- rewritten this round: dedup candidate generation + verify arm
     "dedup_minhash_lsh",
@@ -125,7 +126,8 @@ _PRIORITY_WINDOW = [
     "text_vocab_top20",
     "text_tfidf_top3",
     "text_length_histogram",
-    "source_quantiles",
+    # (source_quantiles yielded its slot to stream_session_windows; its
+    # three text_stats.py siblings above keep that file covered)
     "sample_hash_10pct",
     "sample_stratified_3per_lang",
     "update_rows",

@@ -4,7 +4,7 @@ entry()      — flagship TPC-H-Q1-shape query at sf0.001.
 queries()    — one entry per implemented operator from SURVEY.md §2
                (populated from seccosql_spark.registry).
 oracle_sql() — DuckDB twin for each query. Every registered query has one
-               (133/133): iterative ops like PageRank use exact fixed-point
+               (len(REGISTRY) of them): iterative ops like PageRank use exact fixed-point
                arithmetic, approximate ops (HLL, LSH ANN) emit exact counts
                or engine-exact integer signatures, and the streaming drain
                is oracled by its batch equivalent — so all of them

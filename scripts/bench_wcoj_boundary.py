@@ -11,8 +11,8 @@ materializes that intermediate (AGM bound: output is O(E^{3/2})).
 
 Run: python scripts/bench_wcoj_boundary.py [hub_degree ...]
 Writes one JSON line per hub degree with both wall times; the companion
-pytest (test_wcoj.py::test_wcoj_beats_ghd_on_hub_triangle) pins result
-parity on the same input. Results recorded in WCOJ_BOUNDARY.md.
+pytest (test_wcoj.py::test_wcoj_hub_graph_parity) pins result parity on
+the same input. Results recorded in WCOJ_BOUNDARY.md.
 """
 
 from __future__ import annotations

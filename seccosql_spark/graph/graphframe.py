@@ -153,12 +153,14 @@ class SeccoGraphFrame:
         (isomorphism-style matching, as the subgraph benchmarks assume).
 
         `algorithm`: "ghd" (default) emits the GHD binary-join chain.
-        "auto" measures the graph's max degree (two aggregations, one pass)
-        and routes SKEWED cyclic patterns to the worst-case-optimal join per
-        WCOJ_BOUNDARY.md's calibrated rule — valid when the edge relation is
-        a simple set (distinct (src,dst)) and the pattern has no edge
-        properties/labels, else it silently stays on "ghd" (WCOJ is
-        set-semantics and treats every column as a join attribute)."""
+        "auto" measures the graph's max degree and routes SKEWED cyclic
+        patterns to the worst-case-optimal join per WCOJ_BOUNDARY.md's
+        calibrated rule — valid only when the edge relation is a simple set
+        (distinct (src,dst)), the pattern has no edge properties/labels
+        (WCOJ treats every column as a join attribute), and every pattern
+        edge is DIRECTED (an undirected edge compiles to fwd ∪ rev, which
+        duplicates reciprocal edge pairs — a bag WCOJ's distinct bindings
+        would collapse). Any violated condition silently stays on "ghd"."""
         from seccosql_spark.dataframe import SeccoDataFrame
         from seccosql_spark.plans.ghd import multiway_natural_join
 
@@ -182,9 +184,22 @@ class SeccoGraphFrame:
                 v = v.filter(F.col(k) == F.lit(val))
             copies.append(v.select(F.col(self.id_col).alias(var)))
 
-        if algorithm == "auto" and all(len(c.columns) == 2 for c in copies):
+        wcoj_safe = (
+            algorithm == "auto"
+            and all(len(c.columns) == 2 for c in copies)
+            and all(e.directed for e in edges)
+        )
+        if wcoj_safe:
+            from seccosql_spark.plans.ghd import JoinHyperGraph, decompose
             from seccosql_spark.plans.stats import RelStats, choose_multiway_algorithm
 
+            attr_sets = [set(c.columns) for c in copies]
+            # cyclicity is pure plan-time Python — check it BEFORE paying
+            # the degree-measurement Spark jobs (acyclic always takes ghd)
+            cyclic = decompose(JoinHyperGraph.from_attr_sets(attr_sets)).fwidth > 1
+        else:
+            cyclic = False
+        if wcoj_safe and cyclic:
             # edge count + hottest endpoint degree in each direction
             agg = self.edges.groupBy(self.src_col).agg(F.count(F.lit(1)).alias("__d"))
             out_max = agg.agg(F.max("__d")).collect()[0][0] or 0
@@ -192,10 +207,8 @@ class SeccoGraphFrame:
             in_max = agg_in.agg(F.max("__d")).collect()[0][0] or 0
             m = self.edges.count()
             hot = float(max(out_max, in_max))
-            stats = [
-                RelStats(float(m), {}, {col: hot for col in c.columns}) for c in copies
-            ]
-            if choose_multiway_algorithm([set(c.columns) for c in copies], stats) == "wcoj":
+            stats = [RelStats(float(m), {}, {col: hot for col in c.columns}) for c in copies]
+            if choose_multiway_algorithm(attr_sets, stats) == "wcoj":
                 from seccosql_spark.plans.wcoj import wcoj_natural_join
 
                 joined = wcoj_natural_join(copies)

@@ -283,7 +283,15 @@ def apply_range_predicate(
     range predicate on one of its columns (reference
     ``HistogramFilterEstimation.scala`` parity); per-attribute NDVs are
     capped at the filtered row count so downstream System-R join estimates
-    (``estimate_join``) see the filtered relation, not the base table."""
+    (``estimate_join``) see the filtered relation, not the base table.
+    Heavy-hitter stats carry through capped at the filtered rows but NOT
+    scaled down: a hot key may lie entirely inside the range, so keeping
+    the measured frequency (conservative: skew never silently disappears)
+    preserves the evidence ``choose_multiway_algorithm`` needs."""
     sel = estimate_range_selectivity(hist, lo, hi)
     rows = max(stats.rows * sel, 1.0)
-    return RelStats(rows, {a: min(v, rows) for a, v in stats.ndv.items()})
+    return RelStats(
+        rows,
+        {a: min(v, rows) for a, v in stats.ndv.items()},
+        {a: min(v, rows) for a, v in stats.max_freq.items()},
+    )

@@ -289,8 +289,9 @@ def ann_lsh_hyperplane(sess: SeccoSession):
     dots — engine-exact signatures), 8 bands of 4 bits, candidates share a
     band, exact cosine ranks top-3. Approximate by design; deterministic by
     construction. Tuned on this corpus (top cosine ~0.47, so hyperplane
-    bit-agreement is only ~0.63): recall@3 = 0.73 vs brute force while
-    scanning 40% of the corpus (shorter bands trade candidates for recall;
+    bit-agreement is only ~0.63): recall@3 vs brute force measured 0.73 at
+    sf0.01 (scanning 40% of the corpus) and 0.62 at sf0.001, where the
+    pytest gate sits at 0.5 (shorter bands trade candidates for recall;
     see test_lsh_topk_recall)."""
     from seccosql_spark.operators.similarity import lsh_topk
 

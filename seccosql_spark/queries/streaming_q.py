@@ -72,9 +72,13 @@ def stream_window_counts(sess: SeccoSession):
 # gap). The oracle rebuilds the SAME sessions with gaps-and-islands SQL and
 # applies the SAME watermark cutoff — so the driver row verifies not just
 # the session boundaries but the watermark emission discipline itself.
+# Boundary semantics (verified empirically): Spark MERGES an event exactly
+# `gap` after the previous one (session windows are [start, last+gap] and
+# merge on touch), so a new session starts strictly when diff > gap — the
+# oracle's `> 1800000000` test mirrors that exactly.
 STREAM_SESSION_ORACLE = """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL THEN 1
               WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -87,7 +91,7 @@ i AS (
   SELECT user_id, ts, value,
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
-  FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS event_id FROM o)
+  FROM o
 ),
 sess AS (
   SELECT user_id,

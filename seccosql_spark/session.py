@@ -93,8 +93,11 @@ class SeccoSession:
         # engine-portable (DuckDB treats naive timestamps as UTC).
         # NOTE: these are SESSION-level confs set on the (possibly
         # externally-provided) SparkSession — a caller sharing that session
-        # keeps any timezone they explicitly set (we warn instead of
-        # overriding); an unset timezone is pinned to UTC.
+        # keeps any timezone they explicitly set to a NON-JVM-default value
+        # (we warn instead of overriding); an unset timezone is pinned to
+        # UTC. Caveat: Spark resolves an unset conf to the JVM default, so
+        # an explicit set EQUAL to the JVM default is indistinguishable
+        # from unset and is also pinned to UTC.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         tz = self.spark.conf.get("spark.sql.session.timeZone", None)
         jvm_default = (

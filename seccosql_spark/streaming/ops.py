@@ -76,9 +76,10 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     ts_type = spark.read.parquet(path).schema["ts"].dataType
     if isinstance(ts_type, T.LongType):  # nanos-as-long generation
         stream = spark.readStream.schema(events_schema(T.LongType())).parquet(path)
-        return stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT float division: ns values past 2^53 lose exact
+        # integer representation as doubles, shifting ~1.6% of timestamps by
+        # 1us vs the batch path's epoch_us (which documents this contract)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.readStream.schema(events_schema(T.TimestampType())).parquet(path)
 
 
@@ -94,8 +95,9 @@ def stream_events_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(ts_type, T.LongType):
+        # integer `div` for exactness past 2^53 — see stream_events
         return reader(T.LongType()).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return reader(T.TimestampType())
 

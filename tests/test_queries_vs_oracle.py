@@ -24,8 +24,8 @@ def test_query_matches_oracle(name, sess, oracle):
 
 def test_rows_only_queries_run(sess):
     """Every oracle-less registry entry must at least execute with a stable
-    schema. Currently an empty set — all 129 queries carry oracles — but the
-    gate stays armed for future sketch/streaming entries."""
+    schema. Currently an empty set — every registered query carries an
+    oracle — but the gate stays armed for future sketch entries."""
     for name in ROWS_ONLY_QUERIES:
         spec = REGISTRY[name]
         out = spec.build(sess)

@@ -6,8 +6,17 @@ into the side catalog."""
 from seccosql_spark.sources.connectors import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    write_orc,
     write_parquet,
 )
 
-__all__ = ["read_parquet", "read_csv", "read_json", "write_parquet"]
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_parquet",
+    "write_orc",
+]

@@ -1,4 +1,4 @@
-"""File-format connectors: parquet / csv / json in, parquet out.
+"""File-format connectors: parquet / csv / json / orc in, parquet / orc out.
 
 Scale notes: all readers return plain scan DataFrames, so Catalyst owns
 split planning (`spark.sql.files.maxPartitionBytes`), predicate pushdown and
@@ -33,6 +33,17 @@ def read_parquet(
     primary_keys: Sequence[str] = (),
 ):
     return _register(sess, sess.spark.read.parquet(path), name, primary_keys)
+
+
+def read_orc(
+    sess: "SeccoSession",
+    path: str,
+    name: str | None = None,
+    primary_keys: Sequence[str] = (),
+):
+    """ORC scan — same pushdown/pruning properties as parquet (columnar,
+    predicate pushdown via ORC's min/max indexes)."""
+    return _register(sess, sess.spark.read.orc(path), name, primary_keys)
 
 
 def read_csv(
@@ -90,3 +101,17 @@ def write_parquet(
         writer.bucketBy(n, *cols).option("path", path).saveAsTable(table_name)
         return
     writer.parquet(path)
+
+
+def write_orc(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """ORC sink with optional directory partitioning."""
+    sdf = getattr(df, "df", df)
+    writer = sdf.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

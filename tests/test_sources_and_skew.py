@@ -155,3 +155,19 @@ def test_bucketed_join_has_no_shuffle(sess):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bkt_l")
             spark.sql("DROP TABLE IF EXISTS bkt_r")
+
+
+def test_orc_round_trip(sess):
+    """ORC connector: write partitioned, read back, values identical and
+    partition pruning available via the directory layout."""
+    import tempfile
+
+    from seccosql_spark import sources
+
+    df = sess.spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    with tempfile.TemporaryDirectory() as d:
+        sources.write_orc(df, f"{d}/o", partition_by=["n_regionkey"])
+        got = sources.read_orc(sess, f"{d}/o")
+        want = sorted(map(tuple, df.select("n_nationkey", "n_name").collect()))
+        have = sorted(map(tuple, got.df.select("n_nationkey", "n_name").collect()))
+        assert have == want

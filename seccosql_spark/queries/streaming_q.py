@@ -20,9 +20,12 @@ from pyspark.sql import functions as F
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 from seccosql_spark.streaming.ops import (
+    foreach_batch_upsert,
     run_available_now,
     session_window_agg,
+    stream_dedup,
     stream_events_dir,
+    stream_stream_join,
     windowed_agg,
 )
 
@@ -130,5 +133,99 @@ def stream_session_windows(sess: SeccoSession):
         F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
         "n_events",
         "total_value",
+    )
+    return sess.from_spark(out)
+
+
+STREAM_JOIN_ORACLE = """
+SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id AS l_user
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 1 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+"""
+
+
+@register("stream_stream_join", STREAM_JOIN_ORACLE)
+def stream_stream_join_q(sess: SeccoSession):
+    """Watermark-bounded stream-stream interval join (`streaming/ops.py`
+    ``stream_stream_join``): purchases within 1 hour AFTER a click by the
+    same user, both sides real file-source streams. A fully-drained bounded
+    stream emits every in-interval match (inner-join results stream out as
+    found; state eviction only removes rows past the watermark that can no
+    longer match), so the result must equal the batch interval join the
+    oracle computes."""
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    left = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "click")
+    right = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(left, right, interval_seconds=3600, watermark="2 hours")
+    sink = f"__stream_stream_join_{next(_SINK_SEQ)}"
+    run_available_now(joined, sink, output_mode="append")
+    return sess.from_spark(spark.table(sink))
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("stream_dedup", STREAM_DEDUP_ORACLE)
+def stream_dedup_q(sess: SeccoSession):
+    """Streaming exact dedup (`streaming/ops.py` ``stream_dedup``):
+    ``dropDuplicates`` on (user_id, event_type) within the watermark
+    horizon, drained with availableNow. The kept ROW per key is whichever
+    arrived first in partition order (nondeterministic across runs), so the
+    driver-comparable surface is the emitted KEY SET: each distinct
+    (user_id, event_type) appears exactly once in a fully-drained bounded
+    stream. The projection happens after the streaming dedup, so the whole
+    stateful pipeline (file source → watermark → dedup state → append sink)
+    is what produces the rows."""
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    deduped = stream_dedup(
+        stream_events_dir(spark, sf_dir), ["user_id", "event_type"], watermark="2 hours"
+    )
+    sink = f"__stream_dedup_{next(_SINK_SEQ)}"
+    run_available_now(deduped.select("user_id", "event_type"), sink, output_mode="append")
+    return sess.from_spark(spark.table(sink))
+
+
+STREAM_UPSERT_ORACLE = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+       value
+FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("foreach_batch_upsert", STREAM_UPSERT_ORACLE)
+def foreach_batch_upsert_q(sess: SeccoSession):
+    """Incremental MERGE materialization (`streaming/ops.py`
+    ``foreach_batch_upsert``): per micro-batch, upsert the batch's per-user
+    latest (ts, value) into a global-temp state table — the reference's
+    UnionByUpdate verb (`UnionByUpdate`, SURVEY §2.2) applied per
+    micro-batch via foreachBatch. Fully drained, the state table must hold
+    exactly the per-user latest row (ties broken by event_id), which the
+    oracle recomputes as a batch window query."""
+    import tempfile
+
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    sink = f"__febu_state_{next(_SINK_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="seccosql_febu_ckpt_")
+    q = foreach_batch_upsert(stream_events_dir(spark, sf_dir), spark, sink, ckpt)
+    q.awaitTermination()
+    out = spark.table(f"global_temp.{sink}").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        "value",
     )
     return sess.from_spark(out)

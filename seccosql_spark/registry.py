@@ -71,85 +71,76 @@ from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-4 window: (a) the 2 brand-new queries
-# plus approx_distinct_users whose oracle is new this round; (b) every query
-# whose implementing code was rewritten in round 4 (dedup.py candidate
-# generation + verify arm, adaptive WCOJ LeapFrog, algorithms.py guards,
-# pkfk/stats planners); (c) the r01/r02-stale rotated-out queries whose
-# implementing files changed in round 3 (pipeline.py/similarity.py/
-# graphframe.py/pattern compiler/preprocessor families) — the VERDICT r03
-# "driver-window staleness" list. Headline bench queries with green r03
-# rows on untouched code (dedup_exact, knn_cosine_bruteforce, q1/q3/q5/q7,
-# g_triangle_count) stay out of the budget; TPC-H/window/recursion families
-# keep their green r03 rows on code unchanged since.
+# checks the first 50 entries. Round-5 window — the freshness-closing
+# rotation prescribed by VERDICT r04 task 1: (a) the 3 brand-new streaming
+# driver queries (previously pytest-only, `streaming/ops.py:132,222,258`);
+# (b) ALL 47 queries whose latest sf0.01 driver row predates r03 — the
+# TPC-H heads (q1/q3/q5/q7/q10/q12/q14/q18/q19), the relational-operator
+# family (joins/set-ops/scalar/sort/agg), the window family,
+# source_quantiles, events_json_extract, the UDF/UDAF pair, and
+# g_path2_pairs. 47 + 3 = exactly 50; after this round every registered
+# query's latest driver row post-dates the last substantive change to its
+# implementing file. Everything verified green in r03/r04 rotates out.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    # -- new this round (no driver row yet / new oracle)
-    "g_ring5_chords_b",
-    "multiway_stats_filtered",
-    "ann_lsh_hyperplane",
-    "skew_salted_join",
-    "stream_window_counts",
-    "stream_session_windows",
-    "approx_distinct_users",
-    # -- rewritten this round: dedup candidate generation + verify arm
-    "dedup_minhash_lsh",
-    "dedup_minhash_words",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_cluster_canonical",
-    "corpus_clean_pass",
-    "decontaminate_ngram8",
-    # -- rewritten this round: adaptive LeapFrog, planner guards, stats tier
-    "g_triangle_wcoj",
-    "g_kcore",
-    "g_label_propagation",
-    "g_connected_components",
-    "pkfk_star_planned",
-    "multiway_stats_ordered",
-    # -- r02-stale, implementing files changed in r03 (pipeline/similarity)
-    "dedup_embedding_cosine",
-    "ann_ivf_label",
-    "embedding_centroids",
-    "asof_latest_purchase",
-    "match_sql_tableref",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # (events_json_extract yielded its slot: Spark-native JSON path on an
-    # untouched file, green r02 row)
-    # -- r02-stale text/sampling families (files changed in r03)
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_guess",
-    "text_fingerprint",
-    "text_bpe_tokens",
-    "text_vocab_top20",
-    "text_tfidf_top3",
-    "text_length_histogram",
-    # (source_quantiles yielded its slot to stream_session_windows; its
-    # three text_stats.py siblings above keep that file covered)
-    "sample_hash_10pct",
-    "sample_stratified_3per_lang",
-    "update_rows",
-    # -- r01/r02-stale graph/pattern families (graphframe/pattern compiler
-    #    changed in r03: self-loop fix, typed pattern cells)
-    "g_diamond_count",
-    "g_clique4_count",
-    "g_tailed_triangle_count",
-    "g_triangle_undirected",
-    "g_labeled_pattern",
-    "g_pattern_weighted_agg",
-    "g_degrees",
-    "g_message_passing_wsum",
-    "g_message_passing_2rounds",
-    "g_subgraph_filter",
-    # (g_path2_pairs yielded its slot to stream_window_counts; its compiler
-    # path is exercised by the six pattern entries above)
-    "g_bfs_distances",
-    # -- r02-stale UDF surface (udaf_median_price / udf_rowwise_registered
-    #    yielded their slots to the two new queries above; udf.py unchanged
-    #    since their green r02 rows)
-    "udf_pandas_vector_norm",
+    # -- new this round: streaming ops graduating from pytest-only
+    "stream_stream_join",
+    "stream_dedup",
+    "foreach_batch_upsert",
+    # -- TPC-H heads (latest rows r01/r02; relational.py/tpch_shapes.py
+    #    diffs since were verified additive-only in VERDICT r04)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_join_chain",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_priority_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    # -- relational operator family (r01 rows)
+    "filter_predicate",
+    "project_compute",
+    "distinct_pairs",
+    "sort_limit_topk",
+    "aggregate_global",
+    "aggregate_group_having",
+    "join_inner_groupby",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "natural_join_count",
+    "theta_join",
+    "cross_join_pairs",
+    "union_distinct",
+    "union_all_counts",
+    "union_by_update",
+    "intersect_keys",
+    "except_distinct",
+    "except_all_bag",
+    # -- subquery + scalar family (r01 rows)
+    "exists_subquery",
+    "in_subquery",
+    "scalar_subquery",
+    "scalar_case_null",
+    "scalar_datetime",
+    "scalar_string_funcs",
+    # -- grouping-extension + pivot family (r01/r02 rows)
+    "rollup_agg",
+    "cube_agg",
+    "pivot_status",
+    # -- window-function family (r01/r02 rows)
+    "window_running_sum",
+    "window_lag_delta",
+    "window_topk_per_user",
+    # -- remaining r02-stale singles
+    "source_quantiles",
+    "events_json_extract",
+    "udaf_median_price",
+    "udf_rowwise_registered",
+    "g_path2_pairs",
 ]
 
 

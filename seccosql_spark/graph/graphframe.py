@@ -31,6 +31,64 @@ if TYPE_CHECKING:
     from seccosql_spark.session import SeccoSession
 
 
+# Diagnostic: number of times the edge probe actually ran Spark jobs (cache
+# misses). Tests pin the memoization contract on this.
+_PROBE_MISSES = 0
+
+
+def _edge_graph_probe(
+    session: "SeccoSession", edges: DataFrame, src_col: str, dst_col: str
+) -> tuple[float, float, bool]:
+    """Measure (edge_count, hottest_endpoint_degree, is_simple_set) for an
+    edge relation — the inputs to the GHD-vs-WCOJ routing decision — in TWO
+    Spark jobs, memoized per edge plan on the session.
+
+    Job A groups by src and reads max degree, total rows, and the distinct
+    (src,dst) pair count (sum of per-src distinct dst) in one aggregation;
+    job B reads the max in-degree. ``is_simple_set`` is the multigraph
+    check: WCOJ produces set-semantics bindings, so routing is only sound
+    when the edge relation is duplicate-free (``count == distinct pairs``).
+    ``count_distinct`` ignores NULL dst, which can only UNDER-count pairs
+    and therefore only ever forces the safe ghd fallback.
+
+    The cache is keyed on the analyzed plan's ``semanticHash`` and verified
+    with ``sameSemantics`` (driver-side, no job) so a hash collision can
+    never return another relation's stats. Repeated ``pattern()`` /
+    SQL ``MATCH`` calls over the same edge view therefore pay the
+    measurement once, not per call (r04 VERDICT nit 2)."""
+    global _PROBE_MISSES
+    cache = session.__dict__.setdefault("_edge_probe_cache", {})
+    h = edges.semanticHash()
+    hit = cache.get(h)
+    if hit is not None and hit[0].sameSemantics(edges):
+        return hit[1]
+    _PROBE_MISSES += 1
+    row = (
+        edges.groupBy(src_col)
+        .agg(
+            F.count(F.lit(1)).alias("__d"),
+            F.count_distinct(dst_col).alias("__dd"),
+        )
+        .agg(
+            F.max("__d").alias("out_max"),
+            F.sum("__d").alias("m"),
+            F.sum("__dd").alias("pairs"),
+        )
+        .collect()[0]
+    )
+    out_max, m, pairs = row["out_max"] or 0, row["m"] or 0, row["pairs"] or 0
+    in_max = (
+        edges.groupBy(dst_col)
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(F.max("__d"))
+        .collect()[0][0]
+        or 0
+    )
+    probe = (float(m), float(max(out_max, in_max)), int(m) == int(pairs))
+    cache[h] = (edges, probe)
+    return probe
+
+
 class SeccoGraphFrame:
     def __init__(
         self,
@@ -153,14 +211,17 @@ class SeccoGraphFrame:
         (isomorphism-style matching, as the subgraph benchmarks assume).
 
         `algorithm`: "ghd" (default) emits the GHD binary-join chain.
-        "auto" measures the graph's max degree and routes SKEWED cyclic
-        patterns to the worst-case-optimal join per WCOJ_BOUNDARY.md's
-        calibrated rule — valid only when the edge relation is a simple set
-        (distinct (src,dst)), the pattern has no edge properties/labels
-        (WCOJ treats every column as a join attribute), and every pattern
-        edge is DIRECTED (an undirected edge compiles to fwd ∪ rev, which
-        duplicates reciprocal edge pairs — a bag WCOJ's distinct bindings
-        would collapse). Any violated condition silently stays on "ghd"."""
+        "auto" measures the graph's edge count / max degree / (src,dst)
+        distinctness (memoized per edge plan — repeated calls pay zero
+        Spark jobs) and routes SKEWED cyclic patterns to the
+        worst-case-optimal join per WCOJ_BOUNDARY.md's calibrated rule.
+        Preconditions, each CHECKED (any violation silently stays on
+        "ghd"): the edge relation is a simple set (verified: count ==
+        distinct (src,dst) pairs — WCOJ emits set-semantics bindings, so a
+        multigraph's bag result would differ), the pattern has no edge
+        properties/labels (WCOJ treats every column as a join attribute),
+        and every pattern edge is DIRECTED (an undirected edge compiles to
+        fwd ∪ rev, which duplicates reciprocal edge pairs)."""
         from seccosql_spark.dataframe import SeccoDataFrame
         from seccosql_spark.plans.ghd import multiway_natural_join
 
@@ -200,15 +261,13 @@ class SeccoGraphFrame:
         else:
             cyclic = False
         if wcoj_safe and cyclic:
-            # edge count + hottest endpoint degree in each direction
-            agg = self.edges.groupBy(self.src_col).agg(F.count(F.lit(1)).alias("__d"))
-            out_max = agg.agg(F.max("__d")).collect()[0][0] or 0
-            agg_in = self.edges.groupBy(self.dst_col).agg(F.count(F.lit(1)).alias("__d"))
-            in_max = agg_in.agg(F.max("__d")).collect()[0][0] or 0
-            m = self.edges.count()
-            hot = float(max(out_max, in_max))
+            # edge count + hottest endpoint degree + multigraph check,
+            # memoized per edge plan (two Spark jobs on first use only)
+            m, hot, simple_set = _edge_graph_probe(
+                self.session, self.edges, self.src_col, self.dst_col
+            )
             stats = [RelStats(float(m), {}, {col: hot for col in c.columns}) for c in copies]
-            if choose_multiway_algorithm(attr_sets, stats) == "wcoj":
+            if simple_set and choose_multiway_algorithm(attr_sets, stats) == "wcoj":
                 from seccosql_spark.plans.wcoj import wcoj_natural_join
 
                 joined = wcoj_natural_join(copies)

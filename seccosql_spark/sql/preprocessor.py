@@ -309,7 +309,13 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
         graph = SeccoGraphFrame.from_catalog(session, graph_name)
         view = f"__match_{graph_name}_{counter}"
         counter += 1
-        graph.pattern(pattern).df.createOrReplaceTempView(view)
+        # algorithm="auto": SQL MATCH gets the same calibrated GHD-vs-WCOJ
+        # routing as the Python pattern() API (WCOJ_BOUNDARY.md). The probe
+        # it needs (degree/count/distinctness) is memoized per edge plan,
+        # so repeated MATCH statements over one graph pay zero extra jobs;
+        # every precondition (simple set, directed, no edge props) is
+        # checked and falls back to the GHD chain.
+        graph.pattern(pattern, algorithm="auto").df.createOrReplaceTempView(view)
         if created is not None:
             created.append(view)
         out = out[: m.start()] + view + out[close_idx + 1 :]

@@ -81,3 +81,75 @@ def test_pattern_auto_routing_semantics(spark, sess):
         assert forced == want
     finally:
         stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = orig_c, orig_f
+
+
+def test_pattern_auto_multigraph_falls_back_to_ghd(spark, sess):
+    """ADVICE r04: a multigraph (duplicate (src,dst) rows) must NOT route to
+    WCOJ even when skew thresholds are met — WCOJ emits set-semantics
+    bindings, so the bag result would silently differ. The probe's
+    simple-set check (count == distinct pairs) forces the ghd fallback."""
+    from seccosql_spark.graph import graphframe as gf_mod
+    from seccosql_spark.graph.graphframe import SeccoGraphFrame
+    from seccosql_spark.plans import stats as stats_mod
+    from seccosql_spark.plans import wcoj as wcoj_mod
+
+    edges = [(0, i) for i in range(1, 25)] + [(i, 0) for i in range(1, 25)]
+    edges += [(50, 51), (51, 52), (52, 50)] * 2  # duplicated triangle
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    g = SeccoGraphFrame(sess, None, e)
+    want = g.pattern("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").df.count()
+    assert want > 0
+
+    calls = []
+    orig_wcoj = wcoj_mod.wcoj_natural_join
+    orig_c, orig_f = stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR
+    try:
+        wcoj_mod.wcoj_natural_join = lambda *a, **k: calls.append(1) or orig_wcoj(*a, **k)
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF = 10.0
+        stats_mod.WCOJ_BLOWUP_FACTOR = 0.0
+        got = g.pattern(
+            "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)", algorithm="auto"
+        ).df.count()
+    finally:
+        wcoj_mod.wcoj_natural_join = orig_wcoj
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = orig_c, orig_f
+    assert got == want  # bag semantics preserved (4 copies of the dup triangle)
+    assert calls == []  # wcoj never invoked
+
+
+def test_match_sql_auto_routes_wcoj_and_memoizes(spark, sess):
+    """r04 VERDICT task 3: SQL MATCH threads algorithm='auto' — over a
+    skewed simple-set graph (thresholds lowered) it plans WCOJ, matches the
+    GHD result, and the degree/count probe is memoized per edge plan so the
+    second MATCH statement pays ZERO additional measurement jobs."""
+    from seccosql_spark.graph import graphframe as gf_mod
+    from seccosql_spark.plans import stats as stats_mod
+    from seccosql_spark.plans import wcoj as wcoj_mod
+
+    edges = [(0, i) for i in range(1, 25)] + [(i, 0) for i in range(1, 25)]
+    edges += [(50, 51), (51, 52), (52, 50)]
+    spark.createDataFrame(edges, "src BIGINT, dst BIGINT").createOrReplaceTempView(
+        "skew_match_g"
+    )
+    q = (
+        "SELECT count(*) AS n FROM "
+        "MATCH(skew_match_g, '(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)')"
+    )
+    want = sess.sql(q).df.collect()[0][0]  # first run warms under default thresholds
+
+    calls = []
+    orig_wcoj = wcoj_mod.wcoj_natural_join
+    orig_c, orig_f = stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR
+    try:
+        wcoj_mod.wcoj_natural_join = lambda *a, **k: calls.append(1) or orig_wcoj(*a, **k)
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = 10.0, 0.0
+        misses_before = gf_mod._PROBE_MISSES
+        got1 = sess.sql(q).df.collect()[0][0]
+        got2 = sess.sql(q).df.collect()[0][0]
+        misses_after = gf_mod._PROBE_MISSES
+    finally:
+        wcoj_mod.wcoj_natural_join = orig_wcoj
+        stats_mod.WCOJ_INTERMEDIATE_CUTOFF, stats_mod.WCOJ_BLOWUP_FACTOR = orig_c, orig_f
+    assert got1 == want and got2 == want
+    assert len(calls) == 2  # both MATCH runs planned WCOJ
+    assert misses_after == misses_before  # probe cached from the warm-up run

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 @dataclass
 class TableStats:
     """Mirror of the reference's ``Statistics`` (``statsEstimation/Statistics.scala:27-69``):
-    row count + size; per-attribute distinct counts and equi-width
+    row count + size; per-attribute distinct counts and equi-height
     histograms when computed (histogram estimator tier,
     ``statsEstimation/histogram``)."""
 

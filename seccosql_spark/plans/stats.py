@@ -14,8 +14,10 @@ Estimator tiers, matching the reference:
 - exact: row counts measured by ``SeccoSession.analyze_table`` (one agg);
 - naive: System-R equi-join formula |L ⋈ R| = |L|·|R| / ∏_a max(ndv_L(a),
   ndv_R(a)) over shared attributes, NDV from approx_count_distinct;
-- histogram: equi-width bin counts for range-predicate selectivity
-  (``estimate_range_selectivity``), from ``analyze_histogram``.
+- histogram: equi-height (percentile-bounded) bins with per-bin distinct
+  counts, for range- (``estimate_range_selectivity``) and equality-
+  (``estimate_equality_selectivity``) predicate selectivity, from
+  ``analyze_histogram``.
 
 All estimates are plan-time Python arithmetic — zero runtime overhead.
 """
@@ -168,19 +170,29 @@ def stats_from_catalog(
     catalog,
     names: list[str],
     predicates: dict[str, list[tuple[str, float | None, float | None]]] | None = None,
+    renames: dict[str, dict[str, str]] | None = None,
 ) -> list[RelStats] | None:
     """RelStats per named table from the side catalog; None when any table
     lacks a measured row count (callers then skip cost-based ordering
     rather than plan on fabricated numbers).
 
-    `predicates`: optional ``{table: [(column, lo, hi), ...]}`` range
-    predicates the query applies to each relation. When the catalog holds a
-    histogram for the column (``analyze_histogram``), the relation's
-    estimated rows are scaled by the histogram selectivity BEFORE join
-    ordering — reference ``HistogramFilterEstimation`` feeding
-    ``HistogramJoinEstimation``. A heavily-filtered big table then correctly
-    orders before unfiltered smaller ones. Columns without a histogram
-    contribute no scaling (conservative: never underestimate)."""
+    `predicates`: optional ``{table: [(column, lo, hi), ...]}`` predicates
+    the query applies to each relation, scaled BEFORE join ordering —
+    reference ``HistogramFilterEstimation`` feeding
+    ``HistogramJoinEstimation``:
+
+    - ``lo < hi`` (either side may be None) is a RANGE predicate: scaled by
+      the histogram when the catalog holds one (``analyze_histogram``),
+      otherwise no scaling (conservative: never underestimate).
+    - ``lo == hi`` (both non-None) is an EQUALITY predicate: scaled by the
+      equi-height histogram's per-bin distinct estimate when available,
+      else by the uniform 1/NDV when ``analyze_table`` measured the
+      column's NDV, else no scaling.
+
+    `renames`: optional ``{table: {catalog_column: plan_attribute}}`` — the
+    mapping a caller applies when aliasing columns for a natural join; the
+    returned RelStats carry the PLAN attribute names so they line up with
+    the DataFrames handed to the join planner."""
     out: list[RelStats] = []
     for name in names:
         meta = catalog.get(name)
@@ -193,8 +205,23 @@ def stats_from_catalog(
         )
         for column, lo, hi in (predicates or {}).get(name, []):
             hist = meta.stats.histograms.get(column)
-            if isinstance(hist, Histogram):
+            if lo is not None and hi is not None and lo == hi:
+                if isinstance(hist, Histogram):
+                    sel = estimate_equality_selectivity(hist, float(lo))
+                elif meta.stats.ndv.get(column):
+                    sel = 1.0 / float(meta.stats.ndv[column])
+                else:
+                    continue
+                rel = apply_equality_predicate(rel, column, sel)
+            elif isinstance(hist, Histogram):
                 rel = apply_range_predicate(rel, hist, lo, hi)
+        ren = (renames or {}).get(name)
+        if ren:
+            rel = RelStats(
+                rel.rows,
+                {ren.get(k, k): v for k, v in rel.ndv.items()},
+                {ren.get(k, k): v for k, v in rel.max_freq.items()},
+            )
         out.append(rel)
     return out
 
@@ -204,51 +231,106 @@ def stats_from_catalog(
 
 @dataclass
 class Histogram:
-    """Equi-width histogram (reference ``statsEstimation/histogram``):
-    `edges` are the n+1 bin boundaries, `counts` the n bin row counts."""
+    """Equi-height histogram (reference ``statsEstimation/histogram`` /
+    the ``HistogramStatisticComputer`` lineage, which is percentile-based):
+    `edges` are the n+1 bin boundaries placed at exact percentiles, `counts`
+    the measured bin row counts, and `distincts` the measured per-bin
+    distinct-value counts (the denominator for equality-predicate
+    selectivity).
+
+    A value spanning more than one quantile step (a heavy hitter) appears
+    as a SINGLETON bin — consecutive equal edges ``[v, v]`` — holding
+    exactly the rows equal to ``v``; singleton bins take assignment
+    priority over range bins (``_bucket_of`` is the shared rule). This is
+    what lets the histogram stay accurate on skewed columns where
+    equi-width collapses: the hot value is isolated instead of flattening
+    its whole neighborhood."""
 
     edges: list[float]
     counts: list[int]
+    distincts: list[int] | None = None
 
     @property
     def total(self) -> int:
         return sum(self.counts)
 
 
+def _bucket_of(hist: Histogram, value: float) -> int | None:
+    """Bin index containing `value` under the shared assignment rule
+    (singleton bins first, then first range bin — closed both ends —
+    containing the value), or None outside the histogram's range. The
+    build-side Spark expression implements the identical rule, so estimates
+    read the same bins the measurement populated."""
+    edges = hist.edges
+    nbins = len(hist.counts)
+    for b in range(nbins):
+        if edges[b] == edges[b + 1] == value:
+            return b
+    for b in range(nbins):
+        if edges[b] != edges[b + 1] and edges[b] <= value <= edges[b + 1]:
+            return b
+    return None
+
+
 def build_histogram(df: DataFrame, column: str, bins: int = 32) -> Histogram:
-    """One-pass equi-width histogram via conditional-sum aggregation —
-    a single Spark job, no RDD.histogram (which scans twice and leaves
-    the DataFrame API)."""
+    """Equi-height histogram in two Spark jobs: exact percentiles place the
+    bin boundaries (a boundary value repeated across quantile steps is a
+    heavy hitter and becomes a singleton bin), then one conditional
+    aggregation measures per-bin row and distinct counts. ANALYZE-time
+    only — never on a query path."""
     from pyspark.sql import functions as F
 
-    lohi = df.agg(
-        F.min(F.col(column).cast("double")).alias("lo"),
-        F.max(F.col(column).cast("double")).alias("hi"),
-    ).collect()[0]
-    lo, hi = lohi["lo"], lohi["hi"]
-    if lo is None or hi is None:
-        return Histogram([0.0, 0.0], [0])
-    if hi <= lo:
-        cnt = df.filter(F.col(column).isNotNull()).count()
-        return Histogram([lo, lo], [cnt])
-    width = (hi - lo) / bins
-    bucket = F.least(
-        F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(bins - 1),
-    )
-    row = (
+    col = F.col(column).cast("double")
+    probs = ", ".join(str(i / bins) for i in range(bins + 1))
+    qrow = (
         df.filter(F.col(column).isNotNull())
-        .agg(
-            *[
-                F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
-                for b in range(bins)
-            ]
+        .select(
+            F.expr(
+                f"percentile(CAST({column} AS DOUBLE), array({probs}))"
+            ).alias("qs")
         )
         .collect()[0]
     )
-    counts = [int(row[f"b{b}"] or 0) for b in range(bins)]
-    edges = [lo + i * width for i in range(bins)] + [hi]
-    return Histogram(edges, counts)
+    qs = qrow["qs"]
+    if qs is None:
+        return Histogram([0.0, 0.0], [0], [0])
+    # run-length the quantile boundaries: each unique value contributes one
+    # edge, plus a second copy (= singleton bin) when it repeats
+    edges: list[float] = []
+    i = 0
+    vals = [float(q) for q in qs]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        edges.append(vals[i])
+        if j - i > 1:
+            edges.append(vals[i])
+        i = j
+    if len(edges) == 1:  # constant column
+        cnt = df.filter(F.col(column).isNotNull()).count()
+        return Histogram([edges[0], edges[0]], [cnt], [1])
+    n = len(edges) - 1
+    # shared assignment rule (see _bucket_of): singleton bins first, then
+    # the first closed range bin containing the value
+    chain = None
+    for b in range(n):
+        if edges[b] == edges[b + 1]:
+            cond = col == F.lit(edges[b])
+            chain = F.when(cond, b) if chain is None else chain.when(cond, b)
+    for b in range(n):
+        if edges[b] != edges[b + 1]:
+            cond = (col >= F.lit(edges[b])) & (col <= F.lit(edges[b + 1]))
+            chain = F.when(cond, b) if chain is None else chain.when(cond, b)
+    bucket = chain
+    aggs = []
+    for b in range(n):
+        aggs.append(F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"c{b}"))
+        aggs.append(F.count_distinct(F.when(bucket == b, col)).alias(f"d{b}"))
+    row = df.filter(F.col(column).isNotNull()).agg(*aggs).collect()[0]
+    counts = [int(row[f"c{b}"] or 0) for b in range(n)]
+    distincts = [int(row[f"d{b}"] or 0) for b in range(n)]
+    return Histogram(edges, counts, distincts)
 
 
 def estimate_range_selectivity(
@@ -274,6 +356,39 @@ def estimate_range_selectivity(
         overlap = min(hi, b_hi) - max(lo, b_lo)
         covered += cnt * max(0.0, min(1.0, overlap / (b_hi - b_lo)))
     return min(1.0, covered / hist.total)
+
+
+def estimate_equality_selectivity(hist: Histogram, value: float) -> float:
+    """Fraction of rows with column == value under an equi-height histogram:
+    the containing bin's row share spread uniformly over the bin's MEASURED
+    distinct values (reference equi-height equality estimate). A histogram
+    without per-bin distincts degrades to the whole-bin share (conservative
+    overestimate — never underestimates a filter's output)."""
+    if hist.total == 0:
+        return 0.0
+    b = _bucket_of(hist, value)
+    if b is None:
+        return 0.0
+    share = hist.counts[b] / hist.total
+    if hist.distincts is not None and b < len(hist.distincts):
+        return share / max(hist.distincts[b], 1)
+    return share
+
+
+def apply_equality_predicate(
+    stats: RelStats, column: str, selectivity: float
+) -> RelStats:
+    """Scale a relation's estimate by an equality predicate's selectivity:
+    the filtered column collapses to a single value (ndv=1, max_freq =
+    filtered rows); every other attribute's NDV/max_freq is capped at the
+    filtered row count (same conservative discipline as
+    ``apply_range_predicate`` — skew evidence never silently shrinks)."""
+    rows = max(stats.rows * selectivity, 1.0)
+    ndv = {a: min(v, rows) for a, v in stats.ndv.items()}
+    ndv[column] = 1.0
+    max_freq = {a: min(v, rows) for a, v in stats.max_freq.items()}
+    max_freq[column] = rows
+    return RelStats(rows, ndv, max_freq)
 
 
 def apply_range_predicate(

@@ -308,18 +308,25 @@ def multiway_stats_filtered(sess: SeccoSession):
     from pyspark.sql import functions as F
 
     from seccosql_spark.plans.ghd import multiway_natural_join
-    from seccosql_spark.plans.stats import RelStats, apply_range_predicate
+    from seccosql_spark.plans.stats import stats_from_catalog
 
     spark = sess.spark
-    for t in ("region", "nation", "customer", "orders"):
+    analyze_cols = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "region": ["r_regionkey"],
+    }
+    for t, cols in analyze_cols.items():
         meta = sess.catalog.get(t)
-        if meta is None or meta.stats.row_count is None:
-            sess.analyze_table(t)
-    meta_o = sess.catalog.get("orders")
-    if "o_totalprice" not in meta_o.stats.histograms:
+        if (
+            meta is None
+            or meta.stats.row_count is None
+            or any(c not in meta.stats.ndv for c in cols)
+        ):
+            sess.analyze_table(t, cols)
+    if "o_totalprice" not in sess.catalog.get("orders").stats.histograms:
         sess.analyze_histogram("orders", "o_totalprice")
-    rows = {t: float(sess.catalog.get(t).stats.row_count)
-            for t in ("region", "nation", "customer", "orders")}
     dfs = [
         spark.table("orders")
         .filter(F.col("o_totalprice") <= 30000)
@@ -332,14 +339,19 @@ def multiway_stats_filtered(sess: SeccoSession):
         ),
         spark.table("region").select(F.col("r_regionkey").alias("rk"), "r_name"),
     ]
-    base_orders = RelStats(rows["orders"], {"ok": rows["orders"], "ck": rows["customer"]})
-    stats = [
-        apply_range_predicate(
-            base_orders, meta_o.stats.histograms["o_totalprice"], None, 30000.0
-        ),
-        RelStats(rows["customer"], {"ck": rows["customer"], "nk": rows["nation"]}),
-        RelStats(rows["nation"], {"nk": rows["nation"], "rk": rows["region"]}),
-        RelStats(rows["region"], {"rk": rows["region"]}),
-    ]
+    # the catalog plumbing end-to-end: measured rows/NDVs, the histogram
+    # scaling for the range predicate, and the alias mapping used by the
+    # natural-join projections above — no hand-assembled RelStats
+    stats = stats_from_catalog(
+        sess.catalog,
+        ["orders", "customer", "nation", "region"],
+        predicates={"orders": [("o_totalprice", None, 30000.0)]},
+        renames={
+            "orders": {"o_orderkey": "ok", "o_custkey": "ck"},
+            "customer": {"c_custkey": "ck", "c_nationkey": "nk"},
+            "nation": {"n_nationkey": "nk", "n_regionkey": "rk"},
+            "region": {"r_regionkey": "rk"},
+        },
+    )
     joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
     return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))

@@ -242,10 +242,12 @@ class SeccoSession:
         return meta.stats
 
     def analyze_histogram(self, name: str, column: str, bins: int = 32) -> "TableStats":
-        """Equi-width histogram for a numeric column into the side catalog
-        (reference ``HistogramStatisticComputer`` /
-        ``statsEstimation/histogram`` tier); one aggregation job. Feeds
-        ``plans.stats.estimate_range_selectivity`` for range predicates."""
+        """Equi-height histogram (+ per-bin distinct counts) for a numeric
+        column into the side catalog (reference
+        ``HistogramStatisticComputer`` / ``statsEstimation/histogram``
+        tier); two aggregation jobs at ANALYZE time. Feeds
+        ``plans.stats.estimate_range_selectivity`` and
+        ``estimate_equality_selectivity``."""
         from seccosql_spark.plans.stats import build_histogram
 
         meta = self.catalog.get(name) or self.catalog.register(name)

@@ -44,13 +44,36 @@ For each query: the scan lines (pushed filters + pruned read schema) and the
 join/exchange summary — the judge-checkable claims from README "Design
 rules". Regenerate with `python scripts/gen_plans.py`.
 
-Counting caveat: numbers are occurrences in the formatted plan TEXT. A
-persisted/broadcast subtree's lineage is printed once per reference, so
-pipelines that cache small intermediates (e.g. dedup_minhash_lsh's candidate
-pairs, referenced three times) overcount their RUNTIME exchanges — the
-cached subplan executes once. Treat deltas here as a prompt to re-profile
-(`scripts/profile_minhash.py <query>`), not as the measurement.
+Counting caveat: `exchanges=` counts occurrences in the formatted plan
+TEXT. A persisted/broadcast subtree's lineage is printed once per
+reference, so pipelines that cache small intermediates (e.g.
+dedup_minhash_lsh's candidate pairs, referenced three times) overcount
+their RUNTIME exchanges — the cached subplan executes once. The
+`runtime:` line is the measured truth: the query is EXECUTED and its
+job/stage counts read from the status tracker (stages - jobs ≈ shuffle
+boundaries actually paid, since each job's first stage reads the source or
+a cache). When text and runtime disagree, trust runtime.
 """
+
+
+def _run_measured(spark, name: str, df):
+    """Execute the query under a job group and return (jobs, stages)
+    actually run — the profiled counterpart to the text exchange count."""
+    sc = spark.sparkContext
+    group = f"plans_{name}"
+    sc.setJobGroup(group, name, interruptOnCancel=False)
+    try:
+        df.count()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(group)
+    stages = set()
+    for j in job_ids:
+        info = tracker.getJobInfo(j)
+        if info is not None:
+            stages.update(info.stageIds)
+    return len(job_ids), len(stages)
 
 
 def main() -> None:
@@ -81,9 +104,11 @@ def main() -> None:
             f"- joins: broadcast={plan.count('BroadcastHashJoin')} "
             f"sort-merge={plan.count('SortMergeJoin')} "
             f"shuffled-hash={plan.count('ShuffledHashJoin')}; "
-            f"exchanges={plan.count('Exchange')}; "
+            f"exchanges={plan.count('Exchange')} (text, incl. cached reprints); "
             f"window-ops={plan.count('Window')}"
         )
+        jobs, stages = _run_measured(spark, name, run(name, spark, "/root/testdata/sf0.1"))
+        out.append(f"- runtime (measured): jobs={jobs} stages={stages}")
         out.append("- scans:")
         out.extend(f"  - `{s}`" for s in scans[:8])
         out.append("")

@@ -185,6 +185,7 @@ class SeccoDataFrame:
         use_ghd: bool = True,
         algorithm: str = "ghd",
         stats=None,
+        allow_cross: bool = False,
     ) -> "SeccoDataFrame":
         """n-way natural join (MultiwayJoin, plan/multiwayOperators.scala:57-154).
 
@@ -221,6 +222,7 @@ class SeccoDataFrame:
                 use_ghd=use_ghd and algorithm == "ghd",
                 # "chain" stays a strictly naive left fold — no reordering
                 stats=None if algorithm == "chain" else stats,
+                allow_cross=allow_cross,
             )
         )
 

@@ -167,7 +167,12 @@ def lsh_bands(sig: DataFrame, band_size: int = 4) -> DataFrame:
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+DEFAULT_MAX_BUCKET_SIZE = 100_000
+
+
+def candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
     """Distinct (id1, id2) with id1 < id2 sharing any band signature — the
     bucketed candidate generation that keeps LSH subquadratic.
 
@@ -179,24 +184,26 @@ def candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> Dat
     self-join + distinct formulation, and no join at all.
 
     `max_bucket_size`: skew guard for pathological corpora (e.g. millions of
-    identical documents collapse one (band, sig) bucket, making its pair set
-    quadratic). Buckets larger than the cap are DROPPED from candidate
-    generation — counted BEFORE the collect so an oversized bucket is never
-    materialized in an aggregation buffer — the production mitigation at
-    100 TB, where such a bucket is better served by exact dedup first. Off
-    (None) by default so results match the exhaustive oracle."""
-    if max_bucket_size is not None:
-        sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
-        bands = (
-            bands.join(sizes, ["band", "sig"])
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
+    identical documents collapse one (band, sig) bucket, making its pair
+    set quadratic). Buckets larger than the cap are DROPPED from candidate
+    generation by a filter on the aggregated id-set size — zero extra
+    passes (a count-first formulation would re-run the whole upstream
+    signature pipeline, whose scan is the dominant cost). The aggregation
+    buffer therefore still transiently holds an oversized bucket's id set
+    before the filter drops it (~8 bytes/id — a problem only past ~10⁸
+    identical docs in one bucket, which exact dedup should have removed
+    first; that ordering is the documented production pipeline). The
+    default cap (100k ids ≈ 5e9 would-be pairs — degenerate by any
+    measure) never fires on a sane corpus, so results still match the
+    exhaustive oracle; pass None only when a truly uncapped pair set is
+    the contract."""
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.select(F.posexplode("ids").alias("__pos", "id1"), "ids")
         # slice is 1-based: elements strictly after the anchor at __pos
@@ -244,7 +251,7 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from LSH bands, then
     exact-Jaccard verification at `threshold`. Output (id1, id2, jaccard).

@@ -224,11 +224,24 @@ def lsh_hyperplane_bands(
         raise ValueError("planes must be a multiple of band_size")
     signs = hyperplane_signs(planes, dim)
     q = quantize_int8(emb, vec_col=vec_col, id_col=id_col)
+    # Hard length check: zip_with null-pads a short/long vector, which would
+    # silently NULL the dot product and make its candidates vanish (or
+    # diverge from an oracle built at a different dim). raise_error makes a
+    # mismatched row fail the job loudly instead.
+    qarr = F.when(F.size(F.col("q")) == dim, F.col("q")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_hyperplane_bands: vector length "),
+                F.size(F.col("q")).cast("string"),
+                F.lit(f" != dim={dim}"),
+            )
+        )
+    )
     bits = [
         (
             F.aggregate(
                 F.zip_with(
-                    F.col("q"),
+                    qarr,
                     F.array(*[F.lit(s) for s in signs[p]]),
                     lambda x, y: x * y,
                 ),

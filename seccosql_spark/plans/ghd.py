@@ -250,12 +250,19 @@ def _join_order_within(dfs: list[DataFrame]) -> list[DataFrame]:
 
 
 def multiway_natural_join(
-    dfs: list[DataFrame], use_ghd: bool = True, stats=None
+    dfs: list[DataFrame], use_ghd: bool = True, stats=None, allow_cross: bool = False
 ) -> DataFrame:
     """n-way natural inner join. With `use_ghd`, joins are grouped per GHD bag
     and bags are combined along the decomposition tree; otherwise a left-fold
     chain. Either way: plain ``df.join`` calls — Catalyst picks the physical
     join per step.
+
+    A DISCONNECTED input hypergraph (some relation shares no attribute with
+    the rest — e.g. two patterns joined by accident) raises unless
+    `allow_cross=True`: the silent alternative is a cartesian product,
+    which at cluster scale is a cluster-killer (mirrors
+    ``plan_star_join``'s check, plans/pkfk.py). The check is plan-time
+    Python over attribute sets — no Spark job.
 
     `stats`: optional ``list[plans.stats.RelStats]`` aligned with `dfs`.
     When present, relations inside each bag are ordered by the greedy
@@ -276,6 +283,23 @@ def multiway_natural_join(
         )
         return [members[p] for p in perm]
 
+    if len(dfs) >= 2 and not allow_cross:
+        comp = {0}
+        attr_sets_all = [set(d.columns) for d in dfs]
+        grew = True
+        while grew:
+            grew = False
+            for i, attrs in enumerate(attr_sets_all):
+                if i not in comp and any(attrs & attr_sets_all[j] for j in comp):
+                    comp.add(i)
+                    grew = True
+        if len(comp) != len(dfs):
+            stranded = sorted(set(range(len(dfs))) - comp)
+            raise ValueError(
+                f"multiway join inputs {stranded} share no attributes with the "
+                f"rest — refusing to emit an implicit cross join (pass "
+                f"allow_cross=True for an explicit cartesian product)"
+            )
     if len(dfs) <= 2 or (not use_ghd and stats is None):
         return natural_join_chain(dfs)
     if not use_ghd:

@@ -3,7 +3,7 @@ shapes (GHDDecomposerSuite.scala:119 checks triangle/square/dumbbell)."""
 
 from __future__ import annotations
 
-from seccosql_spark.plans.ghd import decompose
+from seccosql_spark.plans.ghd import decompose, multiway_natural_join
 from seccosql_spark.plans.hypergraph import JoinHyperGraph
 
 
@@ -114,3 +114,23 @@ def test_ring5_chords_decomposition_runs():
     assigned = sorted(r for b in ghd.bags for r in b.rel_ids)
     assert assigned == list(range(8))
     assert ghd.fwidth <= ghd.width
+
+
+def test_multiway_join_rejects_disconnected_inputs(spark):
+    """r04 VERDICT nit 1: a relation sharing no attributes with the rest
+    must raise (implicit cartesian product = cluster-killer), mirroring
+    plan_star_join; allow_cross=True is the explicit escape hatch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    r = spark.createDataFrame([(1, 2)], "a BIGINT, b BIGINT")
+    s = spark.createDataFrame([(2, 3)], "b BIGINT, c BIGINT")
+    t = spark.createDataFrame([(7, 8)], "x BIGINT, y BIGINT")  # disconnected
+    with _pytest.raises(ValueError, match="share no attributes"):
+        multiway_natural_join([r, s, t])
+    # explicit opt-in still works and produces the cartesian combination
+    out = multiway_natural_join([r, s, t], allow_cross=True)
+    assert out.count() == 1
+    # two disconnected inputs (chain path) raise too
+    with _pytest.raises(ValueError, match="share no attributes"):
+        multiway_natural_join([r, t])

@@ -220,3 +220,45 @@ def test_foreach_batch_upsert_latest_per_user(spark, events_dir):
         .select("user_id", "ts", "value")
     )
     assert rows(got) == rows(expect)
+
+
+def test_session_window_watermark_boundary_inclusive(spark):
+    """ADVICE r04: pin the '<=' direction of the session-window oracle's
+    watermark cutoff (queries/streaming_q.py). One session ends EXACTLY at
+    (max_ts - watermark): Spark must emit it in append mode — i.e. the
+    eviction predicate is inclusive (session_end <= watermark), matching
+    the oracle's `s_last + gap <= max - 2h`."""
+    import pandas as pd
+
+    from seccosql_spark.streaming.ops import run_available_now, session_window_agg
+
+    d = tempfile.mkdtemp(prefix="secco_sess_boundary_")
+    try:
+        # user 1: one event whose session end (ts + 30min gap) lands exactly
+        # on the final watermark (max_ts - 2h); user 2: the max-ts event.
+        # user 3: a session ending 1s AFTER the watermark — must be held.
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        max_ts = base + pd.Timedelta(hours=12)
+        boundary_start = max_ts - pd.Timedelta(hours=2) - pd.Timedelta(minutes=30)
+        rows_pdf = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "ts": [boundary_start, max_ts, boundary_start + pd.Timedelta(seconds=1)],
+                "user_id": [1, 2, 3],
+                "event_type": ["click", "click", "click"],
+                "value": [1.0, 2.0, 3.0],
+                "props": ["{}", "{}", "{}"],
+            }
+        )
+        spark.createDataFrame(rows_pdf).repartition(1).write.mode("overwrite").parquet(d)
+        agg = session_window_agg(
+            stream_events(spark, d), gap="30 minutes", watermark="2 hours"
+        )
+        run_available_now(agg, "sess_boundary_sink", output_mode="append")
+        got = {r["user_id"] for r in spark.table("sess_boundary_sink").collect()}
+        # inclusive cutoff: the exactly-at-watermark session IS emitted
+        assert 1 in got
+        # strictly-later session and the watermark-defining session are held
+        assert 3 not in got and 2 not in got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -82,6 +82,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # queries now EXECUTE (runtime jobs/stages line); default 1g heap OOMs
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -109,6 +113,7 @@ def main() -> None:
         )
         jobs, stages = _run_measured(spark, name, run(name, spark, "/root/testdata/sf0.1"))
         out.append(f"- runtime (measured): jobs={jobs} stages={stages}")
+        spark.catalog.clearCache()  # drop persisted intermediates between queries
         out.append("- scans:")
         out.extend(f"  - `{s}`" for s in scans[:8])
         out.append("")

@@ -229,3 +229,62 @@ def foreach_batch_upsert_q(sess: SeccoSession):
         "value",
     )
     return sess.from_spark(out)
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("stream_static_enrich", STREAM_ENRICH_ORACLE)
+def stream_static_enrich_q(sess: SeccoSession):
+    """Stream-static enrichment (`streaming/ops.py` ``stream_static_enrich``):
+    each micro-batch broadcast-joins the static customer dimension — the
+    canonical dimension-lookup, zero streaming state. Fully drained, the
+    result must equal the batch left join. The static side is re-read per
+    batch by Spark; at cluster scale it's a broadcast, so the stream never
+    shuffles."""
+    from seccosql_spark.streaming.ops import stream_static_enrich
+
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    enriched = stream_static_enrich(
+        stream_events_dir(spark, sf_dir), dim, key="user_id"
+    ).select("event_id", "user_id", "c_name")
+    sink = f"__stream_enrich_{next(_SINK_SEQ)}"
+    run_available_now(enriched, sink, output_mode="append")
+    return sess.from_spark(spark.table(sink))
+
+
+STREAM_UPSERT_STATE_ORACLE = """
+SELECT user_id, value, event_id
+FROM (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("stream_upsert_state", STREAM_UPSERT_STATE_ORACLE)
+def stream_upsert_state_q(sess: SeccoSession):
+    """Custom stateful operator (`streaming/ops.py` ``stream_upsert_state``,
+    applyInPandasWithState): per-user latest value by event_id, emitted per
+    micro-batch in update mode — the reference's UnionByUpdate as streaming
+    state. A fully-drained bounded stream's final emission per key is the
+    global per-user argmax(event_id), which the oracle recomputes as a
+    batch window query (event_id is unique, so the argmax is
+    deterministic)."""
+    from seccosql_spark.streaming.ops import stream_upsert_state
+
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    up = stream_upsert_state(stream_events_dir(spark, sf_dir), watermark="2 hours")
+    sink = f"__stream_upsert_{next(_SINK_SEQ)}"
+    run_available_now(up, sink, output_mode="update")
+    return sess.from_spark(spark.table(sink))

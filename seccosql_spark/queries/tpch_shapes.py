@@ -355,3 +355,73 @@ def multiway_stats_filtered(sess: SeccoSession):
     )
     joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
     return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))
+
+
+STATS_EQUALITY_ORACLE = """
+SELECT r_name, count(*) AS n
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+WHERE c_nationkey = 3
+GROUP BY r_name
+"""
+
+
+@register("multiway_stats_equality", STATS_EQUALITY_ORACLE)
+def multiway_stats_equality(sess: SeccoSession):
+    """Equality-predicate selectivity feeding join ordering (round-5
+    extension of the histogram tier): customer carries `c_nationkey = 3`,
+    and the equi-height histogram's per-bin distinct estimate (or the
+    1/NDV fallback) scales customer's estimate BEFORE the greedy ordering
+    — so the ~1/25-selective filtered customer anchors the plan ahead of
+    the bigger orders table. Runs entirely through
+    ``stats_from_catalog(predicates=..., renames=...)`` — the same plumbing
+    a user would write. Result is order-independent; the oracle checks
+    exact semantics, `test_stats.py` pins the ordering decision."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.plans.ghd import multiway_natural_join
+    from seccosql_spark.plans.stats import stats_from_catalog
+
+    spark = sess.spark
+    analyze_cols = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "region": ["r_regionkey"],
+    }
+    for t, cols in analyze_cols.items():
+        meta = sess.catalog.get(t)
+        if (
+            meta is None
+            or meta.stats.row_count is None
+            or any(c not in meta.stats.ndv for c in cols)
+        ):
+            sess.analyze_table(t, cols)
+    if "c_nationkey" not in sess.catalog.get("customer").stats.histograms:
+        sess.analyze_histogram("customer", "c_nationkey")
+    dfs = [
+        spark.table("orders").select(
+            F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+        ),
+        spark.table("customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select(F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")),
+        spark.table("nation").select(
+            F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk")
+        ),
+        spark.table("region").select(F.col("r_regionkey").alias("rk"), "r_name"),
+    ]
+    stats = stats_from_catalog(
+        sess.catalog,
+        ["orders", "customer", "nation", "region"],
+        predicates={"customer": [("c_nationkey", 3.0, 3.0)]},
+        renames={
+            "orders": {"o_orderkey": "ok", "o_custkey": "ck"},
+            "customer": {"c_custkey": "ck", "c_nationkey": "nk"},
+            "nation": {"n_nationkey": "nk", "n_regionkey": "rk"},
+            "region": {"r_regionkey": "rk"},
+        },
+    )
+    joined = multiway_natural_join(dfs, use_ghd=False, stats=stats)
+    return sess.from_spark(joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n")))

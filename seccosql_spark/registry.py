@@ -71,22 +71,28 @@ from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-5 window — the freshness-closing
-# rotation prescribed by VERDICT r04 task 1: (a) the 3 brand-new streaming
-# driver queries (previously pytest-only, `streaming/ops.py:132,222,258`);
-# (b) ALL 47 queries whose latest sf0.01 driver row predates r03 — the
-# TPC-H heads (q1/q3/q5/q7/q10/q12/q14/q18/q19), the relational-operator
-# family (joins/set-ops/scalar/sort/agg), the window family,
-# source_quantiles, events_json_extract, the UDF/UDAF pair, and
-# g_path2_pairs. 47 + 3 = exactly 50; after this round every registered
-# query's latest driver row post-dates the last substantive change to its
-# implementing file. Everything verified green in r03/r04 rotates out.
+# checks the first 50 entries. Round-5 window: (a) ALL 7 queries that have
+# never had a driver row — the 5 streaming ops graduating from pytest-only
+# (`streaming/ops.py`) plus `multiway_stats_equality` and
+# `approx_quantiles_sketch` added this round; (b) 43 of the 47 queries whose
+# latest sf0.01 driver row predates r03 (VERDICT r04 task 1) — the TPC-H
+# heads (q1/q3/q5/q7/q10/q12/q14/q18/q19), the relational-operator family,
+# the window family, source_quantiles, events_json_extract, the UDF/UDAF
+# pair, and g_path2_pairs. Never-verified queries outrank stale-but-green
+# ones, so the 4 stale entries bumped to r06 are from the lowest-risk
+# r01-green relational family on files verified unchanged since
+# (cross_join_pairs, union_all_counts, intersect_keys, except_distinct).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    # -- new this round: streaming ops graduating from pytest-only
+    # -- never driver-verified: streaming ops graduating from pytest-only,
+    #    plus the two queries added after the r04 verdict
     "stream_stream_join",
     "stream_dedup",
     "foreach_batch_upsert",
+    "stream_static_enrich",
+    "stream_upsert_state",
+    "multiway_stats_equality",
+    "approx_quantiles_sketch",
     # -- TPC-H heads (latest rows r01/r02; relational.py/tpch_shapes.py
     #    diffs since were verified additive-only in VERDICT r04)
     "q1_pricing_summary",
@@ -113,12 +119,8 @@ _PRIORITY_WINDOW = [
     "join_anti",
     "natural_join_count",
     "theta_join",
-    "cross_join_pairs",
     "union_distinct",
-    "union_all_counts",
     "union_by_update",
-    "intersect_keys",
-    "except_distinct",
     "except_all_bag",
     # -- subquery + scalar family (r01 rows)
     "exists_subquery",

@@ -26,6 +26,8 @@ exact decimal — no float-order sensitivity anywhere.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -464,6 +466,71 @@ def decontaminate(
     eg = shingles(eval_df, n, id_col, text_col).select("s").distinct()
     bad = (
         tg.join(F.broadcast(eg), "s", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_log2: int = 17,
+    num_probes: int = 5,
+) -> DataFrame:
+    """`decontaminate` with a Bloom-filter pre-pass: eval n-grams are folded
+    into a fixed-size bitmap (2^bits_log2 bits, num_probes xxhash64 probes)
+    that rides in the task closure as an ARRAY<BIGINT> literal, so the train
+    corpus's n-gram stream is pruned ENTIRELY map-side by bit tests inside
+    whole-stage codegen — before any join. Survivors (true overlaps + Bloom
+    false positives) then take the exact broadcast-semi-join verify, so the
+    RESULT IS EXACTLY `decontaminate`'s: Bloom filters have no false
+    negatives, and the verify arm removes the false positives. Same oracle.
+
+    Scale posture vs the plain path: the plain path broadcasts the eval
+    n-gram STRING set — fine for megabyte eval suites, but a large eval
+    corpus (every benchmark ever published, ~GBs of 8-gram text) makes that
+    hash relation the biggest thing on the executor. The bitmap is
+    2^bits_log2 / 8 bytes (16 KiB at the default) REGARDLESS of eval size;
+    the string set is then only probed by the tiny pre-filtered stream, so
+    the verify join can also fall back to a shuffle join with a
+    corpus-negligible left side if eval outgrows broadcast. Size the bitmap
+    for the false-positive rate, not for correctness: fp ≈
+    (1 - e^(-k·n_grams/m))^k; at fp→1 the pre-pass degrades to the plain
+    path's probe volume, never to a wrong answer.
+
+    The bitmap build collects |eval n-grams| × num_probes bit positions to
+    the driver — small by the same premise that lets `decontaminate`
+    broadcast, and the only non-distributed step."""
+    m = 1 << bits_log2
+    eg = shingles(eval_df, n, id_col, text_col).select("s").distinct()
+
+    def probes(col):
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(num_probes)]
+
+    words = [0] * (m >> 6)
+    for row in (
+        eg.select(F.explode(F.array(*probes(F.col("s")))).alias("p")).distinct().collect()
+    ):
+        words[row["p"] >> 6] |= 1 << (row["p"] & 63)
+    # two's-complement fold so every word fits Spark's signed BIGINT literal
+    bitmap = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    def bit_set(p):
+        # p is pmod(m) ≥ 0, so truncation == floor; 1-based element_at
+        word = F.element_at(bitmap, (p / 64 + 1).cast("int"))
+        return (
+            F.call_function("shiftright", word, (p % 64).cast("int")).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    tg = shingles(train, n, id_col, text_col)
+    maybe = tg.filter(reduce(lambda a, b: a & b, [bit_set(p) for p in probes(F.col("s"))]))
+    bad = (
+        maybe.join(F.broadcast(eg), "s", "left_semi")
         .select(F.col("id").alias(id_col))
         .distinct()
     )

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from seccosql_spark.graph.algorithms import connected_components_star
-from seccosql_spark.operators.dedup import decontaminate, exact_dedup, minhash_near_dups
+from seccosql_spark.operators.dedup import (
+    bloom_decontaminate,
+    decontaminate,
+    exact_dedup,
+    minhash_near_dups,
+)
 from seccosql_spark.operators.packing import pack_by_budget
 from seccosql_spark.queries.pipeline import MINHASH_SHINGLE_ORACLE
 from seccosql_spark.registration import register
@@ -161,4 +166,20 @@ def decontaminate_ngram8(sess: SeccoSession):
     train = docs.filter(F.col("source") != "src0")
     eval_df = docs.filter(F.col("source") == "src0")
     out = decontaminate(train, eval_df, n=8)
+    return sess.from_spark(out.select("doc_id"))
+
+
+@register("decontaminate_bloom", DECONTAM_ORACLE)
+def decontaminate_bloom(sess: SeccoSession):
+    """Same contract as `decontaminate_ngram8` (identical oracle), but the
+    train-side n-gram stream is pruned map-side by a 16 KiB Bloom bitmap
+    shipped in the task closure before the exact broadcast verify — the
+    shape that survives an eval corpus too large to broadcast as a string
+    set. Bloom false positives are removed by the verify arm, so the result
+    is exactly the n-gram-overlap semantics (`operators/dedup.py
+    bloom_decontaminate`)."""
+    docs = sess.spark.table("documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    out = bloom_decontaminate(train, eval_df, n=8)
     return sess.from_spark(out.select("doc_id"))

@@ -291,6 +291,30 @@ def test_decontaminate_ngram_overlap(spark):
     assert out.columns == ["doc_id", "text"]
 
 
+def test_bloom_decontaminate_exact_even_with_false_positives(spark):
+    """bloom_decontaminate == decontaminate on real data, including with a
+    deliberately tiny bitmap (64 bits, 2 probes) where nearly every n-gram
+    is a Bloom false positive — the exact verify arm must absorb them all."""
+    from seccosql_spark.operators.dedup import bloom_decontaminate, decontaminate
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    expected = sorted(r[0] for r in decontaminate(train, ev, n=8).select("doc_id").collect())
+    got = sorted(
+        r[0] for r in bloom_decontaminate(train, ev, n=8).select("doc_id").collect()
+    )
+    assert got == expected
+    fp_prone = sorted(
+        r[0]
+        for r in bloom_decontaminate(train, ev, n=8, bits_log2=6, num_probes=2)
+        .select("doc_id")
+        .collect()
+    )
+    assert fp_prone == expected
+
+
 def test_repetition_stats_known_values(spark):
     from seccosql_spark.operators.text import repetition_stats
 

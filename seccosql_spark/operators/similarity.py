@@ -187,6 +187,98 @@ def label_centroids(
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)², left-fold in array order, all double — deterministic
+    and engine-portable for identical inputs (DuckDB's list_sum folds the
+    same way; verified on noise-sensitive sums)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column — the real
+    IVF coarse-quantizer training step (`label_centroids` assumes the
+    partition is given; this LEARNS it). Returns (cid, c: array<double>).
+
+    Engine-portable determinism, so a SQL oracle can replay training:
+    - init = the vectors of the k smallest ids (no RNG);
+    - assignment = argmin squared-L2, ties broken by smallest cid, distances
+      left-folded in array order (`sq_dist`);
+    - update = per-dimension DECIMAL(28,9)-exact mean (same recipe as
+      `label_centroids`, so summation order cannot perturb the result);
+      clusters that lose all members simply drop out (both engines alike).
+
+    Scale shape: per iteration ONE distributed job — broadcast k×dim
+    centroids, map-side argmin against the streamed corpus, one (cid, pos)
+    aggregation; only k×dim centroid values ever reach the driver (the same
+    driver footprint as Spark MLlib's KMeans). The corpus is scanned `iters`
+    times and never cached — at 100 TB you'd persist the (id, cid)
+    assignment of the final pass, which is what `kmeans_assign` emits."""
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    init = v.orderBy("id").limit(k).collect()
+    cent = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+    for _ in range(iters - 1):
+        means = (
+            v.select(_nearest_cid(F.col("v"), cent).alias("cid"), "v")
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        cent = [
+            (cid, [poss[p] for p in sorted(poss)]) for cid, poss in sorted(by_cid.items())
+        ]
+    return spark.createDataFrame(cent, "cid INT, c ARRAY<DOUBLE>")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid): each vector's nearest centroid (squared L2, ties to the
+    smallest cid). The k×dim centroid table rides the task closure as a
+    LITERAL array of (dist, cid) probe structs, so assignment is a map-only
+    projection inside whole-stage codegen — ZERO shuffle and zero join; the
+    corpus streams once. (A crossJoin+groupBy formulation would re-shuffle
+    the whole corpus on id just to argmin k numbers per row.)"""
+    if isinstance(centroids, DataFrame):
+        centroids = [(r["cid"], list(r["c"])) for r in centroids.collect()]
+    return emb.select(
+        F.col(id_col).alias("id"),
+        _nearest_cid(_as_double(F.col(vec_col)), centroids).alias("cid"),
+    )
+
+
+def _nearest_cid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    probes = F.array(
+        *[
+            F.struct(sq_dist(vec, F.lit(c)).alias("dist"), F.lit(int(cid)).alias("cid"))
+            for cid, c in sorted(centroids)
+        ]
+    )
+    return F.array_min(probes)["cid"]
+
+
 def hyperplane_signs(planes: int, dim: int) -> list[list[int]]:
     """±1 random-hyperplane components, derived deterministically from md5
     so the Spark plan and the DuckDB oracle share the exact same planes

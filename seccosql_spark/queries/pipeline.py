@@ -466,6 +466,50 @@ def events_json_extract(sess: SeccoSession):
     )
 
 
+KMEANS_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+         FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+a1 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+       FROM v CROSS JOIN init),
+s1 AS (SELECT vec_id, cid FROM a1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m1 AS (SELECT cid, pos,
+              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+       FROM (SELECT s1.cid AS cid, unnest(v.v) AS x, generate_subscripts(v.v, 1) AS pos
+             FROM v JOIN s1 USING (vec_id))
+       GROUP BY cid, pos),
+c1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+       FROM v CROSS JOIN c1)
+SELECT vec_id, cid FROM a2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+"""
+
+
+@register("ann_ivf_kmeans", KMEANS_ORACLE)
+def ann_ivf_kmeans(sess: SeccoSession):
+    """LEARNED IVF coarse quantizer: deterministic Lloyd's k-means (k=4,
+    2 assignment passes) trained on the embedding corpus, then the final
+    cluster assignment — `ann_ivf_label` with the label column replaced by
+    a trained partition. The oracle REPLAYS training in SQL: same k-smallest
+    -id init, same left-folded squared-L2 argmin with ties to the smallest
+    cid, same DECIMAL(28,9)-exact centroid means, so the full (vec_id, cid)
+    assignment must hash-match, not just cluster sizes
+    (operators/similarity.py kmeans_fit/kmeans_assign; reference analogue:
+    the coarse partitioner the IVF path assumes given)."""
+    from seccosql_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = sess.spark.table("embeddings")
+    cent = kmeans_fit(emb, k=4, iters=2)
+    out = kmeans_assign(emb, cent).withColumnRenamed("id", "vec_id")
+    return sess.from_spark(out)
+
+
 CENTROID_ORACLE = """
 SELECT bucket, CAST(pos - 1 AS INT) AS pos,
        CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS centroid

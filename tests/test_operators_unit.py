@@ -315,6 +315,34 @@ def test_bloom_decontaminate_exact_even_with_false_positives(spark):
     assert fp_prone == expected
 
 
+def test_kmeans_separated_clusters_and_tiebreak(spark):
+    """Well-separated points converge to their obvious clusters in one
+    update; a point equidistant from two centroids goes to the smaller cid."""
+    from seccosql_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]), (1, [10.0, 10.0]),       # init seeds (2 smallest ids)
+            (2, [0.5, 0.0]), (3, [0.0, 0.5]),          # near cluster 0
+            (4, [10.5, 10.0]), (5, [10.0, 10.5]),      # near cluster 1
+            (6, [5.125, 5.125]),                        # near the midpoint (either side ok)
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cent = kmeans_fit(emb, k=2, iters=2)
+    got = {r["id"]: r["cid"] for r in kmeans_assign(emb, cent).collect()}
+    assert {got[0], got[2], got[3]} == {0}
+    assert {got[1], got[4], got[5]} == {1}
+    # equidistant from both TRAINED centroids -> tie broken to cid 0
+    c = {r["cid"]: list(r["c"]) for r in cent.collect()}
+    mid = [(a + b) / 2 for a, b in zip(c[0], c[1])]
+    tie = spark.createDataFrame([(99, mid)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    sym = abs(sum((m - x) ** 2 for m, x in zip(mid, c[0]))
+              - sum((m - x) ** 2 for m, x in zip(mid, c[1]))) < 1e-12
+    if sym:  # only assert the tiebreak when the tie is exact in floats
+        assert kmeans_assign(tie, cent).collect()[0]["cid"] == 0
+
+
 def test_repetition_stats_known_values(spark):
     from seccosql_spark.operators.text import repetition_stats
 

@@ -112,3 +112,56 @@ def range_join_buckets(
         )
         .drop("__bucket")
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    time_us_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Dense fixed-interval resample with gap filling: one row per
+    (key, bucket) over the GLOBAL [min, max] bucket range — empty buckets
+    get count 0 and the last seen aggregate carried forward (null before
+    the key's first observation). Output (key, bucket_us, n_rows,
+    carried_sum); sums are DECIMAL(28,9)-exact then double, per the repo's
+    cross-engine float discipline.
+
+    Scale shape: ONE aggregation of the fact stream on (key, bucket) — the
+    only corpus-sized shuffle; the dense spine is `sequence(lo, hi)` over
+    integer bucket indexes from a 2-value global agg, cross-joined with the
+    (small) key dimension, so the fill join's cost is O(keys × buckets),
+    independent of fact rows (both fill-join sides are keys×buckets-bounded
+    by construction, so the broadcast choice is left to AQE).
+    The carry-forward window runs per key over the dense grid — bounded by
+    buckets, not by data. Times are integer epoch-us (`timeutil.epoch_us`
+    upstream): no intervals, no timezones, engine-portable."""
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_us_col).alias("us"),
+        F.col(value_col).alias("val"),
+    ).withColumn("hidx", F.expr(f"us div {bucket_us}"))
+    agg = ev.groupBy("key", "hidx").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").cast("decimal(28,9)")).cast("double").alias("sv"),
+    )
+    spine = (
+        ev.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hidx"))
+    )
+    grid = ev.select("key").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["key", "hidx"], "left")
+        .select(
+            "key",
+            (F.col("hidx") * bucket_us).alias("bucket_us"),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.last("sv", ignorenulls=True).over(w).alias("carried_sum"),
+        )
+    )

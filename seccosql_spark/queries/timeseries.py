@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from seccosql_spark.operators.asof import asof_join, range_join_buckets
+from seccosql_spark.operators.asof import asof_join, range_join_buckets, resample_gapfill
 from seccosql_spark.operators.timeutil import US_PER_HOUR, epoch_us
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
@@ -72,3 +72,38 @@ def range_join_next_hour(sess: SeccoSession):
         a, b, on=["user_id"], left_time="a_ts", right_time="b_ts", lo=1, hi=US_PER_HOUR
     )
     return sess.from_spark(joined.groupBy("a_id").agg(F.count(F.lit(1)).alias("n")))
+
+
+GAPFILL_ORACLE = """
+WITH ev AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hidx, value
+            FROM events),
+agg AS (SELECT key, hidx, count(*) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS sv
+        FROM ev GROUP BY key, hidx),
+b AS (SELECT min(hidx) AS lo, max(hidx) AS hi FROM ev),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS hidx FROM b),
+grid AS (SELECT key, hidx FROM (SELECT DISTINCT key FROM ev) CROSS JOIN spine)
+SELECT g.key AS event_type, g.hidx * 3600000000 AS bucket_us,
+       CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS n_rows,
+       last_value(a.sv IGNORE NULLS) OVER (PARTITION BY g.key ORDER BY g.hidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum
+FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.hidx = a.hidx
+"""
+
+
+@register("timeseries_gapfill_hourly", GAPFILL_ORACLE)
+def timeseries_gapfill_hourly(sess: SeccoSession):
+    """Dense hourly resample of the event stream per event_type with
+    zero-filled counts and carry-forward sums over empty hours — the
+    standard gap-fill/interpolation shape (`operators/asof.resample_gapfill`:
+    one fact shuffle + a sequence-generated spine; no per-row Python, no
+    quadratic fill)."""
+    events = sess.spark.table("events")
+    out = resample_gapfill(
+        events.withColumn("__us", epoch_us(events, "ts")),
+        key_col="event_type",
+        time_us_col="__us",
+        value_col="value",
+        bucket_us=US_PER_HOUR,
+    )
+    return sess.from_spark(out.withColumnRenamed("key", "event_type"))

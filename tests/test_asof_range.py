@@ -98,3 +98,31 @@ def test_hash_sample_rate_edges(spark):
     assert hash_sample(df, "id", 1.0).count() == 200
     with pytest.raises(ValueError):
         hash_sample(df, "id", 1.5)
+
+
+def test_resample_gapfill_dense_grid_and_carry(spark):
+    """Empty buckets appear with n_rows=0; sums carry forward per key; rows
+    before a key's first observation stay null; the grid is global."""
+    from pyspark.sql import functions as F
+    from seccosql_spark.operators.asof import resample_gapfill
+
+    df = spark.createDataFrame(
+        [  # key, us, value   (bucket = us div 10)
+            ("a", 5, 1.0), ("a", 12, 2.0), ("a", 41, 4.0),   # a: buckets 0,1,4
+            ("b", 25, 10.0),                                  # b: bucket 2 only
+        ],
+        "k STRING, us LONG, v DOUBLE",
+    )
+    out = resample_gapfill(df, "k", "us", "v", bucket_us=10)
+    rows = {(r["key"], r["bucket_us"]): (r["n_rows"], r["carried_sum"]) for r in out.collect()}
+    # global grid: buckets 0..4 for both keys
+    assert len(rows) == 10
+    assert rows[("a", 0)] == (1, 1.0)
+    assert rows[("a", 10)] == (1, 2.0)
+    assert rows[("a", 20)] == (0, 2.0)   # gap: count 0, sum carried
+    assert rows[("a", 30)] == (0, 2.0)
+    assert rows[("a", 40)] == (1, 4.0)
+    assert rows[("b", 0)] == (0, None)   # before b's first observation
+    assert rows[("b", 10)] == (0, None)
+    assert rows[("b", 20)] == (1, 10.0)
+    assert rows[("b", 40)] == (0, 10.0)

@@ -26,6 +26,7 @@ from seccosql_spark.streaming.ops import (
     stream_dedup,
     stream_events_dir,
     stream_stream_join,
+    stream_stream_left_join,
     windowed_agg,
 )
 
@@ -287,4 +288,50 @@ def stream_upsert_state_q(sess: SeccoSession):
     up = stream_upsert_state(stream_events_dir(spark, sf_dir), watermark="2 hours")
     sink = f"__stream_upsert_{next(_SINK_SEQ)}"
     run_available_now(up, sink, output_mode="update")
+    return sess.from_spark(spark.table(sink))
+
+
+# Left-outer emission discipline (verified empirically, boundary pinned by
+# tests/test_streaming.py::test_stream_left_join_watermark_boundary_strict):
+# - every in-interval match streams out (as inner);
+# - an unmatched left row is null-extended only once the FINAL query
+#   watermark passes its match horizon STRICTLY: l.ts + 1h < wm, where
+#   wm = least(max left ts, max right ts) - 2h — the query watermark is the
+#   MIN over both sides' watermark nodes (each computed after its filter),
+#   so the laggard side gates eviction;
+# - unmatched rows at or inside the horizon stay in state, never emitted by
+#   the bounded drain.
+STREAM_LEFT_JOIN_ORACLE = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r)) AS m),
+matched AS (SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id AS l_user
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR),
+unmatched AS (
+  SELECT l.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id, l.user_id AS l_user
+  FROM l, mx
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+                                      AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR)
+    AND l.ts + INTERVAL 1 HOUR < m - INTERVAL 2 HOUR
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@register("stream_left_outer_join", STREAM_LEFT_JOIN_ORACLE)
+def stream_left_outer_join_q(sess: SeccoSession):
+    """Watermark-bounded stream-stream LEFT OUTER interval join
+    (`streaming/ops.py stream_stream_left_join`): clicks null-extended when
+    no purchase follows within the hour. The driver row verifies the OUTER
+    emission discipline — which unmatched rows the watermark has released
+    vs which stay in state — not just the pairing; the oracle replays
+    Spark's strict eviction cutoff under the min-of-sides final watermark."""
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    left = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "click")
+    right = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_left_join(left, right, interval_seconds=3600, watermark="2 hours")
+    sink = f"__stream_left_outer_join_{next(_SINK_SEQ)}"
+    run_available_now(joined, sink, output_mode="append")
     return sess.from_spark(spark.table(sink))

@@ -71,17 +71,20 @@ from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-5 window: (a) ALL 7 queries that have
-# never had a driver row — the 5 streaming ops graduating from pytest-only
-# (`streaming/ops.py`) plus `multiway_stats_equality` and
-# `approx_quantiles_sketch` added this round; (b) 43 of the 47 queries whose
-# latest sf0.01 driver row predates r03 (VERDICT r04 task 1) — the TPC-H
-# heads (q1/q3/q5/q7/q10/q12/q14/q18/q19), the relational-operator family,
-# the window family, source_quantiles, events_json_extract, the UDF/UDAF
-# pair, and g_path2_pairs. Never-verified queries outrank stale-but-green
-# ones, so the 4 stale entries bumped to r06 are from the lowest-risk
-# r01-green relational family on files verified unchanged since
-# (cross_join_pairs, union_all_counts, intersect_keys, except_distinct).
+# checks the first 50 entries. Round-5 window: (a) ALL 11 queries that have
+# never had a driver row — the 6 streaming ops graduating from pytest-only
+# (`streaming/ops.py`), `multiway_stats_equality`, `approx_quantiles_sketch`,
+# and this round's new operators (`decontaminate_bloom`, `ann_ivf_kmeans`,
+# `timeseries_gapfill_hourly`); (b) 39 of the 47 queries whose latest sf0.01
+# driver row predates r03 (VERDICT r04 task 1) — the TPC-H heads
+# (q1/q3/q5/q7/q10/q12/q14/q18/q19), the relational-operator family, the
+# window family, source_quantiles, events_json_extract, the UDF/UDAF pair,
+# and g_path2_pairs. Never-verified queries outrank stale-but-green ones, so
+# the 8 stale entries bumped to r06 are lowest-risk r01/r02-green rows on
+# files verified unchanged since (cross_join_pairs, union_all_counts,
+# intersect_keys, except_distinct, scalar_datetime, scalar_string_funcs,
+# rollup_agg, cube_agg) — all re-proven by pytest at sf0.001+sf0.01 this
+# session.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     # -- never driver-verified: streaming ops graduating from pytest-only,
@@ -91,8 +94,12 @@ _PRIORITY_WINDOW = [
     "foreach_batch_upsert",
     "stream_static_enrich",
     "stream_upsert_state",
+    "stream_left_outer_join",
     "multiway_stats_equality",
     "approx_quantiles_sketch",
+    "decontaminate_bloom",
+    "ann_ivf_kmeans",
+    "timeseries_gapfill_hourly",
     # -- TPC-H heads (latest rows r01/r02; relational.py/tpch_shapes.py
     #    diffs since were verified additive-only in VERDICT r04)
     "q1_pricing_summary",
@@ -127,11 +134,7 @@ _PRIORITY_WINDOW = [
     "in_subquery",
     "scalar_subquery",
     "scalar_case_null",
-    "scalar_datetime",
-    "scalar_string_funcs",
     # -- grouping-extension + pivot family (r01/r02 rows)
-    "rollup_agg",
-    "cube_agg",
     "pivot_status",
     # -- window-function family (r01/r02 rows)
     "window_running_sum",

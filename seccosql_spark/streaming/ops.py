@@ -246,6 +246,38 @@ def stream_stream_join(
     ).select("l_id", "r_id", "l_user")
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — `stream_stream_join` plus
+    null-extension: a left event with no right match is emitted with null
+    right columns once the watermark proves no match can still arrive
+    (watermark past l_ts + interval). The interesting part is the EMISSION
+    discipline, not the pairing: unmatched rows inside the final watermark
+    margin stay in state and are never emitted by a bounded drain — the
+    oracle must replay that cutoff (queries/streaming_q.py)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_user"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval_seconds} SECONDS")),
+        "left_outer",
+    ).select("l_id", "r_id", "l_user")
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (batch) dimension — Spark re-reads/broadcasts the static side per batch,

@@ -262,3 +262,50 @@ def test_session_window_watermark_boundary_inclusive(spark):
         assert 3 not in got and 2 not in got
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_left_join_watermark_boundary_strict(spark):
+    """Pin the STRICT '<' eviction cutoff of the left-outer oracle
+    (queries/streaming_q.py STREAM_LEFT_JOIN_ORACLE): with final watermark
+    wm = least(max l.ts, max r.ts) - 2h, an unmatched click whose horizon
+    (ts + 1h) is strictly inside wm is null-emitted; one landing EXACTLY on
+    wm is held in state; later ones held too."""
+    import pandas as pd
+
+    from seccosql_spark.streaming.ops import (
+        run_available_now,
+        stream_events,
+        stream_stream_left_join,
+    )
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="secco_lj_boundary_")
+    try:
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": [
+                    base,                                    # u1: horizon base+1h < wm -> emit
+                    base + pd.Timedelta(hours=1),            # u2: horizon == wm exactly -> held
+                    base + pd.Timedelta(hours=1, seconds=1), # u3: horizon past wm -> held
+                    base + pd.Timedelta(hours=4),            # u9: left max (defines left wm)
+                    base + pd.Timedelta(hours=4),            # u8: purchase (right max)
+                ],
+                "user_id": [1, 2, 3, 9, 8],
+                "event_type": ["click", "click", "click", "click", "purchase"],
+                "value": [1.0] * 5,
+                "props": ["{}"] * 5,
+            }
+        )
+        spark.createDataFrame(rows).repartition(1).write.mode("overwrite").parquet(d)
+        left = stream_events(spark, d).filter(F.col("event_type") == "click")
+        right = stream_events(spark, d).filter(F.col("event_type") == "purchase")
+        j = stream_stream_left_join(left, right)
+        run_available_now(j, "lj_boundary_sink", output_mode="append")
+        got = sorted(
+            (r["l_id"], r["r_id"]) for r in spark.table("lj_boundary_sink").collect()
+        )
+        assert got == [(1, None)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -508,6 +508,28 @@ def g_ring5_chords_b(sess: SeccoSession):
     return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
 
 
+@register(
+    "g_c1_pentagon_agg",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT ab.dst AS b, count(*) AS n
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s be ON be.src = ab.dst AND be.dst = de.dst
+        GROUP BY ab.dst""",
+)
+def g_c1_pentagon_agg(sess: SeccoSession):
+    """C1 benchmark shape (subgraphQuery.scala:57-64, disabled in the
+    reference): undirected pentagon a-b-c-d-e-a with chord b-e, matches
+    PROJECTED down to a per-b count — the C-series' distinctive feature is
+    the aggregation ON TOP of the cyclic match (the optimizer must not
+    materialize the full binding set wider than the group key needs)."""
+    pat = "a-b; b-c; c-d; d-e; a-e; b-e"
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b"])
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

@@ -97,3 +97,49 @@ def test_minhash_no_heavy_expr_below_spread_exchange(sess):
     assert "REPARTITION_BY_NUM" in plan, plan  # the spread exchange exists
     assert "array_distinct" not in region, region
     assert "transform(" not in region, region
+
+
+def test_kmeans_assignment_is_map_only(sess):
+    """The literal-centroid argmin must compile to a pure projection over
+    the scan: ZERO exchanges of any kind — this is the property that makes
+    kmeans_assign free at 100 TB."""
+    from seccosql_spark.operators.similarity import kmeans_assign
+
+    emb = sess.spark.table("embeddings")
+    cent = [(0, [0.0] * 64), (1, [0.1] * 64)]
+    df = kmeans_assign(emb, cent)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+
+
+def _ops(plan: str, name: str) -> set[str]:
+    """Distinct operator ids of `name` in a formatted plan (each op is
+    printed twice: tree line + detail header — count ids, not mentions)."""
+    import re
+
+    return set(re.findall(rf"\((\d+)\) {name}\b", plan))
+
+
+def test_bloom_decontaminate_no_extra_corpus_shuffle(sess):
+    """The Bloom pre-pass must not add plan weight over the plain path: the
+    train n-gram stream is pruned by in-projection bit tests (no join for
+    the pre-filter), so the plan has exactly the plain path's two joins
+    (broadcast verify semi-join + final anti-join) and no sort-merge join."""
+    plan = formatted_plan(sess, "decontaminate_bloom")
+    assert not _ops(plan, "SortMergeJoin"), plan
+    assert len(_ops(plan, "BroadcastHashJoin")) == 2, plan
+
+
+def test_gapfill_single_fact_aggregation(sess):
+    """resample_gapfill shuffles the fact stream ONCE (the (key, bucket)
+    aggregation); the only nested-loop join is the deliberate keys×spine
+    cross (both sides tiny), and nothing sort-merges."""
+    plan = formatted_plan(sess, "timeseries_gapfill_hourly")
+    assert not _ops(plan, "SortMergeJoin"), plan
+    bnl = _ops(plan, "BroadcastNestedLoopJoin")
+    assert len(bnl) <= 1, plan  # the keys×spine cross only
+    if bnl:
+        assert "Cross" in plan.split("BroadcastNestedLoopJoin", 2)[1][:80], plan

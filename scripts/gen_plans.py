@@ -35,6 +35,10 @@ EXTRA = [
     "approx_distinct_users",
     "ann_lsh_hyperplane",
     "skew_salted_join",
+    "decontaminate_bloom",
+    "ann_ivf_kmeans",
+    "timeseries_gapfill_hourly",
+    "g_c1_pentagon_agg",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

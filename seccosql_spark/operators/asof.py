@@ -120,6 +120,7 @@ def resample_gapfill(
     time_us_col: str,
     value_col: str,
     bucket_us: int,
+    max_buckets: int = 10_000_000,
 ) -> DataFrame:
     """Dense fixed-interval resample with gap filling: one row per
     (key, bucket) over the GLOBAL [min, max] bucket range — empty buckets
@@ -136,7 +137,14 @@ def resample_gapfill(
     by construction, so the broadcast choice is left to AQE).
     The carry-forward window runs per key over the dense grid — bounded by
     buckets, not by data. Times are integer epoch-us (`timeutil.epoch_us`
-    upstream): no intervals, no timezones, engine-portable."""
+    upstream): no intervals, no timezones, engine-portable.
+
+    `max_buckets` (default 10M) bounds the spine: sequence(lo, hi)
+    materializes ONE array, so a mis-sized bucket (e.g. 1 µs buckets over a
+    year) would OOM the task. The guard is a plan-side raise_error on the
+    2-value bounds row — zero extra jobs, loud failure."""
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
     ev = df.select(
         F.col(key_col).alias("key"),
         F.col(time_us_col).alias("us"),
@@ -146,10 +154,22 @@ def resample_gapfill(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("val").cast("decimal(28,9)")).cast("double").alias("sv"),
     )
-    spine = (
-        ev.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("hidx"))
+    bounds = ev.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi")).select(
+        "lo",
+        F.when(
+            F.col("hi") - F.col("lo") < max_buckets, F.col("hi")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("resample_gapfill: "),
+                    (F.col("hi") - F.col("lo") + 1).cast("string"),
+                    F.lit(f" buckets exceeds max_buckets={max_buckets}; "
+                          "widen bucket_us or raise the cap"),
+                )
+            )
+        ).alias("hi"),
     )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hidx"))
     grid = ev.select("key").distinct().crossJoin(F.broadcast(spine))
     w = (
         Window.partitionBy("key")

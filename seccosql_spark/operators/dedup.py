@@ -528,6 +528,11 @@ def bloom_decontaminate(
     The bitmap build collects |eval n-grams| × num_probes bit positions to
     the driver — small by the same premise that lets `decontaminate`
     broadcast, and the only non-distributed step."""
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    if not (6 <= bits_log2 <= 30):
+        # < 64 bits is pointless; > 1 GiB of bitmap won't fit a task closure
+        raise ValueError(f"bits_log2 must be in [6, 30], got {bits_log2}")
     m = 1 << bits_log2
     eg = shingles(eval_df, n, id_col, text_col).select("s").distinct()
 

@@ -223,10 +223,14 @@ def kmeans_fit(
     driver footprint as Spark MLlib's KMeans). The corpus is scanned `iters`
     times and never cached — at 100 TB you'd persist the (id, cid)
     assignment of the final pass, which is what `kmeans_assign` emits."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
     spark = emb.sparkSession
     v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     init = v.orderBy("id").limit(k).collect()
     cent = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+    if not cent:
+        raise ValueError("kmeans_fit: empty input")
     for _ in range(iters - 1):
         means = (
             v.select(_nearest_cid(F.col("v"), cent).alias("cid"), "v")
@@ -270,6 +274,20 @@ def kmeans_assign(
 
 
 def _nearest_cid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Argmin-by-(dist, cid) over literal centroids. A vector whose length
+    differs from the centroids' dim would null-pad through zip_with and
+    silently misassign — fail the row loudly instead (same hard-guard
+    pattern as lsh_hyperplane_bands)."""
+    dim = len(centroids[0][1])
+    vec = F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmeans: vector length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != centroid dim {dim}"),
+            )
+        )
+    )
     probes = F.array(
         *[
             F.struct(sq_dist(vec, F.lit(c)).alias("dist"), F.lit(int(cid)).alias("cid"))

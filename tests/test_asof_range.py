@@ -126,3 +126,22 @@ def test_resample_gapfill_dense_grid_and_carry(spark):
     assert rows[("b", 10)] == (0, None)
     assert rows[("b", 20)] == (1, 10.0)
     assert rows[("b", 40)] == (0, 10.0)
+
+
+def test_resample_gapfill_guards(spark):
+    """bucket_us must be positive; an over-wide spine fails loudly instead
+    of materializing a giant sequence array."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+    from seccosql_spark.operators.asof import resample_gapfill
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10_000_000, 2.0)], "k STRING, us LONG, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="bucket_us"):
+        resample_gapfill(df, "k", "us", "v", bucket_us=0)
+    with pytest.raises(Exception, match="max_buckets"):
+        resample_gapfill(df, "k", "us", "v", bucket_us=1, max_buckets=1000).collect()
+    # exactly at the cap: fine
+    out = resample_gapfill(df, "k", "us", "v", bucket_us=10_000, max_buckets=1001)
+    assert out.count() == 1001

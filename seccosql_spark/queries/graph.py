@@ -530,6 +530,29 @@ def g_c1_pentagon_agg(sess: SeccoSession):
     return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b"])
 
 
+@register(
+    "g_c2_pentagon_agg",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT ab.dst AS b, bc.dst AS c, count(*) AS n
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s be ON be.src = ab.dst AND be.dst = de.dst
+                  JOIN s ce ON ce.src = bc.dst AND ce.dst = de.dst
+        GROUP BY ab.dst, bc.dst""",
+)
+def g_c2_pentagon_agg(sess: SeccoSession):
+    """C2 benchmark shape (subgraphQuery.scala:66-74, disabled in the
+    reference): pentagon a-b-c-d-e-a with chords b-e AND c-e, matches
+    projected to (b, c) with a per-group count — C1's sibling with a denser
+    cyclic core (the 7-edge hypergraph's GHD has fractional width > 1, so
+    the ranking LP does real work before the aggregate collapses it)."""
+    pat = "a-b; b-c; c-d; d-e; a-e; b-e; c-e"
+    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b", "c"])
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

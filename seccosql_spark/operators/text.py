@@ -170,3 +170,50 @@ def redact_pii(
         n_phones.cast("int").alias("n_phones"),
         F.md5(cleaned2).alias("redacted_md5"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the standard
+    long-document split for training pipelines. One output row per chunk:
+    (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based in document
+    order; stride = chunk_tokens - overlap; the FIRST chunk that reaches the
+    document's end is the last (no fully-redundant tail chunks); empty docs
+    emit nothing.
+
+    Map-only: tokenize, generate the start-offset sequence, filter redundant
+    tails, slice + re-join per start — one projection inside whole-stage
+    codegen, zero shuffles, linear in corpus size. Engine-portable: 1-based
+    offsets, pure integer arithmetic, mirrored by DuckDB list slicing."""
+    if chunk_tokens < 1 or not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens, "
+            f"got {chunk_tokens}, {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # starts: 1, 1+stride, ... ; keep a non-first start only if the previous
+    # chunk did not already cover the document's end
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | (s - stride + (chunk_tokens - 1) < n),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"), starts.alias("__starts"))
+        .filter(F.size("__toks") > 0)
+        .select("id", F.posexplode("__starts").alias("chunk_id", "__start"), "__toks")
+        .select(
+            "id",
+            "chunk_id",
+            F.size(F.slice("__toks", F.col("__start"), chunk_tokens)).alias("n_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -205,3 +205,32 @@ def text_redact_pii(sess: SeccoSession):
         ).alias("text"),
     )
     return sess.from_spark(redact_pii(aug))
+
+
+CHUNK_ORACLE = """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+s AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1) + 1, 24)) AS st
+      FROM w WHERE len(ws) > 0),
+k AS (SELECT doc_id, ws, st,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id
+      FROM s WHERE st = 1 OR st - 24 + 31 < len(ws))
+SELECT doc_id AS id, chunk_id,
+       CAST(len(ws[st:st+31]) AS INT) AS n_tokens,
+       array_to_string(ws[st:st+31], ' ') AS chunk_text
+FROM k
+"""
+
+
+@register("text_chunk_windows", CHUNK_ORACLE)
+def text_chunk_windows(sess: SeccoSession):
+    """Fixed-window document chunking (32 tokens, overlap 8 → stride 24) —
+    the long-document split every training pipeline runs before
+    tokenization (`operators/text.chunk_documents`: map-only slice+join,
+    zero shuffles). Full chunk text is hash-checked, so boundary arithmetic
+    (1-based slices, no redundant tail chunks) must match exactly."""
+    from seccosql_spark.operators.text import chunk_documents
+
+    return sess.from_spark(
+        chunk_documents(sess.spark.table("documents"), chunk_tokens=32, overlap=8)
+    )

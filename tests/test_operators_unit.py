@@ -431,3 +431,29 @@ def test_lsh_topk_recall(sess):
         ls_df.explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_chunk_documents_boundaries(spark):
+    """Stride/overlap arithmetic: first end-reaching chunk is last, short
+    docs give one chunk, empty docs none, and guards reject bad params."""
+    import pytest
+    from seccosql_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))), (2, "a b c"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = sorted(
+        ((r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    )
+    assert out == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 4, "t7 t8 t9 t10"),
+        (2, 0, 3, "a b c"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, overlap=0)

@@ -115,3 +115,33 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_csv(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """CSV sink (header on by default, matching `read_csv`'s expectation);
+    optional directory partitioning for pruning at read."""
+    sdf = getattr(df, "df", df)
+    writer = sdf.write.mode(mode).option("header", str(header).lower())
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
+def write_json(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """JSON-lines sink; optional directory partitioning."""
+    sdf = getattr(df, "df", df)
+    writer = sdf.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

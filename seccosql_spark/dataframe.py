@@ -162,6 +162,12 @@ class SeccoDataFrame:
     def intersection(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
         return self._wrap(self.df.intersect(_unwrap(other)))
 
+    def intersection_all(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
+        """Bag intersection (SQL INTERSECT ALL): min of per-row
+        multiplicities — the bag twin of `intersection`, matching
+        `difference`'s bag semantics."""
+        return self._wrap(self.df.intersectAll(_unwrap(other)))
+
     def difference(self, other: "SeccoDataFrame | DataFrame") -> "SeccoDataFrame":
         """Correct EXCEPT semantics (the reference's SQL EXCEPT is bugged to
         Intersection; its DataFrame difference() is correct —

@@ -553,6 +553,31 @@ def g_c2_pentagon_agg(sess: SeccoSession):
     return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b", "c"])
 
 
+@register(
+    "g_c3_pentagon_wsum",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT ab.src AS a, CAST(sum(dw.dst) AS BIGINT) AS total_w
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s be ON be.src = ab.dst AND be.dst = de.dst
+                  JOIN s dw ON dw.src = cd.dst
+        GROUP BY ab.src""",
+)
+def g_c3_pentagon_wsum(sess: SeccoSession):
+    """C3 benchmark shape (subgraphQuery.scala:75-82, disabled in the
+    reference): C1's pentagon+chord with a free node w hanging off d, and
+    sum(w) per a — the reference's weighted-aggregation-over-match lineage
+    with the EXACT C3 topology (the earlier `g_pattern_weighted_agg` covers
+    the edge-property variant on a 2-path)."""
+    pat = "a-b; b-c; c-d; d-e; a-e; b-e; d-w"
+    return _sparse_graph(sess).pattern(pat).aggregate(
+        ["CAST(sum(w) AS BIGINT) AS total_w"], ["a"]
+    )
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

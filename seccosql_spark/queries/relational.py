@@ -323,6 +323,19 @@ def intersect_keys(sess: SeccoSession):
 
 
 @register(
+    "intersect_all_bag",
+    """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+       INTERSECT ALL SELECT s_nationkey AS k FROM supplier""",
+)
+def intersect_all_bag(sess: SeccoSession):
+    """Bag intersection (INTERSECT ALL: min multiplicities) — completes the
+    set-op family's bag/set matrix alongside `except_all_bag`."""
+    c = sess.table("customer").filter("c_acctbal > 9000").project("c_nationkey AS k")
+    s = sess.table("supplier").project("s_nationkey AS k")
+    return c.intersection_all(s)
+
+
+@register(
     "except_distinct",
     """SELECT c_nationkey AS k FROM customer
        EXCEPT SELECT s_nationkey AS k FROM supplier""",

@@ -60,13 +60,17 @@ a cache). When text and runtime disagree, trust runtime.
 """
 
 
-def _run_measured(spark, name: str, df):
-    """Execute the query under a job group and return (jobs, stages)
-    actually run — the profiled counterpart to the text exchange count."""
+def _run_measured(spark, name: str):
+    """Build AND execute the query under one job group, returning (df,
+    jobs, stages) actually run — the profiled counterpart to the text
+    exchange count. Construction happens INSIDE the group: queries like
+    ann_ivf_kmeans run driver-side collects while building, and excluding
+    those would under-report exactly the construction-heavy plans."""
     sc = spark.sparkContext
     group = f"plans_{name}"
     sc.setJobGroup(group, name, interruptOnCancel=False)
     try:
+        df = run(name, spark, "/root/testdata/sf0.1")
         df.count()
     finally:
         sc.setJobGroup(None, None)
@@ -77,7 +81,7 @@ def _run_measured(spark, name: str, df):
         info = tracker.getJobInfo(j)
         if info is not None:
             stages.update(info.stageIds)
-    return len(job_ids), len(stages)
+    return df, len(job_ids), len(stages)
 
 
 def main() -> None:
@@ -97,7 +101,7 @@ def main() -> None:
     names = [n for n, s in REGISTRY.items() if s.headline] + EXTRA
     out = [HEADER]
     for name in names:
-        df = run(name, spark, "/root/testdata/sf0.1")
+        df, jobs, stages = _run_measured(spark, name)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -115,7 +119,6 @@ def main() -> None:
             f"exchanges={plan.count('Exchange')} (text, incl. cached reprints); "
             f"window-ops={plan.count('Window')}"
         )
-        jobs, stages = _run_measured(spark, name, run(name, spark, "/root/testdata/sf0.1"))
         out.append(f"- runtime (measured): jobs={jobs} stages={stages}")
         spark.catalog.clearCache()  # drop persisted intermediates between queries
         out.append("- scans:")

@@ -55,13 +55,24 @@ def _edge_graph_probe(
     with ``sameSemantics`` (driver-side, no job) so a hash collision can
     never return another relation's stats. Repeated ``pattern()`` /
     SQL ``MATCH`` calls over the same edge view therefore pay the
-    measurement once, not per call (r04 VERDICT nit 2)."""
+    measurement once, not per call (r04 VERDICT nit 2).
+
+    CAVEAT — plan identity, not data identity: overwriting the underlying
+    files IN PLACE (same path, same plan) does not invalidate the entry, so
+    a multigraph written under a previously-simple plan could be routed to
+    WCOJ on stale evidence. Spark's own caches share this contract
+    (``spark.catalog.refreshTable`` territory); call
+    ``session.__dict__.pop("_edge_probe_cache", None)`` after an in-place
+    rewrite. The cache is size-bounded (FIFO, 64 plans) so long sessions
+    don't pin unbounded DataFrame references."""
     global _PROBE_MISSES
     cache = session.__dict__.setdefault("_edge_probe_cache", {})
     h = edges.semanticHash()
     hit = cache.get(h)
     if hit is not None and hit[0].sameSemantics(edges):
         return hit[1]
+    if len(cache) >= 64:
+        cache.pop(next(iter(cache)))
     _PROBE_MISSES += 1
     row = (
         edges.groupBy(src_col)
@@ -278,7 +289,11 @@ class SeccoGraphFrame:
                             joined = joined.filter(F.col(vars_[i]) != F.col(vars_[j]))
                 return SeccoDataFrame(self.session, joined)
 
-        joined = multiway_natural_join(copies, use_ghd=True)
+        # allow_cross: a DISCONNECTED pattern ("a-b; c-d") legitimately
+        # means all combinations of the components' matches — the cartesian
+        # there is the semantics, not an accident, so the planner's
+        # disconnected-join guard must not fire on the pattern path.
+        joined = multiway_natural_join(copies, use_ghd=True, allow_cross=True)
         if distinct_nodes:
             vars_ = list(constraints)
             for i in range(len(vars_)):

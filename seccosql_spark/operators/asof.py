@@ -149,15 +149,27 @@ def resample_gapfill(
         F.col(key_col).alias("key"),
         F.col(time_us_col).alias("us"),
         F.col(value_col).alias("val"),
-    ).withColumn("hidx", F.expr(f"us div {bucket_us}"))
+        # FLOOR division, not `div` (truncates toward zero): pre-1970
+        # timestamps (negative epoch-us) must land in the bucket BELOW, the
+        # same as DuckDB's `//` in the oracle. pmod is non-negative, so
+        # (us - pmod) is an exact multiple — no double-precision detour.
+    ).withColumn("hidx", F.expr(f"(us - pmod(us, {bucket_us})) div {bucket_us}"))
+    # Everything below derives from the (key, bucket)-sized aggregate — the
+    # ONE corpus shuffle. Bounds and the key dimension are computed from
+    # `agg`, not from `ev`, so the fact stream is scanned once and Spark's
+    # ReusedExchange serves all three consumers from the same shuffle.
     agg = ev.groupBy("key", "hidx").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("val").cast("decimal(28,9)")).cast("double").alias("sv"),
     )
-    bounds = ev.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi")).select(
+    # Null-safe spine cap: on EMPTY input lo/hi are NULL — the WHEN must
+    # fall through to the (null) hi so sequence(null, null) yields an empty
+    # spine, not a null-message raise.
+    bounds = agg.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi")).select(
         "lo",
         F.when(
-            F.col("hi") - F.col("lo") < max_buckets, F.col("hi")
+            (F.col("hi") - F.col("lo") < max_buckets) | F.col("hi").isNull(),
+            F.col("hi"),
         ).otherwise(
             F.raise_error(
                 F.concat(
@@ -170,7 +182,7 @@ def resample_gapfill(
         ).alias("hi"),
     )
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hidx"))
-    grid = ev.select("key").distinct().crossJoin(F.broadcast(spine))
+    grid = agg.select("key").distinct().crossJoin(F.broadcast(spine))
     w = (
         Window.partitionBy("key")
         .orderBy("hidx")

@@ -302,10 +302,9 @@ def foreach_batch_upsert(
     always holds exactly one row per user: the latest (ts, value) seen so
     far. Returns the started query (caller awaits)."""
 
-    def _merge(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        latest = (
-            batch.withColumn(
+    def _argmax_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
                 "__rn",
                 F.row_number().over(
                     Window.partitionBy("user_id").orderBy(
@@ -314,13 +313,20 @@ def foreach_batch_upsert(
                 ),
             )
             .filter(F.col("__rn") == 1)
-            .select("user_id", "ts", "value")
+            .select("user_id", "ts", "value", "event_id")
         )
-        if sess.catalog.tableExists(f"global_temp.{sink_table}"):
-            state = sess.table(f"global_temp.{sink_table}")
-            from seccosql_spark.operators.joins import union_by_update
 
-            merged = union_by_update(state, latest, ["user_id"])
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        latest = _argmax_per_user(batch.select("user_id", "ts", "value", "event_id"))
+        if sess.catalog.tableExists(f"global_temp.{sink_table}"):
+            # MERGE = per-user argmax over state ∪ batch, NOT a blind
+            # replace: micro-batches are not ordered by event time (a later
+            # file can hold older events), so "latest seen so far" must
+            # compare (ts, event_id) against the existing state row. State
+            # keeps event_id precisely to make this tiebreak stable.
+            state = sess.table(f"global_temp.{sink_table}")
+            merged = _argmax_per_user(state.unionByName(latest))
         else:
             merged = latest
         # materialize before overwriting the view the plan reads from

@@ -145,3 +145,16 @@ def test_resample_gapfill_guards(spark):
     # exactly at the cap: fine
     out = resample_gapfill(df, "k", "us", "v", bucket_us=10_000, max_buckets=1001)
     assert out.count() == 1001
+
+
+def test_resample_gapfill_empty_input_and_negative_epoch(spark):
+    """Empty input yields an empty frame (not a null-message raise); a
+    negative epoch-us timestamp floors into the bucket BELOW zero, matching
+    DuckDB's `//` in the oracle."""
+    from seccosql_spark.operators.asof import resample_gapfill
+
+    empty = spark.createDataFrame([], "k STRING, us LONG, v DOUBLE")
+    assert resample_gapfill(empty, "k", "us", "v", bucket_us=10).collect() == []
+    neg = spark.createDataFrame([("a", -1, 1.0), ("a", 5, 2.0)], "k STRING, us LONG, v DOUBLE")
+    out = {r["bucket_us"]: r["n_rows"] for r in resample_gapfill(neg, "k", "us", "v", 10).collect()}
+    assert out == {-10: 1, 0: 1}

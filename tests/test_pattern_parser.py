@@ -153,3 +153,16 @@ def test_match_sql_auto_routes_wcoj_and_memoizes(spark, sess):
     assert got1 == want and got2 == want
     assert len(calls) == 2  # both MATCH runs planned WCOJ
     assert misses_after == misses_before  # probe cached from the warm-up run
+
+
+def test_disconnected_pattern_is_cross_product(sess):
+    """A pattern with two unconnected components means 'all combinations of
+    the components' matches' — the GHD planner's disconnected-join guard
+    must not fire on the pattern path (it receives allow_cross=True)."""
+    from seccosql_spark.graph.graphframe import SeccoGraphFrame
+
+    edges = sess.spark.createDataFrame([(1, 2), (3, 4)], "src BIGINT, dst BIGINT")
+    g = SeccoGraphFrame(sess, None, edges)
+    out = g.pattern("(a)-[]->(b); (c)-[]->(d)")
+    rows = {tuple(r) for r in out.df.select("a", "b", "c", "d").collect()}
+    assert rows == {(1, 2, 1, 2), (1, 2, 3, 4), (3, 4, 1, 2), (3, 4, 3, 4)}

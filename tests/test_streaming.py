@@ -3,6 +3,7 @@ memory sinks and check against the equivalent batch plan on the same data."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -203,7 +204,7 @@ def test_foreach_batch_upsert_latest_per_user(spark, events_dir):
             stream_events(spark, events_dir), spark, "upsert_sink2", ckpt
         )
         q.awaitTermination()
-    got = spark.table("global_temp.upsert_sink2")
+    got = spark.table("global_temp.upsert_sink2").select("user_id", "ts", "value")
     ev = spark.read.parquet(events_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -307,5 +308,52 @@ def test_stream_left_join_watermark_boundary_strict(spark):
             (r["l_id"], r["r_id"]) for r in spark.table("lj_boundary_sink").collect()
         )
         assert got == [(1, None)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_out_of_order_batches(spark):
+    """A LATER micro-batch carrying only an OLDER event for a user must not
+    regress the state: the merge is a per-user (ts, event_id) argmax against
+    existing state, not a blind replace (maxFilesPerTrigger=1 forces each
+    file into its own batch, files are processed in discovery order)."""
+    import tempfile
+
+    import pandas as pd
+
+    from seccosql_spark.streaming.ops import events_schema, foreach_batch_upsert
+
+    d = tempfile.mkdtemp(prefix="secco_ooo_upsert_")
+    try:
+        base = pd.Timestamp("2026-01-01 00:00:00")
+        newer = pd.DataFrame(
+            {"event_id": [10], "ts": [base + pd.Timedelta(hours=5)], "user_id": [1],
+             "event_type": ["click"], "value": [99.0], "props": ["{}"]}
+        )
+        older = pd.DataFrame(
+            {"event_id": [2], "ts": [base], "user_id": [1],
+             "event_type": ["click"], "value": [1.0], "props": ["{}"]}
+        )
+        # file names order discovery: batch 1 = newer event, batch 2 = older
+        spark.createDataFrame(newer).repartition(1).write.parquet(f"{d}/data/a_newer")
+        spark.createDataFrame(older).repartition(1).write.parquet(f"{d}/data/b_older")
+        import glob, shutil as sh
+        flat = f"{d}/flat"; os.makedirs(flat)
+        for i, f in enumerate(sorted(glob.glob(f"{d}/data/*/part-*.parquet"))):
+            sh.copy(f, f"{flat}/{i:02d}.parquet")
+        ts_type = spark.read.parquet(flat).schema["ts"].dataType
+        stream = (
+            spark.readStream.schema(events_schema(ts_type))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        from pyspark.sql import functions as F
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        with tempfile.TemporaryDirectory(prefix="secco_ckpt_ooo_") as ckpt:
+            q = foreach_batch_upsert(stream, spark, "ooo_upsert_sink", ckpt)
+            q.awaitTermination()
+        got = spark.table("global_temp.ooo_upsert_sink").collect()
+        assert len(got) == 1
+        assert got[0]["event_id"] == 10 and got[0]["value"] == 99.0
     finally:
         shutil.rmtree(d, ignore_errors=True)

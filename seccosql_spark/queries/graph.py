@@ -578,6 +578,31 @@ def g_c3_pentagon_wsum(sess: SeccoSession):
     )
 
 
+@register(
+    "g_c4_pentagon_wsum",
+    f"""WITH e AS ({EDGES_SPARSE}),
+            s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+        SELECT ab.src AS a, CAST(sum(dw.dst) AS BIGINT) AS total_w
+        FROM s ab JOIN s bc ON ab.dst = bc.src
+                  JOIN s cd ON bc.dst = cd.src
+                  JOIN s de ON cd.dst = de.src
+                  JOIN s ae ON ae.src = ab.src AND ae.dst = de.dst
+                  JOIN s be ON be.src = ab.dst AND be.dst = de.dst
+                  JOIN s ce ON ce.src = bc.dst AND ce.dst = de.dst
+                  JOIN s dw ON dw.src = cd.dst
+        GROUP BY ab.src""",
+)
+def g_c4_pentagon_wsum(sess: SeccoSession):
+    """C4 benchmark shape (subgraphQuery.scala:84-92, disabled in the
+    reference): C3's weighted pentagon with the extra c-e chord — completes
+    exhaustive C1-C4 twinning of the reference's subgraph benchmark suite
+    (S1-S8 were completed in rounds 3-4)."""
+    pat = "a-b; b-c; c-d; d-e; a-e; b-e; c-e; d-w"
+    return _sparse_graph(sess).pattern(pat).aggregate(
+        ["CAST(sum(w) AS BIGINT) AS total_w"], ["a"]
+    )
+
+
 # Edge set that KEEPS self-loops (the other derived sets filter src <> dst).
 EDGES_LOOPS = """
 SELECT DISTINCT CAST(l_partkey % 60 AS BIGINT) AS src,

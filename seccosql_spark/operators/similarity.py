@@ -56,10 +56,20 @@ def cosine_topk(
     """Exact top-k neighbors for each query row. Output (query_id, neighbor_id,
     rank, sim). Ranking uses the ROUNDED similarity (ties broken by neighbor
     id) so cross-engine last-bit float drift cannot flip ranks."""
+    # Norms are hoisted into the per-side projections: computed ONCE per
+    # vector instead of once per (query, candidate) pair — 3× fewer array
+    # folds on the hot path, bit-identical result (dot/(qn*cn) evaluates
+    # the same doubles regardless of where the norms were computed).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+        norm(_as_double(F.col(vec_col))).alias("__qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        norm(_as_double(F.col(vec_col))).alias("__cn"),
+    )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
@@ -67,7 +77,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                round_digits,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -92,12 +105,14 @@ def ivf_topk(
     scan instead of the cross join doing all-pairs work."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+        norm(_as_double(F.col(vec_col))).alias("__qn"),
         F.col(bucket_col).alias("__qb"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        norm(_as_double(F.col(vec_col))).alias("__cn"),
         F.col(bucket_col).alias("__cb"),
     )
     sims = (
@@ -107,7 +122,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("sim"),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+                round_digits,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -145,10 +163,16 @@ def embedding_near_dups(
             .drop("__gb", "__bn")
         )
     a = emb.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"), F.col(bucket_col).alias("__b")
+        F.col(id_col).alias("id1"),
+        _as_double(F.col(vec_col)).alias("__v1"),
+        norm(_as_double(F.col(vec_col))).alias("__n1"),
+        F.col(bucket_col).alias("__b"),
     )
     b = emb.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"), F.col(bucket_col).alias("__b2")
+        F.col(id_col).alias("id2"),
+        _as_double(F.col(vec_col)).alias("__v2"),
+        norm(_as_double(F.col(vec_col))).alias("__n2"),
+        F.col(bucket_col).alias("__b2"),
     )
     return (
         a.join(b, F.col("__b") == F.col("__b2"))
@@ -156,7 +180,10 @@ def embedding_near_dups(
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("__v1"), F.col("__v2")), round_digits).alias("sim"),
+            F.round(
+                dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2")),
+                round_digits,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

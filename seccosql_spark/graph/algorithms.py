@@ -372,3 +372,43 @@ def connected_components(
         if n_changed == 0:
             break
     return state
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 50, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, scc): DIRECTED strongly-connected components, exactly — the
+    directed sibling of `connected_components` (which symmetrizes and
+    therefore merges one-way-linked nodes). scc = min id of the component.
+
+    Method: semi-naive transitive closure (`operators/recursion.
+    bounded_fixpoint`, O(diameter) rounds), then scc(v) = least(v,
+    min{u : v→*u ∧ u→*v}) — v and u are mutually reachable iff they share
+    an SCC, so the minimum mutual neighbor IS the component id. (A cheaper
+    double-min-label scheme is NOT correct: a node can reach a smaller id
+    one-way outside its SCC, splitting real components.)
+
+    Scale: the closure materializes reach-pairs, O(n·reach) — right for
+    analytics-sized / condensed graphs (the reference's I-series scale);
+    for web-scale SCC use FW-BW/coloring partitioning on top of this as
+    the per-partition kernel."""
+    from seccosql_spark.operators.recursion import bounded_fixpoint
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+
+    def step(delta: DataFrame) -> DataFrame:
+        return (
+            delta.alias("d")
+            .join(e.alias("e"), F.col("d.b") == F.col("e.a"))
+            .select(F.col("d.a").alias("a"), F.col("e.b").alias("b"))
+        )
+
+    reach = bounded_fixpoint(e, step, max_rounds=max_rounds)
+    back = reach.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = reach.intersect(back)  # v→*u and u→*v, v != u (unless self-loop path)
+    best = mutual.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        _nodes(edges, src, dst)
+        .join(best.withColumnRenamed("a", "id"), "id", "left")
+        .select("id", F.least(F.col("id"), F.coalesce("m", F.col("id"))).alias("scc"))
+    )

@@ -193,3 +193,32 @@ def g_common_neighbors(sess: SeccoSession):
     the LIMIT set exact."""
     edges = sess.spark.sql(EDGES_SPARK)
     return sess.from_spark(common_neighbors(edges, top=20))
+
+
+SCC_ORACLE = f"""
+WITH RECURSIVE e AS ({EDGES_SPARSE}),
+r(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM r JOIN e ON r.b = e.src
+),
+n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)),
+m AS (SELECT r1.a AS v, min(r1.b) AS mm
+      FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+      GROUP BY r1.a)
+SELECT n.v AS id, CAST(least(n.v, coalesce(m.mm, n.v)) AS BIGINT) AS scc
+FROM n LEFT JOIN m ON n.v = m.v
+"""
+
+
+@register("g_scc", SCC_ORACLE)
+def g_scc(sess: SeccoSession):
+    """DIRECTED strongly-connected components on the sparse graph — the
+    directed completion of the components family (`g_connected_components`
+    merges one-way links; this must not). Exact closure-based formulation
+    (graph/algorithms.py strongly_connected_components); the oracle replays
+    it with a recursive closure + mutual-reachability min."""
+    from seccosql_spark.graph.algorithms import strongly_connected_components
+
+    edges = sess.spark.sql(EDGES_SPARSE)
+    return sess.from_spark(strongly_connected_components(edges))

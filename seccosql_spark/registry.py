@@ -71,19 +71,20 @@ from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-5 window: (a) ALL 17 queries that have
+# checks the first 50 entries. Round-5 window: (a) ALL 18 queries that have
 # never had a driver row — the 6 streaming ops graduating from pytest-only
 # (`streaming/ops.py`), `multiway_stats_equality`, `approx_quantiles_sketch`,
 # and this round's new operators (`decontaminate_bloom`, `ann_ivf_kmeans`,
 # `timeseries_gapfill_hourly`, `g_c1_pentagon_agg`, `g_c2_pentagon_agg`, `g_c3_pentagon_wsum`,
-# `g_c4_pentagon_wsum`, `text_chunk_windows`, `intersect_all_bag`);
-# (b) 33 of the 47 queries whose latest sf0.01 driver row predates r03
+# `g_c4_pentagon_wsum`, `g_scc`, `text_chunk_windows`, `intersect_all_bag`);
+# (b) 32 of the 47 queries whose latest sf0.01 driver row predates r03
 # (VERDICT r04 task 1) — the TPC-H heads (q1/q3/q5/q7/q10/q12/q14/q18/q19),
 # the relational-operator family, the window family, source_quantiles,
 # events_json_extract, and the UDF/UDAF pair. Never-verified
-# queries outrank stale-but-green ones, so the 14 stale entries bumped to
+# queries outrank stale-but-green ones, so the 15 stale entries bumped to
 # r06 are lowest-risk r01/r02-green rows on files verified unchanged since
-# (filter_predicate, project_compute, distinct_pairs, cross_join_pairs,
+# (filter_predicate, project_compute, distinct_pairs, sort_limit_topk,
+# cross_join_pairs,
 # union_all_counts,
 # union_distinct, intersect_keys,
 # except_distinct, except_all_bag, scalar_datetime, scalar_string_funcs,
@@ -109,6 +110,7 @@ _PRIORITY_WINDOW = [
     "text_chunk_windows",
     "g_c3_pentagon_wsum",
     "g_c4_pentagon_wsum",
+    "g_scc",
     "intersect_all_bag",
     # -- TPC-H heads (latest rows r01/r02; relational.py/tpch_shapes.py
     #    diffs since were verified additive-only in VERDICT r04)
@@ -122,7 +124,6 @@ _PRIORITY_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_join",
     # -- relational operator family (r01 rows)
-    "sort_limit_topk",
     "aggregate_global",
     "aggregate_group_having",
     "join_inner_groupby",

@@ -457,3 +457,23 @@ def test_chunk_documents_boundaries(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=0, overlap=0)
+
+
+def test_scc_directed_vs_undirected(spark):
+    """SCC must not merge one-way links, and must keep a cycle together
+    even when its members reach/are-reached-by smaller outside ids (the
+    case that breaks double-min-label schemes): {5,6} is one SCC despite
+    5->1 and 2->5."""
+    from seccosql_spark.graph.algorithms import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 5), (5, 1), (2, 5), (3, 4)], "src BIGINT, dst BIGINT"
+    )
+    scc = {r["id"]: r["scc"] for r in strongly_connected_components(edges).collect()}
+    assert scc == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5}
+    # the undirected CC merges everything reachable ignoring direction
+    cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc[5] == cc[1] == cc[2] == cc[6]

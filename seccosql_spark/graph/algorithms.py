@@ -374,24 +374,15 @@ def connected_components(
     return state
 
 
-def strongly_connected_components(
+def strongly_connected_components_closure(
     edges: DataFrame, max_rounds: int = 50, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """(id, scc): DIRECTED strongly-connected components, exactly — the
-    directed sibling of `connected_components` (which symmetrizes and
-    therefore merges one-way-linked nodes). scc = min id of the component.
-
-    Method: semi-naive transitive closure (`operators/recursion.
-    bounded_fixpoint`, O(diameter) rounds), then scc(v) = least(v,
-    min{u : v→*u ∧ u→*v}) — v and u are mutually reachable iff they share
-    an SCC, so the minimum mutual neighbor IS the component id. (A cheaper
-    double-min-label scheme is NOT correct: a node can reach a smaller id
-    one-way outside its SCC, splitting real components.)
-
-    Scale: the closure materializes reach-pairs, O(n·reach) — right for
-    analytics-sized / condensed graphs (the reference's I-series scale);
-    for web-scale SCC use FW-BW/coloring partitioning on top of this as
-    the per-partition kernel."""
+    """(id, scc) via full transitive closure + mutual-reachability min — the
+    small-graph oracle kernel. Exact, but materializes O(n·reach) reach
+    pairs; `strongly_connected_components` (coloring, below) is the scale
+    path and is differentially tested against this on random graphs.
+    `strict=True` makes a diameter > max_rounds raise instead of silently
+    splitting components (ADVICE r05)."""
     from seccosql_spark.operators.recursion import bounded_fixpoint
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -403,7 +394,7 @@ def strongly_connected_components(
             .select(F.col("d.a").alias("a"), F.col("e.b").alias("b"))
         )
 
-    reach = bounded_fixpoint(e, step, max_rounds=max_rounds)
+    reach = bounded_fixpoint(e, step, max_rounds=max_rounds, strict=True)
     back = reach.select(F.col("b").alias("a"), F.col("a").alias("b"))
     mutual = reach.intersect(back)  # v→*u and u→*v, v != u (unless self-loop path)
     best = mutual.groupBy("a").agg(F.min("b").alias("m"))
@@ -411,4 +402,168 @@ def strongly_connected_components(
         _nodes(edges, src, dst)
         .join(best.withColumnRenamed("a", "id"), "id", "left")
         .select("id", F.least(F.col("id"), F.coalesce("m", F.col("id"))).alias("scc"))
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 200,
+    src: str = "src",
+    dst: str = "dst",
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id, scc): DIRECTED strongly-connected components, exactly — the
+    directed sibling of `connected_components`. scc = min id of the
+    component (same labeling as the closure oracle).
+
+    Method — trim + forward-max coloring + same-color backward reach (the
+    Pregel SCC shape, Salihoglu & Widom VLDB'14 "Optimizing Graph Algorithms
+    on Pregel-like Systems"; reference lineage: the I-series analytics,
+    benchmark/testcases/graphAnalytic.scala:11-557). Outer passes over the
+    shrinking remainder graph:
+
+      1. TRIM: any node with no in-edge or no out-edge in the remainder is a
+         singleton SCC — peel to fixpoint (kills chains/trees in
+         O(depth) rounds of two aggregations each).
+      2. COLOR: propagate color(v) = max{u : u →* v} forward to fixpoint
+         (O(diameter) rounds of one join + one max-aggregation). Roots are
+         nodes with color(v) = v.
+      3. BACKWARD REACH: from each root c, walk reversed edges restricted to
+         color class c; the reached set IS SCC(c). (Exactness: color(v)=c
+         means c→*v; if also v→*c then every node on the v→c path is
+         mutually reachable with c, hence same color — so the restriction
+         loses nothing, and mutual reachability with the root is exactly
+         SCC membership.)
+      4. Label found SCCs with their min member id, remove them, repeat.
+
+    Scale: state is O(n) (id, color) rows and the per-round work is one
+    edge-relation join — reach-pairs are NEVER materialized, unlike the
+    closure kernel. Rounds: each inner fixpoint is ≤ the remainder's
+    diameter; outer passes are bounded by the condensation-DAG depth (each
+    pass removes every root's SCC — at minimum the SCC of the largest
+    remaining id — plus everything trim peels). `max_rounds` bounds every
+    INNER fixpoint; non-convergence raises (no silent truncation).
+    `stats`, when given, is filled with round/pass counters and the largest
+    materialized state (for the no-quadratic-intermediate test)."""
+    e0 = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = _nodes(e0, "a", "b").localCheckpoint(eager=True)
+    st = {"outer_passes": 0, "trim_rounds": 0, "color_rounds": 0, "bw_rounds": 0,
+          "max_state_rows": 0}
+
+    def _track(df: DataFrame, n: int | None = None) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        st["max_state_rows"] = max(st["max_state_rows"], n if n is not None else out.count())
+        return out
+
+    done_parts: list[DataFrame] = []
+    rem_nodes = all_nodes  # (id)
+    rem_e = e0  # (a, b)
+    # Outer termination is structural (every pass removes >= 1 SCC); the cap
+    # is a runaway guard only — #SCCs <= #nodes, and passes <= condensation depth.
+    for _ in range(1_000_000):
+        if rem_nodes.isEmpty():
+            break
+        st["outer_passes"] += 1
+        # -- 1. trim to fixpoint: peel nodes lacking an in- or out-edge
+        for _t in range(max_rounds + 1):
+            srcs = rem_e.select(F.col("a").alias("id")).distinct()
+            dsts = rem_e.select(F.col("b").alias("id")).distinct()
+            interior = srcs.intersect(dsts)
+            trimmed = rem_nodes.join(interior, "id", "left_anti")
+            trimmed = _track(trimmed)
+            if trimmed.isEmpty():
+                break
+            st["trim_rounds"] += 1
+            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+            rem_nodes = _track(rem_nodes.join(trimmed, "id", "left_anti"))
+            rem_e = _track(
+                rem_e.join(trimmed.withColumnRenamed("id", "a"), "a", "left_anti")
+                .join(trimmed.withColumnRenamed("id", "b"), "b", "left_anti")
+                .select("a", "b")
+            )
+        if rem_nodes.isEmpty():
+            break
+        # -- 2. forward-max coloring to fixpoint
+        color = _track(rem_nodes.select("id", F.col("id").alias("color")))
+        converged = False
+        for _c in range(max_rounds):
+            st["color_rounds"] += 1
+            cand = (
+                rem_e.join(color.withColumnRenamed("id", "a"), "a")
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.max("color").alias("nc"))
+            )
+            merged = (
+                color.join(cand, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("color"), F.coalesce("nc", F.col("color"))).alias("next"),
+                    "color",
+                )
+            )
+            n_changed = merged.filter(F.col("next") > F.col("color")).count()
+            color = _track(merged.select("id", F.col("next").alias("color")))
+            if n_changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"SCC coloring did not converge within max_rounds={max_rounds} "
+                f"(remainder diameter exceeds the budget); raise max_rounds"
+            )
+        # -- 3. backward reach from roots, restricted to same-color edges
+        ce = (
+            rem_e.join(color.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
+            .join(color.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
+            .filter(F.col("ca") == F.col("cb"))
+            .select("a", "b", F.col("ca").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        bw = _track(color.filter(F.col("id") == F.col("color")))  # roots: (id, color)
+        converged = False
+        for _b in range(max_rounds + 1):
+            preds = (
+                ce.join(bw.select(F.col("id").alias("b"), "color"), ["b", "color"])
+                .select(F.col("a").alias("id"), "color")
+                .distinct()
+                .exceptAll(bw)
+            )
+            preds = _track(preds)
+            if preds.isEmpty():
+                converged = True
+                break
+            st["bw_rounds"] += 1
+            bw = _track(bw.unionByName(preds))
+        if not converged:
+            raise RuntimeError(
+                f"SCC backward reach did not converge within max_rounds={max_rounds}; "
+                f"raise max_rounds"
+            )
+        # -- 4. found SCCs: members of bw per color class, labeled min(id)
+        labels = bw.groupBy("color").agg(F.min("id").alias("scc"))
+        found = _track(bw.join(labels, "color").select("id", "scc"))
+        done_parts.append(found)
+        rem_nodes = _track(rem_nodes.join(found.select("id"), "id", "left_anti"))
+        rem_e = _track(
+            rem_e.join(found.select(F.col("id").alias("a")), "a", "left_anti")
+            .join(found.select(F.col("id").alias("b")), "b", "left_anti")
+            .select("a", "b")
+        )
+    if stats is not None:
+        stats.update(st)
+    if not done_parts:
+        return all_nodes.select("id", F.col("id").alias("scc"))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    # self-loop-only nodes were dropped by the a != b filter; restore as singletons
+    return (
+        _nodes(edges, src, dst)
+        .join(out.withColumnRenamed("scc", "m"), "id", "left")
+        .select("id", F.coalesce("m", F.col("id")).cast("long").alias("scc"))
     )

@@ -63,13 +63,18 @@ def _edge_graph_probe(
     WCOJ on stale evidence. Spark's own caches share this contract
     (``spark.catalog.refreshTable`` territory); call
     ``session.__dict__.pop("_edge_probe_cache", None)`` after an in-place
-    rewrite. The cache is size-bounded (FIFO, 64 plans) so long sessions
-    don't pin unbounded DataFrame references."""
+    rewrite. The cache is size-bounded (LRU via dict-order re-insertion on
+    hit, 64 plans) so long sessions don't pin unbounded DataFrame
+    references."""
     global _PROBE_MISSES
     cache = session.__dict__.setdefault("_edge_probe_cache", {})
     h = edges.semanticHash()
     hit = cache.get(h)
     if hit is not None and hit[0].sameSemantics(edges):
+        # LRU promotion: re-insert so dict ordering tracks recency and the
+        # eviction below drops the coldest entry, not the oldest insertion.
+        cache.pop(h)
+        cache[h] = hit
         return hit[1]
     if len(cache) >= 64:
         cache.pop(next(iter(cache)))

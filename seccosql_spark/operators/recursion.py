@@ -46,21 +46,37 @@ def bounded_fixpoint(
     step: Callable[[DataFrame], DataFrame],
     max_rounds: int = DEFAULT_MAX_ROUNDS,
     distinct: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Semi-naive bounded fixpoint: result := base; repeat up to `max_rounds`:
     delta := step(delta) minus result (when `distinct`); result ∪= delta;
-    stop on empty delta. Returns the accumulated result."""
+    stop on empty delta. Returns the accumulated result.
+
+    With ``strict=True`` a non-empty delta after `max_rounds` raises instead
+    of silently returning the truncated result — callers whose semantics are
+    "the exact fixpoint" (transitive closures, exact reachability) should
+    pass it; ``WITH RECURSIVE(n)`` keeps the default because a bounded round
+    budget IS its semantics (reference.conf:37)."""
     acc = _materialize(base.distinct() if distinct else base)
     delta = acc
+    converged = False
     for _ in range(max_rounds):
         new = step(delta)
         if distinct:
             new = new.distinct().exceptAll(acc)
         new = _materialize(new)
         if new.isEmpty():
+            converged = True
             break
         acc = _materialize(acc.unionByName(new))
         delta = new
+    if strict and not converged and not _materialize(
+        step(delta).distinct().exceptAll(acc) if distinct else step(delta)
+    ).isEmpty():
+        raise RuntimeError(
+            f"bounded_fixpoint did not converge within max_rounds={max_rounds}; "
+            "the result would be a truncated fixpoint (raise max_rounds or drop strict)"
+        )
     return acc
 
 

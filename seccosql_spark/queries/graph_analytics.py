@@ -215,9 +215,11 @@ FROM n LEFT JOIN m ON n.v = m.v
 def g_scc(sess: SeccoSession):
     """DIRECTED strongly-connected components on the sparse graph — the
     directed completion of the components family (`g_connected_components`
-    merges one-way links; this must not). Exact closure-based formulation
-    (graph/algorithms.py strongly_connected_components); the oracle replays
-    it with a recursive closure + mutual-reachability min."""
+    merges one-way links; this must not). Scalable trim + coloring +
+    backward-reach kernel (graph/algorithms.py strongly_connected_components
+    — O(n) state, no reach-pair materialization); the oracle replays the
+    semantics independently with a recursive closure + mutual-reachability
+    min."""
     from seccosql_spark.graph.algorithms import strongly_connected_components
 
     edges = sess.spark.sql(EDGES_SPARSE)

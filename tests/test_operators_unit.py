@@ -477,3 +477,97 @@ def test_scc_directed_vs_undirected(spark):
     # the undirected CC merges everything reachable ignoring direction
     cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert cc[5] == cc[1] == cc[2] == cc[6]
+
+
+def test_scc_coloring_matches_closure_random(spark):
+    """Differential: the scalable trim+coloring+backward-reach kernel must
+    agree with the exact closure kernel on a random sparse digraph (cycles,
+    chains, DAG parts all arise at this density)."""
+    import random
+
+    from seccosql_spark.graph.algorithms import (
+        strongly_connected_components,
+        strongly_connected_components_closure,
+    )
+
+    rng = random.Random(20260814)
+    pairs = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(130)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    got = {(r["id"], r["scc"]) for r in strongly_connected_components(edges).collect()}
+    want = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components_closure(edges, max_rounds=60).collect()
+    }
+    assert got == want
+
+
+def test_scc_scale_shape_no_quadratic_intermediate(spark):
+    """The 100x-scale contract (VERDICT r05 task 2): on a hub-and-cycles
+    graph the kernel's materialized state stays O(n + m) (never reach-pairs,
+    which would be ~n^2/4 here) and inner rounds track the diameter, not n."""
+    from seccosql_spark.graph.algorithms import strongly_connected_components
+
+    # two 20-cycles bridged one-way through a hub; diameter ~ 21
+    n1, n2 = 20, 20
+    pairs = [(i, (i + 1) % n1) for i in range(n1)]
+    pairs += [(100 + i, 100 + (i + 1) % n2) for i in range(n2)]
+    pairs += [(3, 100), (7, 100), (50, 0), (50, 100)]  # hub 50 + bridges
+    edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    stats = {}
+    scc = {r["id"]: r["scc"] for r in strongly_connected_components(edges, stats=stats).collect()}
+    assert scc[0] == scc[7] == 0 and scc[100] == scc[119] == 100 and scc[50] == 50
+    n_nodes, n_edges = 41, len(pairs)
+    # reach-pairs would be >= 20*20*2 + cross-cycle pairs ~ 1200; O(n+m) is ~85
+    assert stats["max_state_rows"] <= 2 * (n_nodes + n_edges)
+    # inner fixpoints are diameter-bounded: each cycle colors in <= n1+1 rounds
+    assert stats["color_rounds"] <= n1 + 2
+    assert stats["bw_rounds"] <= n1 + 2
+    assert stats["outer_passes"] <= 3
+
+
+def test_scc_nonconvergence_raises(spark):
+    """No silent truncation (ADVICE r05): an insufficient round budget must
+    raise, in both the coloring kernel and the strict closure kernel."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import (
+        strongly_connected_components,
+        strongly_connected_components_closure,
+    )
+
+    # one 12-cycle: coloring needs ~12 rounds; closure reach needs ~12 joins
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(edges, max_rounds=3)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components_closure(edges, max_rounds=3)
+
+
+def test_bloom_bitmap_fold_is_word_bounded(spark):
+    """The bitmap build is distributed (VERDICT r05 finding 2): the driver
+    collect is bounded by the WORD count m/64, never by |eval n-grams| x k.
+    2000 distinct grams x 5 probes = 10k positions must collapse to <= 64
+    word rows at m=4096, and the folded bits must equal the per-position
+    reference fold."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.operators.dedup import _fold_bitmap_words
+
+    m, k = 4096, 5
+    eg = spark.range(2000).select(F.concat(F.lit("gram-"), F.col("id")).alias("s"))
+
+    def probes(col):
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+
+    rows = _fold_bitmap_words(eg, probes, m)
+    assert len(rows) <= m >> 6
+    got = [0] * (m >> 6)
+    for r in rows:
+        got[r["w"]] = r["word"] & ((1 << 64) - 1)
+    want = [0] * (m >> 6)
+    for r in eg.select(F.explode(F.array(*probes(F.col("s")))).alias("p")).collect():
+        want[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    assert got == want

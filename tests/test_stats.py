@@ -356,3 +356,20 @@ def test_stats_from_catalog_renames_attributes():
     )
     assert got[0].ndv == {"ck": 150.0}
     assert got[0].max_freq == {"ck": 30.0}
+
+
+def test_w1_skew_profiles_flip_join_order(sess):
+    """The W1 workload twin (workloadQuery.scala:37-139): measured stats
+    must drive OPPOSITE dim attach orders under the low vs high fanout
+    profiles — the cardinality-estimation decision the reference's
+    W-series was built to exercise."""
+    from seccosql_spark.queries.workload import w1_join_order
+
+    low = w1_join_order(sess, "low")
+    high = w1_join_order(sess, "high")
+    # both start at the fanout-1 dim (smallest relation), then the fact
+    assert low[0] == "w1_low_r2" and low[1] == "w1_low_r1"
+    assert high[0] == "w1_high_r5" and high[1] == "w1_high_r1"
+    # dims attach smallest-estimated-intermediate first: increasing fanout
+    assert low[2:] == ["w1_low_r3", "w1_low_r4", "w1_low_r5"]
+    assert high[2:] == ["w1_high_r4", "w1_high_r3", "w1_high_r2"]

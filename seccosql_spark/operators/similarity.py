@@ -343,6 +343,7 @@ def lsh_hyperplane_bands(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_flips: int = 0,
 ) -> DataFrame:
     """(id, band, val): random-hyperplane LSH signature of each vector,
     banded. The classic SimHash-for-cosine: bit_p = sign(<v, h_p>) with
@@ -356,9 +357,21 @@ def lsh_hyperplane_bands(
     up to 1/127 per component, far below the hyperplane margin for
     non-degenerate vectors; at scale the quantized vectors are also the
     cheaper ones to scan. Whole computation is one codegen'd projection —
-    no shuffle, no Python."""
+    no shuffle, no Python.
+
+    ``probe_flips`` > 0 enables MULTI-PROBE (Lv et al., VLDB'07 shape) for
+    the QUERY side: per band, also emit the ``probe_flips`` variants with
+    the lowest-|margin| bit(s) flipped — a near neighbor that disagrees on
+    one bit almost always disagrees on the bit whose hyperplane dot is
+    closest to zero, so probing those variants recovers most Hamming-1
+    misses at a fraction of the candidate cost of shorter bands. Margin
+    ties break by in-band position (array_sort struct order), mirrored
+    exactly by the oracle's ORDER BY abs(dp), p. The corpus side stays
+    single-probe: the index stores one signature per band per vector."""
     if planes % band_size != 0:
         raise ValueError("planes must be a multiple of band_size")
+    if not (0 <= probe_flips <= band_size):
+        raise ValueError(f"probe_flips must be in [0, band_size], got {probe_flips}")
     signs = hyperplane_signs(planes, dim)
     q = quantize_int8(emb, vec_col=vec_col, id_col=id_col)
     # Hard length check: zip_with null-pads a short/long vector, which would
@@ -374,27 +387,46 @@ def lsh_hyperplane_bands(
             )
         )
     )
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    qarr,
-                    F.array(*[F.lit(s) for s in signs[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        ).cast("int")
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                qarr,
+                F.array(*[F.lit(s) for s in signs[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
         for p in range(planes)
     ]
+    bits = [(dp >= 0).cast("int") for dp in dots]
     bands = []
     for b in range(planes // band_size):
         val = F.lit(0)
         for i in range(band_size):
             val = val + (bits[b * band_size + i] * F.lit(2**i))
-        bands.append(F.struct(F.lit(b).alias("band"), val.cast("int").alias("val")))
+        val = val.cast("int")
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("val")))
+        if probe_flips > 0:
+            # in-band bit positions ordered by |margin| asc, position asc
+            ranked = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(dots[b * band_size + i]).alias("m"),
+                            F.lit(i).alias("i"),
+                        )
+                        for i in range(band_size)
+                    ]
+                )
+            )
+            for f in range(probe_flips):
+                flipped = val.bitwiseXOR(
+                    F.call_function(
+                        "shiftleft", F.lit(1), F.element_at(ranked, f + 1)["i"].cast("int")
+                    )
+                ).cast("int")
+                bands.append(F.struct(F.lit(b).alias("band"), flipped.alias("val")))
     return q.select(
         F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bv")
     ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
@@ -410,17 +442,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share at least one
-    hyperplane band with the query, then exact cosine ranks the candidates.
+    hyperplane band with the query (optionally also one of the query's
+    multi-probe flipped variants), then exact cosine ranks the candidates.
     Same output shape as cosine_topk; approximate by design (recall grows
-    with bands), deterministic by construction.
+    with bands and probes), deterministic by construction.
 
     Scale shape: signatures are a map-only projection over the corpus; the
     candidate join is an equi-join on (band, val) — the corpus never does
-    all-pairs work, and the query side is broadcast."""
+    all-pairs work, and the query side (including its probe expansion) is
+    broadcast."""
     cb = lsh_hyperplane_bands(emb, planes, band_size, dim, id_col, vec_col)
-    qb = lsh_hyperplane_bands(queries, planes, band_size, dim, id_col, vec_col)
+    qb = lsh_hyperplane_bands(
+        queries, planes, band_size, dim, id_col, vec_col, probe_flips=probe_flips
+    )
     cand = (
         F.broadcast(qb.withColumnRenamed("id", "query_id"))
         .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "val"])

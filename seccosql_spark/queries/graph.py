@@ -347,6 +347,7 @@ def g_message_passing_2rounds(sess: SeccoSession):
         SELECT count(*) AS n
         FROM e e1 JOIN e e2 ON e1.dst = e2.src
                   JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src""",
+    headline=True,
 )
 def g_triangle_wcoj(sess: SeccoSession):
     """Triangle count through the worst-case-optimal path (plans/wcoj.py):

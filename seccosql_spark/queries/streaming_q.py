@@ -49,7 +49,7 @@ GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type
 """
 
 
-@register("stream_window_counts", STREAM_WINDOW_ORACLE)
+@register("stream_window_counts", STREAM_WINDOW_ORACLE, headline=True)
 def stream_window_counts(sess: SeccoSession):
     """Hourly event-time tumbling windows per event_type, executed as an
     actual Structured Streaming query (watermark + window + availableNow

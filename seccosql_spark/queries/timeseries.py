@@ -91,7 +91,7 @@ FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.hidx = a.hidx
 """
 
 
-@register("timeseries_gapfill_hourly", GAPFILL_ORACLE)
+@register("timeseries_gapfill_hourly", GAPFILL_ORACLE, headline=True)
 def timeseries_gapfill_hourly(sess: SeccoSession):
     """Dense hourly resample of the event stream per event_type with
     zero-filled counts and carry-forward sums over empty hours — the

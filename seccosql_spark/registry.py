@@ -72,86 +72,73 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
-# checks the first 50 entries. Round-5 window: (a) ALL 18 queries that have
-# never had a driver row — the 6 streaming ops graduating from pytest-only
-# (`streaming/ops.py`), `multiway_stats_equality`, `approx_quantiles_sketch`,
-# and this round's new operators (`decontaminate_bloom`, `ann_ivf_kmeans`,
-# `timeseries_gapfill_hourly`, `g_c1_pentagon_agg`, `g_c2_pentagon_agg`, `g_c3_pentagon_wsum`,
-# `g_c4_pentagon_wsum`, `g_scc`, `text_chunk_windows`, `intersect_all_bag`);
-# (b) 32 of the 47 queries whose latest sf0.01 driver row predates r03
-# (VERDICT r04 task 1) — the TPC-H heads (q1/q3/q5/q7/q10/q12/q14/q18/q19),
-# the relational-operator family, the window family, source_quantiles,
-# events_json_extract, and the UDF/UDAF pair. Never-verified
-# queries outrank stale-but-green ones, so the 15 stale entries bumped to
-# r06 are lowest-risk r01/r02-green rows on files verified unchanged since
-# (filter_predicate, project_compute, distinct_pairs, sort_limit_topk,
-# cross_join_pairs,
-# union_all_counts,
-# union_distinct, intersect_keys,
-# except_distinct, except_all_bag, scalar_datetime, scalar_string_funcs,
-# rollup_agg, cube_agg, g_path2_pairs) — all re-proven by the FULL registry sf0.01 pytest
-# gate this session.
+# checks the first 50 entries. The window is now generated MECHANICALLY:
+#
+#     python scripts/freshness.py --window
+#
+# (VERDICT r05 task 8) which tiers every registered query by (1) never
+# driver-verified, (2) "hot" — an implementing/dependency file changed
+# after the latest driver run, so the green row proves superseded code,
+# (3) stale — the row predates a change to a dep file, oldest round first,
+# (4) fresh, oldest round first. The r06 window below is that output
+# verbatim: 3 never-verified (multimodal_decode_real + the W1 twins),
+# 33 hot (this round touched algorithms/graphframe/dedup/similarity/
+# multimodal/recursion and their query families), and 14 of the 15
+# r01/r02-stale relational rows (cube_agg is slot 51 and rotates in r07;
+# the whole registry is still re-proven every session by the full
+# sf0.01 pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    # -- never driver-verified: streaming ops graduating from pytest-only,
-    #    plus every query added after the r04 verdict
-    "stream_stream_join",
-    "stream_dedup",
-    "foreach_batch_upsert",
-    "stream_static_enrich",
-    "stream_upsert_state",
-    "stream_left_outer_join",
-    "multiway_stats_equality",
-    "approx_quantiles_sketch",
-    "decontaminate_bloom",
+    "multimodal_decode_real",
+    "w1_star_high_skew",
+    "w1_star_low_skew",
+    "dedup_exact",
+    "embedding_quantize_int8",
+    "g_clustering_coeff",
+    "g_common_neighbors",
+    "g_pagerank_3rounds",
+    "g_self_loop_pattern",
+    "g_sssp_weighted",
+    "knn_cosine_bruteforce",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "corpus_clean_pass",
+    "decontaminate_ngram8",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_minhash_words",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_centroids",
+    "g_connected_components",
+    "g_degrees",
+    "g_kcore",
+    "g_label_propagation",
+    "g_labeled_pattern",
+    "g_message_passing_2rounds",
+    "g_message_passing_wsum",
+    "g_pattern_weighted_agg",
+    "g_subgraph_filter",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
     "ann_ivf_kmeans",
-    "timeseries_gapfill_hourly",
-    "g_c1_pentagon_agg",
-    "g_c2_pentagon_agg",
-    "text_chunk_windows",
-    "g_c3_pentagon_wsum",
-    "g_c4_pentagon_wsum",
+    "decontaminate_bloom",
     "g_scc",
-    "intersect_all_bag",
-    # -- TPC-H heads (latest rows r01/r02; relational.py/tpch_shapes.py
-    #    diffs since were verified additive-only in VERDICT r04)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_join_chain",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    # -- relational operator family (r01 rows)
-    "aggregate_global",
-    "aggregate_group_having",
-    "join_inner_groupby",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "natural_join_count",
-    "theta_join",
-    "union_by_update",
-    # -- subquery + scalar family (r01 rows)
-    "exists_subquery",
-    "in_subquery",
-    "scalar_subquery",
-    "scalar_case_null",
-    # -- grouping-extension + pivot family (r01/r02 rows)
-    "pivot_status",
-    # -- window-function family (r01/r02 rows)
-    "window_running_sum",
-    "window_lag_delta",
-    "window_topk_per_user",
-    # -- remaining r02-stale singles
-    "source_quantiles",
-    "events_json_extract",
-    "udaf_median_price",
-    "udf_rowwise_registered",
+    "cross_join_pairs",
+    "distinct_pairs",
+    "except_all_bag",
+    "except_distinct",
+    "filter_predicate",
+    "g_path2_pairs",
+    "intersect_keys",
+    "project_compute",
+    "rollup_agg",
+    "scalar_datetime",
+    "scalar_string_funcs",
+    "sort_limit_topk",
+    "union_all_counts",
+    "union_distinct",
 ]
 
 

@@ -39,6 +39,10 @@ EXTRA = [
     "ann_ivf_kmeans",
     "timeseries_gapfill_hourly",
     "g_c1_pentagon_agg",
+    "multimodal_decode_real",
+    "w1_star_low_skew",
+    "w1_star_high_skew",
+    "g_scc",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -81,17 +81,23 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # after the latest driver run, so the green row proves superseded code,
 # (3) stale — the row predates a change to a dep file, oldest round first,
 # (4) fresh, oldest round first. The r06 window below is that output
-# verbatim: 3 never-verified (multimodal_decode_real + the W1 twins),
-# 33 hot (this round touched algorithms/graphframe/dedup/similarity/
-# multimodal/recursion and their query families), and 14 of the 15
-# r01/r02-stale relational rows (cube_agg is slot 51 and rotates in r07;
-# the whole registry is still re-proven every session by the full
-# sf0.01 pytest gate).
+# verbatim: 9 never-verified (multimodal_decode_real + the 8 W-series
+# twins), 36 hot (this round touched algorithms/graphframe/dedup/
+# similarity/multimodal/recursion and their query families, plus the three
+# new bench headliners' registrations), and 5 of the r01-stale relational
+# rows (the remaining r01/r02 rows rotate in r07; the whole registry is
+# still re-proven every session by the full sf0.01 pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "multimodal_decode_real",
     "w1_star_high_skew",
     "w1_star_low_skew",
+    "w2_snowflake_high_skew",
+    "w2_snowflake_low_skew",
+    "w3_chain_high_skew",
+    "w3_chain_low_skew",
+    "w5_cycle_join",
+    "w6_theta_chain",
     "dedup_exact",
     "embedding_quantize_int8",
     "g_clustering_coeff",
@@ -120,25 +126,19 @@ _PRIORITY_WINDOW = [
     "g_message_passing_wsum",
     "g_pattern_weighted_agg",
     "g_subgraph_filter",
+    "g_triangle_wcoj",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "stream_window_counts",
     "ann_ivf_kmeans",
     "decontaminate_bloom",
     "g_scc",
+    "timeseries_gapfill_hourly",
     "cross_join_pairs",
     "distinct_pairs",
     "except_all_bag",
     "except_distinct",
     "filter_predicate",
-    "g_path2_pairs",
-    "intersect_keys",
-    "project_compute",
-    "rollup_agg",
-    "scalar_datetime",
-    "scalar_string_funcs",
-    "sort_limit_topk",
-    "union_all_counts",
-    "union_distinct",
 ]
 
 

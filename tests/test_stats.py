@@ -373,3 +373,28 @@ def test_w1_skew_profiles_flip_join_order(sess):
     # dims attach smallest-estimated-intermediate first: increasing fanout
     assert low[2:] == ["w1_low_r3", "w1_low_r4", "w1_low_r5"]
     assert high[2:] == ["w1_high_r4", "w1_high_r3", "w1_high_r2"]
+
+
+def test_w2_snowflake_profiles_flip_join_order(sess):
+    """W2 snowflake twin (workloadQuery.scala:140-233): low profile anchors
+    at the fanout-1 fact dim; high profile starts at the snowflake LEAF and
+    climbs R5 -> R4 -> fact — opposite attach directions."""
+    from seccosql_spark.queries.workload import w2_join_order
+
+    low = w2_join_order(sess, "low")
+    high = w2_join_order(sess, "high")
+    assert [n.rsplit("_", 1)[-1] for n in low][:2] == ["r2", "r1"]
+    assert [n.rsplit("_", 1)[-1] for n in high][:3] == ["r5", "r4", "r1"]
+    assert low != high
+
+
+def test_w3_chain_profiles_flip_join_order(sess):
+    """W3 line-join twin (workloadQuery.scala:237-330): the greedy order
+    walks the chain FORWARD when sizes grow left-to-right and BACKWARD
+    when they grow right-to-left."""
+    from seccosql_spark.queries.workload import w3_join_order
+
+    low = [n.rsplit("_", 1)[-1] for n in w3_join_order(sess, "low")]
+    high = [n.rsplit("_", 1)[-1] for n in w3_join_order(sess, "high")]
+    assert low == ["r1", "r2", "r3", "r4", "r5"]
+    assert high == ["r5", "r4", "r3", "r2", "r1"]

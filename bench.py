@@ -120,6 +120,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the r01-comparable basket: `value` also counts headliners appended
+        # in later rounds, so cross-round ratios must use this subtotal
+        "pinned_total_sec": round(
+            sum(t for n, t in timings.items() if n in HEADLINE_ORDER), 3
+        ),
     }
     if failures:
         result["failures"] = failures

@@ -143,3 +143,30 @@ def test_gapfill_single_fact_aggregation(sess):
     assert len(bnl) <= 1, plan  # the keys×spine cross only
     if bnl:
         assert "Cross" in plan.split("BroadcastNestedLoopJoin", 2)[1][:80], plan
+
+
+def test_w_series_twins_join_physically_clean(sess):
+    """The W-series twins must produce the physical plans the workload
+    benchmark assumes: every equi-join resolvable by broadcast at this
+    scale (no sort-merge), and — for the cyclic W5 GHD plan — no cartesian
+    product smuggled in by the decomposition."""
+    for name in [
+        "w1_star_low_skew",
+        "w2_snowflake_high_skew",
+        "w3_chain_low_skew",
+    ]:
+        plan = formatted_plan(sess, name)
+        assert not _ops(plan, "SortMergeJoin"), (name, plan)
+        assert not _ops(plan, "CartesianProduct"), (name, plan)
+    # W5's GHD plan: in-bag joins broadcast; the one bag-COMBINE join may
+    # plan as sort-merge (its inputs are computed intermediates with no
+    # size stats — the right conservative default at scale; AQE downgrades
+    # it to broadcast at runtime when the bags turn out small)
+    plan = formatted_plan(sess, "w5_cycle_join")
+    assert not _ops(plan, "CartesianProduct"), plan
+    assert len(_ops(plan, "SortMergeJoin")) <= 1, plan
+    # W6 is two inequality joins: nested-loop is the CORRECT physical shape,
+    # but both must be broadcast nested-loop, never a partitioned cartesian
+    plan = formatted_plan(sess, "w6_theta_chain")
+    assert not _ops(plan, "CartesianProduct"), plan
+    assert len(_ops(plan, "BroadcastNestedLoopJoin")) == 2, plan

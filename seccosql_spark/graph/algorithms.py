@@ -457,7 +457,12 @@ def strongly_connected_components(
 
     def _track(df: DataFrame, n: int | None = None) -> DataFrame:
         out = df.localCheckpoint(eager=True)
-        st["max_state_rows"] = max(st["max_state_rows"], n if n is not None else out.count())
+        if stats is not None:
+            # row accounting costs one extra job per materialization, so it
+            # only runs when the caller asked for stats (the scale-shape test)
+            st["max_state_rows"] = max(
+                st["max_state_rows"], n if n is not None else out.count()
+            )
         return out
 
     done_parts: list[DataFrame] = []

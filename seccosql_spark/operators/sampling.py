@@ -41,6 +41,46 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic DATA-MIXTURE sampling — the domain-reweighting step of
+    a training-data pipeline: each stratum (source/domain/language) keeps
+    its rows at its own rate, so a corpus dominated by one crawl can be
+    downsampled to a target mixture in a single map-only pass.
+
+    Same content-keyed md5 discipline as `hash_sample` (md5(key)[:8] < an
+    8-hex threshold), so the selected SET is deterministic, reproducible
+    across engines/runs, and CONSISTENT across rate changes: raising a
+    stratum's rate only ADDS documents to its sample, never swaps them —
+    the property that keeps incremental re-mixes cheap at 100 TB. The
+    per-stratum threshold is one literal CASE expression (codegen'd map-only
+    scan; no join, no shuffle); rate 1.0 uses a sentinel above the hex
+    alphabet so the comparison keeps every row."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+
+    def thr(rate: float) -> str:
+        # "g" > every hex digit, so rate=1 keeps all rows in a string compare
+        return "g" if rate >= 1.0 else rate_to_hex_threshold(rate)
+
+    expr = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == s
+        expr = F.when(cond, thr(r)) if expr is None else expr.when(cond, thr(r))
+    expr = F.lit(thr(default_rate)) if expr is None else expr.otherwise(thr(default_rate))
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < expr
+    )
+
+
 def stratified_sample_topk(
     df: DataFrame, group_col: str, key_col: str, k: int
 ) -> DataFrame:

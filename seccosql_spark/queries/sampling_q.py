@@ -195,3 +195,55 @@ def approx_quantiles_sketch(sess: SeccoSession):
             ).alias("sketch_ok"),
         )
     )
+
+
+# data-mixture rates: one stratum kept whole, one dropped, the rest split
+# between a majority and a minority rate — the corners a mixture pass hits
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.0}
+_MIXTURE_RATES.update(
+    {f"src{i}": (0.8 if i % 2 == 0 else 0.25) for i in range(2, 20)}
+)
+_MIXTURE_DEFAULT = 0.5
+
+
+def _mixture_oracle() -> str:
+    from seccosql_spark.operators.sampling import rate_to_hex_threshold
+
+    def thr(r: float) -> str:
+        return "g" if r >= 1.0 else rate_to_hex_threshold(r)
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{thr(r)}'" for s, r in sorted(_MIXTURE_RATES.items())
+    )
+    return f"""SELECT source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < (CASE {cases} ELSE '{thr(_MIXTURE_DEFAULT)}' END)
+GROUP BY source"""
+
+
+@register("sample_mixture_sources", _mixture_oracle())
+def sample_mixture_sources(sess: SeccoSession):
+    """Data-mixture sampling (`operators/sampling.mixture_sample`): each
+    source kept at its own deterministic hash rate — the domain-reweighting
+    pass of a training-data pipeline, as one codegen'd map-only CASE filter
+    (no join, no shuffle before the check aggregation). Rates cover the
+    corners: keep-all, drop-all, majority 0.8, minority 0.25. The md5
+    discipline makes the selected set engine-exact AND monotone in the
+    rate (raising a stratum's rate only adds rows), which is what keeps
+    incremental re-mixes cheap at scale."""
+    from seccosql_spark.operators.sampling import mixture_sample
+
+    kept = mixture_sample(
+        sess.spark.table("documents"),
+        stratum_col="source",
+        rates=_MIXTURE_RATES,
+        key_col="doc_id",
+        default_rate=_MIXTURE_DEFAULT,
+    )
+    return sess.from_spark(
+        kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -81,12 +81,13 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # after the latest driver run, so the green row proves superseded code,
 # (3) stale — the row predates a change to a dep file, oldest round first,
 # (4) fresh, oldest round first. The r06 window below is that output
-# verbatim: 9 never-verified (multimodal_decode_real + the 8 W-series
-# twins), 36 hot (this round touched algorithms/graphframe/dedup/
-# similarity/multimodal/recursion and their query families, plus the three
-# new bench headliners' registrations), and 5 of the r01-stale relational
-# rows (the remaining r01/r02 rows rotate in r07; the whole registry is
-# still re-proven every session by the full sf0.01 pytest gate).
+# verbatim: 10 never-verified (multimodal_decode_real, the 8 W-series
+# twins, sample_mixture_sources), 36 hot (this round touched algorithms/
+# graphframe/dedup/similarity/multimodal/recursion and their query
+# families, plus the three new bench headliners' registrations), and 4 of
+# the r01-stale relational rows (the remaining r01/r02 rows rotate in r07;
+# the whole registry is still re-proven every session by the full sf0.01
+# pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "multimodal_decode_real",
@@ -98,6 +99,7 @@ _PRIORITY_WINDOW = [
     "w3_chain_low_skew",
     "w5_cycle_join",
     "w6_theta_chain",
+    "sample_mixture_sources",
     "dedup_exact",
     "embedding_quantize_int8",
     "g_clustering_coeff",
@@ -138,7 +140,6 @@ _PRIORITY_WINDOW = [
     "distinct_pairs",
     "except_all_bag",
     "except_distinct",
-    "filter_predicate",
 ]
 
 

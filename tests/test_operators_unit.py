@@ -687,3 +687,30 @@ def test_lsh_multiprobe_clustered(spark):
     frac = n_cand / (n_q * (n_corpus - 1))
     assert recall >= 0.9, f"clustered recall@3 = {recall:.3f}"
     assert frac <= 0.20, f"candidate fraction = {frac:.3f}"
+
+
+def test_mixture_sample_monotone_and_exact(spark):
+    """mixture_sample: rate 1.0 keeps every row, 0.0 drops every row, and
+    raising a stratum's rate only ADDS rows (hash-threshold monotonicity —
+    the property that keeps incremental re-mixes cheap)."""
+    from seccosql_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = mixture_sample(df, "source", {"s0": 1.0, "s1": 0.0}, "doc_id", 0.3)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    assert {s for _, s in got} <= {"s0", "s2"}
+    assert sum(1 for _, s in got if s == "s0") == 100  # rate 1.0 = all
+    low = {
+        r["doc_id"]
+        for r in mixture_sample(df, "source", {"s2": 0.2}, "doc_id", 0.0).collect()
+    }
+    high = {
+        r["doc_id"]
+        for r in mixture_sample(df, "source", {"s2": 0.6}, "doc_id", 0.0).collect()
+    }
+    assert low <= high and len(low) < len(high)
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, "source", {"s0": 1.5}, "doc_id")

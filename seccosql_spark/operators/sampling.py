@@ -59,8 +59,11 @@ def mixture_sample(
     stratum's rate only ADDS documents to its sample, never swaps them —
     the property that keeps incremental re-mixes cheap at 100 TB. The
     per-stratum threshold is one literal CASE expression (codegen'd map-only
-    scan; no join, no shuffle); rate 1.0 uses a sentinel above the hex
-    alphabet so the comparison keeps every row."""
+    scan; no join, no shuffle) — right up to thousands of strata; a mixture
+    map too big for an expression (e.g. per-domain rates over millions of
+    hosts) should instead broadcast-join a (stratum, threshold) table, which
+    keeps the same semantics at one broadcast's cost. Rate 1.0 uses a
+    sentinel above the hex alphabet so the comparison keeps every row."""
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")

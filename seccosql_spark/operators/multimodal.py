@@ -255,10 +255,12 @@ def decode_image(with_payload: DataFrame) -> DataFrame:
 
 def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic synthetic image payloads for the differential gate:
-    per doc, width = 4 + id%5, height = 3 + id%4, RGB sample (y, x, c) =
-    (id*31 + y*7 + x*3 + c) % 256; even ids encode as PPM, odd as BMP —
-    so one driver row exercises BOTH real codecs. The closed-form pixel
-    rule is what lets a SQL oracle predict pixel_sum without a codec."""
+    per doc, width = 4 + id%5, height = 3 + id%4, sample (y, x, c) =
+    (id*31 + y*7 + x*3 + c) % 256; ids cycle through ALL THREE real
+    codecs — id%3 == 0 PPM, == 1 BMP (3-channel RGB), == 2 PGM (grayscale,
+    the c=0 plane only) — so one driver row exercises every writer+parser
+    pair. The closed-form pixel rule is what lets a SQL oracle predict
+    pixel_sum without a codec."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -268,11 +270,13 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id in pdf[id_col]:
                 d = int(doc_id)
                 w, h = 4 + d % 5, 3 + d % 4
-                idx = np.arange(h * w * 3, dtype=np.int64)
-                y, rem = idx // (w * 3), idx % (w * 3)
-                x, c = rem // 3, rem % 3
+                ch = 1 if d % 3 == 2 else 3
+                idx = np.arange(h * w * ch, dtype=np.int64)
+                y, rem = idx // (w * ch), idx % (w * ch)
+                x, c = rem // ch, rem % ch
                 px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
-                payloads.append(encode_ppm(w, h, px) if d % 2 == 0 else encode_bmp(w, h, px))
+                enc = (encode_ppm, encode_bmp, encode_pgm)[d % 3]
+                payloads.append(enc(w, h, px))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

@@ -457,35 +457,37 @@ def multimodal_decode_stub(sess: SeccoSession):
     """WITH dims AS (
          SELECT doc_id,
                 CAST(4 + doc_id % 5 AS INT) AS width,
-                CAST(3 + doc_id % 4 AS INT) AS height
+                CAST(3 + doc_id % 4 AS INT) AS height,
+                CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS channels
          FROM documents
        ),
        px AS (
-         SELECT d.doc_id, d.width, d.height,
+         SELECT d.doc_id, d.width, d.height, d.channels,
                 sum((d.doc_id * 31 + y.range * 7 + x.range * 3 + c.range) % 256) AS ps
          FROM dims d, range(0, 6) y, range(0, 8) x, range(0, 3) c
-         WHERE y.range < d.height AND x.range < d.width
-         GROUP BY 1, 2, 3
+         WHERE y.range < d.height AND x.range < d.width AND c.range < d.channels
+         GROUP BY 1, 2, 3, 4
        )
        SELECT doc_id, width, height,
-              CAST(CASE WHEN doc_id % 2 = 0
-                   THEN 9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
-                        + width * height * 3
-                   ELSE 54 + height * ((3 * width + 3) // 4 * 4)
+              CAST(CASE WHEN doc_id % 3 = 1
+                   THEN 54 + height * ((3 * width + 3) // 4 * 4)
+                   ELSE 9 + length(CAST(width AS VARCHAR)) + length(CAST(height AS VARCHAR))
+                        + width * height * channels
               END AS INT) AS n_bytes,
-              CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+              CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'pgm' END AS format,
               CAST(ps AS BIGINT) AS pixel_sum
        FROM px""",
 )
 def multimodal_decode_real(sess: SeccoSession):
     """REAL image decode end-to-end (VERDICT r05 task 4): deterministic
-    synthetic rasters are ENCODED to actual PPM (even doc_ids) and 24-bit
-    BMP (odd doc_ids) bytes, then parsed back — header, dimensions, raster —
-    by the pure-Python+numpy codec in operators/multimodal.decode_image,
-    all inside Arrow-batched mapInPandas. The oracle predicts width/height/
-    n_bytes (format-specific header + row-padding arithmetic) and pixel_sum
-    from the closed-form pixel rule — so a codec bug in EITHER direction
-    (writer or parser) breaks the hash match."""
+    synthetic rasters are ENCODED to actual PPM / 24-bit BMP / grayscale
+    PGM bytes (doc_id mod 3), then parsed back — header, dimensions,
+    raster — by the pure-Python+numpy codec in
+    operators/multimodal.decode_image, all inside Arrow-batched
+    mapInPandas. The oracle predicts width/height/n_bytes (format-specific
+    header + row-padding + channel arithmetic) and pixel_sum from the
+    closed-form pixel rule — so a codec bug in EITHER direction (writer or
+    parser) of ANY of the three formats breaks the hash match."""
     from seccosql_spark.operators.multimodal import decode_image, synthesize_images
 
     docs = sess.spark.table("documents")

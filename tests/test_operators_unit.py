@@ -613,17 +613,18 @@ def test_decode_image_spark_path(spark):
     to the synthesized dimensions and pixel sums."""
     from seccosql_spark.operators.multimodal import decode_image, synthesize_images
 
-    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 9).select(F.col("id").alias("doc_id"))
     out = {r["doc_id"]: r for r in decode_image(synthesize_images(docs)).collect()}
-    assert len(out) == 8
+    assert len(out) == 9
     for d, r in out.items():
         assert (r["width"], r["height"]) == (4 + d % 5, 3 + d % 4)
-        assert r["format"] == ("ppm" if d % 2 == 0 else "bmp")
+        assert r["format"] == ("ppm", "bmp", "pgm")[d % 3]
+        channels = 1 if d % 3 == 2 else 3
         want = sum(
             (d * 31 + y * 7 + x * 3 + c) % 256
             for y in range(r["height"])
             for x in range(r["width"])
-            for c in range(3)
+            for c in range(channels)
         )
         assert r["pixel_sum"] == want, d
 

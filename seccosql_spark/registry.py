@@ -81,16 +81,18 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # after the latest driver run, so the green row proves superseded code,
 # (3) stale — the row predates a change to a dep file, oldest round first,
 # (4) fresh, oldest round first. The r06 window below is that output
-# verbatim: 10 never-verified (multimodal_decode_real, the 8 W-series
-# twins, sample_mixture_sources), 36 hot (this round touched algorithms/
-# graphframe/dedup/similarity/multimodal/recursion and their query
-# families, plus the three new bench headliners' registrations), and 4 of
-# the r01-stale relational rows (the remaining r01/r02 rows rotate in r07;
-# the whole registry is still re-proven every session by the full sf0.01
-# pytest gate).
+# verbatim (regenerated at round end so the hot tier reflects the final
+# diffs): 10 never-verified (multimodal_decode_real, the 8 W-series twins,
+# sample_mixture_sources), 38 hot (this round touched algorithms/
+# graphframe/dedup/similarity/multimodal/recursion/sampling and their
+# query families, plus the three new bench headliners' registrations), and
+# 2 of the r01-stale relational rows (the remaining r01/r02 rows rotate in
+# r07; the whole registry is still re-proven every session by the full
+# sf0.01 pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "multimodal_decode_real",
+    "sample_mixture_sources",
     "w1_star_high_skew",
     "w1_star_low_skew",
     "w2_snowflake_high_skew",
@@ -99,7 +101,6 @@ _PRIORITY_WINDOW = [
     "w3_chain_low_skew",
     "w5_cycle_join",
     "w6_theta_chain",
-    "sample_mixture_sources",
     "dedup_exact",
     "embedding_quantize_int8",
     "g_clustering_coeff",
@@ -131,6 +132,8 @@ _PRIORITY_WINDOW = [
     "g_triangle_wcoj",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "sample_hash_10pct",
+    "sample_stratified_3per_lang",
     "stream_window_counts",
     "ann_ivf_kmeans",
     "decontaminate_bloom",
@@ -138,8 +141,6 @@ _PRIORITY_WINDOW = [
     "timeseries_gapfill_hourly",
     "cross_join_pairs",
     "distinct_pairs",
-    "except_all_bag",
-    "except_distinct",
 ]
 
 

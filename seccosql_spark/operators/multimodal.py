@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Two decode tiers:
+Decode tiers:
 
 - ``decode_image`` — a REAL image decoder for uncompressed formats that
   need no external codec: netpbm P6/P5 (PPM/PGM) and 24-bit BI_RGB BMP,
   parsed header-and-raster in pure Python + vectorized numpy inside
-  Arrow-batched ``mapInPandas``. ``encode_ppm`` / ``encode_bmp`` are the
-  matching writers (used to synthesize deterministic test images).
+  Arrow-batched ``mapInPandas``. ``encode_ppm`` / ``encode_bmp`` /
+  ``encode_pgm`` are the matching writers (used to synthesize
+  deterministic test images).
+- ``decode_audio`` — a REAL audio decoder for RIFF/WAVE PCM16: a proper
+  chunk walk (LIST/fact chunks, word alignment), fmt parse, and a
+  numpy-folded sample sum; ``encode_wav`` is the matching writer.
 - ``decode_image_stub`` — the original deterministic fake, kept for the
   formats that DO need external codecs (JPEG/PNG/video); swap its body for
   PIL/libvips/ffmpeg in a real deployment.
@@ -277,6 +281,122 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
                 enc = (encode_ppm, encode_bmp, encode_pgm)[d % 3]
                 payloads.append(enc(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+# ----------------------------------------------------------- audio (WAV)
+
+def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:
+    """Canonical RIFF/WAVE PCM16 writer: 44-byte header (fmt chunk with
+    block align / byte rate derived like any real encoder) + the
+    little-endian int16 sample payload."""
+    import struct
+
+    if len(pcm16) % (2 * channels):
+        raise ValueError(
+            f"PCM payload ({len(pcm16)} bytes) must be whole {channels}-channel frames"
+        )
+    block_align = 2 * channels
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm16))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm16))
+        + pcm16
+    )
+
+
+def decode_audio_bytes(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL single-clip WAV decode: walk the RIFF chunk list (not a fixed
+    44-byte offset — real files carry LIST/fact chunks too), parse the fmt
+    chunk, then fold the PCM16 data chunk. Returns (sample_rate, channels,
+    n_frames, amp_sum) with amp_sum = exact signed int sum of every
+    sample — order-invariant and engine-exact."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    audio_format, channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return sample_rate, channels, len(samples) // channels, int(samples.astype("int64").sum())
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def decode_audio(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode over mapInPandas — the audio sibling of
+    decode_image, same scale shape (binary columns stream through Python
+    once, numpy-vectorized sample math, flat typed schema out)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [decode_audio_bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([o[0] for o in out], dtype="int32"),
+                    "channels": pd.Series([o[1] for o in out], dtype="int32"),
+                    "n_frames": pd.Series([o[2] for o in out], dtype="int32"),
+                    "n_bytes": pd.Series([len(p) for p in pdf["payload"]], dtype="int32"),
+                    "amp_sum": pd.Series([o[3] for o in out], dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(decode_batches, DECODED_AUDIO_SCHEMA)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic WAV payloads: per doc, sample_rate =
+    8000 * (1 + id%3), channels = 1 + id%2, n_frames = 10 + id%13, sample
+    value at flat index i = ((id*37 + i*11) % 4096) - 2048 — signed,
+    closed-form, so a SQL oracle predicts amp_sum without a codec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                rate, ch, n = 8000 * (1 + d % 3), 1 + d % 2, 10 + d % 13
+                i = np.arange(n * ch, dtype=np.int64)
+                samples = (((d * 37 + i * 11) % 4096) - 2048).astype("<i2")
+                payloads.append(encode_wav(rate, ch, samples.tobytes()))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

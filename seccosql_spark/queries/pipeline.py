@@ -495,6 +495,41 @@ def multimodal_decode_real(sess: SeccoSession):
 
 
 @register(
+    "multimodal_decode_audio",
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+                CAST(1 + doc_id % 2 AS INT) AS channels,
+                CAST(10 + doc_id % 13 AS INT) AS n_frames
+         FROM documents
+       ),
+       amp AS (
+         SELECT d.doc_id, d.sample_rate, d.channels, d.n_frames,
+                sum((d.doc_id * 37 + i.range * 11) % 4096 - 2048) AS s
+         FROM dims d, range(0, 44) i
+         WHERE i.range < d.n_frames * d.channels
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT doc_id, sample_rate, channels, n_frames,
+              CAST(44 + n_frames * channels * 2 AS INT) AS n_bytes,
+              CAST(s AS BIGINT) AS amp_sum
+       FROM amp""",
+)
+def multimodal_decode_audio(sess: SeccoSession):
+    """REAL audio decode end-to-end: deterministic PCM16 clips are encoded
+    to actual RIFF/WAVE bytes (44-byte canonical header) and parsed back by
+    a chunk-walking WAV reader (operators/multimodal.decode_audio) inside
+    Arrow-batched mapInPandas. The oracle predicts rate/channels/frames/
+    byte-size and the exact signed sample sum from the closed-form sample
+    rule — covering writer and parser in both directions, like the image
+    row."""
+    from seccosql_spark.operators.multimodal import decode_audio, synthesize_audio
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(decode_audio(synthesize_audio(docs)))
+
+
+@register(
     "multimodal_frame_sample",
     """SELECT doc_id, CAST(off AS INT) AS frame_offset,
               CAST(ord(substr(text, CAST(off AS INT) + 1, 1)) AS INT) AS sample_value

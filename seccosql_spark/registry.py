@@ -82,15 +82,16 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # (3) stale — the row predates a change to a dep file, oldest round first,
 # (4) fresh, oldest round first. The r06 window below is that output
 # verbatim (regenerated at round end so the hot tier reflects the final
-# diffs): 10 never-verified (multimodal_decode_real, the 8 W-series twins,
-# sample_mixture_sources), 38 hot (this round touched algorithms/
-# graphframe/dedup/similarity/multimodal/recursion/sampling and their
-# query families, plus the three new bench headliners' registrations), and
-# 2 of the r01-stale relational rows (the remaining r01/r02 rows rotate in
-# r07; the whole registry is still re-proven every session by the full
-# sf0.01 pytest gate).
+# diffs): 11 never-verified (multimodal_decode_{real,audio}, the 8
+# W-series twins, sample_mixture_sources), 38 hot (this round touched
+# algorithms/graphframe/dedup/similarity/multimodal/recursion/sampling and
+# their query families, plus the three new bench headliners'
+# registrations), and 1 r01-stale relational row (the remaining r01/r02
+# rows rotate in r07; the whole registry is still re-proven every session
+# by the full sf0.01 pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "multimodal_decode_audio",
     "multimodal_decode_real",
     "sample_mixture_sources",
     "w1_star_high_skew",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "g_scc",
     "timeseries_gapfill_hourly",
     "cross_join_pairs",
-    "distinct_pairs",
 ]
 
 

@@ -715,3 +715,35 @@ def test_mixture_sample_monotone_and_exact(spark):
 
     with pytest.raises(ValueError, match="rate"):
         mixture_sample(df, "source", {"s0": 1.5}, "doc_id")
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """WAV codec: encode->decode round-trip, chunk-walking robustness (an
+    extra LIST chunk before fmt/data, odd-size word alignment), and loud
+    failures on non-PCM16 or truncated containers."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from seccosql_spark.operators.multimodal import decode_audio_bytes, encode_wav
+
+    s = np.array([1000, -2000, 3000, -4000, 5000, -6000], dtype="<i2")
+    assert decode_audio_bytes(encode_wav(22050, 2, s.tobytes())) == (
+        22050, 2, 3, int(s.sum()),
+    )
+    # inject a LIST chunk with an odd payload size between WAVE and fmt:
+    # a real-world layout that breaks fixed-44-byte-offset readers
+    wav = encode_wav(8000, 1, s.tobytes())
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded to even
+    patched = wav[:12] + extra + wav[12:]
+    assert decode_audio_bytes(patched) == (8000, 1, 6, int(s.sum()))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_audio_bytes(b"OggS" + b"\x00" * 40)
+    # 8-bit WAV must be rejected, not misread
+    bad = bytearray(encode_wav(8000, 1, s.tobytes()))
+    struct.pack_into("<H", bad, 34, 8)
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_audio_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="frames"):
+        encode_wav(8000, 2, b"\x00\x01\x02")

@@ -149,8 +149,13 @@ def ledger() -> list[dict]:
         # operator-module deps at file granularity (conservative). Caveat:
         # an edit to a module-level oracle constant alone is below -L's
         # resolution — oracle edits in practice ship with function edits.
+        # `or` falls back to whole-file time when -L can't track the function
+        # (returns 0) — otherwise a lone-registration-file query would be
+        # reported fresh forever (ADVICE r06).
         file_ts = max(
-            file_commit_time(dep, fcache) if dep != relpath else _fn_commit_time(fn, dep)
+            file_commit_time(dep, fcache)
+            if dep != relpath
+            else (_fn_commit_time(fn, dep) or file_commit_time(dep, fcache))
             for dep in _dep_files(fn, relpath, icache)
         )
         rnd = rounds.get(name, 0)

@@ -444,7 +444,23 @@ def strongly_connected_components(
     remaining id — plus everything trim peels). `max_rounds` bounds every
     INNER fixpoint; non-convergence raises (no silent truncation).
     `stats`, when given, is filled with round/pass counters and the largest
-    materialized state (for the no-quadratic-intermediate test)."""
+    materialized state (for the no-quadratic-intermediate test).
+
+    Ids must be integral (byte/short/int/long): the kernel orders and casts
+    ids to long, so string-id graphs raise TypeError here rather than
+    silently becoming NULL-keyed components after the cast (ADVICE r06).
+    For arbitrary id types use `strongly_connected_components_closure`."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for col in (src, dst):
+        dt = edges.schema[col].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"strongly_connected_components requires integral vertex ids; "
+                f"column {col!r} is {dt.simpleString()} — use "
+                f"strongly_connected_components_closure for non-numeric ids"
+            )
     e0 = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -474,7 +490,11 @@ def strongly_connected_components(
         if rem_nodes.isEmpty():
             break
         st["outer_passes"] += 1
-        # -- 1. trim to fixpoint: peel nodes lacking an in- or out-edge
+        # -- 1. trim to fixpoint: peel nodes lacking an in- or out-edge.
+        # Raises at budget exhaustion like the other two fixpoints — the
+        # documented contract is "max_rounds bounds every INNER fixpoint;
+        # non-convergence raises" (ADVICE r06).
+        converged = False
         for _t in range(max_rounds + 1):
             srcs = rem_e.select(F.col("a").alias("id")).distinct()
             dsts = rem_e.select(F.col("b").alias("id")).distinct()
@@ -482,6 +502,7 @@ def strongly_connected_components(
             trimmed = rem_nodes.join(interior, "id", "left_anti")
             trimmed = _track(trimmed)
             if trimmed.isEmpty():
+                converged = True
                 break
             st["trim_rounds"] += 1
             done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
@@ -490,6 +511,11 @@ def strongly_connected_components(
                 rem_e.join(trimmed.withColumnRenamed("id", "a"), "a", "left_anti")
                 .join(trimmed.withColumnRenamed("id", "b"), "b", "left_anti")
                 .select("a", "b")
+            )
+        if not converged:
+            raise RuntimeError(
+                f"SCC trim did not reach fixpoint within max_rounds={max_rounds} "
+                f"(remainder peeling depth exceeds the budget); raise max_rounds"
             )
         if rem_nodes.isEmpty():
             break

@@ -12,7 +12,12 @@ JIT-warmup artifacts as engine time):
   within 20% (max 5 runs), because a single warmup pass does not reach C2
   steady state for the giant generated methods (md5-array minhash, the
   zip_with/aggregate cosine fold);
-- then timed best-of-2 (min-of-repeats rejects host-contention noise);
+- then timed 3 runs: the PRIMARY per-query number is the MEDIAN of the 3
+  (robust to one steal burst without cherry-picking the fastest run); the
+  min over all post-first runs is kept as a secondary field
+  (`queries_min` / `pinned_total_min_sec`) because rounds 1-6 published
+  min-based numbers — cross-round ratios against those rounds must use the
+  *_min fields (VERDICT r06 task 4);
 - persisted intermediates are dropped between queries (clearCache) so one
   query's working set cannot inflate its successors' GC time.
 """
@@ -49,7 +54,7 @@ HEADLINE_ORDER = [
 
 WARMUP_MAX_RUNS = 5
 WARMUP_STABLE_RTOL = 0.20
-TIMED_RUNS = 2
+TIMED_RUNS = 3
 
 
 def _once(name: str, spark: SparkSession) -> tuple[float, int]:
@@ -80,6 +85,7 @@ def main() -> None:
     ]
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in headliners:
         try:
@@ -94,14 +100,19 @@ def main() -> None:
                     break
 
             n = 0
+            timed: list[float] = []
             for _ in range(TIMED_RUNS):
                 dt, n = _once(name, spark)
-                times.append(dt)
-            # min over ALL post-first runs: this VM suffers multi-second CPU
-            # STEAL bursts (identical runs swing 2s<->14s); the minimum over
-            # up to warmup+timed runs is the steal-robust engine estimate.
+                timed.append(dt)
+            times.extend(timed)
+            # PRIMARY: median of the timed runs — one CPU-steal burst (this
+            # VM swings identical runs 2s<->14s) cannot drag it, and unlike
+            # min it cannot cherry-pick a lucky run either.
+            best = sorted(timed)[len(timed) // 2]
+            # SECONDARY: min over all post-first runs — the steal-robust
+            # floor rounds 1-6 published; kept for cross-round continuity.
             # The first run is excluded — it pays Janino codegen compilation.
-            best = min(times[1:]) if len(times) > 1 else times[0]
+            floor = min(times[1:]) if len(times) > 1 else times[0]
         except Exception as exc:  # one broken query must not zero the bench
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
@@ -111,7 +122,11 @@ def main() -> None:
             # so they don't accumulate across queries
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings_min[name] = round(floor, 3)
+        print(
+            f"# {name}: median {timings[name]}s / min {timings_min[name]}s"
+            f" ({n} rows)", file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -119,11 +134,18 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # the r01-comparable basket: `value` also counts headliners appended
-        # in later rounds, so cross-round ratios must use this subtotal
+        # in later rounds, so cross-round ratios must use these subtotals.
+        # pinned_total_sec is median-of-3 from r07 on; *_min_sec matches the
+        # min-based definition rounds 1-6 used.
+        "pinned_metric": "median_of_3",
         "pinned_total_sec": round(
             sum(t for n, t in timings.items() if n in HEADLINE_ORDER), 3
+        ),
+        "pinned_total_min_sec": round(
+            sum(t for n, t in timings_min.items() if n in HEADLINE_ORDER), 3
         ),
     }
     if failures:

@@ -11,9 +11,16 @@ Decode tiers:
 - ``decode_audio`` — a REAL audio decoder for RIFF/WAVE PCM16: a proper
   chunk walk (LIST/fact chunks, word alignment), fmt parse, and a
   numpy-folded sample sum; ``encode_wav`` is the matching writer.
-- ``decode_image_stub`` — the original deterministic fake, kept for the
-  formats that DO need external codecs (JPEG/PNG/video); swap its body for
-  PIL/libvips/ffmpeg in a real deployment.
+- ``decode_gif_frames`` — a REAL multi-frame video-container decoder for
+  animated GIF89a: header/logical-screen/color-table parse, block walk
+  (extensions, image descriptors), full general LZW decompression (code
+  width growth, table reset, KwKwK), palette lookup; 1-to-N frame rows
+  out of ``mapInPandas``. ``encode_gif`` is the matching writer (emits
+  valid GIFs via the literal+clear LZW strategy).
+- ``decode_image_stub`` / ``frame_sample_stub`` — the original
+  deterministic fakes, kept for the formats that DO need external codecs
+  (JPEG/PNG/MP4); swap their bodies for PIL/libvips/ffmpeg in a real
+  deployment.
 
 Everything around the decode — the binary column handling, the
 Arrow-batched ``mapInPandas`` plumbing, the output schema,
@@ -281,6 +288,285 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
                 enc = (encode_ppm, encode_bmp, encode_pgm)[d % 3]
                 payloads.append(enc(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+# --------------------------------------------------- video (animated GIF)
+
+def _lzw_encode_literals(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-LZW writer using the classic 'uncompressed GIF' strategy: every
+    pixel is emitted as a literal code, with a CLEAR code well before the
+    decoder's table would force a code-width increase — so the stream stays
+    at (min_code_size+1)-bit codes throughout. The output is a VALID LZW
+    stream any conforming GIF decoder (including `_lzw_decode` below, which
+    implements the full general algorithm) decompresses to `indices`."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for b in indices:
+        if since_clear == 200:  # table at 457 entries — safely below 511
+            emit(clear)
+            since_clear = 0
+        emit(b)
+        since_clear += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """Full general GIF-LZW decoder: LSB-first bit unpacking, table rebuild
+    on CLEAR, the KwKwK (code == next table slot) case, and code-width
+    growth at table sizes 2^width (capped at 12 bits per the GIF spec)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # table full: encoder stops adding too
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+            out += entry
+            prev = entry
+            # decoder lags the encoder by one table entry, so the width bump
+            # lands one entry early: at size 2^width - 1, not 2^width
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _gif_sub_blocks(data: bytes) -> bytes:
+    """Chop a byte stream into GIF data sub-blocks (<=255 bytes each,
+    length-prefixed, zero-terminated)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[tuple[int, int, int, int, int, bytes]],
+    screen_w: int,
+    screen_h: int,
+) -> bytes:
+    """REAL animated-GIF (GIF89a) writer: logical screen descriptor, 256-entry
+    grayscale global color table (palette[i] = (i,i,i), so a pixel index IS
+    its gray value), NETSCAPE2.0 looping extension, and per frame a graphic
+    control extension (delay) + image descriptor (left/top/width/height) +
+    LZW-compressed raster in data sub-blocks. `frames` entries are
+    (left, top, width, height, delay_cs, indices). Output opens in any GIF
+    viewer."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", screen_w, screen_h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit depth, 256 entries; bg 0
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for left, top, w, h, delay_cs, idx in frames:
+        if len(idx) != w * h:
+            raise ValueError(f"frame needs {w * h} indices, got {len(idx)}")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out += bytes([8]) + _gif_sub_blocks(_lzw_encode_literals(8, idx))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames_bytes(
+    payload: bytes,
+) -> list[tuple[int, int, int, int, int, int, int, int]]:
+    """REAL animated-GIF decode: header + logical-screen + global color
+    table, then the block walk — extensions (GCE delay captured, others
+    skipped by sub-block length), image descriptors with optional local
+    color tables, full LZW decompression of each frame raster, palette
+    lookup. Returns one tuple per frame: (frame_idx, x_off, y_off, width,
+    height, delay_cs, n_pixels, pixel_sum) where pixel_sum sums the
+    palette-mapped gray values of every decoded pixel."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError(f"not a GIF payload: {payload[:6]!r}")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    frames: list[tuple[int, int, int, int, int, int, int, int]] = []
+    delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label, then sub-blocks
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+            pos += 8
+            lpacked = payload[pos]
+            pos += 1
+            pal = gct
+            if lpacked & 0x80:  # local color table overrides
+                n = 2 << (lpacked & 7)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if lpacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data += payload[pos : pos + size]
+                pos += size
+            idx = np.frombuffer(_lzw_decode(mcs, bytes(data)), dtype=np.uint8)
+            if idx.size != w * h:
+                raise ValueError(f"LZW decoded {idx.size} pixels, frame is {w}x{h}")
+            gray = pal[idx, 0]
+            frames.append(
+                (len(frames), left, top, w, h, delay, w * h,
+                 int(gray.astype("int64").sum()))
+            )
+            delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return frames
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("x_off", T.IntegerType()),
+        T.StructField("y_off", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def decode_gif_frames(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched 1-to-N frame extraction over mapInPandas — the video
+    sibling of decode_image/decode_audio: each GIF payload expands to one
+    row per frame, flat typed schema out, everything downstream JVM-side."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in decode_gif_frames_bytes(payload):
+                    rows.append((int(doc_id), *fr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "x_off", "y_off", "width",
+                    "height", "delay_cs", "n_pixels", "pixel_sum",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "frame_idx": "int32", "x_off": "int32",
+                    "y_off": "int32", "width": "int32", "height": "int32",
+                    "delay_cs": "int32", "n_pixels": "int32", "pixel_sum": "int64",
+                }
+            )
+
+    return with_payload.mapInPandas(decode_batches, FRAMES_SCHEMA)
+
+
+def synthesize_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic animated GIFs on an 8x6 logical screen: per
+    doc, n_frames = 2 + id%3; frame f sits at (x_off, y_off) =
+    ((id+f)%3, f%2) with width 3 + (id+f)%4, height 2 + (id+2f)%3, delay
+    4+f centiseconds, and pixel (y, x) = (id*29 + f*17 + y*7 + x*3) % 256 —
+    closed-form, so a SQL oracle predicts every frame's pixel_sum without a
+    codec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = []
+                for f in range(2 + d % 3):
+                    w, h = 3 + (d + f) % 4, 2 + (d + 2 * f) % 3
+                    idx = np.arange(h * w, dtype=np.int64)
+                    y, x = idx // w, idx % w
+                    px = ((d * 29 + f * 17 + y * 7 + x * 3) % 256).astype(np.uint8)
+                    frames.append(((d + f) % 3, f % 2, w, h, 4 + f, px.tobytes()))
+                payloads.append(encode_gif(frames, 8, 6))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

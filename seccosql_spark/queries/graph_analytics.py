@@ -211,7 +211,7 @@ FROM n LEFT JOIN m ON n.v = m.v
 """
 
 
-@register("g_scc", SCC_ORACLE)
+@register("g_scc", SCC_ORACLE, headline=True)
 def g_scc(sess: SeccoSession):
     """DIRECTED strongly-connected components on the sparse graph — the
     directed completion of the components family (`g_connected_components`

@@ -335,6 +335,184 @@ def ann_ivf_label(sess: SeccoSession):
     return sess.from_spark(out.withColumn("rank", F.col("rank").cast("int")))
 
 
+def _lsh_clustered_oracle(
+    planes: int = 32,
+    band_size: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    probe_flips: int = 2,
+    eps: float = 0.45,
+) -> str:
+    """Oracle twin of ann_lsh_clustered: replays the planted-neighbor corpus
+    construction (elementwise double ops only — engine-exact), then the full
+    quantize → integer hyperplane dots → 8-bit bands → 2-flip multi-probe →
+    candidates → exact-cosine top-k machinery of _lsh_oracle, then the
+    recall/candidate-fraction aggregation down to ONE verdict row."""
+    from seccosql_spark.operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(planes, dim)
+    values = ", ".join(
+        f"({p}, {d + 1}, {signs[p][d]})" for p in range(planes) for d in range(dim)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+    SELECT vec_id AS cid, v FROM e WHERE vec_id < 20
+    UNION ALL
+    SELECT n.vec_id + 80 AS cid,
+           list_transform(generate_series(1, {dim}), d -> b.v[d] + {eps} * n.v[d]) AS v
+    FROM e n JOIN e b ON b.vec_id = (n.vec_id - 20) // 3
+    WHERE n.vec_id >= 20 AND n.vec_id < 80
+    UNION ALL
+    SELECT vec_id + 920 AS cid, v FROM e WHERE vec_id >= 80),
+m AS (SELECT cid, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM corpus),
+q8 AS (SELECT cid,
+       CASE WHEN mx > 0
+            THEN list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+       FROM m),
+qe AS (SELECT cid, unnest(q) AS qv, generate_subscripts(q, 1) AS d FROM q8),
+signs(p, d, s) AS (SELECT * FROM (VALUES {values}) t(p, d, s)),
+dots AS (SELECT cid, p, sum(qv * s) AS dp FROM qe JOIN signs USING (d) GROUP BY cid, p),
+bands AS (SELECT cid, CAST(p // {band_size} AS INT) AS band,
+                 CAST(sum((CASE WHEN dp >= 0 THEN 1 ELSE 0 END)
+                          * (CAST(1 AS BIGINT) << (p % {band_size}))) AS INT) AS val
+          FROM dots GROUP BY cid, p // {band_size}),
+margins AS (SELECT cid, p, CAST(p // {band_size} AS INT) AS band,
+                   row_number() OVER (PARTITION BY cid, p // {band_size}
+                                      ORDER BY abs(dp), p) AS mr
+            FROM dots),
+qprobes AS (SELECT cid, band, val FROM bands WHERE cid < 20
+            UNION ALL
+            SELECT mg.cid, mg.band,
+                   CAST(xor(b.val, 1 << CAST(mg.p % {band_size} AS INT)) AS INT) AS val
+            FROM margins mg JOIN bands b ON b.cid = mg.cid AND b.band = mg.band
+            WHERE mg.cid < 20 AND mg.mr <= {probe_flips}),
+cand AS (SELECT DISTINCT a.cid AS query_id, b.cid AS neighbor_id
+         FROM qprobes a JOIN bands b ON a.band = b.band AND a.val = b.val
+         WHERE a.cid <> b.cid),
+sims AS (SELECT q.cid AS query_id, c.cid AS neighbor_id,
+                round(list_dot_product(q.v, c.v) /
+                      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+                      6) AS sim
+         FROM corpus q JOIN corpus c ON q.cid <> c.cid
+         WHERE q.cid < 20),
+bf AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims) WHERE rank <= {k}),
+lsh AS (SELECT query_id, neighbor_id FROM (
+         SELECT s.query_id, s.neighbor_id,
+                row_number() OVER (PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+         FROM sims s JOIN cand USING (query_id, neighbor_id)) WHERE rank <= {k}),
+agg AS (SELECT
+        (SELECT count(*) FROM bf) AS n_true,
+        (SELECT count(*) FROM bf JOIN lsh USING (query_id, neighbor_id)) AS n_hit,
+        (SELECT count(*) FROM cand) AS n_cand,
+        (SELECT count(*) FROM corpus) AS n_corpus),
+verdict AS (SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   round(n_hit / n_true, 4) AS recall_at_3,
+                   round(n_cand / (20.0 * (n_corpus - 1)), 4) AS cand_fraction
+            FROM agg)
+SELECT n_true, n_hit, n_cand, recall_at_3, cand_fraction,
+       (recall_at_3 >= 0.9 AND cand_fraction <= 0.2) AS meets_production_bar
+FROM verdict
+"""
+
+
+@register("ann_lsh_clustered", _lsh_clustered_oracle())
+def ann_lsh_clustered(sess: SeccoSession):
+    """The PRODUCTION hyperplane-LSH regime, driver-verified (VERDICT r06
+    task 2): on a corpus with genuine neighbor structure — planted neighbors
+    at cosine ≈ 0.9, the regime a dedup/retrieval corpus lives in (COVERAGE
+    .md's measured boundary) — 32 planes / 8-bit bands / 2 multi-probe flips
+    reach recall@3 ≥ 0.9 while scanning ≤ 20% of the corpus.
+
+    The clustered corpus derives deterministically from the `embeddings`
+    table with elementwise double ops ONLY (no cross-engine float
+    reductions): base b_i = vec_id i (i<20, also the queries), planted
+    p = b_i + 0.45·w with w = vec_id 20..79 (3 per base, cosine 0.90–0.94
+    measured), distractors = vec_id 80..499. The query computes its OWN
+    verdict — brute-force top-3 vs LSH top-3 recall and the distinct
+    candidate fraction — and `assert_true`s the production bar, so a
+    regression turns the driver row red loudly instead of shipping a
+    degraded index. Reference lineage: similarity-search north star
+    (BASELINE.json); Lv et al. VLDB'07 multi-probe."""
+    from seccosql_spark.operators.similarity import lsh_hyperplane_bands, lsh_topk
+
+    spark = sess.spark
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    base = emb.filter("vec_id < 20").select(F.col("vec_id").alias("cid"), "v")
+    planted = (
+        emb.filter("vec_id >= 20 AND vec_id < 80")
+        .select(F.col("vec_id").alias("nid"), F.col("v").alias("w"))
+        .withColumn("bid", ((F.col("nid") - 20) / 3).cast("long"))
+        .join(base.select(F.col("cid").alias("bid"), F.col("v").alias("bv")), "bid")
+        .select(
+            (F.col("nid") + 80).alias("cid"),
+            F.zip_with("bv", "w", lambda x, y: x + F.lit(0.45) * y).alias("v"),
+        )
+    )
+    distractors = emb.filter("vec_id >= 80").select(
+        (F.col("vec_id") + 920).alias("cid"), "v"
+    )
+    corpus = base.unionByName(planted).unionByName(distractors)
+    queries = corpus.filter(F.col("cid") < 20)
+    bfp = cosine_topk(corpus, queries, k=3, id_col="cid", vec_col="v").select(
+        "query_id", "neighbor_id"
+    )
+    lshp = lsh_topk(
+        corpus, queries, k=3, band_size=8, probe_flips=2, id_col="cid", vec_col="v"
+    ).select("query_id", "neighbor_id")
+    cb = lsh_hyperplane_bands(corpus, band_size=8, id_col="cid", vec_col="v")
+    qb = lsh_hyperplane_bands(
+        queries, band_size=8, probe_flips=2, id_col="cid", vec_col="v"
+    )
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "band", "val")
+        .join(cb.select(F.col("id").alias("neighbor_id"), "band", "val"), ["band", "val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    row = (
+        bfp.agg(F.count("*").alias("n_true"))
+        .crossJoin(
+            bfp.join(lshp, ["query_id", "neighbor_id"], "left_semi").agg(
+                F.count("*").alias("n_hit")
+            )
+        )
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(corpus.agg(F.count("*").alias("n_corpus")))
+        .select(
+            "n_true",
+            "n_hit",
+            "n_cand",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall_at_3"),
+            F.round(F.col("n_cand") / (F.lit(20.0) * (F.col("n_corpus") - 1)), 4).alias(
+                "cand_fraction"
+            ),
+        )
+    )
+    bar = (F.col("recall_at_3") >= 0.9) & (F.col("cand_fraction") <= 0.2)
+    out = row.select(
+        "n_true",
+        "n_hit",
+        "n_cand",
+        "recall_at_3",
+        "cand_fraction",
+        # assert_true raises (red driver row, loudly) if the bar regresses;
+        # when it passes the column IS the bar verdict, matching the oracle
+        F.coalesce(F.assert_true(bar, F.lit("ann_lsh_clustered: production bar "
+                                            "regressed (recall<0.9 or cand>0.2)")
+                                 ).cast("boolean"), bar).alias("meets_production_bar"),
+    )
+    return sess.from_spark(out)
+
+
 EMB_DUP_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -527,6 +705,53 @@ def multimodal_decode_audio(sess: SeccoSession):
 
     docs = sess.spark.table("documents")
     return sess.from_spark(decode_audio(synthesize_audio(docs)))
+
+
+@register(
+    "multimodal_frames_real",
+    """WITH fr AS (
+         SELECT doc_id, f.range AS frame_idx
+         FROM documents, range(0, 4) f
+         WHERE f.range < 2 + doc_id % 3
+       ),
+       dims AS (
+         SELECT doc_id, frame_idx,
+                CAST((doc_id + frame_idx) % 3 AS INT) AS x_off,
+                CAST(frame_idx % 2 AS INT) AS y_off,
+                CAST(3 + (doc_id + frame_idx) % 4 AS INT) AS width,
+                CAST(2 + (doc_id + 2 * frame_idx) % 3 AS INT) AS height,
+                CAST(4 + frame_idx AS INT) AS delay_cs
+         FROM fr
+       ),
+       px AS (
+         SELECT d.doc_id, d.frame_idx, d.x_off, d.y_off, d.width, d.height, d.delay_cs,
+                sum((d.doc_id * 29 + d.frame_idx * 17 + y.range * 7 + x.range * 3) % 256) AS ps
+         FROM dims d, range(0, 4) y, range(0, 6) x
+         WHERE y.range < d.height AND x.range < d.width
+         GROUP BY 1, 2, 3, 4, 5, 6, 7
+       )
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, x_off, y_off,
+              width, height, delay_cs,
+              CAST(width * height AS INT) AS n_pixels,
+              CAST(ps AS BIGINT) AS pixel_sum
+       FROM px""",
+)
+def multimodal_frames_real(sess: SeccoSession):
+    """REAL multi-frame video-container decode end-to-end (VERDICT r06 task
+    3 — the last multimodal stub replaced): deterministic synthetic
+    animations are ENCODED to actual GIF89a bytes (logical screen, 256-entry
+    grayscale color table, NETSCAPE loop extension, per-frame graphic
+    control + image descriptor + LZW-compressed raster) and decoded back by
+    a full container walk with general LZW decompression
+    (operators/multimodal.decode_gif_frames) inside Arrow-batched
+    1-to-N mapInPandas. The oracle predicts every frame's geometry, delay
+    and palette-mapped pixel_sum from the closed-form pixel rule — a bug in
+    the writer or parser (bit packing, sub-block chop, table reset, palette
+    lookup) breaks the hash match."""
+    from seccosql_spark.operators.multimodal import decode_gif_frames, synthesize_gifs
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(decode_gif_frames(synthesize_gifs(docs)))
 
 
 @register(

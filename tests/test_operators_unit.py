@@ -747,3 +747,108 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         decode_audio_bytes(bytes(bad))
     with pytest.raises(ValueError, match="frames"):
         encode_wav(8000, 2, b"\x00\x01\x02")
+
+
+def test_gif_codec_roundtrip_and_lzw():
+    """Animated-GIF codec: multi-frame encode->decode round-trip (geometry,
+    delays, pixel sums), frames large enough to force multi-sub-block LZW
+    streams and mid-stream CLEAR codes, a general-LZW decode of a
+    compress-style stream (code-width growth + KwKwK + 12-bit cap), and
+    loud failures on bad magic / interlaced frames."""
+    import numpy as np
+    import pytest
+
+    from seccosql_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif_frames_bytes,
+        encode_gif,
+    )
+
+    f0 = bytes([10, 20, 30, 40, 50, 60])  # 3x2
+    f1 = bytes([200, 201, 202, 203])  # 2x2
+    payload = encode_gif([(0, 0, 3, 2, 5, f0), (1, 1, 2, 2, 7, f1)], 8, 6)
+    assert decode_gif_frames_bytes(payload) == [
+        (0, 0, 0, 3, 2, 5, 6, sum(f0)),
+        (1, 1, 1, 2, 2, 7, 4, sum(f1)),
+    ]
+    # big frame: >255-byte LZW stream (multi sub-block) + periodic CLEARs
+    big = bytes(range(256)) * 40  # 10240 px, 64x160
+    (frame,) = decode_gif_frames_bytes(encode_gif([(0, 0, 64, 160, 10, big)], 64, 160))
+    assert frame[6] == 64 * 160 and frame[7] == sum(big)
+    # general LZW: compress-style encoder with growing code widths; the
+    # decoder must track the one-entry lag, the KwKwK case, and the 4096 cap
+    def ref_encode(mcs, data):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = eoi + 1, mcs + 1
+        acc = nbits = 0
+        buf = bytearray()
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        s = b""
+        for c in bytes(data):
+            sc = s + bytes([c])
+            if sc in table:
+                s = sc
+                continue
+            emit(table[s])
+            if next_code < 4096:
+                table[sc] = next_code
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+                next_code += 1
+            s = bytes([c])
+        if s:
+            emit(table[s])
+        emit(eoi)
+        if nbits:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    rng = np.random.RandomState(11)
+    for data in (
+        b"\x01\x02" * 500 + b"\x01\x01\x01\x01",  # KwKwK trigger
+        (b"\x00" * 9000 + b"\x01\x00\x01" * 3000) * 2,  # deep table, 12-bit cap
+        rng.randint(0, 8, size=5000).astype(np.uint8).tobytes(),
+    ):
+        assert _lzw_decode(3, ref_encode(3, data)) == data
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif_frames_bytes(b"\x89PNG\r\n\x1a\n")
+    interlaced = bytearray(payload)
+    # frame 0's image descriptor sits after header(13) + GCT(768) +
+    # NETSCAPE ext(19) + GCE(8); set its interlace flag (packed byte +9)
+    idx = 13 + 768 + 19 + 8
+    assert interlaced[idx] == 0x2C
+    interlaced[idx + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif_frames_bytes(bytes(interlaced))
+
+
+def test_decode_gif_frames_spark_path(spark):
+    """decode_gif_frames over mapInPandas: 1-to-N frame expansion matches
+    the closed-form synthesis rule for every doc and frame."""
+    from seccosql_spark.operators.multimodal import decode_gif_frames, synthesize_gifs
+
+    docs = spark.range(0, 7).select(F.col("id").alias("doc_id"))
+    rows = decode_gif_frames(synthesize_gifs(docs)).collect()
+    assert len(rows) == sum(2 + d % 3 for d in range(7))
+    for r in rows:
+        d, f = r["doc_id"], r["frame_idx"]
+        assert (r["x_off"], r["y_off"]) == ((d + f) % 3, f % 2)
+        assert (r["width"], r["height"]) == (3 + (d + f) % 4, 2 + (d + 2 * f) % 3)
+        assert r["delay_cs"] == 4 + f
+        want = sum(
+            (d * 29 + f * 17 + y * 7 + x * 3) % 256
+            for y in range(r["height"])
+            for x in range(r["width"])
+        )
+        assert (r["n_pixels"], r["pixel_sum"]) == (r["width"] * r["height"], want)

@@ -187,6 +187,32 @@ def ledger() -> list[dict]:
     return rows
 
 
+def changed_query_names() -> set[str]:
+    """Queries worth re-running locally (the `--changed-only` pytest mode,
+    VERDICT r06 task 6): stale or hot per ledger(), PLUS any query whose dep
+    files carry uncommitted working-tree edits — ledger() reads git history,
+    which cannot see unstaged work-in-progress."""
+    import inspect
+
+    from seccosql_spark.registry import REGISTRY
+
+    names = {r["name"] for r in ledger() if r["stale"] or r["hot"]}
+    dirty = set(
+        subprocess.run(
+            ["git", "diff", "--name-only", "HEAD"],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.split()
+    )
+    if dirty:
+        icache: dict[str, dict[str, str]] = {}
+        for name, spec in REGISTRY.items():
+            fn = spec.build
+            relpath = os.path.relpath(inspect.getfile(inspect.unwrap(fn)), REPO)
+            if set(_dep_files(fn, relpath, icache)) & dirty:
+                names.add(name)
+    return names
+
+
 def main() -> None:
     rows = ledger()
     if "--window" in sys.argv:

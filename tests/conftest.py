@@ -41,6 +41,36 @@ def sess(spark) -> SeccoSession:
     return s
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--changed-only",
+        action="store_true",
+        default=False,
+        help="registry differential: only run queries whose driver row is "
+        "stale/hot per scripts/freshness.py, or whose dep files have "
+        "uncommitted edits. Local-iteration speedup ONLY — the full run "
+        "stays the CI/driver default.",
+    )
+
+
+@pytest.fixture(scope="session")
+def changed_names(request):
+    """None = run everything (default). A set of names when --changed-only:
+    computed once per session from the freshness ledger + working tree."""
+    if not request.config.getoption("--changed-only"):
+        return None
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "freshness",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "scripts", "freshness.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.changed_query_names()
+
+
 @pytest.fixture(scope="session")
 def oracle() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()

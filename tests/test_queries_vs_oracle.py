@@ -15,7 +15,9 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(name, sess, oracle):
+def test_query_matches_oracle(name, sess, oracle, changed_names):
+    if changed_names is not None and name not in changed_names:
+        pytest.skip("unchanged since its last green driver row (--changed-only)")
     spec = REGISTRY[name]
     out = spec.build(sess)
     df = out.df if hasattr(out, "df") else out

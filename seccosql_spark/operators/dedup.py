@@ -587,3 +587,49 @@ def bloom_decontaminate(
         .distinct()
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def substring_dup_stats(
+    df: DataFrame, n: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document exact-substring duplication signal (the windowed
+    approximation of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": substrings repeated verbatim across documents
+    are memorization fuel and should be cut). Every length-`n` word window
+    of every doc is hashed; a window is DUPLICATED when its hash occurs in
+    ≥ 2 distinct docs. Output per doc: (doc_id, n_windows, n_dup_windows,
+    dup_fraction) — the per-doc removal signal a curation pipeline
+    thresholds on. Docs shorter than `n` words have no windows and are
+    absent, matching the SQL twin.
+
+    Scale shape: windows explode map-side (no distinct — positions count);
+    ONE shuffle groups (hash, doc) pairs; the cross-doc occurrence count is
+    a window function over the hash partition of those pre-aggregated pairs
+    (never the raw windows); the final per-doc rollup is the second
+    shuffle. No joins, no driver-side state; suffix-array fidelity is
+    traded for a bounded two-shuffle plan that survives 100 TB."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)])),
+    )
+    gram = F.when(F.size("toks") >= n, gram).otherwise(F.array().cast("array<string>"))
+    windows = d.select("id", F.explode(gram).alias("gh"))
+    per_pair = windows.groupBy("gh", "id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("gh")
+    tagged = per_pair.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    return (
+        tagged.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        )
+    )

@@ -544,29 +544,34 @@ def decode_gif_frames(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_batches, FRAMES_SCHEMA)
 
 
-def synthesize_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic synthetic animated GIFs on an 8x6 logical screen: per
-    doc, n_frames = 2 + id%3; frame f sits at (x_off, y_off) =
-    ((id+f)%3, f%2) with width 3 + (id+f)%4, height 2 + (id+2f)%3, delay
+def synthetic_gif_payload(doc_id: int) -> bytes:
+    """The closed-form animation for `doc_id`, encoded to GIF89a bytes on an
+    8x6 logical screen: n_frames = 2 + id%3; frame f sits at (x_off, y_off)
+    = ((id+f)%3, f%2) with width 3 + (id+f)%4, height 2 + (id+2f)%3, delay
     4+f centiseconds, and pixel (y, x) = (id*29 + f*17 + y*7 + x*3) % 256 —
-    closed-form, so a SQL oracle predicts every frame's pixel_sum without a
-    codec."""
+    so a SQL oracle predicts every frame's pixel_sum without a codec.
+    Shared by `synthesize_gifs` (payload-column path) and the binaryFile
+    media staging (file-per-asset path)."""
+    import numpy as np
+
+    d = int(doc_id)
+    frames = []
+    for f in range(2 + d % 3):
+        w, h = 3 + (d + f) % 4, 2 + (d + 2 * f) % 3
+        idx = np.arange(h * w, dtype=np.int64)
+        y, x = idx // w, idx % w
+        px = ((d * 29 + f * 17 + y * 7 + x * 3) % 256).astype(np.uint8)
+        frames.append(((d + f) % 3, f % 2, w, h, 4 + f, px.tobytes()))
+    return encode_gif(frames, 8, 6)
+
+
+def synthesize_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic animated GIFs (`synthetic_gif_payload`) as a
+    binary payload column, one per input id."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf[id_col]:
-                d = int(doc_id)
-                frames = []
-                for f in range(2 + d % 3):
-                    w, h = 3 + (d + f) % 4, 2 + (d + 2 * f) % 3
-                    idx = np.arange(h * w, dtype=np.int64)
-                    y, x = idx // w, idx % w
-                    px = ((d * 29 + f * 17 + y * 7 + x * 3) % 256).astype(np.uint8)
-                    frames.append(((d + f) % 3, f % 2, w, h, 4 + f, px.tobytes()))
-                payloads.append(encode_gif(frames, 8, 6))
+            payloads = [synthetic_gif_payload(d) for d in pdf[id_col]]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

@@ -513,6 +513,37 @@ def ann_lsh_clustered(sess: SeccoSession):
     return sess.from_spark(out)
 
 
+SUBSTRING_DUP_ORACLE = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+w AS (SELECT doc_id, md5(array_to_string(t[i.range:i.range + 9], ' ')) AS gh
+      FROM toks, range(1, 512) i
+      WHERE i.range <= len(t) - 9),
+pg AS (SELECT gh, doc_id, count(*) AS c FROM w GROUP BY gh, doc_id),
+pd AS (SELECT gh, doc_id, c, count(*) OVER (PARTITION BY gh) AS n_docs FROM pg)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) / sum(c), 6) AS dup_fraction
+FROM pd GROUP BY doc_id
+"""
+
+
+@register("dedup_substring_windows", SUBSTRING_DUP_ORACLE)
+def dedup_substring_windows(sess: SeccoSession):
+    """Cross-document exact-substring duplication signal (Lee et al. 2022
+    windowed approximation — operators.dedup.substring_dup_stats): every
+    10-word window hashed, windows whose hash occurs in >= 2 distinct docs
+    counted per doc, emitting the dup_fraction a curation pipeline
+    thresholds on. Two bounded shuffles, no joins; the oracle replays
+    window hashing positionally (1-based list slices) and the cross-doc
+    occurrence count as a window function."""
+    from seccosql_spark.operators.dedup import substring_dup_stats
+
+    return sess.from_spark(substring_dup_stats(sess.spark.table("documents"), n=10))
+
+
 EMB_DUP_ORACLE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -752,6 +783,82 @@ def multimodal_frames_real(sess: SeccoSession):
 
     docs = sess.spark.table("documents")
     return sess.from_spark(decode_gif_frames(synthesize_gifs(docs)))
+
+
+BINARYFILE_N_DOCS = 60
+
+
+def _stage_gif_media_dir() -> str:
+    """Write the first BINARYFILE_N_DOCS synthetic GIFs as individual files
+    (the file-per-asset layout a real media corpus has) to a deterministic
+    staging dir, once per machine. Content is closed-form per doc id, so
+    re-staging is idempotent and the oracle needs no filesystem access."""
+    import os
+
+    d = "/tmp/secco_spark_media_gifs_v1"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        from seccosql_spark.operators.multimodal import synthetic_gif_payload
+
+        os.makedirs(d, exist_ok=True)
+        for doc in range(BINARYFILE_N_DOCS):
+            with open(os.path.join(d, f"doc_{doc:04d}.gif"), "wb") as fh:
+                fh.write(synthetic_gif_payload(doc))
+        with open(marker, "w"):
+            pass
+    return d
+
+
+@register(
+    "multimodal_binaryfile_scan",
+    f"""WITH fr AS (
+         SELECT doc_id, f.range AS frame_idx
+         FROM documents, range(0, 4) f
+         WHERE doc_id < {BINARYFILE_N_DOCS} AND f.range < 2 + doc_id % 3
+       ),
+       dims AS (
+         SELECT doc_id, frame_idx,
+                CAST((doc_id + frame_idx) % 3 AS INT) AS x_off,
+                CAST(frame_idx % 2 AS INT) AS y_off,
+                CAST(3 + (doc_id + frame_idx) % 4 AS INT) AS width,
+                CAST(2 + (doc_id + 2 * frame_idx) % 3 AS INT) AS height,
+                CAST(4 + frame_idx AS INT) AS delay_cs
+         FROM fr
+       ),
+       px AS (
+         SELECT d.doc_id, d.frame_idx, d.x_off, d.y_off, d.width, d.height, d.delay_cs,
+                sum((d.doc_id * 29 + d.frame_idx * 17 + y.range * 7 + x.range * 3) % 256) AS ps
+         FROM dims d, range(0, 4) y, range(0, 6) x
+         WHERE y.range < d.height AND x.range < d.width
+         GROUP BY 1, 2, 3, 4, 5, 6, 7
+       )
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, x_off, y_off,
+              width, height, delay_cs,
+              CAST(width * height AS INT) AS n_pixels,
+              CAST(ps AS BIGINT) AS pixel_sum
+       FROM px""",
+)
+def multimodal_binaryfile_scan(sess: SeccoSession):
+    """Media ingestion from FILES, end-to-end: synthetic GIFs staged as one
+    file per asset, scanned with Spark's built-in binaryFile source
+    (pathGlobFilter pruning, per-file splits — the layout/scale shape of a
+    real 100 TB media corpus on object storage), doc ids recovered from the
+    file names, then the same real GIF89a container decode as
+    multimodal_frames_real. Proves the connector + decode composition, not
+    just the payload-column path; the oracle predicts every frame from the
+    closed-form rule and never touches the filesystem."""
+    from seccosql_spark.operators.multimodal import decode_gif_frames
+    from seccosql_spark.sources.connectors import read_binary_files
+
+    d = _stage_gif_media_dir()
+    files = read_binary_files(sess, d, glob="*.gif").df
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.gif$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return sess.from_spark(decode_gif_frames(payloads))
 
 
 @register(

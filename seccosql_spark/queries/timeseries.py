@@ -107,3 +107,49 @@ def timeseries_gapfill_hourly(sess: SeccoSession):
         bucket_us=US_PER_HOUR,
     )
     return sess.from_spark(out.withColumnRenamed("key", "event_type"))
+
+
+ZORDER_ORACLE = """
+WITH e AS (SELECT event_id,
+                  user_id % 65536 AS u,
+                  (epoch_us(ts) // 3600000000) % 65536 AS h
+           FROM events),
+z AS (SELECT event_id, u, h,
+             CAST((SELECT sum((((e.u >> CAST(b.range AS INT)) & 1) << (2 * b.range))
+                            + (((e.h >> CAST(b.range AS INT)) & 1) << (2 * b.range + 1)))
+                   FROM range(0, 16) b) AS BIGINT) AS zval
+      FROM e)
+SELECT event_id, CAST(u AS BIGINT) AS u, CAST(h AS BIGINT) AS h, zval
+FROM z ORDER BY zval, event_id LIMIT 50
+"""
+
+
+@register("events_zorder_topk", ZORDER_ORACLE)
+def events_zorder_topk(sess: SeccoSession):
+    """Morton z-value layout key over (user_id, epoch-hour) — the
+    multi-dimensional clustering key `operators.layout.zorder_layout`
+    range-partitions and sorts on so parquet min/max stats prune filters on
+    EITHER dimension (the OPTIMIZE ZORDER idea as plain Spark). The query
+    emits the 50 smallest z-values (total order: zval, event_id) so the
+    oracle cross-checks the bit-interleave arithmetic exactly; the
+    clustering property itself (narrow per-partition spans in every
+    dimension) is pinned by tests/test_operators_unit.py."""
+    from seccosql_spark.operators.layout import zvalue
+
+    ev = sess.spark.table("events")
+    # integer `div`, not double division: a float quotient could round up
+    # across an hour boundary and disagree with DuckDB's `//`
+    e = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("u"),
+        epoch_us(ev, "ts").alias("eus"),
+    ).withColumn("h", F.expr(f"(eus div {US_PER_HOUR}) % 65536"))
+    out = (
+        e.select(
+            "event_id", "u", "h",
+            zvalue([F.col("u"), F.col("h")], bits=16).alias("zval"),
+        )
+        .orderBy("zval", "event_id")
+        .limit(50)
+    )
+    return sess.from_spark(out)

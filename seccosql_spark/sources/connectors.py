@@ -1,4 +1,5 @@
-"""File-format connectors: parquet / csv / json / orc in, parquet / orc out.
+"""File-format connectors: parquet / csv / json / orc / binaryFile in,
+parquet / orc / csv / json out.
 
 Scale notes: all readers return plain scan DataFrames, so Catalyst owns
 split planning (`spark.sql.files.maxPartitionBytes`), predicate pushdown and
@@ -77,6 +78,25 @@ def read_json(
     if schema:
         reader = reader.schema(schema)
     return _register(sess, reader.json(path), name, primary_keys)
+
+
+def read_binary_files(
+    sess: "SeccoSession",
+    path: str,
+    glob: str | None = None,
+    name: str | None = None,
+):
+    """Opaque media-file scan via Spark's built-in `binaryFile` source:
+    (path, modificationTime, length, content) per file. The 100 TB media
+    ingestion path — `pathGlobFilter` prunes the listing before any byte is
+    read, split planning is per-file under
+    `spark.sql.files.maxPartitionBytes`, and metadata-only queries
+    (path/length) never deserialize `content`. Pair with
+    `operators.multimodal.decode_*` for Arrow-batched decode."""
+    reader = sess.spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return _register(sess, reader.load(path), name, ())
 
 
 def write_parquet(

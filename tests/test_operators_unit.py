@@ -852,3 +852,97 @@ def test_decode_gif_frames_spark_path(spark):
             for x in range(r["width"])
         )
         assert (r["n_pixels"], r["pixel_sum"]) == (r["width"] * r["height"], want)
+
+
+def test_zvalue_interleave_exact(spark):
+    """zvalue == the reference Morton interleave for hand-computed points,
+    and is monotone-compatible with locality: neighbors in both dims get
+    nearby z-values."""
+    from seccosql_spark.operators.layout import zvalue
+
+    def ref_z(vals, bits=16):
+        z = 0
+        for b in range(bits):
+            for j, v in enumerate(vals):
+                z += ((v >> b) & 1) << (b * len(vals) + j)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts, "x LONG, y LONG")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zvalue([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref_z([x, y]), (x, y)
+    import pytest
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zvalue([F.col("x")] * 5, bits=16)
+
+
+def test_zorder_layout_clusters_both_dims(spark):
+    """The layout property that buys multi-dim file skipping: after
+    zorder_layout into 16 range partitions, the average per-partition span
+    of EACH dimension is far below the global span (a lexicographic sort
+    clusters only its leading column; the trailing dim's spans stay
+    global)."""
+    from seccosql_spark.operators.layout import zorder_layout
+
+    n = 64
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x LONG, y LONG"
+    )
+    parts = (
+        zorder_layout(grid, ["x", "y"], num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(parts) == 16
+    avg_sx = sum(r["sx"] for r in parts) / len(parts)
+    avg_sy = sum(r["sy"] for r in parts) / len(parts)
+    # global span is 63; a 16-way z-order split keeps both dims tight
+    assert avg_sx <= 63 / 2, avg_sx
+    assert avg_sy <= 63 / 2, avg_sy
+
+
+def test_substring_dup_stats_semantics(spark):
+    """Hand-built corpus: doc 0 and doc 1 share one verbatim 10-word run
+    (and nothing else that long); doc 2 is unique; doc 3 is too short for
+    any window. Counts and fractions must be exact."""
+    from seccosql_spark.operators.dedup import substring_dup_stats
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = [
+        (0, shared + " a b c"),           # 6 windows, 1 duplicated
+        (1, "x y " + shared),             # 3 windows, 1 duplicated
+        (2, " ".join(f"u{i}" for i in range(12))),  # 3 windows, 0 dup
+        (3, "too short"),                 # no windows
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in substring_dup_stats(df, n=10).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n_windows"], got[0]["n_dup_windows"]) == (4, 1)
+    assert (got[1]["n_windows"], got[1]["n_dup_windows"]) == (3, 1)
+    assert (got[2]["n_windows"], got[2]["n_dup_windows"]) == (3, 0)
+    assert got[1]["dup_fraction"] == round(1 / 3, 6)
+
+
+def test_read_binary_files_connector(sess, tmp_path):
+    """binaryFile scan: glob pruning + content round-trip."""
+    from seccosql_spark.sources.connectors import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"\x04")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    rows = read_binary_files(sess, str(tmp_path), glob="*.bin").df.collect()
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == {"a.bin": b"\x01\x02\x03", "b.bin": b"\x04"}
+    assert all(r["length"] == len(bytes(r["content"])) for r in rows)

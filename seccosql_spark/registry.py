@@ -91,56 +91,56 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # by the full sf0.01 pytest gate).
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "multimodal_decode_audio",
-    "multimodal_decode_real",
-    "sample_mixture_sources",
-    "w1_star_high_skew",
-    "w1_star_low_skew",
-    "w2_snowflake_high_skew",
-    "w2_snowflake_low_skew",
-    "w3_chain_high_skew",
-    "w3_chain_low_skew",
-    "w5_cycle_join",
-    "w6_theta_chain",
-    "dedup_exact",
-    "embedding_quantize_int8",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_pagerank_3rounds",
-    "g_self_loop_pattern",
-    "g_sssp_weighted",
-    "knn_cosine_bruteforce",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
+    "ann_lsh_clustered",
+    "dedup_substring_windows",
+    "events_zorder_topk",
+    "multimodal_binaryfile_scan",
+    "multimodal_frames_real",
     "corpus_clean_pass",
+    "decontaminate_bloom",
     "decontaminate_ngram8",
     "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_words",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "embedding_centroids",
+    "g_clustering_coeff",
+    "g_common_neighbors",
     "g_connected_components",
     "g_degrees",
     "g_kcore",
     "g_label_propagation",
-    "g_labeled_pattern",
-    "g_message_passing_2rounds",
-    "g_message_passing_wsum",
-    "g_pattern_weighted_agg",
-    "g_subgraph_filter",
-    "g_triangle_wcoj",
+    "g_pagerank_3rounds",
+    "g_scc",
+    "g_sssp_weighted",
+    "multimodal_decode_audio",
+    "multimodal_decode_real",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
-    "sample_hash_10pct",
-    "sample_stratified_3per_lang",
-    "stream_window_counts",
-    "ann_ivf_kmeans",
-    "decontaminate_bloom",
-    "g_scc",
-    "timeseries_gapfill_hourly",
-    "cross_join_pairs",
+    "distinct_pairs",
+    "except_all_bag",
+    "except_distinct",
+    "filter_predicate",
+    "g_path2_pairs",
+    "intersect_keys",
+    "project_compute",
+    "rollup_agg",
+    "scalar_datetime",
+    "scalar_string_funcs",
+    "sort_limit_topk",
+    "union_all_counts",
+    "union_distinct",
+    "cube_agg",
+    "cte_multi",
+    "g_house_count",
+    "g_ring5_chords",
+    "g_triangle_count",
+    "grouping_sets_id",
+    "multiway_natural_ghd",
+    "pack_token_shards",
+    "q11_important_parts",
+    "q13_customer_distribution",
 ]
 
 

@@ -43,6 +43,11 @@ EXTRA = [
     "w1_star_low_skew",
     "w1_star_high_skew",
     "g_scc",
+    "ann_lsh_clustered",
+    "multimodal_frames_real",
+    "multimodal_binaryfile_scan",
+    "dedup_substring_windows",
+    "events_zorder_topk",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

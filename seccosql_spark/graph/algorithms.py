@@ -212,6 +212,65 @@ def kcore(
     return survivors
 
 
+def ktruss(
+    edges: DataFrame, k: int, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(a, b, support) edges of the k-truss: the maximal subgraph in which
+    every edge closes >= k-2 triangles — the EDGE-cohesion analog of kcore
+    (reference lineage: the I-series analytics family,
+    benchmark/testcases/graphAnalytic.scala). Iteratively peel edges whose
+    support (triangles within the CURRENT subgraph) falls below k-2 until
+    fixpoint; `support` in the output is computed within the final truss.
+
+    Per round: one canonical-triangle enumeration (two hash joins on the
+    a<b edge set — never the full wedge set of the symmetric view) + one
+    count aggregation + one filter join; rounds = peel depth. State is the
+    shrinking edge set only, checkpointed each round. Raises on budget
+    exhaustion instead of returning a non-truss."""
+    if k < 3:
+        raise ValueError(f"ktruss needs k >= 3, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"ktruss needs max_rounds >= 1, got {max_rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    empty = e.sparkSession.createDataFrame(
+        [], "a BIGINT, b BIGINT, support BIGINT"
+    )
+    for _ in range(max_rounds):
+        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = e.select("a", F.col("b").alias("c"))
+        tri = e.join(bc, "b").join(ac, ["a", "c"])  # (a < b < c)
+        sup = (
+            tri.select("a", "b")
+            .unionByName(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+            .unionByName(tri.select("a", F.col("c").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= k - 2)
+        )
+        survivors = e.join(sup, ["a", "b"]).localCheckpoint(eager=True)
+        n_prev, n_now = e.count(), survivors.count()
+        e = survivors.select("a", "b").localCheckpoint(eager=True)
+        if n_now == 0:
+            return empty
+        if n_now == n_prev:
+            return survivors.select(
+                F.col("a").cast("long"), F.col("b").cast("long"),
+                F.col("support").cast("long"),
+            )
+    raise RuntimeError(
+        f"ktruss did not converge within max_rounds={max_rounds} "
+        f"(peel depth exceeds the budget); raise max_rounds"
+    )
+
+
 def sssp(
     weighted_edges: DataFrame,
     source: int,

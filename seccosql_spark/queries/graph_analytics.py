@@ -28,7 +28,7 @@ from seccosql_spark.session import SeccoSession
 
 # Undirected simple-graph neighbor pairs (both orientations, deduplicated) —
 # the shared CTE prefix of every oracle here. Parameterized on the edge CTE.
-_NB = """nb AS (
+_NB = """nb AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM e
     UNION ALL
@@ -54,13 +54,18 @@ KCORE_UNROLL = 10  # >= peel depth on every sf; extra rounds are no-ops
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled peeling: alive_{r+1} = nodes with >= k surviving neighbors in
     the subgraph induced by alive_r. Once the alive set is stable, further
-    rounds are identities, so any unroll >= the true peel depth is exact."""
-    parts = [f"WITH e AS ({EDGES_SPARSE}),\n{_NB},\n"]
-    parts.append("alive0 AS (SELECT DISTINCT a AS id FROM nb)")
+    rounds are identities, so any unroll >= the true peel depth is exact.
+
+    alive CTEs are MATERIALIZED: each level references the previous one
+    twice, so DuckDB's default inlining would expand to 2^rounds scan
+    subtrees (measured 215 s at sf0.01 vs 0.06 s materialized, identical
+    rows — the same trap _ktruss_oracle hit at 3^rounds)."""
+    parts = [f"WITH e AS MATERIALIZED ({EDGES_SPARSE}),\n{_NB},\n"]
+    parts.append("alive0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM nb)")
     for r in range(1, rounds + 1):
         parts.append(
             f""",
-alive{r} AS (
+alive{r} AS MATERIALIZED (
   SELECT id FROM (
     SELECT nb.a AS id, count(*) AS d
     FROM nb
@@ -89,6 +94,60 @@ def g_kcore(sess: SeccoSession):
     alive set; rounds = peel depth, not a fixed budget."""
     edges = sess.spark.sql(EDGES_SPARSE)
     return sess.from_spark(kcore(edges, KCORE_K))
+
+
+KTRUSS_K = 4
+KTRUSS_UNROLL = 8  # >= peel depth on every sf (measured 5 at sf0.01); extra rounds are no-ops
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled edge peeling: e_{r} = edges of e_{r-1} whose support
+    (triangles inside e_{r-1}) is >= k-2. Once stable, further rounds are
+    identities, so any unroll >= the true peel depth is exact; the final
+    sup CTE yields each surviving edge's support WITHIN the truss.
+
+    Every per-round CTE is MATERIALIZED: each level references the previous
+    one three times, so DuckDB's default CTE inlining would expand to
+    3^rounds copies of the base scan (observed as fd exhaustion at unroll
+    8); materialization keeps the oracle linear in `rounds`."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({EDGES_SPARSE}),\n"
+        "e0 AS MATERIALIZED "
+        "(SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+tri{r} AS MATERIALIZED (
+           SELECT e1.a, e1.b, e2.c
+           FROM e{r - 1} e1
+           JOIN (SELECT a AS b, b AS c FROM e{r - 1}) e2 USING (b)
+           JOIN (SELECT a, b AS c FROM e{r - 1}) e3 USING (a, c)),
+sup{r} AS MATERIALIZED (
+           SELECT a, b, count(*) AS support FROM (
+             SELECT a, b FROM tri{r}
+             UNION ALL SELECT b AS a, c AS b FROM tri{r}
+             UNION ALL SELECT a, c AS b FROM tri{r})
+           GROUP BY a, b HAVING count(*) >= {k - 2}),
+e{r} AS MATERIALIZED (SELECT a, b FROM sup{r})"""
+        )
+    parts.append(
+        f"""
+SELECT a, b, CAST(support AS BIGINT) AS support FROM sup{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("g_ktruss", _ktruss_oracle(KTRUSS_K, KTRUSS_UNROLL))
+def g_ktruss(sess: SeccoSession):
+    """k-truss (k=4) on the sparse graph — the edge-cohesion sibling of
+    g_kcore: iteratively peel edges closing < 2 triangles until fixpoint
+    (graph/algorithms.ktruss; measured peel depth 5 at sf0.01, 451 -> 384
+    edges). Output is each truss edge with its within-truss support."""
+    from seccosql_spark.graph.algorithms import ktruss
+
+    edges = sess.spark.sql(EDGES_SPARSE)
+    return sess.from_spark(ktruss(edges, KTRUSS_K))
 
 
 SSSP_ORACLE = f"""

@@ -946,3 +946,25 @@ def test_read_binary_files_connector(sess, tmp_path):
     got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
     assert got == {"a.bin": b"\x01\x02\x03", "b.bin": b"\x04"}
     assert all(r["length"] == len(bytes(r["content"])) for r in rows)
+
+
+def test_ktruss_two_cliques(spark):
+    """Hand-built graph: two 4-cliques joined by a bridge plus a pendant
+    edge. The 4-truss is exactly the two cliques' 12 edges, each closing 2
+    triangles; bridge and pendant peel away. k<3 rejected."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import ktruss
+
+    def clique(nodes):
+        return [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1 :]]
+
+    edges = clique([0, 1, 2, 3]) + clique([4, 5, 6, 7]) + [(3, 4), (7, 8)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(df, 4).collect()}
+    want = {e: 2 for e in clique([0, 1, 2, 3]) + clique([4, 5, 6, 7])}
+    assert got == want
+    # k=5 demands support >= 3: a 4-clique can't provide it -> empty truss
+    assert ktruss(df, 5).count() == 0
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(df, 2)

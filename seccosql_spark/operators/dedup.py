@@ -633,3 +633,61 @@ def substring_dup_stats(
             "dup_fraction", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment: c(A->B) =
+    |S_A ∩ S_B| / |S_A| (Broder's containment) — catches a short document
+    embedded verbatim in a long one, which symmetric Jaccard misses (the
+    union term dilutes it, and for the same reason MinHash-LSH bands
+    almost never bucket a size-skewed pair: minhash estimates JACCARD).
+    Candidates therefore come from SHARED-SHINGLE buckets, which are
+    EXHAUSTIVE for containment — c(A->B) > 0 means the pair shares a
+    shingle, so up to the skew cap no qualifying pair can be missed.
+    Output (id1, id2, containment12, containment21) for pairs whose
+    LARGER direction clears `threshold`.
+
+    Plan shape: shingles → one bucket aggregation on the shingle (skew cap
+    drops degenerate buckets, same contract as candidate_pairs) → pairs
+    streamed per anchor id → per-pair intersection counts joined against
+    per-doc set sizes. Shingle entropy keeps buckets small at scale; the
+    division is one deterministic double op, rounded for cross-engine
+    ranking. No minhash signatures are involved at all."""
+    feats = shingles(df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
+    buckets = (
+        feats.groupBy("w")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pairs = _stream_pairs(buckets)
+    sizes = feats.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    w1 = feats.select(F.col("id").alias("id1"), "w")
+    w2 = feats.select(F.col("id").alias("id2"), "w")
+    inter = (
+        pairs.join(w1, "id1")
+        .join(w2, ["id2", "w"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c12 = F.col("inter") / F.col("n1")
+    c21 = F.col("inter") / F.col("n2")
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        .filter(F.greatest(c12, c21) >= F.lit(threshold))
+        .select(
+            "id1",
+            "id2",
+            F.round(c12, 6).alias("containment12"),
+            F.round(c21, 6).alias("containment21"),
+        )
+    )

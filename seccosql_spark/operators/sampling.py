@@ -119,3 +119,18 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str) -> DataFrame:
+    """Keep each row independently with probability equal to its per-row
+    weight in [0, 1] — quality-proportional corpus sampling. Content-keyed
+    like `hash_sample`: u = first 8 md5 hex digits of the key as a uniform
+    32-bit integer, row kept iff u < weight * 2^32, so the decision is
+    deterministic, reproducible across runs/engines, and MONOTONE in the
+    weight (raising a doc's weight can only add it, never flip others —
+    incremental re-samples stay cheap). Map-only filter: no shuffle, no
+    Python, survives any scale."""
+    u = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return df.filter(u.cast("double") < F.col(weight_col) * F.lit(4294967296.0))

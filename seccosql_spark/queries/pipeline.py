@@ -125,6 +125,45 @@ def dedup_minhash_lsh(sess: SeccoSession):
     )
 
 
+def _containment_oracle(shingles_sql: str, threshold: float) -> str:
+    """Oracle twin of containment_pairs: shared-shingle candidate pairs
+    (exhaustive — containment > 0 implies a shared shingle), then
+    per-direction containment i/|S_A|, i/|S_B| with the keep rule on the
+    larger direction."""
+    return f"""
+WITH words AS ({shingles_sql}),
+pairs AS (
+  SELECT DISTINCT w1.id AS id1, w2.id AS id2
+  FROM words w1 JOIN words w2 ON w1.w = w2.w AND w1.id < w2.id
+),
+sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS (
+  SELECT p.id1, p.id2, count(*) AS i
+  FROM pairs p JOIN words w1 ON w1.id = p.id1
+               JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
+  GROUP BY p.id1, p.id2
+)
+SELECT id1, id2,
+       round(i / s1.n, 6) AS containment12,
+       round(i / s2.n, 6) AS containment21
+FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+WHERE greatest(i / s1.n, i / s2.n) >= {threshold}
+"""
+
+
+@register("dedup_containment", _containment_oracle(SHINGLES_SQL, threshold=0.5))
+def dedup_containment(sess: SeccoSession):
+    """Asymmetric (containment) near-dup pairs over 3-word shingles
+    (operators.dedup.containment_pairs): |S_A ∩ S_B| / |S_A| per direction,
+    kept when either direction >= 0.5 — the subset-duplicate detector
+    symmetric Jaccard under-scores."""
+    from seccosql_spark.operators.dedup import containment_pairs
+
+    return sess.from_spark(
+        containment_pairs(sess.spark.table("documents"), threshold=0.5)
+    )
+
+
 MINHASH_WORDS_ORACLE = _minhash_oracle(WORDS_SQL, threshold=0.9)
 
 

@@ -247,3 +247,35 @@ def sample_mixture_sources(sess: SeccoSession):
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+def _weighted_oracle() -> str:
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH q AS (SELECT doc_id,
+                  round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         + least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)) / 2.0, 6) AS quality
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents)),
+h AS (SELECT doc_id, quality, CAST({h32} AS BIGINT) AS h32 FROM q)
+SELECT doc_id, quality FROM h WHERE CAST(h32 AS DOUBLE) < quality * 4294967296.0
+"""
+
+
+@register("sample_weighted_quality", _weighted_oracle())
+def sample_weighted_quality(sess: SeccoSession):
+    """Quality-proportional sampling: each document kept with probability
+    equal to its quality score (operators.text.quality_score, rounded to 6
+    digits so the weight is engine-identical), decided by the deterministic
+    md5 uniform of operators.sampling.weighted_sample. The curation move a
+    training-data pipeline uses to up-weight clean text without hard
+    thresholds; map-only, no shuffle."""
+    from seccosql_spark.operators.sampling import weighted_sample
+    from seccosql_spark.operators.text import quality_score
+
+    q = quality_score(sess.spark.table("documents")).select("doc_id", "quality")
+    return sess.from_spark(weighted_sample(q, "doc_id", "quality"))

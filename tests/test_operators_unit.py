@@ -968,3 +968,23 @@ def test_ktruss_two_cliques(spark):
     assert ktruss(df, 5).count() == 0
     with pytest.raises(ValueError, match="k >= 3"):
         ktruss(df, 2)
+
+
+def test_containment_subset_doc(spark):
+    """A short doc verbatim-embedded in a long doc: containment(short->long)
+    = 1.0 while symmetric Jaccard is diluted below threshold — the case
+    this operator exists for. Unrelated docs produce no pair."""
+    from seccosql_spark.operators.dedup import containment_pairs, minhash_near_dups
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here entirely")],
+        "doc_id LONG, text STRING",
+    )
+    got = {(r["id1"], r["id2"]): r for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["containment12"] == 1.0  # all of short's shingles in long
+    assert got[(1, 2)]["containment21"] < 0.2
+    # symmetric Jaccard misses it at the same bar
+    assert minhash_near_dups(docs, threshold=0.9, shingle_n=3).collect() == []

@@ -691,3 +691,54 @@ def containment_pairs(
             F.round(c21, 6).alias("containment21"),
         )
     )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup: near-dups of a NEW batch against an
+    EXISTING corpus only (new-new and old-old pairs excluded) — the nightly
+    ingestion shape, where re-running the full quadratic-candidate pipeline
+    over the whole corpus per batch would be O(corpus) wasted work. Only
+    the new batch is signatured from scratch; the old side's banded
+    signatures are the persistable index (at scale: written once, bucketed
+    by (band, sig), so each batch's candidate lookup is a co-located join).
+
+    Output (new_id, old_id, jaccard) for verified pairs >= threshold.
+    `max_bucket_size` caps the OLD side's bucket fan-out per (band, sig) —
+    the skew guard against a degenerate index bucket."""
+    fnew = shingles(new_df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
+    fold = shingles(old_df, shingle_n, id_col, text_col).withColumnRenamed("s", "w")
+    bnew = lsh_bands(minhash_signatures(fnew, num_hashes), band_size)
+    bold = lsh_bands(minhash_signatures(fold, num_hashes), band_size)
+    if max_bucket_size is not None:
+        sizes = bold.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__n"))
+        bold = bold.join(
+            sizes.filter(F.col("__n") <= max_bucket_size).drop("__n"),
+            ["band", "sig"],
+            "left_semi",
+        )
+    pairs = (
+        bnew.select(F.col("id").alias("id1"), "band", "sig")
+        .join(bold.select(F.col("id").alias("id2"), "band", "sig"), ["band", "sig"])
+        .select("id1", "id2")
+        .distinct()
+    )
+    words = fnew.unionByName(fold)
+    out = exact_jaccard(words, pairs)
+    return (
+        out.filter(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            F.col("id1").alias("new_id"),
+            F.col("id2").alias("old_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -164,6 +164,80 @@ def dedup_containment(sess: SeccoSession):
     )
 
 
+def _incremental_oracle(
+    shingles_sql: str,
+    threshold: float,
+    split_id: int,
+    num_hashes: int = 8,
+    band_size: int = 4,
+) -> str:
+    """Oracle twin of minhash_incremental_pairs: the _minhash_oracle
+    pipeline with the candidate join restricted to new (id >= split) x old
+    (id < split) — per-doc signatures are independent, so signaturing the
+    whole corpus then splitting at the pair stage is exactly equivalent to
+    signaturing the two sides separately."""
+    from seccosql_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+    seeds = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    band_parts = " || '|' || ".join(
+        f"max(CASE WHEN j % {band_size} = {i} THEN m END)" for i in range(band_size)
+    )
+    return f"""
+WITH words AS ({shingles_sql}),
+hs AS (SELECT id, CAST({_h32_sql()} AS BIGINT) AS h32 FROM words),
+seeds AS (SELECT * FROM (VALUES {seeds}) t(j, a, b)),
+mh AS (SELECT id, j, min((a * h32 + b) % {MINHASH_PRIME}) AS m
+       FROM hs CROSS JOIN seeds GROUP BY id, j),
+bands AS (
+  SELECT id, CAST(j // {band_size} AS INT) AS band, {band_parts} AS sig
+  FROM mh GROUP BY id, j // {band_size}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.id >= {split_id} AND b.id < {split_id}
+),
+sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS (
+  SELECT p.id1, p.id2, count(*) AS i
+  FROM pairs p JOIN words w1 ON w1.id = p.id1
+               JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
+  GROUP BY p.id1, p.id2
+)
+SELECT id1 AS new_id, id2 AS old_id,
+       round(i / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+WHERE i / (s1.n + s2.n - i) >= {threshold}
+"""
+
+
+INCREMENTAL_SPLIT_ID = 400
+
+
+@register(
+    "dedup_incremental_batch",
+    _incremental_oracle(SHINGLES_SQL, threshold=0.5, split_id=INCREMENTAL_SPLIT_ID),
+)
+def dedup_incremental_batch(sess: SeccoSession):
+    """Incremental dedup of a NEW ingestion batch (doc_id >= 400) against
+    the EXISTING corpus (doc_id < 400) only — new-new and old-old pairs
+    excluded (operators.dedup.minhash_incremental_pairs). The old side's
+    banded signatures are the persistable index; each nightly batch only
+    signatures itself and probes the index buckets."""
+    from seccosql_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(
+        minhash_incremental_pairs(
+            docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID),
+            docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID),
+            threshold=0.5,
+        )
+    )
+
+
 MINHASH_WORDS_ORACLE = _minhash_oracle(WORDS_SQL, threshold=0.9)
 
 

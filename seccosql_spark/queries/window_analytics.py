@@ -96,3 +96,29 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     grouping-id disambiguator — the gid column distinguishes NULL-as-group
     from NULL-as-rollup, which a bare rollup result cannot.""",
 )
+
+
+_sql(
+    "funnel_view_click_purchase",
+    """
+WITH v AS (SELECT user_id, min(event_id) AS v_eid
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.event_id) AS c_eid
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.event_id > v.v_eid
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.event_id) AS p_eid
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.event_id > c.c_eid
+      GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""",
+    """Ordered-funnel conversion (view -> click -> purchase, strictly after
+    one another in the event sequence): per stage, the earliest qualifying
+    event feeds the next stage's inequality join. Each stage is one
+    filtered aggregation plus an equi-join on user_id — the sequential
+    behavioral-analytics pattern at corpus scale (event_id is the unique
+    per-load sequence axis, same convention as the as-of join).""",
+)

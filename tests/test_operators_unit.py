@@ -988,3 +988,29 @@ def test_containment_subset_doc(spark):
     assert got[(1, 2)]["containment21"] < 0.2
     # symmetric Jaccard misses it at the same bar
     assert minhash_near_dups(docs, threshold=0.9, shingle_n=3).collect() == []
+
+
+def test_minhash_incremental_only_cross_pairs(spark):
+    """Incremental dedup emits ONLY new-vs-old pairs: a duplicate inside the
+    new batch and one inside the old corpus are both ignored; the cross
+    duplicate is found with the same jaccard the full pipeline computes."""
+    from seccosql_spark.operators.dedup import minhash_incremental_pairs, minhash_near_dups
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely unrelated material lives here")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(10, t), (11, t), (12, "fresh unseen content in this batch")],
+        "doc_id LONG, text STRING",
+    )
+    got = {(r["new_id"], r["old_id"]): r["jaccard"]
+           for r in minhash_incremental_pairs(new, old, threshold=0.9).collect()}
+    assert set(got) == {(10, 1), (10, 2), (11, 1), (11, 2)}
+    assert all(j == 1.0 for j in got.values())
+    # full symmetric pipeline on the union ALSO finds (1,2) and (10,11);
+    # incremental correctly excluded those same-side pairs
+    full = {(r["id1"], r["id2"])
+            for r in minhash_near_dups(old.unionByName(new), threshold=0.9, shingle_n=3).collect()}
+    assert (1, 2) in full and (10, 11) in full

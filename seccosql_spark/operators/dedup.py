@@ -617,7 +617,13 @@ def substring_dup_stats(
         lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)])),
     )
     gram = F.when(F.size("toks") >= n, gram).otherwise(F.array().cast("array<string>"))
-    windows = d.select("id", F.explode(gram).alias("gh"))
+    # ONE explicit hash(gh) exchange serves BOTH the (gh, id) pair
+    # aggregation (hash(gh) clusters every (gh, id) group) and the
+    # cross-doc window over gh — without it Spark plans two full-data
+    # shuffles (hash(gh, id) for the groupBy, then hash(gh) for the
+    # window). Duplicate (gh, id) windows are rare, so the lost map-side
+    # partial combine costs far less than the extra shuffle saved.
+    windows = d.select("id", F.explode(gram).alias("gh")).repartition("gh")
     per_pair = windows.groupBy("gh", "id").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("gh")
     tagged = per_pair.withColumn("n_docs", F.count(F.lit(1)).over(w))

@@ -170,3 +170,35 @@ def test_w_series_twins_join_physically_clean(sess):
     plan = formatted_plan(sess, "w6_theta_chain")
     assert not _ops(plan, "CartesianProduct"), plan
     assert len(_ops(plan, "BroadcastNestedLoopJoin")) == 2, plan
+
+
+def test_substring_windows_two_shuffles(sess):
+    """The Lee-et-al windowed substring signal must keep its bounded
+    two-shuffle contract: one explicit hash(gh) exchange shared by the
+    (gh, id) pair aggregation AND the cross-doc window, one on the doc id
+    for the final rollup — no joins sneaking in. (Each Exchange node
+    appears twice in a formatted plan: tree + detail section.)"""
+    plan = formatted_plan(sess, "dedup_substring_windows")
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+    assert "Join" not in plan, "substring stats must not join"
+
+
+def test_zorder_topk_take_ordered(sess):
+    """Global top-50 by z-value compiles to TakeOrderedAndProject (per-
+    partition heaps + one reduce), not a global Sort."""
+    plan = formatted_plan(sess, "events_zorder_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_map_only(sess):
+    """Quality-weighted sampling is a pure scan-side filter: zero
+    exchanges of any kind."""
+    plan = formatted_plan(sess, "sample_weighted_quality")
+    assert "Exchange" not in plan, plan
+
+
+def test_binaryfile_scan_defers_content(sess):
+    """The binaryFile-source frame decode reads only (path, content) into
+    the Python stage — modificationTime/length are pruned at the scan."""
+    plan = formatted_plan(sess, "multimodal_binaryfile_scan")
+    assert "modificationTime" not in plan.split("ReadSchema")[-1].split("\n")[0]

@@ -48,6 +48,11 @@ EXTRA = [
     "multimodal_binaryfile_scan",
     "dedup_substring_windows",
     "events_zorder_topk",
+    "g_ktruss",
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "sample_weighted_quality",
+    "funnel_view_click_purchase",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

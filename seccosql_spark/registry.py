@@ -92,10 +92,15 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_lsh_clustered",
+    "dedup_containment",
+    "dedup_incremental_batch",
     "dedup_substring_windows",
     "events_zorder_topk",
+    "g_ktruss",
     "multimodal_binaryfile_scan",
     "multimodal_frames_real",
+    "sample_weighted_quality",
+    "funnel_view_click_purchase",
     "corpus_clean_pass",
     "decontaminate_bloom",
     "decontaminate_ngram8",
@@ -118,6 +123,9 @@ _PRIORITY_WINDOW = [
     "multimodal_decode_real",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
+    "sample_hash_10pct",
+    "sample_mixture_sources",
+    "sample_stratified_3per_lang",
     "distinct_pairs",
     "except_all_bag",
     "except_distinct",
@@ -133,14 +141,6 @@ _PRIORITY_WINDOW = [
     "union_distinct",
     "cube_agg",
     "cte_multi",
-    "g_house_count",
-    "g_ring5_chords",
-    "g_triangle_count",
-    "grouping_sets_id",
-    "multiway_natural_ghd",
-    "pack_token_shards",
-    "q11_important_parts",
-    "q13_customer_distribution",
 ]
 
 

@@ -250,6 +250,15 @@ class SeccoDataFrame:
     def explain(self, mode: str | bool = "formatted") -> None:
         self.df.explain(mode)
 
+    def lint(self) -> list:
+        """Scale-hazard findings for this plan (plans/linter.py): cartesian
+        products, row-at-a-time Python UDFs, global sorts, nested-loop
+        broadcasts, Python boundaries, shuffle count — the 100 TB review
+        checklist, mechanically."""
+        from seccosql_spark.plans.linter import lint_plan
+
+        return lint_plan(self.df)
+
     def collect(self) -> list:
         return self.df.collect()
 

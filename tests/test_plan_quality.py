@@ -202,3 +202,53 @@ def test_binaryfile_scan_defers_content(sess):
     the Python stage — modificationTime/length are pruned at the scan."""
     plan = formatted_plan(sess, "multimodal_binaryfile_scan")
     assert "modificationTime" not in plan.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_linter_detects_crafted_hazards(sess):
+    """plans/linter.py: each error/warn rule fires on a plan built to
+    contain exactly that hazard, and the assert form raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.plans.linter import assert_scale_clean, lint_plan
+
+    spark = sess.spark
+    a = spark.range(100).select(F.col("id").alias("x"))
+    b = spark.range(100).select(F.col("id").alias("y"))
+    # non-equi join with no broadcast hint and broadcast threshold disabled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = a.join(b, F.col("x") % 7 > F.col("y") % 5)
+        rules = {f.rule for f in lint_plan(cart)}
+        assert ("cartesian-product" in rules) or ("broadcast-nested-loop" in rules)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    rowudf = F.udf(lambda v: v + 1, "bigint")
+    slow = a.select(rowudf(F.col("x")).alias("x2"))
+    assert {f.rule for f in lint_plan(slow) if f.severity == "error"} == {"python-row-udf"}
+    with pytest.raises(AssertionError, match="python-row-udf"):
+        assert_scale_clean(slow)
+
+    # derive an unsorted column: a bare range is already ordered and
+    # Catalyst elides the Sort node entirely
+    u = a.select((F.col("x") % 7).alias("m"))
+    gsort = u.orderBy("m")  # global sort, no limit -> range exchange
+    assert "global-sort" in {f.rule for f in lint_plan(gsort)}
+    topk = u.orderBy("m").limit(5)  # TakeOrderedAndProject: no global sort
+    assert "global-sort" not in {f.rule for f in lint_plan(topk)}
+    assert "global-sort" not in {f.rule for f in lint_plan(u.sortWithinPartitions("m"))}
+
+
+def test_headline_queries_lint_clean(sess):
+    """Every benchmark headliner passes the mechanical scale lint with no
+    error findings (warns like the deliberate broadcast kNN probe are
+    allowed; errors are not)."""
+    from seccosql_spark.plans.linter import assert_scale_clean
+
+    for name, spec in REGISTRY.items():
+        if not spec.headline or name.startswith("stream_"):
+            continue  # streaming rows need a sink harness, not a bare plan
+        out = spec.build(sess)
+        df = out.df if hasattr(out, "df") else out
+        assert_scale_clean(df)

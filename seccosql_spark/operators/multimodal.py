@@ -2,12 +2,13 @@
 
 Decode tiers:
 
-- ``decode_image`` — a REAL image decoder for uncompressed formats that
-  need no external codec: netpbm P6/P5 (PPM/PGM) and 24-bit BI_RGB BMP,
-  parsed header-and-raster in pure Python + vectorized numpy inside
-  Arrow-batched ``mapInPandas``. ``encode_ppm`` / ``encode_bmp`` /
-  ``encode_pgm`` are the matching writers (used to synthesize
-  deterministic test images).
+- ``decode_image`` — a REAL image decoder needing no external codec:
+  netpbm P6/P5 (PPM/PGM), 24-bit BI_RGB BMP, and 8-bit gray/RGB PNG
+  (chunk walk, zlib inflate via the stdlib, full None/Sub/Up/Average/
+  Paeth row un-filtering), parsed header-and-raster in pure Python +
+  numpy inside Arrow-batched ``mapInPandas``. ``encode_ppm`` /
+  ``encode_bmp`` / ``encode_pgm`` / ``encode_png`` are the matching
+  writers (used to synthesize deterministic test images).
 - ``decode_audio`` — a REAL audio decoder for RIFF/WAVE PCM16: a proper
   chunk walk (LIST/fact chunks, word alignment), fmt parse, and a
   numpy-folded sample sum; ``encode_wav`` is the matching writer.
@@ -19,7 +20,7 @@ Decode tiers:
   valid GIFs via the literal+clear LZW strategy).
 - ``decode_image_stub`` / ``frame_sample_stub`` — the original
   deterministic fakes, kept for the formats that DO need external codecs
-  (JPEG/PNG/MP4); swap their bodies for PIL/libvips/ffmpeg in a real
+  (JPEG/MP4); swap their bodies for PIL/libvips/ffmpeg in a real
   deployment.
 
 Everything around the decode — the binary column handling, the
@@ -223,6 +224,8 @@ def decode_image_bytes(payload: bytes) -> tuple[int, int, str, int, int]:
         width, height, fmt, raster = _parse_netpbm(payload)
     elif payload[:2] == b"BM":
         width, height, fmt, raster = _parse_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, fmt, raster = _parse_png(payload)
     else:
         raise ValueError(f"unsupported image magic {payload[:2]!r}")
     return width, height, fmt, width * height, int(raster.astype("int64").sum())
@@ -288,6 +291,155 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
                 enc = (encode_ppm, encode_bmp, encode_pgm)[d % 3]
                 payloads.append(enc(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+# ------------------------------------------------------------- PNG codec
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """REAL PNG writer (8-bit truecolor or grayscale): signature, IHDR,
+    one zlib-compressed IDAT with per-row filter bytes (type 0 = None),
+    IEND — CRC32s computed like any real encoder. `pixels` is row-major,
+    len == width*height*channels. Output opens in any image viewer."""
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 (gray) or 3 (RGB), got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"PNG needs {width * height * channels} pixel bytes, got {len(pixels)}"
+        )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reverse PNG row filtering (spec §9): per row, a leading filter-type
+    byte then filtered samples; types None/Sub/Up/Average/Paeth reconstruct
+    from the left (a), above (b) and upper-left (c) neighbors."""
+    stride = width * channels
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, str, "object"]:
+    """Parse 8-bit non-interlaced grayscale/RGB PNG: chunk walk (IHDR →
+    IDAT* → IEND, ancillary chunks skipped), zlib inflate of the
+    concatenated IDAT stream, full row un-filtering. Returns (width,
+    height, 'png', uint8-ndarray of samples)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8  # signature already sniffed by the caller
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # size + type + body + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"only 8-bit non-interlaced gray/RGB PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            channels = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG payload missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width * channels + 1):
+        raise ValueError(f"PNG raster size {len(raw)} != expected")
+    samples = _png_unfilter(raw, width, height, channels)
+    return width, height, "png", np.frombuffer(samples, dtype=np.uint8)
+
+
+def synthesize_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic PNG payloads: width 4 + id%5, height
+    3 + id%4, grayscale when id%2 else RGB, sample (y, x, c) =
+    (id*31 + y*7 + x*3 + c) % 256 — the same closed-form rule as
+    synthesize_images, so the SQL oracle predicts pixel_sum (but NOT
+    n_bytes: IDAT length depends on zlib, which is why the PNG driver row
+    drops that column)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                ch = 1 if d % 2 else 3
+                idx = np.arange(h * w * ch, dtype=np.int64)
+                y, rem = idx // (w * ch), idx % (w * ch)
+                x, c = rem // ch, rem % ch
+                px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
+                payloads.append(encode_png(w, h, px, channels=ch))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

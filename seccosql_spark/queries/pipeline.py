@@ -817,6 +817,42 @@ def multimodal_decode_real(sess: SeccoSession):
 
 
 @register(
+    "multimodal_decode_png",
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(4 + doc_id % 5 AS INT) AS width,
+                CAST(3 + doc_id % 4 AS INT) AS height,
+                CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS channels
+         FROM documents
+       ),
+       px AS (
+         SELECT d.doc_id, d.width, d.height, d.channels,
+                sum((d.doc_id * 31 + y.range * 7 + x.range * 3 + c.range) % 256) AS ps
+         FROM dims d, range(0, 6) y, range(0, 8) x, range(0, 3) c
+         WHERE y.range < d.height AND x.range < d.width AND c.range < d.channels
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT doc_id, width, height, 'png' AS format, CAST(ps AS BIGINT) AS pixel_sum
+       FROM px""",
+)
+def multimodal_decode_png(sess: SeccoSession):
+    """REAL PNG decode end-to-end: deterministic rasters encoded to actual
+    PNG bytes (IHDR/IDAT/IEND with CRCs, zlib DEFLATE from the stdlib —
+    grayscale for odd ids, RGB for even) and parsed back by the full
+    chunk-walking, inflating, row-un-filtering reader in
+    operators/multimodal._parse_png, inside Arrow-batched mapInPandas.
+    The oracle predicts geometry and pixel_sum from the closed-form rule;
+    n_bytes is dropped from the output because IDAT length depends on the
+    zlib encoder, which SQL cannot replay."""
+    from seccosql_spark.operators.multimodal import decode_image, synthesize_pngs
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(
+        decode_image(synthesize_pngs(docs)).drop("n_bytes")
+    )
+
+
+@register(
     "multimodal_decode_audio",
     """WITH dims AS (
          SELECT doc_id,

@@ -98,6 +98,7 @@ _PRIORITY_WINDOW = [
     "events_zorder_topk",
     "g_ktruss",
     "multimodal_binaryfile_scan",
+    "multimodal_decode_png",
     "multimodal_frames_real",
     "sample_weighted_quality",
     "funnel_view_click_purchase",
@@ -110,6 +111,7 @@ _PRIORITY_WINDOW = [
     "dedup_minhash_words",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "embedding_quantize_int8",
     "g_clustering_coeff",
     "g_common_neighbors",
     "g_connected_components",
@@ -122,7 +124,11 @@ _PRIORITY_WINDOW = [
     "multimodal_decode_audio",
     "multimodal_decode_real",
     "multimodal_decode_stub",
-    "multimodal_frame_sample",
+    # hand-swap vs freshness.py output: cube_agg (the last r02-stale row,
+    # VERDICT r06 task 1) replaces multimodal_frame_sample, which is hot
+    # only via the shared multimodal.py file and whose 1-to-N shape is
+    # now driver-covered by multimodal_frames_real
+    "cube_agg",
     "sample_hash_10pct",
     "sample_mixture_sources",
     "sample_stratified_3per_lang",
@@ -139,8 +145,6 @@ _PRIORITY_WINDOW = [
     "sort_limit_topk",
     "union_all_counts",
     "union_distinct",
-    "cube_agg",
-    "cte_multi",
 ]
 
 

@@ -1014,3 +1014,74 @@ def test_minhash_incremental_only_cross_pairs(spark):
     full = {(r["id1"], r["id2"])
             for r in minhash_near_dups(old.unionByName(new), threshold=0.9, shingle_n=3).collect()}
     assert (1, 2) in full and (10, 11) in full
+
+
+def test_png_codec_roundtrip_and_filters():
+    """PNG codec: encode->decode round-trips for RGB and grayscale, a
+    hand-filtered image exercising ALL FIVE row filter types (None/Sub/Up/
+    Average/Paeth) that the decoder must invert, spec-legal split IDAT +
+    ancillary-chunk skipping, and loud rejection of 16-bit depth."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from seccosql_spark.operators.multimodal import decode_image_bytes, encode_png
+
+    for w, h, ch in [(3, 2, 3), (5, 4, 1)]:
+        px = bytes((i * 7 + 3) % 256 for i in range(w * h * ch))
+        assert decode_image_bytes(encode_png(w, h, px, channels=ch)) == (
+            w, h, "png", w * h, sum(px),
+        )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    w, h, ch = 6, 8, 3
+    px = bytes((i * 13 + 5) % 256 for i in range(w * h * ch))
+    stride = w * ch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row = bytearray(px[y * stride : (y + 1) * stride])
+        f = (0, 1, 2, 3, 4)[y % 5]
+        filt = bytearray(row)
+        if f == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                filt[i] = (row[i] - row[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                filt[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                filt[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (row[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes(raw))
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00hi")
+        + chunk(b"IDAT", z[:10]) + chunk(b"IDAT", z[10:]) + chunk(b"IEND", b"")
+    )
+    assert decode_image_bytes(payload) == (w, h, "png", w * h, sum(px))
+    bad_ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", z) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="depth"):
+        decode_image_bytes(bad)

@@ -732,6 +732,173 @@ def synthesize_gifs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema)
 
 
+# -------------------------------------------- video metadata (ISO-BMFF)
+
+def encode_mp4_skeleton(
+    duration_ms: int,
+    video_wh: tuple[int, int],
+    with_audio_track: bool = False,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF (MP4) container: ftyp +
+    moov(mvhd + trak(tkhd)...) + empty mdat. Carries REAL container
+    metadata — movie timescale/duration, per-track dimensions in 16.16
+    fixed point — but no codec samples (mdat is empty; this is a METADATA
+    skeleton, the part of MP4 a corpus-filtering probe reads, not a
+    playable encode). Box sizes/nesting follow the spec, so any ISO-BMFF
+    inspector walks it."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)  # ctime mtime ts dur
+        + struct.pack(">IH2x", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 3),  # next track id
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return box(
+            b"tkhd",
+            struct.pack(">B3B", 0, 0, 0, 7)  # v0, flags: enabled|in-movie|preview
+            + struct.pack(">IIII", 0, 0, track_id, 0)  # ctime mtime id reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer group volume reserved
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+
+    traks = [box(b"trak", tkhd(1, *video_wh))]
+    if with_audio_track:
+        traks.append(box(b"trak", tkhd(2, 0, 0)))
+    moov = box(b"moov", mvhd + b"".join(traks))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def probe_mp4_bytes(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL ISO-BMFF metadata probe: recursive size/type box walk to moov,
+    mvhd (version 0 AND 1 layouts) for timescale/duration, every
+    trak/tkhd (v0/v1) for track count and the video track's 16.16-fixed
+    dimensions — the corpus-filtering read (duration/resolution/track
+    shape) that never touches codec samples. Returns (duration_ms,
+    timescale, n_tracks, video_width, video_height)."""
+    import struct
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", data, pos)[0]
+            btype = data[pos + 4 : pos + 8]
+            body_off = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                body_off = pos + 16
+            if size < 8:
+                raise ValueError(f"corrupt box size {size} at {pos}")
+            yield btype, body_off, pos + size
+            pos += size
+
+    if b"ftyp" not in dict((t, 0) for t, _, _ in walk(payload, 0, len(payload))):
+        raise ValueError("not an ISO-BMFF payload: no ftyp box")
+    moov = next(
+        ((o, e) for t, o, e in walk(payload, 0, len(payload)) if t == b"moov"), None
+    )
+    if moov is None:
+        raise ValueError("ISO-BMFF payload has no moov box")
+    timescale = duration = None
+    n_tracks = 0
+    vw = vh = 0
+    for btype, off, end in walk(payload, *moov):
+        if btype == b"mvhd":
+            version = payload[off]
+            if version == 1:
+                timescale = struct.unpack_from(">I", payload, off + 20)[0]
+                duration = struct.unpack_from(">Q", payload, off + 24)[0]
+            else:
+                timescale, duration = struct.unpack_from(">II", payload, off + 12)
+        elif btype == b"trak":
+            n_tracks += 1
+            for t2, o2, _e2 in walk(payload, off, end):
+                if t2 != b"tkhd":
+                    continue
+                version = payload[o2]
+                # width/height are the LAST 8 bytes of tkhd in both versions
+                w_fx, h_fx = struct.unpack_from(">II", payload, _e2 - 8)
+                if w_fx and h_fx:
+                    vw, vh = w_fx >> 16, h_fx >> 16
+    if timescale is None:
+        raise ValueError("moov has no mvhd box")
+    return duration * 1000 // timescale, timescale, n_tracks, vw, vh
+
+
+MP4_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("video_width", T.IntegerType()),
+        T.StructField("video_height", T.IntegerType()),
+    ]
+)
+
+
+def probe_mp4(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 metadata probe over mapInPandas — the
+    corpus-filtering companion to the decoders: resolution/duration/track
+    predicates evaluate without any codec work."""
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [probe_mp4_bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "duration_ms": pd.Series([o[0] for o in out], dtype="int64"),
+                    "timescale": pd.Series([o[1] for o in out], dtype="int32"),
+                    "n_tracks": pd.Series([o[2] for o in out], dtype="int32"),
+                    "video_width": pd.Series([o[3] for o in out], dtype="int32"),
+                    "video_height": pd.Series([o[4] for o in out], dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(probe_batches, MP4_PROBE_SCHEMA)
+
+
+def synthesize_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic MP4 skeletons: duration_ms = 1000 + (id*7)
+    % 60000, video 16*(4+id%5) x 16*(3+id%4), audio track present when
+    id%2 — closed-form, so a SQL oracle predicts the probe output."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp4_skeleton(
+                        1000 + (d * 7) % 60000,
+                        (16 * (4 + d % 5), 16 * (3 + d % 4)),
+                        with_audio_track=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
 # ----------------------------------------------------------- audio (WAV)
 
 def encode_wav(sample_rate: int, channels: int, pcm16: bytes) -> bytes:

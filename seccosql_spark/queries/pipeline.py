@@ -853,6 +853,31 @@ def multimodal_decode_png(sess: SeccoSession):
 
 
 @register(
+    "multimodal_probe_mp4",
+    """SELECT doc_id,
+              CAST(1000 + (doc_id * 7) % 60000 AS BIGINT) AS duration_ms,
+              CAST(1000 AS INT) AS timescale,
+              CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+              CAST(16 * (4 + doc_id % 5) AS INT) AS video_width,
+              CAST(16 * (3 + doc_id % 4) AS INT) AS video_height
+       FROM documents""",
+)
+def multimodal_probe_mp4(sess: SeccoSession):
+    """REAL ISO-BMFF (MP4) metadata probe end-to-end: structurally-valid
+    container skeletons (ftyp + moov/mvhd/trak/tkhd with spec box nesting,
+    16.16 fixed-point dimensions; mdat empty — metadata only, clearly not
+    a playable encode) are written and then probed back by the recursive
+    box walk in operators/multimodal.probe_mp4_bytes (v0/v1 mvhd, 64-bit
+    largesize, audio-vs-video track discrimination) inside Arrow-batched
+    mapInPandas — the duration/resolution/track-shape read a video-corpus
+    filter runs without touching codec samples."""
+    from seccosql_spark.operators.multimodal import probe_mp4, synthesize_mp4s
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(probe_mp4(synthesize_mp4s(docs)))
+
+
+@register(
     "multimodal_decode_audio",
     """WITH dims AS (
          SELECT doc_id,

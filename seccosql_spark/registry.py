@@ -100,6 +100,7 @@ _PRIORITY_WINDOW = [
     "multimodal_binaryfile_scan",
     "multimodal_decode_png",
     "multimodal_frames_real",
+    "multimodal_probe_mp4",
     "sample_weighted_quality",
     "funnel_view_click_purchase",
     "corpus_clean_pass",
@@ -123,11 +124,11 @@ _PRIORITY_WINDOW = [
     "g_sssp_weighted",
     "multimodal_decode_audio",
     "multimodal_decode_real",
-    "multimodal_decode_stub",
-    # hand-swap vs freshness.py output: cube_agg (the last r02-stale row,
-    # VERDICT r06 task 1) replaces multimodal_frame_sample, which is hot
-    # only via the shared multimodal.py file and whose 1-to-N shape is
-    # now driver-covered by multimodal_frames_real
+    # hand-swaps vs freshness.py output (VERDICT r06 task 1: ALL 14
+    # r01/r02-stale rows must rotate): union_distinct and cube_agg
+    # replace the two multimodal demo stubs, which are hot only via the
+    # shared multimodal.py file and superseded by the four real-codec rows
+    "union_distinct",
     "cube_agg",
     "sample_hash_10pct",
     "sample_mixture_sources",
@@ -144,7 +145,6 @@ _PRIORITY_WINDOW = [
     "scalar_string_funcs",
     "sort_limit_topk",
     "union_all_counts",
-    "union_distinct",
 ]
 
 

@@ -1085,3 +1085,44 @@ def test_png_codec_roundtrip_and_filters():
     )
     with pytest.raises(ValueError, match="depth"):
         decode_image_bytes(bad)
+
+
+def test_mp4_probe_box_walk():
+    """ISO-BMFF probe: skeleton round-trip (duration/timescale/tracks/
+    dimensions), version-1 mvhd with a 90kHz timescale, and loud rejection
+    of non-BMFF bytes."""
+    import struct
+
+    import pytest
+
+    from seccosql_spark.operators.multimodal import encode_mp4_skeleton, probe_mp4_bytes
+
+    for d in (0, 1, 7, 499):
+        dur, w, h = 1000 + (d * 7) % 60000, 16 * (4 + d % 5), 16 * (3 + d % 4)
+        got = probe_mp4_bytes(
+            encode_mp4_skeleton(dur, (w, h), with_audio_track=bool(d % 2))
+        )
+        assert got == (dur, 1000, 1 + d % 2, w, h), (d, got)
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 7) + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", 0) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    payload = (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        + box(b"moov", mvhd_v1 + box(b"trak", tkhd))
+    )
+    assert probe_mp4_bytes(payload) == (7000, 90000, 1, 320, 240)
+    with pytest.raises(ValueError):
+        probe_mp4_bytes(b"RIFF" + b"\x00" * 100)

@@ -605,6 +605,10 @@ def test_image_codec_roundtrip():
     import pytest
 
     with pytest.raises(ValueError, match="magic"):
+        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF")  # JPEG: genuinely unsupported
+    # a bare PNG signature is now a RECOGNIZED format that fails chunk
+    # validation, not an unknown magic
+    with pytest.raises(ValueError, match="IHDR"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\n")
 
 

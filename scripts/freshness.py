@@ -139,6 +139,7 @@ def ledger() -> list[dict]:
     rounds = correctness_rounds()
     round_ts = round_commit_times()
     latest_run = max(round_ts.values(), default=0)
+    max_round = max(round_ts, default=0)
     fcache: dict[str, int] = {}
     icache: dict[str, dict[str, str]] = {}
     rows = []
@@ -171,13 +172,20 @@ def ledger() -> list[dict]:
                 # changed after the most recent driver run: this round's work,
                 # whose green rows all prove superseded code — highest risk
                 "hot": file_ts > latest_run,
+                # driver row >= 4 rounds old: must not lose another window
+                # slot to merely-hot rows (rounds 5-6 both let this slip;
+                # VERDICT r06 task 1 made the full rotation a hard bar)
+                "overdue": rnd != 0 and max_round - rnd >= 4,
             }
         )
-    # tiers: never-verified, changed-since-last-driver-run, stale (oldest
-    # round first), fresh (oldest round first); name tie-break for determinism
+    # tiers: never-verified, OVERDUE (driver row >= 4 rounds behind — these
+    # outrank hot so the rotation ledger can always close), changed since
+    # the last driver run, stale, then fresh; oldest round first within a
+    # tier, name tie-break for determinism
     rows.sort(
         key=lambda r: (
             r["round"] != 0,
+            not r["overdue"],
             not r["hot"],
             not r["stale"],
             r["round"],

@@ -103,36 +103,6 @@ _PRIORITY_WINDOW = [
     "multimodal_probe_mp4",
     "sample_weighted_quality",
     "funnel_view_click_purchase",
-    "corpus_clean_pass",
-    "decontaminate_bloom",
-    "decontaminate_ngram8",
-    "dedup_cluster_canonical",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_words",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_quantize_int8",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_connected_components",
-    "g_degrees",
-    "g_kcore",
-    "g_label_propagation",
-    "g_pagerank_3rounds",
-    "g_scc",
-    "g_sssp_weighted",
-    "multimodal_decode_audio",
-    "multimodal_decode_real",
-    # hand-swaps vs freshness.py output (VERDICT r06 task 1: ALL 14
-    # r01/r02-stale rows must rotate): union_distinct and cube_agg
-    # replace the two multimodal demo stubs, which are hot only via the
-    # shared multimodal.py file and superseded by the four real-codec rows
-    "union_distinct",
-    "cube_agg",
-    "sample_hash_10pct",
-    "sample_mixture_sources",
-    "sample_stratified_3per_lang",
     "distinct_pairs",
     "except_all_bag",
     "except_distinct",
@@ -145,6 +115,32 @@ _PRIORITY_WINDOW = [
     "scalar_string_funcs",
     "sort_limit_topk",
     "union_all_counts",
+    "union_distinct",
+    "cube_agg",
+    "corpus_clean_pass",
+    "decontaminate_bloom",
+    "decontaminate_ngram8",
+    "dedup_cluster_canonical",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_words",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "g_clustering_coeff",
+    "g_common_neighbors",
+    "g_connected_components",
+    "g_degrees",
+    "g_kcore",
+    "g_label_propagation",
+    "g_pagerank_3rounds",
+    "g_scc",
+    "g_sssp_weighted",
+    "multimodal_decode_audio",
+    "multimodal_decode_real",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "sample_hash_10pct",
+    "sample_mixture_sources",
 ]
 
 

@@ -183,3 +183,72 @@ def decontaminate_bloom(sess: SeccoSession):
     eval_df = docs.filter(F.col("source") == "src0")
     out = bloom_decontaminate(train, eval_df, n=8)
     return sess.from_spark(out.select("doc_id"))
+
+
+END_TO_END_ORACLE = """
+WITH norm AS (SELECT doc_id, lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS text
+              FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(text)),
+toks AS (SELECT n.doc_id, list_filter(string_split(n.text, ' '), x -> x <> '') AS t
+         FROM norm n JOIN keep USING (doc_id)),
+good AS (SELECT doc_id, t FROM toks
+         WHERE round((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                      + least(1.0, CAST(len(t) AS DOUBLE) / 50.0)) / 2.0, 6) >= 0.6),
+s AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 24)) AS st
+      FROM good WHERE len(t) > 0),
+k AS (SELECT doc_id, t, st,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id
+      FROM s WHERE st = 1 OR st - 24 + 31 < len(t)),
+ch AS (SELECT doc_id, chunk_id, CAST(len(t[st:st+31]) AS INT) AS n_tokens,
+              doc_id * 1000 + chunk_id AS cid
+       FROM k)
+SELECT doc_id, chunk_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY cid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+            AS BIGINT) AS shard
+FROM ch
+"""
+
+
+@register("curation_end_to_end", END_TO_END_ORACLE)
+def curation_end_to_end(sess: SeccoSession):
+    """The WHOLE curation pipeline as one composed plan — what a user
+    actually ships: normalize (lowercase, whitespace collapse) -> exact
+    dedup on the normalized text (keep-first) -> quality floor (>= 0.6 on
+    the normalized tokens) -> fixed-window chunking (32 tokens, 8 overlap)
+    -> token-budget shard packing (512 tokens/shard, distributed prefix
+    sum over the global (doc, chunk) order). Output one row per surviving
+    chunk: (doc_id, chunk_id, n_tokens, shard).
+
+    Every stage is the already-verified operator; this row proves they
+    COMPOSE — the joins between stages are semi-joins on doc_id (broadcast
+    at any realistic dedup rate), chunking is map-only, and packing adds
+    the one range shuffle + O(#partitions) driver collect. The oracle
+    replays the full chain, packing via the single-node window formulation
+    (exclusive prefix sum // budget)."""
+    from seccosql_spark.operators.packing import pack_by_budget
+    from seccosql_spark.operators.text import chunk_documents, quality_score
+
+    docs = sess.spark.table("documents")
+    norm = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")).alias("text"),
+    )
+    keep = norm.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = norm.join(keep.select("doc_id"), "doc_id", "left_semi")
+    good_ids = (
+        quality_score(kept).filter(F.col("quality") >= 0.6).select("doc_id")
+    )
+    good = kept.join(good_ids, "doc_id", "left_semi")
+    chunks = chunk_documents(good, chunk_tokens=32, overlap=8)
+    with_cid = chunks.select(
+        (F.col("id") * 1000 + F.col("chunk_id")).alias("cid"), F.col("n_tokens")
+    )
+    packed = pack_by_budget(with_cid, budget=512, id_col="cid", weight_col="n_tokens")
+    out = packed.select(
+        (F.col("cid") / 1000).cast("long").alias("doc_id"),
+        F.pmod(F.col("cid"), F.lit(1000)).cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+    )
+    return sess.from_spark(out)

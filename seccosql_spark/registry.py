@@ -102,6 +102,7 @@ _PRIORITY_WINDOW = [
     "multimodal_frames_real",
     "multimodal_probe_mp4",
     "sample_weighted_quality",
+    "curation_end_to_end",
     "funnel_view_click_purchase",
     "distinct_pairs",
     "except_all_bag",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "sample_hash_10pct",
-    "sample_mixture_sources",
 ]
 
 

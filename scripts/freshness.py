@@ -55,7 +55,11 @@ def round_commit_times() -> dict[int, int]:
             ["git", "log", "-1", "--format=%ct", "--", os.path.relpath(path, REPO)],
             cwd=REPO, capture_output=True, text=True,
         ).stdout.strip()
-        out[rnd] = int(ts) if ts else 0
+        # A just-written, not-yet-committed round file must not date its
+        # round as 0 — that marks the entire freshly-verified window stale
+        # and the --window generator would re-burn 50 slots on rows proven
+        # minutes ago (VERDICT r07 "What's wrong" 3). Fall back to mtime.
+        out[rnd] = int(ts) if ts else int(os.path.getmtime(path))
     return out
 
 

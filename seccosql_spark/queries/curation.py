@@ -199,11 +199,10 @@ s AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 24)) AS st
 k AS (SELECT doc_id, t, st,
              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS INT) AS chunk_id
       FROM s WHERE st = 1 OR st - 24 + 31 < len(t)),
-ch AS (SELECT doc_id, chunk_id, CAST(len(t[st:st+31]) AS INT) AS n_tokens,
-              doc_id * 1000 + chunk_id AS cid
+ch AS (SELECT doc_id, chunk_id, CAST(len(t[st:st+31]) AS INT) AS n_tokens
        FROM k)
 SELECT doc_id, chunk_id, n_tokens,
-       CAST(coalesce(sum(n_tokens) OVER (ORDER BY cid
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
             AS BIGINT) AS shard
 FROM ch
@@ -223,9 +222,12 @@ def curation_end_to_end(sess: SeccoSession):
     Every stage is the already-verified operator; this row proves they
     COMPOSE — the joins between stages are semi-joins on doc_id (broadcast
     at any realistic dedup rate), chunking is map-only, and packing adds
-    the one range shuffle + O(#partitions) driver collect. The oracle
-    replays the full chain, packing via the single-node window formulation
-    (exclusive prefix sum // budget)."""
+    the one range shuffle + O(#partitions) driver collect. Packing orders
+    on the COMPOSITE key (doc_id, chunk_id) directly — no arithmetic
+    cid = doc_id*1000+chunk_id encoding, which would silently collide for
+    documents with >= 1000 chunks (book-length docs at 24-token stride;
+    VERDICT r07 finding 1). The oracle replays the full chain, packing via
+    the single-node window formulation (exclusive prefix sum // budget)."""
     from seccosql_spark.operators.packing import pack_by_budget
     from seccosql_spark.operators.text import chunk_documents, quality_score
 
@@ -241,13 +243,15 @@ def curation_end_to_end(sess: SeccoSession):
     )
     good = kept.join(good_ids, "doc_id", "left_semi")
     chunks = chunk_documents(good, chunk_tokens=32, overlap=8)
-    with_cid = chunks.select(
-        (F.col("id") * 1000 + F.col("chunk_id")).alias("cid"), F.col("n_tokens")
+    packed = pack_by_budget(
+        chunks.select(F.col("id").alias("doc_id"), "chunk_id", "n_tokens"),
+        budget=512,
+        id_col=("doc_id", "chunk_id"),
+        weight_col="n_tokens",
     )
-    packed = pack_by_budget(with_cid, budget=512, id_col="cid", weight_col="n_tokens")
     out = packed.select(
-        (F.col("cid") / 1000).cast("long").alias("doc_id"),
-        F.pmod(F.col("cid"), F.lit(1000)).cast("int").alias("chunk_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("shard").cast("long").alias("shard"),
     )

@@ -213,20 +213,37 @@ def kcore(
 
 
 def ktruss(
-    edges: DataFrame, k: int, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+    stats: list | None = None,
 ) -> DataFrame:
     """(a, b, support) edges of the k-truss: the maximal subgraph in which
     every edge closes >= k-2 triangles — the EDGE-cohesion analog of kcore
     (reference lineage: the I-series analytics family,
-    benchmark/testcases/graphAnalytic.scala). Iteratively peel edges whose
-    support (triangles within the CURRENT subgraph) falls below k-2 until
-    fixpoint; `support` in the output is computed within the final truss.
+    benchmark/testcases/graphAnalytic.scala). Peel edges whose support
+    (triangles within the CURRENT subgraph) falls below k-2 until fixpoint;
+    `support` in the output is computed within the final truss.
 
-    Per round: one canonical-triangle enumeration (two hash joins on the
-    a<b edge set — never the full wedge set of the symmetric view) + one
-    count aggregation + one filter join; rounds = peel depth. State is the
-    shrinking edge set only, checkpointed each round. Raises on budget
-    exhaustion instead of returning a non-truss."""
+    Triangles are enumerated ONCE on the canonical a<b edge set (two hash
+    joins — never the full wedge set of the symmetric view). After that,
+    supports are maintained INCREMENTALLY (VERDICT r07 finding 2): each
+    peel round joins only the delta — the edges being removed — against the
+    current edge set to find the triangles they destroy, and decrements the
+    two surviving partner edges of each. Per-round cost is proportional to
+    the removed edges' triangle counts, not the graph's; a triangle whose
+    edges die in the same round is distinct-ed so it decrements once. State
+    is the shrinking (a, b, support) set, checkpointed each round; ONE
+    count job per round (the delta size). Raises on budget exhaustion
+    instead of returning a non-truss.
+
+    If ``stats`` is a list, appends one dict per peel round with
+    ``n_removed`` (delta edges) and ``n_destroyed`` (triangles enumerated
+    that round) — the scale-shape evidence that rounds after the first do
+    delta-sized work. Costs one extra count job per round; leave None in
+    production."""
     if k < 3:
         raise ValueError(f"ktruss needs k >= 3, got {k}")
     if max_rounds < 1:
@@ -240,31 +257,68 @@ def ktruss(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    empty = e.sparkSession.createDataFrame(
-        [], "a BIGINT, b BIGINT, support BIGINT"
-    )
-    for _ in range(max_rounds):
-        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-        ac = e.select("a", F.col("b").alias("c"))
-        tri = e.join(bc, "b").join(ac, ["a", "c"])  # (a < b < c)
-        sup = (
+
+    def _edge_roles(tri: DataFrame) -> DataFrame:
+        """The three edges of each canonical triangle (a < b < c)."""
+        return (
             tri.select("a", "b")
             .unionByName(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
             .unionByName(tri.select("a", F.col("c").alias("b")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= k - 2)
         )
-        survivors = e.join(sup, ["a", "b"]).localCheckpoint(eager=True)
-        n_prev, n_now = e.count(), survivors.count()
-        e = survivors.select("a", "b").localCheckpoint(eager=True)
-        if n_now == 0:
-            return empty
-        if n_now == n_prev:
-            return survivors.select(
+
+    # one-time full enumeration: initial per-edge supports (0 for edges in
+    # no triangle — materialized via left join so they peel in round 1)
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select("a", F.col("b").alias("c"))
+    tri0 = e.join(bc, "b").join(ac, ["a", "c"])  # (a < b < c)
+    sup0 = _edge_roles(tri0).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    state = (
+        e.join(sup0, ["a", "b"], "left")
+        .na.fill({"support": 0})
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        removed = state.filter(F.col("support") < k - 2).select("a", "b")
+        n_removed = removed.count()
+        if n_removed == 0:
+            return state.select(
                 F.col("a").cast("long"), F.col("b").cast("long"),
                 F.col("support").cast("long"),
             )
+        keep = state.filter(F.col("support") >= k - 2)
+        if stats is not None:
+            removed = removed.localCheckpoint(eager=True)
+        # triangles (in the PRE-removal graph) containing >= 1 removed edge:
+        # join the delta into each of the three edge roles; distinct so a
+        # triangle losing 2-3 edges at once is destroyed exactly once
+        e_cur = state.select("a", "b")
+        ebc = e_cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        eac = e_cur.select("a", F.col("b").alias("c"))
+        r_bc = removed.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        r_ac = removed.select("a", F.col("b").alias("c"))
+        destroyed = (
+            removed.join(ebc, "b").join(eac, ["a", "c"])       # delta in ab role
+            .unionByName(e_cur.join(r_bc, "b").join(eac, ["a", "c"]))  # bc role
+            .unionByName(e_cur.join(r_ac, "a").join(ebc, ["b", "c"]))  # ac role
+            .distinct()
+        )
+        if stats is not None:
+            destroyed = destroyed.localCheckpoint(eager=True)
+            stats.append({"n_removed": n_removed, "n_destroyed": destroyed.count()})
+        dec = (
+            _edge_roles(destroyed)
+            .join(removed, ["a", "b"], "left_anti")  # dying edges need no update
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("__dec"))
+        )
+        state = (
+            keep.join(dec, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                (F.col("support") - F.coalesce(F.col("__dec"), F.lit(0))).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(
         f"ktruss did not converge within max_rounds={max_rounds} "
         f"(peel depth exceeds the budget); raise max_rounds"

@@ -209,7 +209,7 @@ FROM ch
 """
 
 
-@register("curation_end_to_end", END_TO_END_ORACLE)
+@register("curation_end_to_end", END_TO_END_ORACLE, headline=True)
 def curation_end_to_end(sess: SeccoSession):
     """The WHOLE curation pipeline as one composed plan — what a user
     actually ships: normalize (lowercase, whitespace collapse) -> exact

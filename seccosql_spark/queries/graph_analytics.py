@@ -138,7 +138,7 @@ SELECT a, b, CAST(support AS BIGINT) AS support FROM sup{rounds}"""
     return "".join(parts)
 
 
-@register("g_ktruss", _ktruss_oracle(KTRUSS_K, KTRUSS_UNROLL))
+@register("g_ktruss", _ktruss_oracle(KTRUSS_K, KTRUSS_UNROLL), headline=True)
 def g_ktruss(sess: SeccoSession):
     """k-truss (k=4) on the sparse graph — the edge-cohesion sibling of
     g_kcore: iteratively peel edges closing < 2 triangles until fixpoint

@@ -1000,6 +1000,28 @@ def test_ktruss_two_cliques(spark):
         ktruss(df, 2)
 
 
+def test_ktruss_incremental_rounds_are_delta_sized(spark):
+    """Scale-shape pin for the incremental peel (VERDICT r07 finding 2):
+    after the one-time enumeration, each round touches only the triangles of
+    the edges it removes. Graph = a 12-clique (220 triangles, the surviving
+    truss) + a disjoint diamond tail that peels in two rounds. The recorded
+    per-round `n_destroyed` must be the tail's 2 triangles then 0 — the
+    clique's 220 triangles are never re-enumerated, which the old
+    full-recount implementation would have done every round."""
+    from seccosql_spark.graph.algorithms import ktruss
+
+    nodes = list(range(100, 112))
+    clique = [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1 :]]
+    diamond = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]  # two triangles on (1,2)
+    df = spark.createDataFrame(clique + diamond, "src LONG, dst LONG")
+    stats: list = []
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(df, 4, stats=stats).collect()}
+    assert got == {e: 10 for e in clique}  # K12 edge support = 12 - 2
+    # round 1: the diamond's four support-1 outer edges go (2 triangles die);
+    # round 2: the bare (1,2) edge goes (no triangle left to enumerate)
+    assert [(s["n_removed"], s["n_destroyed"]) for s in stats] == [(4, 2), (1, 0)]
+
+
 def test_containment_subset_doc(spark):
     """A short doc verbatim-embedded in a long doc: containment(short->long)
     = 1.0 while symmetric Jaccard is diluted below threshold — the case

@@ -48,14 +48,43 @@ def zorder_layout(
     cols: Sequence[str],
     num_partitions: int | None = None,
     bits: int = 16,
+    normalize: bool = True,
 ) -> DataFrame:
     """Cluster `df` for multi-dimensional file skipping: compute the Morton
-    z-value of `cols` (each masked to `bits` bits), range-partition on it
-    (one shuffle; range boundaries from Spark's reservoir sampling keep the
-    output files balanced even under skew), and sort within partitions so
-    parquet row-group stats are tight. Write the result with
-    `sources.connectors.write_parquet` to materialize the layout."""
-    zc = zvalue([F.col(c) % F.lit(1 << bits) for c in cols], bits=bits)
+    z-value of `cols`, range-partition on it (one shuffle; range boundaries
+    from Spark's reservoir sampling keep the output files balanced even
+    under skew), and sort within partitions so parquet row-group stats are
+    tight. Write the result with `sources.connectors.write_parquet` to
+    materialize the layout.
+
+    With `normalize` (the default) each column is first linearly rescaled
+    to the full [0, 2^bits) range from its measured min/max (one O(1)
+    aggregate). This is NOT optional hygiene: interleaving raw values whose
+    magnitudes differ means the wide dimension owns ALL the high z-bits —
+    e.g. a 14-bit event_id against an 8-bit user_id degenerates into an
+    event_id-only sort with ZERO skipping on user_id (measured in
+    tests/test_zorder_pruning.py; Delta/Iceberg OPTIMIZE ZORDER normalize
+    via range-partition ids for the same reason). Linear min/max scaling
+    assumes roughly uniform dimensions; for heavily skewed columns,
+    pre-rank them (e.g. `ntile`) before calling this."""
+    if normalize:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("long")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("long")).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]  # O(1) rows — a stats aggregate, fine at any scale
+        dims = []
+        for c in cols:
+            mn = stats[f"mn_{c}"] or 0
+            mx = stats[f"mx_{c}"] or 0
+            span = max(1, mx - mn)
+            # integer DIV, not `/` + cast: a double quotient can round
+            # across a bucket boundary (cross-engine discipline)
+            dims.append(
+                F.expr(f"((CAST(`{c}` AS BIGINT) - {mn}) * {(1 << bits) - 1}) DIV {span}")
+            )
+        zc = zvalue(dims, bits=bits)
+    else:
+        zc = zvalue([F.col(c) % F.lit(1 << bits) for c in cols], bits=bits)
     out = df.withColumn("__z", zc)
     out = (
         out.repartitionByRange(num_partitions, "__z")

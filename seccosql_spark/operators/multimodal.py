@@ -18,10 +18,10 @@ Decode tiers:
   width growth, table reset, KwKwK), palette lookup; 1-to-N frame rows
   out of ``mapInPandas``. ``encode_gif`` is the matching writer (emits
   valid GIFs via the literal+clear LZW strategy).
-- ``decode_image_stub`` / ``frame_sample_stub`` — the original
-  deterministic fakes, kept for the formats that DO need external codecs
-  (JPEG/MP4); swap their bodies for PIL/libvips/ffmpeg in a real
-  deployment.
+Formats that DO need external codecs (JPEG, MP4 sample data) slot into
+the same ``mapInPandas`` shape with a PIL/libvips/ffmpeg body; the
+retired deterministic-fake demos that used to mark that seam are gone
+now that five real codec families prove it (VERDICT r07 task 5).
 
 Everything around the decode — the binary column handling, the
 Arrow-batched ``mapInPandas`` plumbing, the output schema,
@@ -45,17 +45,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DECODED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("format", T.StringType()),
-    ]
-)
-
-
 def attach_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -70,60 +59,6 @@ def attach_payload(
             F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
         ).alias("media_meta"),
     )
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB decode — deterministic fake standing in for a real image decoder.
-
-    Real deployments replace this with PIL/libvips; the surrounding Spark
-    plumbing does not change. Raises nothing, returns (n_bytes, width,
-    height, format) purely from the byte content.
-    """
-    n = len(payload)
-    first = payload[0] if n else 0
-    return n, 64 + (n % 640), 48 + (first % 480), "fake"
-
-
-def decode_image_stub(with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched decode over mapInPandas: one Python call per batch,
-    vectorized pandas ops inside, flat typed schema out."""
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            decoded = pdf["payload"].map(_fake_decode)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": decoded.map(lambda t: t[0]).astype("int32"),
-                    "width": decoded.map(lambda t: t[1]).astype("int32"),
-                    "height": decoded.map(lambda t: t[2]).astype("int32"),
-                    "format": decoded.map(lambda t: t[3]),
-                }
-            )
-
-    return with_payload.mapInPandas(decode_batches, DECODED_SCHEMA)
-
-
-def frame_sample_stub(with_payload: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """STUB frame sampler (video analog): emits one row per sampled 'frame'
-    offset — demonstrates the 1-to-N mapInPandas shape for frame extraction."""
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for off in range(0, len(payload), every_n_bytes):
-                    rows.append((doc_id, off, int(payload[off])))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_offset", "sample_value"])
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_offset", T.IntegerType()),
-            T.StructField("sample_value", T.IntegerType()),
-        ]
-    )
-    return with_payload.mapInPandas(sample, schema)
 
 
 # ----------------------------------------------------------- real codecs
@@ -418,28 +353,32 @@ def _parse_png(payload: bytes) -> tuple[int, int, str, "object"]:
     return width, height, "png", np.frombuffer(samples, dtype=np.uint8)
 
 
+def synthetic_png_payload(doc_id: int) -> bytes:
+    """The closed-form raster for `doc_id` encoded to PNG bytes: width
+    4 + id%5, height 3 + id%4, grayscale when id%2 else RGB, sample
+    (y, x, c) = (id*31 + y*7 + x*3 + c) % 256 — the same rule as
+    synthesize_images, so a SQL oracle predicts pixel_sum (but NOT n_bytes:
+    IDAT length depends on zlib). Shared by `synthesize_pngs` and the
+    binaryFile media staging."""
+    import numpy as np
+
+    d = int(doc_id)
+    w, h = 4 + d % 5, 3 + d % 4
+    ch = 1 if d % 2 else 3
+    idx = np.arange(h * w * ch, dtype=np.int64)
+    y, rem = idx // (w * ch), idx % (w * ch)
+    x, c = rem // ch, rem % ch
+    px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
+    return encode_png(w, h, px, channels=ch)
+
+
 def synthesize_pngs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic synthetic PNG payloads: width 4 + id%5, height
-    3 + id%4, grayscale when id%2 else RGB, sample (y, x, c) =
-    (id*31 + y*7 + x*3 + c) % 256 — the same closed-form rule as
-    synthesize_images, so the SQL oracle predicts pixel_sum (but NOT
-    n_bytes: IDAT length depends on zlib, which is why the PNG driver row
-    drops that column)."""
+    """Deterministic synthetic PNG payloads (`synthetic_png_payload`) as a
+    binary payload column, one per input id."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf[id_col]:
-                d = int(doc_id)
-                w, h = 4 + d % 5, 3 + d % 4
-                ch = 1 if d % 2 else 3
-                idx = np.arange(h * w * ch, dtype=np.int64)
-                y, rem = idx // (w * ch), idx % (w * ch)
-                x, c = rem // ch, rem % ch
-                px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
-                payloads.append(encode_png(w, h, px, channels=ch))
+            payloads = [synthetic_png_payload(d) for d in pdf[id_col]]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(
@@ -874,23 +813,26 @@ def probe_mp4(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(probe_batches, MP4_PROBE_SCHEMA)
 
 
+def synthetic_mp4_payload(doc_id: int) -> bytes:
+    """The closed-form MP4 skeleton for `doc_id`: duration_ms = 1000 +
+    (id*7) % 60000, video 16*(4+id%5) x 16*(3+id%4), audio track present
+    when id%2 — so a SQL oracle predicts the probe output. Shared by
+    `synthesize_mp4s` and the binaryFile media staging."""
+    d = int(doc_id)
+    return encode_mp4_skeleton(
+        1000 + (d * 7) % 60000,
+        (16 * (4 + d % 5), 16 * (3 + d % 4)),
+        with_audio_track=bool(d % 2),
+    )
+
+
 def synthesize_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic synthetic MP4 skeletons: duration_ms = 1000 + (id*7)
-    % 60000, video 16*(4+id%5) x 16*(3+id%4), audio track present when
-    id%2 — closed-form, so a SQL oracle predicts the probe output."""
+    """Deterministic synthetic MP4 skeletons (`synthetic_mp4_payload`) as a
+    binary payload column, one per input id."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf[id_col]:
-                d = int(doc_id)
-                payloads.append(
-                    encode_mp4_skeleton(
-                        1000 + (d * 7) % 60000,
-                        (16 * (4 + d % 5), 16 * (3 + d % 4)),
-                        with_audio_track=bool(d % 2),
-                    )
-                )
+            payloads = [synthetic_mp4_payload(d) for d in pdf[id_col]]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(
@@ -990,23 +932,28 @@ def decode_audio(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode_batches, DECODED_AUDIO_SCHEMA)
 
 
+def synthetic_wav_payload(doc_id: int) -> bytes:
+    """The closed-form PCM16 clip for `doc_id` encoded to RIFF/WAVE bytes:
+    sample_rate = 8000 * (1 + id%3), channels = 1 + id%2, n_frames =
+    10 + id%13, sample at flat index i = ((id*37 + i*11) % 4096) - 2048 —
+    signed, so a SQL oracle predicts amp_sum without a codec. Shared by
+    `synthesize_audio` and the binaryFile media staging."""
+    import numpy as np
+
+    d = int(doc_id)
+    rate, ch, n = 8000 * (1 + d % 3), 1 + d % 2, 10 + d % 13
+    i = np.arange(n * ch, dtype=np.int64)
+    samples = (((d * 37 + i * 11) % 4096) - 2048).astype("<i2")
+    return encode_wav(rate, ch, samples.tobytes())
+
+
 def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic synthetic WAV payloads: per doc, sample_rate =
-    8000 * (1 + id%3), channels = 1 + id%2, n_frames = 10 + id%13, sample
-    value at flat index i = ((id*37 + i*11) % 4096) - 2048 — signed,
-    closed-form, so a SQL oracle predicts amp_sum without a codec."""
+    """Deterministic synthetic WAV payloads (`synthetic_wav_payload`) as a
+    binary payload column, one per input id."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf[id_col]:
-                d = int(doc_id)
-                rate, ch, n = 8000 * (1 + d % 3), 1 + d % 2, 10 + d % 13
-                i = np.arange(n * ch, dtype=np.int64)
-                samples = (((d * 37 + i * 11) % 4096) - 2048).astype("<i2")
-                payloads.append(encode_wav(rate, ch, samples.tobytes()))
+            payloads = [synthetic_wav_payload(d) for d in pdf[id_col]]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "payload": payloads})
 
     schema = T.StructType(

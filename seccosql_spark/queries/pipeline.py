@@ -21,8 +21,6 @@ from seccosql_spark.operators.dedup import (
 )
 from seccosql_spark.operators.multimodal import (
     attach_payload,
-    decode_image_stub,
-    frame_sample_stub,
 )
 from seccosql_spark.operators.similarity import cosine_topk, embedding_near_dups, ivf_topk, quantize_int8
 from seccosql_spark.operators.text import (
@@ -758,23 +756,6 @@ def text_fingerprint(sess: SeccoSession):
 # ------------------------------------------------------------- multimodal
 
 @register(
-    "multimodal_decode_stub",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-              CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
-              CAST(48 + ord(substr(text, 1, 1)) % 480 AS INT) AS height,
-              'fake' AS format
-       FROM documents""",
-)
-def multimodal_decode_stub(sess: SeccoSession):
-    """Binary media column + Arrow-batched mapInPandas decode (STUBBED codec —
-    deterministic fake; the Spark plumbing is real, see operators/multimodal)."""
-    return sess.from_spark(
-        decode_image_stub(attach_payload(sess.spark.table("documents")))
-    )
-
-
-@register(
     "multimodal_decode_real",
     """WITH dims AS (
          SELECT doc_id,
@@ -1035,22 +1016,106 @@ def multimodal_binaryfile_scan(sess: SeccoSession):
     return sess.from_spark(decode_gif_frames(payloads))
 
 
+MIXED_N_DOCS = 24
+
+
+def _stage_mixed_media_dir() -> str:
+    """Write MIXED_N_DOCS synthetic media files — format by doc_id % 3
+    (png / wav / mp4), one file per asset — to a deterministic staging dir,
+    once per machine. Same idempotent closed-form contract as the GIF
+    staging: the oracle predicts every file's content, no fs access."""
+    import os
+
+    d = "/tmp/secco_spark_media_mixed_v1"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        from seccosql_spark.operators.multimodal import (
+            synthetic_mp4_payload,
+            synthetic_png_payload,
+            synthetic_wav_payload,
+        )
+
+        os.makedirs(d, exist_ok=True)
+        gen = {0: ("png", synthetic_png_payload), 1: ("wav", synthetic_wav_payload),
+               2: ("mp4", synthetic_mp4_payload)}
+        for doc in range(MIXED_N_DOCS):
+            ext, fn = gen[doc % 3]
+            with open(os.path.join(d, f"doc_{doc:04d}.{ext}"), "wb") as fh:
+                fh.write(fn(doc))
+        with open(marker, "w"):
+            pass
+    return d
+
+
 @register(
-    "multimodal_frame_sample",
-    """SELECT doc_id, CAST(off AS INT) AS frame_offset,
-              CAST(ord(substr(text, CAST(off AS INT) + 1, 1)) AS INT) AS sample_value
-       FROM (SELECT doc_id, text,
-                    unnest(range(0, octet_length(encode(text)), 64)) AS off
-             FROM documents)""",
+    "multimodal_binaryfile_mixed",
+    f"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {MIXED_N_DOCS}),
+       png AS (
+         SELECT d.doc_id,
+                sum((d.doc_id * 31 + y.range * 7 + x.range * 3 + c.range) % 256) AS v
+         FROM ids d, range(0, 6) y, range(0, 8) x, range(0, 3) c
+         WHERE d.doc_id % 3 = 0
+           AND y.range < 3 + d.doc_id % 4 AND x.range < 4 + d.doc_id % 5
+           AND c.range < CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 3 END
+         GROUP BY 1
+       ),
+       wav AS (
+         SELECT d.doc_id, sum((d.doc_id * 37 + i.range * 11) % 4096 - 2048) AS v
+         FROM ids d, range(0, 44) i
+         WHERE d.doc_id % 3 = 1
+           AND i.range < (10 + d.doc_id % 13) * (1 + d.doc_id % 2)
+         GROUP BY 1
+       ),
+       mp4 AS (
+         SELECT doc_id, 1000 + (doc_id * 7) % 60000 AS v
+         FROM ids WHERE doc_id % 3 = 2
+       )
+       SELECT 'png' AS format, count(*) AS n_files, CAST(sum(v) AS BIGINT) AS total FROM png
+       UNION ALL
+       SELECT 'wav', count(*), CAST(sum(v) AS BIGINT) FROM wav
+       UNION ALL
+       SELECT 'mp4', count(*), CAST(sum(v) AS BIGINT) FROM mp4""",
 )
-def multimodal_frame_sample(sess: SeccoSession):
-    """1-to-N frame sampling (the video analog) over the binary payload:
-    one output row per 64-byte 'frame' offset via mapInPandas — the
-    row-expanding batch shape real frame extraction needs. The corpus is
-    ASCII, so the oracle reads the sampled byte with character substr."""
-    return sess.from_spark(
-        frame_sample_stub(attach_payload(sess.spark.table("documents")), every_n_bytes=64)
+def multimodal_binaryfile_mixed(sess: SeccoSession):
+    """Every real codec family proven from FILES (VERDICT r07 task 7): a
+    mixed media directory (format = doc_id % 3) is scanned three times with
+    the binaryFile source — one pathGlobFilter per extension, so each scan
+    lists/reads only its family, the per-format routing a real mixed
+    100 TB media lake needs — then each family runs its own real decoder
+    (PNG chunk-walk/inflate/un-filter, RIFF/WAVE chunk walk, ISO-BMFF box
+    walk) and folds to one summary row: (format, n_files, total) with
+    total = sum(pixel_sum) / sum(amp_sum) / sum(duration_ms). The oracle
+    predicts all three rows from the closed-form synthesis rules without
+    touching the filesystem."""
+    from seccosql_spark.operators.multimodal import decode_audio, decode_image, probe_mp4
+    from seccosql_spark.sources.connectors import read_binary_files
+
+    d = _stage_mixed_media_dir()
+
+    def payloads(ext: str):
+        return read_binary_files(sess, d, glob=f"*.{ext}").df.select(
+            F.regexp_extract(F.col("path"), rf"doc_(\d+)\.{ext}$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+
+    png = decode_image(payloads("png")).agg(
+        F.lit("png").alias("format"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("pixel_sum").cast("long").alias("total"),
     )
+    wav = decode_audio(payloads("wav")).agg(
+        F.lit("wav").alias("format"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("amp_sum").cast("long").alias("total"),
+    )
+    mp4 = probe_mp4(payloads("mp4")).agg(
+        F.lit("mp4").alias("format"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("duration_ms").cast("long").alias("total"),
+    )
+    return sess.from_spark(png.unionByName(wav).unionByName(mp4))
 
 
 # ------------------------------------------------------------ events/json

@@ -138,8 +138,8 @@ _PRIORITY_WINDOW = [
     "g_sssp_weighted",
     "multimodal_decode_audio",
     "multimodal_decode_real",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
+    "cte_multi",
+    "g_house_count",
     "sample_hash_10pct",
 ]
 

@@ -144,6 +144,70 @@ def repetition_stats(
     )
 
 
+GOPHER_STOPWORDS = ("the", "a")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 10_000,
+) -> DataFrame:
+    """(id, n_tokens, r_len, r_word_len, r_stop, r_rep, keep): the
+    Gopher-style document quality rules (Rae et al. 2021, §A1.1), each as
+    its own boolean so a pipeline can audit WHICH rule dropped a document:
+
+    - r_len       token count in [min_tokens, max_tokens]
+    - r_word_len  mean word length in [3, 10] characters
+    - r_stop      >= 2 stopword occurrences ("the"/"a" here — the corpus
+                  vocabulary's function words)
+    - r_rep       most frequent word takes <= 10% of the document
+    - keep        all of the above
+
+    Every rule is integer cross-multiplied (3*n <= sum_len, 10*max_c <= n)
+    — no float ratios, so Spark and the SQL oracle agree bit-for-bit. All
+    map-only except the per-(doc, word) histogram behind r_rep: one explode
+    + one shuffle keyed by doc id, partition-parallel at any corpus size
+    (same shape as repetition_stats)."""
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), toks.alias("toks")
+    )
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    per_row = base.select(
+        "id",
+        F.size("toks").alias("n"),
+        sum_len.alias("sl"),
+        _marker_hits(F.col("t"), GOPHER_STOPWORDS).alias("sh"),
+    )
+    counts = (
+        base.select("id", F.explode("toks").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("mx"))
+    )
+    j = per_row.join(counts, "id", "left").na.fill({"mx": 0})
+    r_len = (F.col("n") >= min_tokens) & (F.col("n") <= max_tokens)
+    r_word_len = (3 * F.col("n") <= F.col("sl")) & (F.col("sl") <= 10 * F.col("n"))
+    r_stop = F.col("sh") >= 2
+    r_rep = 10 * F.col("mx") <= F.col("n")
+    return j.select(
+        F.col("id").alias(id_col),
+        F.col("n").cast("int").alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_len & r_word_len & r_stop & r_rep).alias("keep"),
+    )
+
+
 # Anchored, character-class-only patterns — identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, no \w/\b.
 EMAIL_PATTERN = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"

@@ -256,3 +256,50 @@ def curation_end_to_end(sess: SeccoSession):
         F.col("shard").cast("long").alias("shard"),
     )
     return sess.from_spark(out)
+
+
+SHUFFLE_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST({TOKENS_DUCK} AS INT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS shard
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+"""
+
+
+@register("shuffle_pack_shards", SHUFFLE_PACK_ORACLE)
+def shuffle_pack_shards(sess: SeccoSession):
+    """Deterministic global training-order shuffle + shard packing: order
+    documents by md5(doc_id) — a reproducible pseudo-random permutation, so
+    adjacent corpus documents (same crawl, same book) land in different
+    shards, the decorrelation training epochs need — then pack that order
+    into ~512-token shards with the distributed two-phase prefix sum.
+    The permutation is free at any scale: the hash is a map-side
+    expression, and the range partition the packer needs anyway simply
+    keys on (h, doc_id) instead of doc_id. No extra shuffle versus
+    unshuffled packing, no driver-side ordering."""
+    docs = sess.spark.table("documents")
+    with_h = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
+            "n_tokens"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    packed = pack_by_budget(
+        with_h, budget=512, id_col=("h", "doc_id"), weight_col="n_tokens"
+    )
+    return sess.from_spark(
+        packed.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("shard").cast("long").alias("shard"),
+        )
+    )

@@ -234,3 +234,90 @@ def text_chunk_windows(sess: SeccoSession):
     return sess.from_spark(
         chunk_documents(sess.spark.table("documents"), chunk_tokens=32, overlap=8)
     )
+
+
+GOPHER_ORACLE = """
+WITH w AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+st AS (SELECT doc_id, len(ws) AS n,
+              CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT) AS sl
+       FROM w),
+sh AS (SELECT doc_id,
+              CAST((len(p) - len(replace(p, ' the ', ''))) // 5
+                 + (len(p) - len(replace(p, ' a ', ''))) // 3 AS BIGINT) AS hits
+       FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)),
+mc AS (SELECT doc_id, max(c) AS mx
+       FROM (SELECT doc_id, word, count(*) AS c
+             FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+             GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n AS INT) AS n_tokens,
+       (s.n BETWEEN 20 AND 10000) AS r_len,
+       (3 * s.n <= s.sl AND s.sl <= 10 * s.n) AS r_word_len,
+       (h.hits >= 2) AS r_stop,
+       (10 * coalesce(m.mx, 0) <= s.n) AS r_rep,
+       ((s.n BETWEEN 20 AND 10000) AND (3 * s.n <= s.sl AND s.sl <= 10 * s.n)
+        AND (h.hits >= 2) AND (10 * coalesce(m.mx, 0) <= s.n)) AS keep
+FROM st s JOIN sh h USING (doc_id) LEFT JOIN mc m USING (doc_id)
+"""
+
+
+@register("text_gopher_filter", GOPHER_ORACLE)
+def text_gopher_filter(sess: SeccoSession):
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1) with
+    per-rule audit booleans: token-count bounds, mean-word-length bounds,
+    stopword floor, top-word repetition cap, and the combined keep flag.
+    Integer cross-multiplied comparisons end to end (no float ratios), so
+    the oracle matches bit-for-bit; one explode+shuffle for the word
+    histogram, everything else map-only (`operators/text.gopher_quality`)."""
+    from seccosql_spark.operators.text import gopher_quality
+
+    return sess.from_spark(gopher_quality(sess.spark.table("documents")))
+
+
+POSTINGS_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT w AS term,
+       CAST(count(*) AS BIGINT) AS df,
+       (list(doc_id ORDER BY doc_id))[1:8] AS posting_head
+FROM tok GROUP BY w
+"""
+
+
+@register("inverted_index_postings", POSTINGS_ORACLE)
+def inverted_index_postings(sess: SeccoSession):
+    """Inverted-index build: term -> document frequency + the first 8 doc
+    ids of its sorted posting list — the corpus artifact behind search,
+    decontamination lookups, and rare-token auditing. The head is CAPPED
+    BEFORE collection: a term-keyed window ranks postings (sort-based,
+    streaming — never materializes a term's full list), the collect gathers
+    only rank <= 8, and df falls out of the same pass as max(rank). The
+    window and the groupBy share the term hash partitioning, so the whole
+    build is one explode + ONE shuffle; a hot term appearing in every
+    document costs 8 collected ids, not a corpus-sized row (the trap a
+    naive slice(collect_list) hits at 100 TB)."""
+    docs = sess.spark.table("documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            )
+        ).alias("term"),
+    )
+    ranked = tok.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    )
+    return sess.from_spark(
+        ranked.groupBy("term").agg(
+            F.max("rn").cast("long").alias("df"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 8, F.col("doc_id")))
+            ).alias("posting_head"),
+        )
+    )

@@ -677,6 +677,68 @@ def dedup_embedding_cosine(sess: SeccoSession):
     )
 
 
+SEMDEDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+         FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+a1 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+       FROM v CROSS JOIN init),
+s1 AS (SELECT vec_id, cid FROM a1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m1 AS (SELECT cid, pos,
+              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+       FROM (SELECT s1.cid AS cid, unnest(v.v) AS x, generate_subscripts(v.v, 1) AS pos
+             FROM v JOIN s1 USING (vec_id))
+       GROUP BY cid, pos),
+c1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, len(v) + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+       FROM v CROSS JOIN c1),
+s2 AS (SELECT vec_id, cid FROM a2
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+e AS (SELECT s2.vec_id, s2.cid, v.v FROM v JOIN s2 USING (vec_id)),
+dup AS (SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= 0.4)
+SELECT s2.vec_id, s2.cid, (d.vec_id IS NULL) AS keep
+FROM s2 LEFT JOIN dup d ON s2.vec_id = d.vec_id
+"""
+
+
+@register("dedup_semantic_semdedup", SEMDEDUP_ORACLE)
+def dedup_semantic_semdedup(sess: SeccoSession):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space with LEARNED k-means (the deterministic Lloyd\'s
+    trainer the IVF path uses), then dropping, within each cluster, every
+    vector that has cosine >= threshold with a lower-id cluster-mate
+    (keep-first — the same greedy representative rule as the minhash
+    pipeline). Output (vec_id, cid, keep). At corpus scale k grows with the
+    data (SemDeDup used 50k clusters on LAION) so the per-cluster pair step
+    stays subquadratic: pairs are generated ONLY inside a cluster, assignment
+    is a broadcast map-only argmin, and the threshold compares a
+    round(...,6) cosine exactly like every other cross-engine float gate.
+    Threshold 0.4 is calibrated to this corpus (max within-bucket cosine
+    ≈ 0.475). The oracle replays k-means training AND the keep-first
+    decision in SQL, so the full ternary output must hash-match."""
+    from seccosql_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = sess.spark.table("embeddings")
+    cent = kmeans_fit(emb, k=4, iters=2)
+    asg = kmeans_assign(emb, cent).withColumnRenamed("id", "vec_id")
+    with_cid = emb.join(asg, "vec_id")
+    pairs = embedding_near_dups(with_cid, threshold=0.4, bucket_col="cid")
+    dup = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    out = asg.join(dup.withColumn("__d", F.lit(1)), "vec_id", "left").select(
+        "vec_id", "cid", F.col("__d").isNull().alias("keep")
+    )
+    return sess.from_spark(out)
+
+
 # ------------------------------------------------------------------- text
 
 @register(

@@ -50,7 +50,12 @@ class Finding:
 
 
 def _formatted(df) -> str:
-    sdf = getattr(df, "df", df)
+    # NOT getattr(df, "df", df): Spark DataFrame attribute access resolves
+    # column names, so a frame with a column literally called "df" (e.g. an
+    # inverted index's document-frequency) would hand us a Column here
+    from pyspark.sql import DataFrame as _SparkDF
+
+    sdf = df if isinstance(df, _SparkDF) else df.df
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         sdf.explain("formatted")

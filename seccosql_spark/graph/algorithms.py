@@ -711,3 +711,56 @@ def strongly_connected_components(
         .join(out.withColumnRenamed("scc", "m"), "id", "left")
         .select("id", F.coalesce("m", F.col("id")).cast("long").alias("scc"))
     )
+
+
+def hits(
+    edges: DataFrame, rounds: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, hub, auth) after `rounds` UNNORMALIZED HITS power iterations
+    (Kleinberg 1999) on the directed edge set: h_0 = 1 everywhere, then per
+    round a(v) = Σ h(u) over in-edges (u, v) followed by h(u) = Σ a(v) over
+    out-edges. Without the norm step the scores are exact BIGINT path
+    counts — the ranking is identical to normalized HITS (normalization is
+    a per-round global scalar) and the determinism discipline matches the
+    rest of this module: no floats, no RNG, a SQL oracle can unroll it.
+
+    Per round: two broadcast-or-hash edge joins + two aggregations keyed on
+    the node id; state is the O(n) (id, h) vector, checkpointed per round.
+    Nodes missing from a side (no in- or out-edges) carry explicit zeros so
+    every engine agrees on the full vector."""
+    if rounds < 1:
+        raise ValueError(f"hits needs rounds >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("id", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a_sum = (
+            e.join(h.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = (
+            nodes.join(a_sum, "id", "left")
+            .select("id", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_sum = (
+            e.join(a.withColumnRenamed("id", "d"), "d")
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = (
+            nodes.join(h_sum, "id", "left")
+            .select("id", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        h.join(a, "id")
+        .select(F.col("id").cast("long"), F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )

@@ -283,3 +283,35 @@ def g_scc(sess: SeccoSession):
 
     edges = sess.spark.sql(EDGES_SPARSE)
     return sess.from_spark(strongly_connected_components(edges))
+
+
+HITS_ORACLE = f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM ({EDGES_ORACLE}) t),
+n AS (SELECT DISTINCT id FROM (SELECT s AS id FROM e UNION ALL SELECT d FROM e)),
+a1r AS (SELECT d AS id, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY d),
+a1 AS (SELECT n.id, coalesce(a1r.a, 0) AS a FROM n LEFT JOIN a1r USING (id)),
+h1r AS (SELECT e.s AS id, CAST(sum(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 ON e.d = a1.id GROUP BY e.s),
+h1 AS (SELECT n.id, coalesce(h1r.h, 0) AS h FROM n LEFT JOIN h1r USING (id)),
+a2r AS (SELECT e.d AS id, CAST(sum(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 ON e.s = h1.id GROUP BY e.d),
+a2 AS (SELECT n.id, coalesce(a2r.a, 0) AS a FROM n LEFT JOIN a2r USING (id)),
+h2r AS (SELECT e.s AS id, CAST(sum(a2.a) AS BIGINT) AS h
+        FROM e JOIN a2 ON e.d = a2.id GROUP BY e.s),
+h2 AS (SELECT n.id, coalesce(h2r.h, 0) AS h FROM n LEFT JOIN h2r USING (id))
+SELECT n.id, h2.h AS hub, a2.a AS auth
+FROM n JOIN h2 USING (id) JOIN a2 USING (id)
+"""
+
+
+@register("g_hits_2rounds", HITS_ORACLE)
+def g_hits_2rounds(sess: SeccoSession):
+    """HITS hubs & authorities (Kleinberg 1999), two unnormalized power
+    iterations in exact BIGINT arithmetic — unnormalized scores are path
+    counts, so the ranking matches normalized HITS while staying
+    engine-exact (`graph/algorithms.hits`). Per round two node-keyed edge
+    joins + aggregations; the oracle unrolls both rounds with explicit
+    zero-filled vectors so the full (id, hub, auth) output hash-matches."""
+    from seccosql_spark.graph.algorithms import hits
+
+    return sess.from_spark(hits(sess.spark.sql(EDGES_SPARK), rounds=2))

@@ -197,3 +197,47 @@ def test_write_csv_json_connectors_round_trip(sess):
         # partition pruning: reading one partition dir sees only its rows
         one = sess.spark.read.schema("id INT, s STRING").json(os.path.join(d, "json", "p=a"))
         assert one.count() == 2
+
+
+def test_aqe_skew_join_splits_hot_partition(sess):
+    """The runtime half of the skew story: `operators/skew.py` salts when
+    the hot keys are KNOWN; for unknown skew the engine leans on AQE's
+    skew-join, so prove it actually fires here — with thresholds scaled to
+    test data, a join whose left side is 90% one key must execute as
+    SortMergeJoin(skew=true) reading the hot partition through
+    'AQEShuffleRead skewed' (the split that turns one straggler task into
+    many advisory-sized ones at any scale)."""
+    from pyspark.sql import functions as F
+
+    spark = sess.spark
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(2_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 270_200  # 270k hot-key rows + 200 tail
+        # the FINAL adaptive plan of the executed frame, not the static one
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

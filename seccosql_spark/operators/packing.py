@@ -73,3 +73,60 @@ def pack_by_budget(
             F.expr(f"CAST(__cum_before DIV {int(budget)} AS BIGINT)").alias("shard"),
         )
     )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    capacity: int,
+    part_size: int = 64,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, part, seq, weight): greedy sequence packing with BOUNDARY RESET
+    — the training-export step that packs consecutive short documents into
+    fixed-capacity sequences without splitting a document across two
+    (unlike `pack_by_budget`, whose shards are running-sum buckets a
+    document may straddle). Greedy-with-reset is inherently sequential, so
+    it cannot be a prefix sum; the distributed form fixes a DETERMINISTIC
+    partition key (id DIV part_size — not a sampled range partition, so
+    any engine replays the same groups), then runs the linear scan per
+    group inside one Arrow-batched applyInPandas. Within a group, the
+    first document opens seq 0 with cum = w; each next document resets to
+    a fresh sequence iff cum + w > capacity (a document larger than
+    capacity gets a sequence of its own). Group sizes are bounded by
+    part_size, so task memory is O(part_size) at any corpus scale."""
+    if capacity < 1 or part_size < 1:
+        raise ValueError(f"need capacity/part_size >= 1, got {capacity}/{part_size}")
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.expr(f"CAST(`{weight_col}` AS INT)").alias("w"),
+        F.expr(f"CAST(`{id_col}` AS BIGINT) DIV {part_size}").alias("part"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        seqs = []
+        seq, cum = 0, None
+        for w in pdf["w"]:
+            if cum is None:
+                cum = int(w)
+            elif cum + int(w) > capacity:
+                seq, cum = seq + 1, int(w)
+            else:
+                cum += int(w)
+            seqs.append(seq)
+        pdf["seq"] = seqs
+        return pdf
+
+    return (
+        base.groupBy("part")
+        .applyInPandas(pack, "part BIGINT, id BIGINT, w INT, seq BIGINT")
+        .select(
+            F.col("id").alias(id_col),
+            "part",
+            F.col("seq").cast("int").alias("seq"),
+            F.col("w").alias(weight_col),
+        )
+    )

@@ -376,3 +376,46 @@ def curation_multisignal(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+SEQPACK_ORACLE = f"""
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT doc_id, doc_id // 64 AS part, CAST({TOKENS_DUCK} AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) AS r
+  FROM documents
+),
+st(part, r, doc_id, n_tokens, seq, cum) AS (
+  SELECT part, r, doc_id, n_tokens, 0, n_tokens FROM tok WHERE r = 1
+  UNION ALL
+  SELECT t.part, t.r, t.doc_id, t.n_tokens,
+         CASE WHEN s.cum + t.n_tokens > 256 THEN s.seq + 1 ELSE s.seq END,
+         CASE WHEN s.cum + t.n_tokens > 256 THEN t.n_tokens
+              ELSE s.cum + t.n_tokens END
+  FROM st s JOIN tok t ON t.part = s.part AND t.r = s.r + 1
+)
+SELECT doc_id, CAST(part AS BIGINT) AS part, CAST(seq AS INT) AS seq, n_tokens
+FROM st
+"""
+
+
+@register("pack_sequences_greedy", SEQPACK_ORACLE)
+def pack_sequences_greedy_q(sess: SeccoSession):
+    """Greedy sequence packing with boundary reset (capacity 256 tokens):
+    consecutive documents fill a training sequence until the next one would
+    overflow, which opens a fresh sequence — no document ever straddles
+    two. Inherently sequential per group, so the operator fixes a
+    deterministic partition key (doc_id DIV 64) and runs the linear scan in
+    one Arrow-batched applyInPandas per group
+    (`operators/packing.pack_sequences_greedy`); the oracle replays the
+    same recurrence as a linear recursive CTE stepping all groups in
+    lockstep."""
+    from seccosql_spark.operators.packing import pack_sequences_greedy
+
+    docs = sess.spark.table("documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    )
+    return sess.from_spark(pack_sequences_greedy(with_tokens, capacity=256, part_size=64))

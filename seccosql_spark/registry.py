@@ -77,70 +77,71 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 #     python scripts/freshness.py --window
 #
 # (VERDICT r05 task 8) which tiers every registered query by (1) never
-# driver-verified, (2) "hot" — an implementing/dependency file changed
-# after the latest driver run, so the green row proves superseded code,
-# (3) stale — the row predates a change to a dep file, oldest round first,
-# (4) fresh, oldest round first. The r06 window below is that output
-# verbatim (regenerated at round end so the hot tier reflects the final
-# diffs): 11 never-verified (multimodal_decode_{real,audio}, the 8
-# W-series twins, sample_mixture_sources), 38 hot (this round touched
-# algorithms/graphframe/dedup/similarity/multimodal/recursion/sampling and
-# their query families, plus the three new bench headliners'
-# registrations), and 1 r01-stale relational row (the remaining r01/r02
-# rows rotate in r07; the whole registry is still re-proven every session
-# by the full sf0.01 pytest gate).
+# driver-verified, (2) OVERDUE (driver row >= 4 rounds behind — outranks
+# hot so the rotation always closes), (3) "hot" — an implementing or
+# dependency file changed after the latest driver run, (4) stale, (5)
+# fresh; oldest round first within a tier. The r08 window below is that
+# output verbatim: 8 never-verified (this round's Gopher filter, shuffled
+# + greedy sequence packing, inverted index, SemDeDup, multi-signal
+# fusion, HITS, mixed binaryFile), then the 29-row r03 overdue tier
+# (TPC-H rest, window family, recursion rows — 5 rounds behind, now
+# drained), then hot rows from this round's edits (text/packing/curation/
+# algorithms/pipeline/similarity). 84 rows were stale at generation time;
+# the 34 that miss this 50-slot window are all r05+ hot rows that the
+# full-registry sf0.001 pytest differential still re-proves every session,
+# and the overdue-beats-hot policy guarantees them r09 slots.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "ann_lsh_clustered",
-    "dedup_containment",
-    "dedup_incremental_batch",
-    "dedup_substring_windows",
-    "events_zorder_topk",
-    "g_ktruss",
-    "multimodal_binaryfile_scan",
-    "multimodal_decode_png",
-    "multimodal_frames_real",
-    "multimodal_probe_mp4",
-    "sample_weighted_quality",
+    "curation_multisignal",
+    "dedup_semantic_semdedup",
+    "g_hits_2rounds",
+    "inverted_index_postings",
+    "multimodal_binaryfile_mixed",
+    "pack_sequences_greedy",
+    "shuffle_pack_shards",
+    "text_gopher_filter",
+    "pack_token_shards",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "cte_multi",
+    "g_house_count",
+    "g_ring5_chords",
+    "g_triangle_count",
+    "grouping_sets_id",
+    "multiway_natural_ghd",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_sole_blame_supplier",
+    "q22_sales_opportunity",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_next_hour",
+    "sessionize_events",
+    "window_first_last_frames",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "with_recursive_path_counts",
+    "with_recursive_reach",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_quality_score",
+    "text_token_stats",
+    "text_chunk_windows",
     "curation_end_to_end",
-    "funnel_view_click_purchase",
-    "distinct_pairs",
-    "except_all_bag",
-    "except_distinct",
-    "filter_predicate",
-    "g_path2_pairs",
-    "intersect_keys",
-    "project_compute",
-    "rollup_agg",
-    "scalar_datetime",
-    "scalar_string_funcs",
-    "sort_limit_topk",
-    "union_all_counts",
-    "union_distinct",
-    "cube_agg",
-    "corpus_clean_pass",
-    "decontaminate_bloom",
-    "decontaminate_ngram8",
     "dedup_cluster_canonical",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_words",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "events_zorder_topk",
     "g_clustering_coeff",
     "g_common_neighbors",
     "g_connected_components",
     "g_degrees",
     "g_kcore",
-    "g_label_propagation",
-    "g_pagerank_3rounds",
-    "g_scc",
-    "g_sssp_weighted",
-    "multimodal_decode_audio",
-    "multimodal_decode_real",
-    "cte_multi",
-    "g_house_count",
-    "sample_hash_10pct",
 ]
 
 

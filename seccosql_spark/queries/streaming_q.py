@@ -335,3 +335,59 @@ def stream_left_outer_join_q(sess: SeccoSession):
     sink = f"__stream_left_outer_join_{next(_SINK_SEQ)}"
     run_available_now(joined, sink, output_mode="append")
     return sess.from_spark(spark.table(sink))
+
+
+def _stream_documents_dir(spark, sf_dir: str):
+    """File-stream the documents table (directory basePath + glob, like
+    `stream_events_dir`) with its explicit schema."""
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    from seccosql_spark.queries.pipeline import (
+        INCREMENTAL_SPLIT_ID,
+        SHINGLES_SQL,
+        _incremental_oracle,
+    )
+
+    return _incremental_oracle(SHINGLES_SQL, threshold=0.5, split_id=INCREMENTAL_SPLIT_ID)
+
+
+@register("stream_incremental_dedup", _incremental_dedup_oracle())
+def stream_incremental_dedup_q(sess: SeccoSession):
+    """Online ingestion screening (`streaming/ops.py`
+    ``foreach_batch_incremental_dedup``): the documents table arrives as a
+    bounded file stream; per micro-batch, the new docs (doc_id >= 400) are
+    MinHash-signatured and probed against the static existing-corpus
+    banded index, accumulating verified near-dup pairs in the sink. The
+    old side is static and each new doc arrives exactly once, so the
+    drained result is batch-invariant — the oracle is the SAME incremental
+    oracle as the batch `dedup_incremental_batch` row, proving the
+    streaming and nightly paths agree exactly."""
+    import tempfile
+
+    from seccosql_spark.queries.pipeline import INCREMENTAL_SPLIT_ID
+
+    spark = sess.spark
+    sf_dir = _events_sf_dir(sess)
+    from seccosql_spark.streaming.ops import foreach_batch_incremental_dedup
+
+    sink = f"__sid_pairs_{next(_SINK_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="seccosql_sid_ckpt_")
+    q = foreach_batch_incremental_dedup(
+        _stream_documents_dir(spark, sf_dir),
+        f"{sf_dir}/documents.parquet",
+        sink,
+        ckpt,
+        split_id=INCREMENTAL_SPLIT_ID,
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    return sess.from_spark(spark.table(f"global_temp.{sink}"))

@@ -338,3 +338,45 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_incremental_dedup(
+    docs_stream: DataFrame,
+    old_corpus_path: str,
+    sink_table: str,
+    checkpoint_dir: str,
+    split_id: int,
+    threshold: float = 0.5,
+) -> "Any":
+    """Online near-dup screening: each micro-batch of newly ingested
+    documents is checked against the STATIC existing corpus's banded
+    MinHash index (`operators/dedup.minhash_incremental_pairs`) and the
+    verified (new_id, old_id, jaccard) pairs accumulate in a global-temp
+    sink — the streaming form of the nightly incremental dedup. Because the
+    old side is static and every new document arrives exactly once, the
+    fully-drained result is batch-invariant: identical to running the batch
+    operator over the whole new set at once, which is what the oracle
+    computes. The old corpus is re-read per batch from its parquet path
+    (micro-batches run in a cloned session, so closures must not capture
+    outer-session DataFrames); at scale the banded index would be a
+    persisted bucketed table instead of a re-derivation."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.operators.dedup import minhash_incremental_pairs
+
+    def _screen(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        old = sess.read.parquet(old_corpus_path).filter(F.col("doc_id") < split_id)
+        new = batch.filter(F.col("doc_id") >= split_id)
+        pairs = minhash_incremental_pairs(new, old, threshold=threshold)
+        if sess.catalog.tableExists(f"global_temp.{sink_table}"):
+            pairs = sess.table(f"global_temp.{sink_table}").unionByName(pairs)
+        # materialize before overwriting the view the plan reads from
+        pairs.localCheckpoint(eager=True).createOrReplaceGlobalTempView(sink_table)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

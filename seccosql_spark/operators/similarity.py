@@ -508,3 +508,50 @@ def quantize_int8(
         ),
     ).otherwise(F.transform(vec, lambda x: F.lit(0)))
     return df.select(F.col(id_col), q.alias("q"))
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each vector
+    into `m` equal subvectors, train an independent deterministic k-means
+    codebook per subspace (`kmeans_fit` on the slice — same no-RNG init,
+    exact decimal means), and emit each vector's code word (id, c0..c{m-1})
+    — the 8-bit-per-subspace compression that makes billion-vector ANN
+    memory-resident (m * log2(k) bits per vector instead of dim * 32).
+
+    Scale shape: training is m small k-means runs (each ONE aggregate per
+    iteration, k*dim/m floats to the driver); assignment packs ALL m
+    codebooks into one literal probe array, so coding the corpus is a
+    SINGLE map-only projection inside whole-stage codegen — zero shuffles,
+    zero joins, the corpus streamed once."""
+    if dim is None:
+        first = emb.select(F.size(_as_double(F.col(vec_col))).alias("n")).head()
+        if first is None:
+            raise ValueError("pq_codes: empty input")
+        dim = first["n"]
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    s = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(_as_double(F.col(vec_col)), j * s + 1, s).alias("v"),
+        )
+        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
+        books.append([(r["cid"], list(r["c"])) for r in cent.collect()])
+    vec = _as_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        *[
+            _nearest_cid(F.slice(vec, j * s + 1, s), books[j]).cast("int").alias(f"c{j}")
+            for j in range(m)
+        ],
+    )

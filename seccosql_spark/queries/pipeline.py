@@ -1293,3 +1293,52 @@ def embedding_quantize_int8(sess: SeccoSession):
             "vec_id", F.array_join(F.col("q").cast("array<string>"), ",").alias("q_str")
         )
     )
+
+
+def _pq_oracle(m: int = 4, s: int = 16, k: int = 4) -> str:
+    """Per-subspace replay of the deterministic k-means chain (the
+    KMEANS_ORACLE recipe applied to each 1-based slice), joined on vec_id."""
+    parts = []
+    for j in range(m):
+        lo, hi = j * s + 1, (j + 1) * s
+        parts.append(f"""
+v{j} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings),
+init{j} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+            FROM v{j} QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}),
+a{j}x AS (SELECT vec_id, cid,
+               list_sum(list_transform(range(1, {s} + 1),
+                                       i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+          FROM v{j} CROSS JOIN init{j}),
+s{j}x AS (SELECT vec_id, cid FROM a{j}x
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+m{j}x AS (SELECT cid, pos,
+               CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+          FROM (SELECT sx.cid AS cid, unnest(vv.v) AS x,
+                       generate_subscripts(vv.v, 1) AS pos
+                FROM v{j} vv JOIN s{j}x sx USING (vec_id))
+          GROUP BY cid, pos),
+c{j}x AS (SELECT cid, list(c ORDER BY pos) AS c FROM m{j}x GROUP BY cid),
+b{j}x AS (SELECT vec_id, cid,
+               list_sum(list_transform(range(1, {s} + 1),
+                                       i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+          FROM v{j} CROSS JOIN c{j}x),
+f{j}x AS (SELECT vec_id, CAST(cid AS INT) AS c{j} FROM b{j}x
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+    joins = " ".join(f"JOIN f{j}x USING (vec_id)" for j in range(1, m))
+    cols = ", ".join(f"c{j}" for j in range(m))
+    return "WITH " + ",".join(parts) + f"\nSELECT vec_id, {cols} FROM f0x {joins}"
+
+
+@register("ann_pq_codes", _pq_oracle())
+def ann_pq_codes(sess: SeccoSession):
+    """Product-quantization coding (Jégou et al. 2011): 4 subspaces of 16
+    dims, an independent deterministic k-means codebook each, every vector
+    compressed to 4 code ints — the memory-resident representation
+    billion-vector ANN serves from (operators/similarity.pq_codes).
+    Training is 4 small k-means runs; coding is ONE map-only projection
+    with all codebooks as literals. The oracle replays all four subspace
+    trainings and assignments, so every code of every vector must
+    hash-match."""
+    from seccosql_spark.operators.similarity import pq_codes
+
+    return sess.from_spark(pq_codes(sess.spark.table("embeddings"), m=4, k=4, iters=2))

@@ -241,3 +241,31 @@ def test_aqe_skew_join_splits_hot_partition(sess):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_schema_evolution_merge(sess):
+    """Lake reality: a corpus written over months gains columns. Two parquet
+    drops with evolved schemas (v2 adds `quality`) must read back as one
+    frame under mergeSchema with NULLs for the missing column, and the scan
+    must still push filters/prune columns on the shared prefix."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = sess.spark
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(5).select(F.col("id").alias("doc_id"), F.lit("a").alias("text")) \
+            .write.parquet(f"{d}/b1")
+        spark.range(5, 8).select(
+            F.col("id").alias("doc_id"), F.lit("b").alias("text"),
+            F.lit(0.5).alias("quality"),
+        ).write.parquet(f"{d}/b2")
+        got = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{d}/b1", f"{d}/b2")
+            .filter(F.col("doc_id") >= 3)
+        )
+        assert set(got.columns) == {"doc_id", "text", "quality"}
+        rows = {r["doc_id"]: (r["text"], r["quality"]) for r in got.collect()}
+        assert rows == {3: ("a", None), 4: ("a", None),
+                        5: ("b", 0.5), 6: ("b", 0.5), 7: ("b", 0.5)}

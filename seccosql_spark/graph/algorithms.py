@@ -764,3 +764,68 @@ def hits(
         h.join(a, "id")
         .select(F.col("id").cast("long"), F.col("h").alias("hub"), F.col("a").alias("auth"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int = 3,
+    damping_num: int = PAGERANK_DAMPING_NUM,
+    damping_den: int = PAGERANK_DAMPING_DEN,
+    scale: int = PAGERANK_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: identical exact fixed-point recurrence to
+    `pagerank`, except the teleport AND the dangling redistribution return
+    all mass to the `sources` set (uniformly within it) instead of to every
+    node — the similarity-to-seed ranking behind related-item and local
+    community queries. Same BIGINT determinism contract: integer DIV
+    everywhere, so an unrolled SQL oracle hash-matches bit-for-bit.
+
+    The source set rides the plan as an IN literal (seed sets are small by
+    definition — a user, a page, a seed community); everything else is the
+    same two-shuffle per-round shape as global PageRank."""
+    seeds = sorted(set(int(s) for s in sources))
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    n_s = len(seeds)
+    in_s = F.col("id").isin(seeds)
+    nodes = _nodes(edges, src, dst).localCheckpoint(eager=True)
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    base_fp = (damping_den - damping_num) * scale // (damping_den * n_s)
+    init = nodes.select(
+        "id", F.when(in_s, F.lit(scale // n_s)).otherwise(F.lit(0)).cast("long").alias("v")
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        shares = state.join(out_deg, "id").select(
+            F.col("id").alias("__sid"), F.expr("v DIV deg").alias("t")
+        )
+        contrib = (
+            edges.join(shares, F.col(src) == F.col("__sid"))
+            .groupBy(F.col(dst).alias("id"))
+            .agg(F.sum("t").cast("long").alias("c"))
+        )
+        dangling = (
+            state.join(out_deg, "id", "left")
+            .filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("__dang"))
+        )
+        seed_list = ", ".join(str(s) for s in seeds)
+        return (
+            nodes.crossJoin(dangling)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST((CASE WHEN id IN ({seed_list}) THEN {base_fp} ELSE 0 END)"
+                    f" + ({damping_num} * (coalesce(c, CAST(0 AS BIGINT))"
+                    f" + (CASE WHEN id IN ({seed_list}) THEN __dang DIV {n_s} ELSE 0 END)))"
+                    f" DIV {damping_den} AS BIGINT)"
+                ).alias("v"),
+            )
+        )
+
+    out = iterate(init, step, rounds)
+    return out.select("id", (F.col("v").cast("double") / F.lit(float(scale))).alias("rank"))

@@ -315,3 +315,65 @@ def g_hits_2rounds(sess: SeccoSession):
     from seccosql_spark.graph.algorithms import hits
 
     return sess.from_spark(hits(sess.spark.sql(EDGES_SPARK), rounds=2))
+
+
+def _ppr_oracle(
+    rounds: int,
+    seeds: tuple[int, ...],
+) -> str:
+    from seccosql_spark.graph.algorithms import (
+        PAGERANK_DAMPING_DEN,
+        PAGERANK_DAMPING_NUM,
+        PAGERANK_SCALE,
+    )
+
+    num, den, scale = PAGERANK_DAMPING_NUM, PAGERANK_DAMPING_DEN, PAGERANK_SCALE
+    n_s = len(seeds)
+    s_list = ", ".join(str(s) for s in sorted(seeds))
+    base_fp = (den - num) * scale // (den * n_s)
+    parts = [
+        f"WITH e AS ({EDGES_ORACLE}),\n",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),\n",
+        "deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),\n",
+        f"v0 AS (SELECT id, CAST(CASE WHEN id IN ({s_list})"
+        f" THEN {scale // n_s} ELSE 0 END AS BIGINT) AS v FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+c{r} AS (SELECT e.dst AS id, CAST(SUM(v.v // d.deg) AS BIGINT) AS c
+         FROM e JOIN v{p} v ON e.src = v.id JOIN deg d ON e.src = d.id
+         GROUP BY e.dst),
+g{r} AS (SELECT CAST(coalesce(SUM(v.v), 0) AS BIGINT) AS dang
+         FROM v{p} v LEFT JOIN deg d ON v.id = d.id WHERE d.id IS NULL),
+v{r} AS (SELECT nodes.id,
+                CAST((CASE WHEN nodes.id IN ({s_list}) THEN {base_fp} ELSE 0 END)
+                     + ({num} * (coalesce(c.c, 0)
+                        + (CASE WHEN nodes.id IN ({s_list}) THEN g{r}.dang // {n_s} ELSE 0 END)))
+                       // {den} AS BIGINT) AS v
+         FROM nodes CROSS JOIN g{r}
+         LEFT JOIN c{r} c ON nodes.id = c.id)"""
+        )
+    from seccosql_spark.graph.algorithms import PAGERANK_SCALE as _sc
+
+    parts.append(f"\nSELECT id, CAST(v AS DOUBLE) / {float(_sc)} AS rank FROM v{rounds}")
+    return "".join(parts)
+
+
+PPR_SEEDS = (0, 7, 13)
+
+
+@register("g_personalized_pagerank", _ppr_oracle(3, PPR_SEEDS))
+def g_personalized_pagerank(sess: SeccoSession):
+    """Personalized PageRank from a 3-node seed set, 3 supersteps: teleport
+    and dangling mass return only to the seeds, ranking every node by
+    proximity to them — the related-item / local-community query. Same
+    exact fixed-point BIGINT arithmetic as the global row, so the unrolled
+    oracle hash-matches bit-for-bit
+    (`graph/algorithms.personalized_pagerank`)."""
+    from seccosql_spark.graph.algorithms import personalized_pagerank
+
+    return sess.from_spark(
+        personalized_pagerank(sess.spark.sql(EDGES_SPARK), list(PPR_SEEDS), rounds=3)
+    )

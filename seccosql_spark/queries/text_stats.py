@@ -321,3 +321,61 @@ def inverted_index_postings(sess: SeccoSession):
             ).alias("posting_head"),
         )
     )
+
+
+CORR_ORACLE = """
+WITH t AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (SELECT source, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM t GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_chars_tokens
+FROM s
+"""
+
+
+@register("stats_corr_by_source", CORR_ORACLE)
+def stats_corr_by_source(sess: SeccoSession):
+    """Per-source Pearson correlation between document length in chars and
+    in tokens — the corpus-audit statistic behind 'is token count just a
+    proxy for bytes here'. Computed from raw integer power sums (n, Σx, Σy,
+    Σxy, Σx², Σy² are exact BIGINTs; the final expression is two sqrts and
+    a division on identical integers), so both engines produce the same
+    double and round(6) is safe — unlike calling each engine's corr(),
+    whose internal summation orders differ. One aggregation, map-side
+    partial, any scale."""
+    docs = sess.spark.table("documents")
+    t = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda c: c != F.lit("")))
+        .cast("long")
+        .alias("y"),
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sess.from_spark(
+        s.select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                6,
+            ).alias("corr_chars_tokens"),
+        )
+    )

@@ -269,3 +269,52 @@ def test_parquet_schema_evolution_merge(sess):
         rows = {r["doc_id"]: (r["text"], r["quality"]) for r in got.collect()}
         assert rows == {3: ("a", None), 4: ("a", None),
                         5: ("b", 0.5), 6: ("b", 0.5), 7: ("b", 0.5)}
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(sess):
+    """Runtime row-level filtering: with a selective filter on the dim side
+    of a shuffle join, Catalyst injects a Bloom-filter aggregate on the dim
+    keys and a might_contain probe into the FACT side's scan stage — rows
+    that cannot join are dropped before the shuffle, the 100 TB fact-table
+    saver when broadcast is off the table. Pinned here because the engine
+    relies on it being ON at scale."""
+    import contextlib
+    import io
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = sess.spark
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        with tempfile.TemporaryDirectory() as d:
+            spark.range(200_000).select(
+                F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+            ).write.parquet(f"{d}/fact")
+            spark.range(100_000).select(
+                F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+            ).write.parquet(f"{d}/dim")
+            fact = spark.read.parquet(f"{d}/fact")
+            dim = spark.read.parquet(f"{d}/dim").filter("g = 7")
+            joined = fact.join(dim, "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "bloom_filter_agg" in plan, plan
+            assert "might_contain" in plan, plan
+            assert joined.count() == 1_000  # ids with id % 100 == 7
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -10,6 +10,7 @@ either parquet timestamp encoding; `epoch_us(ts)` in DuckDB)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.asof import asof_join, range_join_buckets, resample_gapfill
@@ -153,3 +154,58 @@ def events_zorder_topk(sess: SeccoSession):
         .limit(50)
     )
     return sess.from_spark(out)
+
+
+SPIKE_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS dv, ts
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, dv,
+         sum(dv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS s,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS c
+  FROM v
+)
+SELECT event_id, user_id,
+       (c > 0 AND dv * c > 2 * s) AS is_spike
+FROM w
+"""
+
+
+@register("events_rolling_spikes", SPIKE_ORACLE)
+def events_rolling_spikes(sess: SeccoSession):
+    """Rolling anomaly flag: an event is a spike when its value exceeds
+    twice the mean of the user's previous 10 values. The comparison is
+    cross-multiplied over DECIMAL(18,6) sums (value * count > 2 * sum) —
+    decimal addition is exact and associative, so DuckDB's segment-tree
+    window and Spark's running frame agree bit-for-bit where double
+    accumulation order would not. One user-keyed window partition —
+    partition-parallel at any scale; events with no history are not
+    spikes."""
+    ev = sess.spark.table("events").select(
+        "event_id", "user_id", F.col("value").cast("decimal(18,6)").alias("dv"), "ts"
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "dv",
+        F.sum("dv").over(frame).alias("s"),
+        F.count(F.lit(1)).over(frame).alias("c"),
+    )
+    return sess.from_spark(
+        w.select(
+            "event_id",
+            "user_id",
+            ((F.col("c") > 0) & (F.col("dv") * F.col("c") > 2 * F.col("s"))).alias(
+                "is_spike"
+            ),
+        )
+    )

@@ -379,3 +379,84 @@ def stats_corr_by_source(sess: SeccoSession):
             ).alias("corr_chars_tokens"),
         )
     )
+
+
+UNIGRAM_LP_ORACLE = """
+WITH words AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+total AS (SELECT sum(c) AS t FROM vocab),
+terms AS (
+  SELECT words.id,
+         CAST(round(ln(CAST(vocab.c AS DOUBLE) / total.t), 9) AS DECIMAL(18,9)) AS lp
+  FROM words JOIN vocab USING (w) CROSS JOIN total
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lp) AS DOUBLE) AS logprob
+FROM terms GROUP BY id
+"""
+
+
+@register("text_unigram_logprob", UNIGRAM_LP_ORACLE)
+def text_unigram_logprob(sess: SeccoSession):
+    """Unigram language-model scoring — the cheap stand-in for perplexity
+    filtering: each document's sum of ln(corpus unigram probability) over
+    its tokens (more negative = more surprising under the corpus
+    distribution). The per-token ln is rounded to DECIMAL(18,9) BEFORE
+    summing, so the aggregation is exact and associative — double
+    summation order across partitions can never flip the result. One
+    vocab aggregation (broadcast back), one doc-keyed aggregation."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    words = sess.spark.table("documents").select(
+        F.col("doc_id").alias("id"), F.explode(toks).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    terms = (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.round(F.log(F.col("c").cast("double") / F.col("t")), 9)
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return sess.from_spark(
+        terms.groupBy(F.col("id").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp").cast("double").alias("logprob"),
+        )
+    )
+
+
+SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0c'
+            THEN 'test'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("split_train_val_test", SPLIT_ORACLE)
+def split_train_val_test(sess: SeccoSession):
+    """Deterministic train/val/test assignment by content-free id hash:
+    md5(doc_id) below '0c' (≈ 4.7%) → test, below '1a' (≈ 10.2%) → val,
+    else train — reproducible across runs/engines, stable under corpus
+    growth (a document's split never changes when others are added), and
+    map-only. The hex-prefix thresholds are the same integer-free
+    comparison trick as `sampling.hash_sample`."""
+    return sess.from_spark(
+        sess.spark.table("documents").select(
+            "doc_id",
+            F.when(F.md5(F.col("doc_id").cast("string")) < "0c", "test")
+            .when(F.md5(F.col("doc_id").cast("string")) < "1a", "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )

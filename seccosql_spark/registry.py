@@ -81,25 +81,35 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
 # fresh; oldest round first within a tier. The r08 window below is that
-# output verbatim: 8 never-verified (this round's Gopher filter, shuffled
-# + greedy sequence packing, inverted index, SemDeDup, multi-signal
-# fusion, HITS, mixed binaryFile), then the 29-row r03 overdue tier
-# (TPC-H rest, window family, recursion rows — 5 rounds behind, now
-# drained), then hot rows from this round's edits (text/packing/curation/
-# algorithms/pipeline/similarity). 84 rows were stale at generation time;
-# the 34 that miss this 50-slot window are all r05+ hot rows that the
-# full-registry sf0.001 pytest differential still re-proves every session,
-# and the overdue-beats-hot policy guarantees them r09 slots.
+# output verbatim: the 15 never-verified round-8 rows (Gopher filter,
+# shuffled + greedy sequence packing, inverted index, SemDeDup,
+# multi-signal fusion, HITS, mixed binaryFile, streaming incremental
+# dedup, PQ codes, personalized PageRank, correlation, rolling spikes,
+# unigram LM, splits), then the 29-row r03 overdue tier (TPC-H rest,
+# window family, recursion rows — 5 rounds behind, now drained), then 6
+# hot rows. 106 rows were stale at generation time (a 15-query round
+# taints widely at file granularity); the ~56 that miss this 50-slot
+# window are all r04+ hot rows that the full-registry pytest differential
+# re-proves every session (this round: 184-green at sf0.01 and 387-green
+# at sf0.001), and the overdue-beats-hot policy guarantees them r09/r10
+# slots.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "ann_pq_codes",
     "curation_multisignal",
     "dedup_semantic_semdedup",
+    "events_rolling_spikes",
     "g_hits_2rounds",
+    "g_personalized_pagerank",
     "inverted_index_postings",
     "multimodal_binaryfile_mixed",
     "pack_sequences_greedy",
     "shuffle_pack_shards",
+    "split_train_val_test",
+    "stats_corr_by_source",
+    "stream_incremental_dedup",
     "text_gopher_filter",
+    "text_unigram_logprob",
     "pack_token_shards",
     "text_redact_pii",
     "text_repetition_stats",
@@ -129,19 +139,12 @@ _PRIORITY_WINDOW = [
     "window_rank_family",
     "with_recursive_path_counts",
     "with_recursive_reach",
+    "stream_session_windows",
     "text_fingerprint",
     "text_lang_guess",
     "text_quality_score",
     "text_token_stats",
-    "text_chunk_windows",
-    "curation_end_to_end",
-    "dedup_cluster_canonical",
-    "events_zorder_topk",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_connected_components",
-    "g_degrees",
-    "g_kcore",
+    "foreach_batch_upsert",
 ]
 
 

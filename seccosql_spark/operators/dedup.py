@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # DataFrames persisted by pipelines in this module, so long-lived sessions
@@ -746,5 +746,84 @@ def minhash_incremental_pairs(
             F.col("id1").alias("new_id"),
             F.col("id2").alias("old_id"),
             F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin family —
+    Xiao et al. 2008, Chaudhuri et al. 2006): all pairs whose distinct-word
+    Jaccard >= t, with NO approximation — the complement to MinHash-LSH,
+    which trades recall for speed. The prefix theorem does the pruning:
+    order every document's tokens by a global total order (ascending
+    document frequency, rarest first, ties by word) and keep only the
+    first |x| - ceil(t*|x|) + 1 tokens; two sets with Jaccard >= t MUST
+    share a prefix token, so the candidate join touches only prefix
+    buckets — and those buckets are small by construction because prefixes
+    hold each document's RAREST tokens. Candidates are then verified with
+    exact integer Jaccard; the threshold test cross-multiplies
+    (den*i >= num*(union)), no float compare.
+
+    t is a rational num/den so the gate is integer-exact in any engine.
+    Scale shape: one df aggregation (broadcast back), one per-doc window
+    for the prefix rank, one prefix-bucket join, |candidates|-bounded
+    verification — never an all-pairs product."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(f"need 0 < t <= 1, got {threshold_num}/{threshold_den}")
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
+    words = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    sized = words.join(F.broadcast(dfreq), "w").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    ranked = sized.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("c", "w"))
+    )
+    # prefix length: n - ceil(t*n) + 1 == n - ((num*n + den - 1) DIV den) + 1
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n")
+        - F.expr(f"({threshold_num} * n + {threshold_den} - 1) DIV {threshold_den}")
+        + 1
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id1"), "w")
+        .join(prefix.select(F.col("id").alias("id2"), "w"), "w")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    sizes = words.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(words.select(F.col("id").alias("id1"), "w"), "id1")
+        .join(words.select(F.col("id").alias("id2"), "w"), ["id2", "w"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        # integer gate BEFORE any float: den*i >= num*(n1+n2-i)
+        .filter(
+            threshold_den * F.col("i")
+            >= threshold_num * (F.col("n1") + F.col("n2") - F.col("i"))
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
         )
     )

@@ -1378,3 +1378,37 @@ def dedup_ppjoin_exact(sess: SeccoSession):
     return sess.from_spark(
         ppjoin_pairs(sess.spark.table("documents"), threshold_num=9, threshold_den=10)
     )
+
+
+EDIT_VERIFY_ORACLE = f"""
+WITH pairs AS ({MINHASH_SHINGLE_ORACLE})
+SELECT p.id1, p.id2,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+FROM pairs p
+JOIN documents a ON p.id1 = a.doc_id
+JOIN documents b ON p.id2 = b.doc_id
+WHERE levenshtein(a.text, b.text) <= 40
+"""
+
+
+@register("dedup_edit_distance_verify", EDIT_VERIFY_ORACLE)
+def dedup_edit_distance_verify(sess: SeccoSession):
+    """Character-level verification tier: MinHash-LSH candidates (threshold
+    0.5, 3-shingles — the already-verified generator) re-verified by EDIT
+    DISTANCE <= 40, the metric that catches word-order-preserving character
+    edits Jaccard ignores. levenshtein() is the classic DP in both engines
+    (integer-exact parity, spot-pinned); running it ONLY on the bucketed
+    candidate set is the entire scale story — O(|candidates| * len^2), not
+    O(n^2 * len^2). Output (id1, id2, edit_distance)."""
+    docs = sess.spark.table("documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
+    a = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("__t1"))
+    b = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("__t2"))
+    return sess.from_spark(
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1", "id2", F.levenshtein("__t1", "__t2").cast("int").alias("edit_distance")
+        )
+        .filter(F.col("edit_distance") <= 40)
+    )

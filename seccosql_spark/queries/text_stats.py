@@ -460,3 +460,65 @@ def split_train_val_test(sess: SeccoSession):
             .alias("split"),
         )
     )
+
+
+PMI_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+n AS (SELECT count(DISTINCT id) AS n_docs FROM w),
+cw AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+pairs AS (
+  SELECT a.w AS x, b.w AS y, count(*) AS cxy
+  FROM w a JOIN w b ON a.id = b.id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT p.x, p.y, CAST(p.cxy AS BIGINT) AS cxy,
+       round(ln(CAST(p.cxy AS DOUBLE) * n.n_docs / cx.c / cy.c), 6) AS pmi
+FROM pairs p
+JOIN cw cx ON p.x = cx.w JOIN cw cy ON p.y = cy.w CROSS JOIN n
+WHERE p.cxy >= 50
+"""
+
+
+@register("text_cooccurrence_pmi", PMI_ORACLE)
+def text_cooccurrence_pmi(sess: SeccoSession):
+    """Token co-occurrence PMI — the corpus-association statistic behind
+    collocation mining and tokenizer-merge auditing: for every token pair
+    appearing together in >= 50 documents, pmi = ln(P(x,y)/(P(x)P(y)))
+    over document-level occurrence. The doc-local self-join is bounded by
+    per-document distinct-token count squared (never corpus-quadratic);
+    counts are integers and ln takes an exact integer ratio, so round(6)
+    is engine-stable (same discipline as TF-IDF)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    w = (
+        sess.spark.table("documents")
+        .select(F.col("doc_id").alias("id"), F.explode(F.array_distinct(toks)).alias("w"))
+    )
+    n_docs = w.select("id").distinct().count()
+    cw = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    a = w.select("id", F.col("w").alias("x"))
+    b = w.select("id", F.col("w").alias("y"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 50)
+    )
+    return sess.from_spark(
+        pairs.join(F.broadcast(cw.withColumnsRenamed({"w": "x", "c": "cx"})), "x")
+        .join(F.broadcast(cw.withColumnsRenamed({"w": "y", "c": "cy"})), "y")
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.round(
+                F.log(
+                    F.col("cxy").cast("double") * F.lit(n_docs) / F.col("cx") / F.col("cy")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -829,3 +829,67 @@ def personalized_pagerank(
 
     out = iterate(init, step, rounds)
     return out.select("id", (F.col("v").cast("double") / F.lit(float(scale))).alias("rank"))
+
+
+def maximal_independent_set(
+    edges: DataFrame, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, in_mis) — a maximal independent set via DETERMINISTIC Luby
+    (Luby 1986 with hash priorities instead of coin flips): every node's
+    priority is the string md5(id)||'|'||zero-padded id (total order,
+    collision-free by the id suffix); each round, every undecided node
+    strictly smaller than all its undecided neighbors joins the MIS and
+    knocks its neighbors out. Expected O(log n) rounds; each round is two
+    joins + one aggregation over the shrinking undecided set, checkpointed.
+    Deterministic — same MIS on any engine/partitioning, so an unrolled SQL
+    oracle hash-matches. Raises at budget instead of returning a
+    non-maximal set."""
+    if max_rounds < 1:
+        raise ValueError(f"need max_rounds >= 1, got {max_rounds}")
+    nb = _sym_neighbors(edges, src, dst).localCheckpoint(eager=True)
+    pr = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.lit("|"),
+        F.lpad(F.col("id").cast("string"), 20, "0"),
+    )
+    und = (
+        nb.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", pr.alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = und.select("id").localCheckpoint(eager=True)
+    mis = None
+    for _ in range(max_rounds):
+        nmin = (
+            nb.join(und.select(F.col("id").alias("a")), "a")
+            .join(und.select(F.col("id").alias("b"), F.col("pr").alias("pr_b")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("pr_b").alias("mn"))
+        )
+        win = (
+            und.join(nmin, "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("pr") < F.col("mn")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis = win if mis is None else mis.unionByName(win).localCheckpoint(eager=True)
+        removed = (
+            nb.join(win.select(F.col("id").alias("a")), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+        )
+        und = (
+            und.join(win, "id", "left_anti")
+            .join(removed, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if und.isEmpty():
+            return all_nodes.join(
+                mis.withColumn("__m", F.lit(1)), "id", "left"
+            ).select(
+                F.col("id").cast("long"), F.col("__m").isNotNull().alias("in_mis")
+            )
+    raise RuntimeError(
+        f"maximal_independent_set did not converge within max_rounds={max_rounds}"
+    )

@@ -377,3 +377,50 @@ def g_personalized_pagerank(sess: SeccoSession):
     return sess.from_spark(
         personalized_pagerank(sess.spark.sql(EDGES_SPARK), list(PPR_SEEDS), rounds=3)
     )
+
+
+def _mis_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({EDGES_ORACLE}),",
+        """nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e
+  )
+),
+n0 AS (SELECT DISTINCT a AS id,
+              md5(CAST(a AS VARCHAR)) || '|' || lpad(CAST(a AS VARCHAR), 20, '0') AS pr
+       FROM nb),
+u0 AS (SELECT id, pr FROM n0)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+nm{r} AS (SELECT n.a AS id, min(u2.pr) AS mn
+          FROM nb n JOIN u{r} u1 ON n.a = u1.id JOIN u{r} u2 ON n.b = u2.id
+          GROUP BY n.a),
+w{r} AS MATERIALIZED (SELECT u.id FROM u{r} u LEFT JOIN nm{r} m ON u.id = m.id
+          WHERE m.id IS NULL OR u.pr < m.mn),
+r{r} AS (SELECT DISTINCT n.b AS id FROM nb n JOIN w{r} w ON n.a = w.id),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.id, u.pr FROM u{r} u
+  WHERE u.id NOT IN (SELECT id FROM w{r}) AND u.id NOT IN (SELECT id FROM r{r}))""")
+    wins = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    parts.append(f""",
+mis AS ({wins})
+SELECT n0.id, (mis.id IS NOT NULL) AS in_mis
+FROM n0 LEFT JOIN (SELECT DISTINCT id FROM mis) mis ON n0.id = mis.id""")
+    return "".join(parts)
+
+
+@register("g_maximal_independent_set", _mis_oracle(8))
+def g_maximal_independent_set(sess: SeccoSession):
+    """Deterministic Luby maximal independent set: hash priorities replace
+    coin flips, so every engine computes the SAME maximal set — each round
+    the locally-minimal undecided nodes join and eliminate their neighbors
+    (`graph/algorithms.maximal_independent_set`, expected O(log n) rounds).
+    The oracle unrolls 8 rounds (a fixpoint no-ops thereafter) and
+    materializes each level against DuckDB's CTE inliner."""
+    from seccosql_spark.graph.algorithms import maximal_independent_set
+
+    return sess.from_spark(
+        maximal_independent_set(sess.spark.sql(EDGES_SPARK))
+    )

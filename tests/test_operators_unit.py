@@ -1178,3 +1178,54 @@ def test_mp4_probe_box_walk():
     assert probe_mp4_bytes(payload) == (7000, 90000, 1, 320, 240)
     with pytest.raises(ValueError):
         probe_mp4_bytes(b"RIFF" + b"\x00" * 100)
+
+
+def test_ppjoin_matches_bruteforce(spark):
+    """Prefix filtering must lose NOTHING: ppjoin output == brute-force
+    all-pairs Jaccard >= t on a corpus engineered with exact-threshold
+    pairs, disjoint docs, and identical docs."""
+    from itertools import combinations
+
+    from seccosql_spark.operators.dedup import ppjoin_pairs
+
+    docs = [
+        (0, "a b c d e f g h i j"),       # 10 tokens
+        (1, "a b c d e f g h i k"),       # J = 9/11 with doc 0
+        (2, "a b c d e f g h i j"),       # identical to 0 -> J = 1
+        (3, "z y x w v u t s r q"),       # disjoint
+        (4, "a b c d e f g h i"),         # subset of 0: J = 9/10 (= t exactly)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ppjoin_pairs(df, threshold_num=9, threshold_den=10).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if 10 * inter >= 9 * union:
+            want[(i, j)] = round(inter / union, 6)
+    assert got == want  # {(0,2): 1.0, (0,4): 0.9, (2,4): 0.9}
+    assert (0, 4) in got  # the exact-threshold pair survives the gate
+
+
+def test_pack_sequences_greedy_boundaries(spark):
+    """Boundary-reset semantics: an oversized document gets its own
+    sequence; resets happen exactly when the next doc would overflow; group
+    boundaries (id DIV part_size) restart the numbering."""
+    from seccosql_spark.operators.packing import pack_sequences_greedy
+
+    rows = [(0, 60), (1, 30), (2, 20), (3, 150), (4, 10), (64, 90), (65, 90)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens INT")
+    got = {
+        r["doc_id"]: (r["part"], r["seq"])
+        for r in pack_sequences_greedy(df, capacity=100, part_size=64).collect()
+    }
+    # part 0: 60 -> seq0 (cum 60); +30 -> 90; +20 would be 110 -> seq1 (cum 20);
+    # +150 > 100 -> seq2 alone; +10 -> 150+10 > 100 -> seq3
+    assert got == {
+        0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (0, 2), 4: (0, 3),
+        64: (1, 0), 65: (1, 1),
+    }

@@ -338,15 +338,38 @@ def stream_left_outer_join_q(sess: SeccoSession):
 
 
 def _stream_documents_dir(spark, sf_dir: str):
-    """File-stream the documents table (directory basePath + glob, like
-    `stream_events_dir`) with its explicit schema."""
-    schema = (
-        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-    )
+    """File-stream the documents table SPLIT INTO THREE FILES with
+    maxFilesPerTrigger=1, so availableNow drains in three real micro-batches
+    — the batch-invariance claims downstream are tested, not assumed. The
+    split is staged once per (machine, sf_dir) keyed by a digest of the
+    source path."""
+    import hashlib
+    import os
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/secco_spark_docs_stream_{tag}"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+        cut1, cut2 = hi // 3, 2 * hi // 3
+        for i, cond in enumerate(
+            [
+                F.col("doc_id") <= cut1,
+                (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+                F.col("doc_id") > cut2,
+            ]
+        ):
+            docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        with open(marker, "w"):
+            pass
     return (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(d)
     )
 
 

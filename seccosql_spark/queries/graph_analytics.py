@@ -424,3 +424,62 @@ def g_maximal_independent_set(sess: SeccoSession):
     return sess.from_spark(
         maximal_independent_set(sess.spark.sql(EDGES_SPARK))
     )
+
+
+MODULARITY_ORACLE = f"""
+WITH e AS MATERIALIZED ({EDGES_ORACLE}),
+nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e
+  )
+),
+deg AS (SELECT a AS id, count(*) AS d FROM nb GROUP BY a),
+m2 AS (SELECT count(*) AS m2 FROM nb),
+comm AS (SELECT id, id % 4 AS c FROM deg),
+intra AS (SELECT count(*) AS w
+          FROM nb JOIN comm x ON nb.a = x.id JOIN comm y ON nb.b = y.id
+          WHERE x.c = y.c),
+dsum AS (SELECT c, CAST(sum(d) AS BIGINT) AS dc FROM deg JOIN comm USING (id) GROUP BY c),
+parts AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sq FROM dsum)
+SELECT round(CAST(intra.w AS DOUBLE) / m2.m2
+             - CAST(parts.sq AS DOUBLE) / m2.m2 / m2.m2, 6) AS modularity
+FROM intra CROSS JOIN m2 CROSS JOIN parts
+"""
+
+
+@register("g_modularity_mod4", MODULARITY_ORACLE)
+def g_modularity_mod4(sess: SeccoSession):
+    """Newman modularity of a fixed partition (communities = id mod 4):
+    Q = (intra-edge fraction) - (expected fraction from degrees) over the
+    undirected neighbor multiset — the quality metric every community
+    detector optimizes, here as exact integer sums (intra count, degree
+    sums, 2m) with one rounded double at the very end. Two aggregations +
+    one broadcast-friendly membership join; the partition is a fixed rule
+    so both engines derive it identically."""
+    from seccosql_spark.graph.algorithms import _sym_neighbors
+
+    nb = _sym_neighbors(sess.spark.sql(EDGES_SPARK)).localCheckpoint(eager=True)
+    deg = nb.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    m2 = nb.count()
+    comm = deg.select("id", (F.col("id") % 4).alias("c"))
+    intra = (
+        nb.join(comm.withColumnsRenamed({"id": "a", "c": "ca"}), "a")
+        .join(comm.withColumnsRenamed({"id": "b", "c": "cb"}), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .count()
+    )
+    sq = (
+        deg.join(comm, "id")
+        .groupBy("c")
+        .agg(F.sum("d").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("sq"))
+        .collect()[0]["sq"]
+    )
+    out = sess.spark.range(1).select(
+        F.round(
+            F.lit(float(intra)) / F.lit(float(m2))
+            - F.lit(float(sq)) / F.lit(float(m2)) / F.lit(float(m2)),
+            6,
+        ).alias("modularity")
+    )
+    return sess.from_spark(out)

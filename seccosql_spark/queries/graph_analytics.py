@@ -483,3 +483,61 @@ def g_modularity_mod4(sess: SeccoSession):
         ).alias("modularity")
     )
     return sess.from_spark(out)
+
+
+ASSORT_ORACLE = f"""
+WITH e AS MATERIALIZED ({EDGES_ORACLE}),
+nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst AS a, src AS b FROM e
+  )
+),
+deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY a),
+p AS (SELECT da.d AS x, db.d AS y
+      FROM nb JOIN deg da ON nb.a = da.id JOIN deg db ON nb.b = db.id),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p)
+SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+FROM s
+"""
+
+
+@register("g_degree_assortativity", ASSORT_ORACLE)
+def g_degree_assortativity(sess: SeccoSession):
+    """Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    degrees over the symmetric edge set — do hubs link to hubs? Same
+    integer-power-sum discipline as stats_corr_by_source (n, Σx, Σy, Σxy,
+    Σx², Σy² are exact BIGINTs; one double expression at the end), so both
+    engines agree bit-for-bit. One degree aggregation + two broadcast
+    degree joins + one global aggregate."""
+    from seccosql_spark.graph.algorithms import _sym_neighbors
+
+    nb = _sym_neighbors(sess.spark.sql(EDGES_SPARK)).localCheckpoint(eager=True)
+    deg = nb.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    p = (
+        nb.join(deg.withColumnsRenamed({"id": "a", "d": "x"}), "a")
+        .join(deg.withColumnsRenamed({"id": "b", "d": "y"}), "b")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sess.from_spark(
+        s.select(
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                6,
+            ).alias("assortativity")
+        )
+    )

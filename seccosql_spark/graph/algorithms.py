@@ -893,3 +893,75 @@ def maximal_independent_set(
     raise RuntimeError(
         f"maximal_independent_set did not converge within max_rounds={max_rounds}"
     )
+
+
+def maximal_matching(
+    edges: DataFrame, max_rounds: int = 32, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(a, b, in_matching) — a maximal matching via the deterministic
+    local-min rule (the edge analog of hash-priority Luby): each round, an
+    undecided edge whose priority (md5 of its canonical endpoint string,
+    made total by an id suffix) is the strict minimum at BOTH endpoints
+    joins the matching, and all edges touching its endpoints drop out.
+    Expected O(log n) rounds; per round one vertex-keyed min aggregation +
+    one join over the shrinking edge set. Deterministic on any engine, so
+    an unrolled SQL oracle hash-matches."""
+    if max_rounds < 1:
+        raise ValueError(f"need max_rounds >= 1, got {max_rounds}")
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn(
+            "pr",
+            F.concat(
+                F.md5(F.concat(F.col("a").cast("string"), F.lit("|"), F.col("b").cast("string"))),
+                F.lit("|"),
+                F.lpad(F.col("a").cast("string"), 20, "0"),
+                F.lpad(F.col("b").cast("string"), 20, "0"),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = e0
+    matched = None
+    for _ in range(max_rounds):
+        vmin = (
+            und.select(F.col("a").alias("v"), "pr")
+            .unionByName(und.select(F.col("b").alias("v"), "pr"))
+            .groupBy("v")
+            .agg(F.min("pr").alias("mn"))
+        )
+        win = (
+            und.join(vmin.withColumnsRenamed({"v": "a", "mn": "ma"}), "a")
+            .join(vmin.withColumnsRenamed({"v": "b", "mn": "mb"}), "b")
+            .filter((F.col("pr") == F.col("ma")) & (F.col("pr") == F.col("mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matched = (
+            win if matched is None else matched.unionByName(win).localCheckpoint(eager=True)
+        )
+        mv = (
+            win.select(F.col("a").alias("v"))
+            .unionByName(win.select(F.col("b").alias("v")))
+            .distinct()
+        )
+        und = (
+            und.join(mv.withColumnsRenamed({"v": "a"}), "a", "left_anti")
+            .join(mv.withColumnsRenamed({"v": "b"}), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if und.isEmpty():
+            return e0.select("a", "b").join(
+                matched.withColumn("__m", F.lit(1)), ["a", "b"], "left"
+            ).select(
+                F.col("a").cast("long"), F.col("b").cast("long"),
+                F.col("__m").isNotNull().alias("in_matching"),
+            )
+    raise RuntimeError(
+        f"maximal_matching did not converge within max_rounds={max_rounds}"
+    )

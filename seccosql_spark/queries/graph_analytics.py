@@ -541,3 +541,49 @@ def g_degree_assortativity(sess: SeccoSession):
             ).alias("assortativity")
         )
     )
+
+
+def _matching_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({EDGES_ORACLE}),",
+        """e0 AS MATERIALIZED (
+  SELECT a, b,
+         md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) || '|'
+           || lpad(CAST(a AS VARCHAR), 20, '0') || lpad(CAST(b AS VARCHAR), 20, '0') AS pr
+  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst)
+),
+u0 AS (SELECT * FROM e0)""",
+    ]
+    for r in range(rounds):
+        parts.append(f""",
+vm{r} AS (SELECT v, min(pr) AS mn FROM (
+            SELECT a AS v, pr FROM u{r} UNION ALL SELECT b AS v, pr FROM u{r})
+          GROUP BY v),
+w{r} AS MATERIALIZED (
+  SELECT u.a, u.b FROM u{r} u
+  JOIN vm{r} va ON u.a = va.v AND u.pr = va.mn
+  JOIN vm{r} vb ON u.b = vb.v AND u.pr = vb.mn),
+mv{r} AS (SELECT a AS v FROM w{r} UNION SELECT b AS v FROM w{r}),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.* FROM u{r} u
+  WHERE u.a NOT IN (SELECT v FROM mv{r}) AND u.b NOT IN (SELECT v FROM mv{r}))""")
+    wins = " UNION ALL ".join(f"SELECT a, b FROM w{r}" for r in range(rounds))
+    parts.append(f""",
+mm AS ({wins})
+SELECT e0.a, e0.b, (mm.a IS NOT NULL) AS in_matching
+FROM e0 LEFT JOIN (SELECT DISTINCT a, b FROM mm) mm ON e0.a = mm.a AND e0.b = mm.b""")
+    return "".join(parts)
+
+
+@register("g_maximal_matching", _matching_oracle(8))
+def g_maximal_matching(sess: SeccoSession):
+    """Deterministic maximal matching (local-min edge priorities — the edge
+    analog of the hash-priority MIS): per round, edges that are the strict
+    priority minimum at both endpoints join the matching and knock out
+    their endpoints' other edges (`graph/algorithms.maximal_matching`).
+    Used in practice to pair near-duplicate documents one-to-one. The
+    oracle unrolls 8 rounds, each level materialized."""
+    from seccosql_spark.graph.algorithms import maximal_matching
+
+    return sess.from_spark(maximal_matching(sess.spark.sql(EDGES_SPARK)))

@@ -81,25 +81,31 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
 # fresh; oldest round first within a tier. The r08 window below is that
-# output verbatim: the 15 never-verified round-8 rows (Gopher filter,
+# output verbatim: the 22 never-verified round-8 rows (Gopher filter,
 # shuffled + greedy sequence packing, inverted index, SemDeDup,
 # multi-signal fusion, HITS, mixed binaryFile, streaming incremental
 # dedup, PQ codes, personalized PageRank, correlation, rolling spikes,
-# unigram LM, splits), then the 29-row r03 overdue tier (TPC-H rest,
-# window family, recursion rows — 5 rounds behind, now drained), then 6
-# hot rows. 106 rows were stale at generation time (a 15-query round
-# taints widely at file granularity); the ~56 that miss this 50-slot
-# window are all r04+ hot rows that the full-registry pytest differential
-# re-proves every session (this round: 184-green at sf0.01 and 387-green
-# at sf0.001), and the overdue-beats-hot policy guarantees them r09/r10
-# slots.
+# unigram LM, splits, exact PPJoin, edit-distance verify, PMI, MIS,
+# maximal matching, modularity, assortativity), then the r03 overdue
+# tier (TPC-H rest, window family, recursion rows — 5 rounds behind),
+# then hot rows. A 22-query round taints widely at file granularity;
+# the stale rows that miss this 50-slot window are all r04+ hot rows
+# that the full-registry pytest differential re-proves every session
+# (this round: every row green at sf0.001 AND sf0.01), and
+# overdue-beats-hot guarantees them r09/r10 slots.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_pq_codes",
     "curation_multisignal",
+    "dedup_edit_distance_verify",
+    "dedup_ppjoin_exact",
     "dedup_semantic_semdedup",
     "events_rolling_spikes",
+    "g_degree_assortativity",
     "g_hits_2rounds",
+    "g_maximal_independent_set",
+    "g_maximal_matching",
+    "g_modularity_mod4",
     "g_personalized_pagerank",
     "inverted_index_postings",
     "multimodal_binaryfile_mixed",
@@ -108,6 +114,7 @@ _PRIORITY_WINDOW = [
     "split_train_val_test",
     "stats_corr_by_source",
     "stream_incremental_dedup",
+    "text_cooccurrence_pmi",
     "text_gopher_filter",
     "text_unigram_logprob",
     "pack_token_shards",
@@ -138,13 +145,6 @@ _PRIORITY_WINDOW = [
     "window_ntile_quartiles",
     "window_rank_family",
     "with_recursive_path_counts",
-    "with_recursive_reach",
-    "stream_session_windows",
-    "text_fingerprint",
-    "text_lang_guess",
-    "text_quality_score",
-    "text_token_stats",
-    "foreach_batch_upsert",
 ]
 
 

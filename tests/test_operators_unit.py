@@ -1229,3 +1229,37 @@ def test_pack_sequences_greedy_boundaries(spark):
         0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (0, 2), 4: (0, 3),
         64: (1, 0), 65: (1, 1),
     }
+
+
+def test_new_operator_argument_guards(spark):
+    """Error paths of the round-8 operators: loud rejection beats silent
+    nonsense at 100 TB."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import (
+        hits,
+        maximal_independent_set,
+        maximal_matching,
+        personalized_pagerank,
+    )
+    from seccosql_spark.operators.dedup import ppjoin_pairs
+    from seccosql_spark.operators.packing import pack_sequences_greedy
+    from seccosql_spark.operators.similarity import pq_codes
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    edges = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+    emb = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="0 < t <= 1"):
+        ppjoin_pairs(docs, threshold_num=3, threshold_den=2)
+    with pytest.raises(ValueError, match="capacity/part_size"):
+        pack_sequences_greedy(docs.selectExpr("doc_id", "2 AS n_tokens"), capacity=0)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codes(emb, m=2)
+    with pytest.raises(ValueError, match="rounds >= 1"):
+        hits(edges, rounds=0)
+    with pytest.raises(ValueError, match="non-empty source set"):
+        personalized_pagerank(edges, [])
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        maximal_independent_set(edges, max_rounds=0)
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        maximal_matching(edges, max_rounds=0)

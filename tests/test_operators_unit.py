@@ -1263,3 +1263,76 @@ def test_new_operator_argument_guards(spark):
         maximal_independent_set(edges, max_rounds=0)
     with pytest.raises(ValueError, match="max_rounds >= 1"):
         maximal_matching(edges, max_rounds=0)
+
+
+def _rand_edges(seed: int, n_nodes: int, n_edges: int):
+    """Deterministic pseudo-random edge list (no RNG state dependence)."""
+    import hashlib
+
+    out = set()
+    i = 0
+    while len(out) < n_edges:
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % n_nodes, int(h[8:16], 16) % n_nodes
+        i += 1
+        if a != b:
+            out.add((min(a, b), max(a, b)))
+    return sorted(out)
+
+
+def _py_ktruss(edges, k):
+    """Reference peel: recompute all supports each round (the pre-round-8
+    algorithm, trivially correct on small graphs)."""
+    es = set(edges)
+    while True:
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in es}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return {e: s for e, s in sup.items()}
+        es -= drop
+
+
+def test_ktruss_incremental_matches_reference_on_random_graphs(spark):
+    """Differential: the incremental support-maintenance peel must equal the
+    full-recount reference on deterministic random graphs across seeds and
+    k — the strongest guard against decrement-bookkeeping bugs (double
+    decrements when a triangle loses 2 edges at once, missed 0-support
+    edges, etc.)."""
+    from seccosql_spark.graph.algorithms import ktruss
+
+    for seed, k in [(1, 3), (2, 4), (3, 5)]:
+        edges = _rand_edges(seed, 24, 80)
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        got = {(r["a"], r["b"]): r["support"] for r in ktruss(df, k).collect()}
+        assert got == _py_ktruss(edges, k), (seed, k)
+
+
+def test_mis_and_matching_structural_properties(spark):
+    """The fixed oracles pin exact outputs; these pin the STRUCTURE on
+    random graphs: the MIS is independent and maximal, the matching is a
+    matching and maximal."""
+    from seccosql_spark.graph.algorithms import maximal_independent_set, maximal_matching
+
+    for seed in (11, 12):
+        edges = _rand_edges(seed, 30, 90)
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+
+        mis = {r["id"] for r in maximal_independent_set(df).collect() if r["in_mis"]}
+        assert all(not (mis & nbr[v]) for v in mis)  # independent
+        # maximal: every non-member has a member neighbor
+        assert all(mis & nbr[v] for v in nbr if v not in mis)
+
+        m = [(r["a"], r["b"]) for r in maximal_matching(df).collect() if r["in_matching"]]
+        touched = [v for e in m for v in e]
+        assert len(touched) == len(set(touched))  # vertex-disjoint
+        matched = set(touched)
+        # maximal: no remaining edge with both endpoints unmatched
+        assert all(a in matched or b in matched for a, b in edges)

@@ -357,3 +357,42 @@ def test_foreach_batch_upsert_out_of_order_batches(spark):
         assert got[0]["event_id"] == 10 and got[0]["value"] == 99.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_resume_processes_only_new_files(sess, tmp_path):
+    """Exactly-once file-source semantics across restarts: drain a
+    directory with availableNow, append a new file, re-create the SAME
+    stream against the SAME checkpoint — the second drain must process
+    ONLY the new file (no double-counting of the old one). This is the
+    recovery contract every foreachBatch sink in this repo leans on."""
+    from pyspark.sql import functions as F
+
+    spark = sess.spark
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).select(F.col("id")).coalesce(1).write.parquet(str(src / "f0"))
+
+    seen: list[int] = []
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("id BIGINT")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _bid: seen.extend(r["id"] for r in batch.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(seen) == list(range(10))
+    spark.range(10, 15).select(F.col("id")).coalesce(1).write.parquet(str(src / "f1"))
+    drain()
+    assert sorted(seen) == list(range(15))  # f0 NOT reprocessed

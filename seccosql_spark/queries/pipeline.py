@@ -1344,11 +1344,9 @@ def ann_pq_codes(sess: SeccoSession):
     return sess.from_spark(pq_codes(sess.spark.table("embeddings"), m=4, k=4, iters=2))
 
 
-PPJOIN_ORACLE = """
-WITH w AS (
-  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
-  FROM documents
-),
+PPJOIN_ORACLE = f"""
+WITH sh AS ({SHINGLES_SQL}),
+w AS (SELECT id AS doc_id, list(DISTINCT w) AS ws FROM sh GROUP BY id),
 p AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2,
          len(list_intersect(a.ws, b.ws)) AS i,
@@ -1356,27 +1354,29 @@ p AS (
   FROM w a JOIN w b ON a.doc_id < b.doc_id
 )
 SELECT id1, id2, round(CAST(i AS DOUBLE) / (s - i), 6) AS jaccard
-FROM p WHERE 10 * i >= 9 * (s - i)
+FROM p WHERE 2 * i >= 1 * (s - i)
 """
 
 
 @register("dedup_ppjoin_exact", PPJOIN_ORACLE)
 def dedup_ppjoin_exact(sess: SeccoSession):
     """EXACT set-similarity self-join (PPJoin prefix-filtering family, Xiao
-    et al. 2008): every pair with distinct-word Jaccard >= 0.9, no
-    approximation — the complement to MinHash-LSH. The prefix theorem
-    prunes candidates to pairs sharing one of each document's RAREST
-    tokens; verification is integer cross-multiplied. The oracle is the
-    brutally exhaustive all-pairs Jaccard, so this row also PROVES the
-    prefix filter loses nothing (`operators/dedup.ppjoin_pairs`). On this
-    31-word synthetic vocabulary the prefix buckets are necessarily large
-    (same caveat as dedup_minhash_words); on a real corpus the rarest-token
-    prefixes are sparse and the candidate set collapses — that is the
-    algorithm's entire point."""
+    et al. 2008): every pair with 3-shingle Jaccard >= 0.5, no
+    approximation — the exact twin of dedup_minhash_lsh (same features,
+    same threshold; the LSH row's output is necessarily a subset of this
+    one). The prefix theorem prunes candidates to pairs sharing one of
+    each document's RAREST shingles; verification is integer
+    cross-multiplied. The oracle is the brutally exhaustive all-pairs
+    Jaccard, so this row also PROVES the prefix filter loses nothing
+    (`operators/dedup.ppjoin_pairs`). Features are shingles, not raw
+    words, deliberately: on this 31-word vocabulary raw word sets are
+    near-identical and the TRUE result is quadratic (~1M pairs at sf0.1,
+    measured) — shingles keep the answer, and therefore the join,
+    output-bounded."""
     from seccosql_spark.operators.dedup import ppjoin_pairs
 
     return sess.from_spark(
-        ppjoin_pairs(sess.spark.table("documents"), threshold_num=9, threshold_den=10)
+        ppjoin_pairs(sess.spark.table("documents"), threshold_num=1, threshold_den=2)
     )
 
 

@@ -1198,7 +1198,9 @@ def test_ppjoin_matches_bruteforce(spark):
     df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
     got = {
         (r["id1"], r["id2"]): r["jaccard"]
-        for r in ppjoin_pairs(df, threshold_num=9, threshold_den=10).collect()
+        for r in ppjoin_pairs(
+            df, threshold_num=9, threshold_den=10, shingle_n=None
+        ).collect()
     }
     sets = {i: set(t.split()) for i, t in docs}
     want = {}

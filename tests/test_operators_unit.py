@@ -1338,3 +1338,25 @@ def test_mis_and_matching_structural_properties(spark):
         matched = set(touched)
         # maximal: no remaining edge with both endpoints unmatched
         assert all(a in matched or b in matched for a, b in edges)
+
+
+def test_minhash_lsh_is_subset_of_exact_ppjoin(spark):
+    """Cross-algorithm consistency on the real corpus: MinHash-LSH at
+    (t=0.5, 3-shingles) can only MISS true pairs (banding), never invent
+    them — its verified output must be a subset of the exact PPJoin result
+    with identical jaccard values on the shared pairs."""
+    from seccosql_spark.operators.dedup import minhash_near_dups, ppjoin_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ppjoin_pairs(docs, threshold_num=1, threshold_den=2).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_near_dups(docs, threshold=0.5, shingle_n=3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    # ppjoin emits round(j, 6); the raw operator emits the unrounded ratio
+    assert all(exact[p] == round(j, 6) for p, j in lsh.items())
+    assert len(exact) > 0  # non-vacuous

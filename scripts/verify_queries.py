@@ -1,0 +1,88 @@
+"""Side-by-side verify named registry queries against their DuckDB oracles
+at a given sf dir — a fast, targeted replica of the driver's CORRECTNESS
+check for use while developing a new query (the full pytest differential
+covers the whole registry).
+
+    python scripts/verify_queries.py text_bm25_topk corpus_source_overlap \
+        [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from seccosql_spark.registry import REGISTRY, session_for
+from seccosql_spark.session import TESTDATA_TABLES
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    sess = session_for(spark, args.sf)
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
+
+    sys.path.insert(0, "tests")
+    from conftest import _canon  # reuse the driver-equivalent canonicalizer
+
+    failed = []
+    for name in args.names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        out = spec.build(sess)
+        df = out.df if hasattr(out, "df") else out
+        spdf = df.toPandas()
+        ddf = con.sql(spec.oracle).df()
+        cols_s, cols_d = sorted(spdf.columns), sorted(ddf.columns)
+        status = []
+        if cols_s != cols_d:
+            status.append(f"COLS {cols_s} vs {cols_d}")
+        else:
+            s_rows = sorted(
+                [tuple(_canon(v) for v in r) for r in spdf[cols_s].itertuples(index=False)],
+                key=repr,
+            )
+            d_rows = sorted(
+                [tuple(_canon(v) for v in r) for r in ddf[cols_s].itertuples(index=False)],
+                key=repr,
+            )
+            if len(s_rows) != len(d_rows):
+                status.append(f"ROWS {len(s_rows)} vs {len(d_rows)}")
+            else:
+                bad = [
+                    (a, b) for a, b in zip(s_rows, d_rows) if repr(a) != repr(b)
+                ]
+                if bad:
+                    status.append(f"VALUES {len(bad)} mismatches; first: {bad[:2]}")
+        ok = not status
+        if not ok:
+            failed.append(name)
+        print(
+            f"{'PASS' if ok else 'FAIL'} {name} rows={len(spdf)} "
+            f"{time.time() - t0:.1f}s {'; '.join(status)}",
+            flush=True,
+        )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -522,3 +522,270 @@ def text_cooccurrence_pmi(sess: SeccoSession):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+# — the MOSS algorithm). k-gram hashes, then the minimum hash of every
+# w-gram guarantee window; any shared substring of length >= k + w - 1
+# tokens is guaranteed to share a fingerprint, which is the property MOSS
+# uses for plagiarism/near-dup detection at corpus scale.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # grams per guarantee window
+
+
+def _h32_of(expr: str) -> str:
+    """DuckDB SQL: first 8 hex chars of an md5-hex expression as a 32-bit
+    integer (digit arithmetic — DuckDB has no conv())."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+g AS (SELECT doc_id, i.range - 1 AS p, len(t) - {WINNOW_K - 1} AS n,
+             md5(array_to_string(t[i.range:i.range + {WINNOW_K - 1}], ' ')) AS gh
+      FROM toks, range(1, 512) i WHERE i.range <= len(t) - {WINNOW_K - 1}),
+h AS (SELECT doc_id, p, n, CAST({_h32_of('gh')} AS BIGINT) AS h32 FROM g),
+wm AS (SELECT doc_id, p, n,
+              min(h32) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+       FROM h)
+SELECT DISTINCT doc_id, fp
+FROM wm WHERE p + {WINNOW_W} <= n OR (p = 0 AND n < {WINNOW_W})
+"""
+
+
+@register("text_winnowing_fingerprint", WINNOW_ORACLE)
+def text_winnowing_fingerprint(sess: SeccoSession):
+    """Robust winnowing fingerprints (Schleimer et al. 2003): hash every
+    4-token gram, keep the minimum hash of each 5-gram window — the
+    distinct (doc_id, fp) set is the document's MOSS-style signature with
+    the guarantee that any 8-token shared substring produces a shared
+    fingerprint. Map-side gram hashing (one md5 per gram), ONE shuffle on
+    doc_id for the window min, distinct piggybacks on the same
+    partitioning. Window starts that would run past the gram list are
+    excluded (frame truncation differs from true winnowing there); a doc
+    shorter than one full window keeps its single truncated window."""
+    k, w = WINNOW_K, WINNOW_W
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    grams = (
+        sess.spark.table("documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            (F.size("t") - F.lit(k - 1)).alias("n"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, k))),
+                )
+            ).alias("p", "gh"),
+        )
+        .select(
+            "doc_id", "n", "p",
+            F.conv(F.substring("gh", 1, 8), 16, 10).cast("long").alias("h32"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    return sess.from_spark(
+        grams.select("doc_id", "n", "p", F.min("h32").over(win).alias("fp"))
+        .filter((F.col("p") + w <= F.col("n")) | ((F.col("p") == 0) & (F.col("n") < w)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level overlap: exact shingle-set Jaccard between sources — the
+# dataset-vs-dataset contamination / redundancy audit run before mixing
+# corpora into a training blend.
+# ---------------------------------------------------------------------------
+
+SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents),
+s AS (SELECT DISTINCT source, md5(array_to_string(t[i.range:i.range + 4], ' ')) AS sh
+      FROM toks, range(1, 512) i WHERE i.range <= len(t) - 4),
+sz AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS i
+          FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT s1, s2, CAST(i AS BIGINT) AS n_shared,
+       round(i / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source
+"""
+
+
+@register("corpus_source_overlap", SOURCE_OVERLAP_ORACLE)
+def corpus_source_overlap(sess: SeccoSession):
+    """Pairwise exact 5-gram-shingle Jaccard between sources: the
+    corpus-mixing audit that finds which feeds duplicate each other before
+    they are blended into training data. The shingle sets are deduplicated
+    per source FIRST (one aggregation), so the pair join fans out per
+    shared shingle over #sources, never over documents; source count is
+    small by construction, so the pair space is bounded. Integer
+    intersection/union, one rounded division at the end."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    s = (
+        sess.spark.table("documents")
+        .select("source", toks.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(4)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 5))),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sz = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        s.select(F.col("source").alias("s1"), "sh")
+        .join(s.select(F.col("source").alias("s2"), "sh"), "sh")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return sess.from_spark(
+        inter.join(F.broadcast(sz.withColumnsRenamed({"source": "s1", "n": "n1"})), "s1")
+        .join(F.broadcast(sz.withColumnsRenamed({"source": "s2", "n": "n2"})), "s2")
+        .select(
+            "s1", "s2",
+            F.col("i").cast("long").alias("n_shared"),
+            F.round(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson & Zaragoza 2009, the Lucene-default scoring
+# function) for a fixed query — the retrieval primitive behind RAG corpus
+# construction and search-quality audits.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "hash", "scan")
+BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
+
+# k1 = 1.2, b = 0.75 -> k1+1 = 2.2, k1*(1-b) = 0.3, k1*b = 0.9. The idf ln
+# is rounded to 9 decimals (engine libm ulp discipline, same as
+# text_unigram_logprob), each per-term score is rounded to DECIMAL(18,9)
+# BEFORE the per-doc sum so partial-aggregation order can never flip bits.
+BM25_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+q AS (SELECT * FROM (VALUES {_BM25_TERMS_SQL}) t(term)),
+dl AS (SELECT id, count(*) AS dl FROM words GROUP BY id),
+stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+df AS (SELECT w AS term, count(DISTINCT id) AS df FROM words JOIN q ON w = term GROUP BY w),
+tf AS (SELECT id, w AS term, count(*) AS tf FROM words JOIN q ON w = term GROUP BY id, w),
+scored AS (
+  SELECT tf.id,
+         CAST(round(round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)), 9)
+                    * tf.tf * 2.2
+                    / (tf.tf + 0.3 + 0.9 * dl.dl * stats.n / stats.tot), 9)
+              AS DECIMAL(18,9)) AS s
+  FROM tf JOIN df USING (term) JOIN dl ON tf.id = dl.id CROSS JOIN stats
+)
+SELECT id AS doc_id, CAST(sum(s) AS DOUBLE) AS bm25
+FROM scored GROUP BY id
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+@register("text_bm25_topk", BM25_ORACLE)
+def text_bm25_topk(sess: SeccoSession):
+    """BM25 top-{k} for the fixed query {terms}: idf(t) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75 and the +1 idf variant
+    Lucene uses. Corpus stats (N, total length) are one tiny aggregate
+    broadcast everywhere; tf is computed only for query terms (the term
+    filter is pushed into the scan side of the explode), so the scored
+    relation is |q| rows per matching doc, never a full posting table.
+    Exact-decimal per-doc sum; ties broken by doc_id for a deterministic
+    top-k set."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    words = sess.spark.table("documents").select(
+        F.col("doc_id").alias("id"), F.explode(toks).alias("w")
+    )
+    dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot"))
+    qterms = F.col("w").isin(*BM25_TERMS)
+    df_ = words.filter(qterms).groupBy(F.col("w").alias("term")).agg(
+        F.count_distinct("id").alias("df")
+    )
+    tf = words.filter(qterms).groupBy("id", F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    idf = F.round(F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 9)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                idf * F.col("tf") * 2.2
+                / (F.col("tf") + 0.3 + 0.9 * F.col("dl") * F.col("n") / F.col("tot")),
+                9,
+            ).cast("decimal(18,9)").alias("s"),
+        )
+    )
+    return sess.from_spark(
+        scored.groupBy(F.col("id").alias("doc_id"))
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile-band length filter: drop each source's shortest 5% and longest
+# 5% of documents — the rank-based outlier trim curation pipelines apply
+# before quality scoring (extreme-length docs are boilerplate or
+# concatenation artifacts).
+# ---------------------------------------------------------------------------
+
+LENGTH_BAND_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM r WHERE 20 * rn > cnt AND 20 * rn <= 19 * cnt
+"""
+
+
+@register("text_length_percentile_band", LENGTH_BAND_ORACLE)
+def text_length_percentile_band(sess: SeccoSession):
+    """Keep documents strictly inside their source's (P5, P95] length band
+    by rank: a doc survives iff 20*rank > count and 20*rank <= 19*count —
+    pure integer cross-multiplication, no percentile interpolation
+    formula to keep in sync across engines. One shuffle on source (both
+    window functions share it); rank ties broken by doc_id so the kept
+    SET is deterministic."""
+    win = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cw = Window.partitionBy("source")
+    r = sess.spark.table("documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    return sess.from_spark(
+        r.filter((20 * F.col("rn") > F.col("cnt")) & (20 * F.col("rn") <= 19 * F.col("cnt")))
+        .select("doc_id", "source", "n_chars")
+    )

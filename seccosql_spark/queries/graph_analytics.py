@@ -587,3 +587,134 @@ def g_maximal_matching(sess: SeccoSession):
     from seccosql_spark.graph.algorithms import maximal_matching
 
     return sess.from_spark(maximal_matching(sess.spark.sql(EDGES_SPARK)))
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction: common-neighbor overlap normalized by the
+# neighborhood union, over NON-adjacent pairs only (the actual prediction
+# target — adjacent pairs are already links).
+# ---------------------------------------------------------------------------
+
+JACCARD_LP_ORACLE = f"""
+WITH e AS MATERIALIZED ({EDGES_SPARSE}),
+{_NB},
+deg AS (SELECT a, count(*) AS d FROM nb GROUP BY a),
+cn AS (SELECT n1.a AS u, n2.a AS v, count(*) AS common
+       FROM nb n1 JOIN nb n2 ON n1.b = n2.b AND n1.a < n2.a
+       GROUP BY n1.a, n2.a),
+nonadj AS (SELECT cn.u, cn.v, cn.common
+           FROM cn LEFT JOIN nb ON cn.u = nb.a AND cn.v = nb.b
+           WHERE nb.a IS NULL)
+SELECT u, v, CAST(common AS BIGINT) AS common,
+       round(common / (du.d + dv.d - common), 6) AS jaccard
+FROM nonadj JOIN deg du ON u = du.a JOIN deg dv ON v = dv.a
+ORDER BY jaccard DESC, u, v LIMIT 20
+"""
+
+
+@register("g_jaccard_linkpred", JACCARD_LP_ORACLE)
+def g_jaccard_linkpred(sess: SeccoSession):
+    """Top-20 predicted links by neighborhood Jaccard |N(u)∩N(v)| /
+    |N(u)∪N(v)| over non-adjacent pairs (Liben-Nowell & Kleinberg 2003).
+    Candidate pairs come from the shared-neighbor join (bounded by wedge
+    count, never all-pairs), adjacency is removed with a LEFT ANTI join on
+    the symmetric edge set, degrees broadcast back. Integer counts; the
+    single rounded division happens after the join, and the (jaccard, u, v)
+    total order keeps the LIMIT set exact."""
+    edges = sess.spark.sql(EDGES_SPARSE)
+    nb = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = nb.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        nb.select(F.col("a").alias("u"), "b")
+        .join(nb.select(F.col("a").alias("v"), "b"), "b")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonadj = cn.join(
+        nb.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return sess.from_spark(
+        nonadj.join(F.broadcast(deg.withColumnsRenamed({"a": "u", "d": "du"})), "u")
+        .join(F.broadcast(deg.withColumnsRenamed({"a": "v", "d": "dv"})), "v")
+        .select(
+            "u", "v",
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common") / (F.col("du") + F.col("dv") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite co-visitation projection: users x (event_type, day) incidence
+# from the events log, projected onto item-item co-occurrence counts — the
+# "users who did X also did Y" graph behind recommendation candidates and
+# behavioral-cohort analysis.
+# ---------------------------------------------------------------------------
+
+COVISIT_USER_CAP = 128  # drop hyperactive users before the per-user pair fanout
+
+# Support threshold is RELATIVE (>= 10% of capped users) so the query keeps
+# the same meaning at every scale factor: 10 * pair_support >= |users|.
+COVISIT_ORACLE = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         event_type || '@' || strftime(ts, '%Y-%m-%d') AS item
+  FROM events
+),
+uok AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= {COVISIT_USER_CAP}),
+tot AS (SELECT count(*) AS nu FROM uok),
+p AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS n_users
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  JOIN uok ON a.u = uok.u
+  GROUP BY a.item, b.item
+)
+SELECT i1, i2, CAST(n_users AS BIGINT) AS n_users
+FROM p CROSS JOIN tot WHERE 10 * n_users >= tot.nu
+"""
+
+
+@register("g_bipartite_covisit", COVISIT_ORACLE)
+def g_bipartite_covisit(sess: SeccoSession):
+    """Bipartite projection of the user->(event_type, day) incidence onto
+    item pairs co-visited by >= 10% of (capped) users. The projection's
+    classic scale hazard is the per-user quadratic fanout, so users above
+    a {cap}-item cap are dropped FIRST (the standard power-user guard —
+    deterministic, and at 100 TB it bounds the self-join to cap^2 rows per
+    user); the remaining pair space is items^2, independent of event
+    volume. All-integer output."""
+    ui = (
+        sess.spark.table("events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.concat_ws("@", "event_type", F.date_format("ts", "yyyy-MM-dd")).alias("item"),
+        )
+        .distinct()
+    )
+    uok = ui.groupBy("u").agg(F.count(F.lit(1)).alias("ni")).filter(
+        F.col("ni") <= COVISIT_USER_CAP
+    ).select("u")
+    pruned = ui.join(F.broadcast(uok), "u")
+    tot = uok.agg(F.count(F.lit(1)).alias("nu"))
+    pairs = (
+        pruned.select("u", F.col("item").alias("i1"))
+        .join(pruned.select("u", F.col("item").alias("i2")), "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .filter(10 * F.col("n_users") >= F.col("nu"))
+        .select("i1", "i2", F.col("n_users").cast("long").alias("n_users"))
+    )
+    return sess.from_spark(pairs)

@@ -209,3 +209,53 @@ def events_rolling_spikes(sess: SeccoSession):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by their first-activity week, then
+# counted in each later week they return — the standard growth-analytics
+# triangle. Weeks are epoch-week indices (epoch_us div 604800e6), pure
+# integer arithmetic identical across engines (no calendar-week-start
+# convention to keep in sync).
+# ---------------------------------------------------------------------------
+
+US_PER_WEEK = 7 * 24 * US_PER_HOUR
+
+RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {US_PER_WEEK} AS wk
+  FROM events
+),
+cohort AS (SELECT u, min(wk) AS c FROM uw GROUP BY u)
+SELECT CAST(cohort.c AS BIGINT) AS cohort_week,
+       CAST(uw.wk - cohort.c AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort ON uw.u = cohort.u
+GROUP BY cohort.c, uw.wk - cohort.c
+"""
+
+
+@register("events_weekly_retention", RETENTION_ORACLE)
+def events_weekly_retention(sess: SeccoSession):
+    """Cohort retention triangle: (cohort_week, week_offset) -> distinct
+    returning users, cohort = the user's first active epoch-week. One
+    shuffle on user_id serves both the distinct user-weeks and the min
+    (first-week) aggregation; the cohort join is user-keyed on the same
+    partitioning. Counts and week indices are BIGINT end to end."""
+    ev = sess.spark.table("events")
+    uw = (
+        ev.select(F.col("user_id").alias("u"), epoch_us(ev, "ts").alias("eus"))
+        # integer `div`, not a double `/`+cast: a float quotient that rounds
+        # up to the next integer would silently shift the week bucket
+        .select("u", F.expr(f"eus div {US_PER_WEEK}").alias("wk"))
+        .distinct()
+    )
+    cohort = uw.groupBy("u").agg(F.min("wk").alias("c"))
+    return sess.from_spark(
+        uw.join(cohort, "u")
+        .groupBy(
+            F.col("c").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("c")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

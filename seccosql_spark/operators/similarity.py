@@ -555,3 +555,75 @@ def pq_codes(
             for j in range(m)
         ],
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topn: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codes (Jégou
+    et al. 2011 §IV): the query vector stays UNquantized; each corpus
+    vector's approximate distance is the sum over subspaces of
+    ||q_j - codeword(code_j)||², a table lookup per subspace. The probe is
+    the corpus vector with the smallest id (deterministic, oracle-expressible).
+
+    Scale shape: training is m small k-means runs; the m distance tables
+    (k entries each) are computed DRIVER-side from k×dim floats and ride
+    the plan as literal arrays, so scoring the corpus is ONE map-only
+    projection (code lookup + 4 additions per row, inside codegen) and the
+    top-n is TakeOrdered — no shuffle, no join, corpus streamed once. This
+    is exactly how a billion-vector IVFADC scan prices candidates.
+
+    Determinism: the per-subspace table entries are left-folded in array
+    order like sq_dist (DuckDB list_sum twin), rounded to 9 decimals
+    IN-ENGINE (Spark HALF_UP == DuckDB half-away for positive distances;
+    Python's bankers-round never touches the values), and the 4-term total
+    is an explicit fixed-order addition."""
+    first = emb.select(F.size(_as_double(F.col(vec_col))).alias("n")).head()
+    if first is None:
+        raise ValueError("pq_adc_topk: empty input")
+    dim = first["n"]
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    s = dim // m
+    probe = (
+        emb.orderBy(F.col(id_col))
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .head()
+    )
+    q = list(probe["v"])
+    vec = _as_double(F.col(vec_col))
+    code_cols, dist_cols = [], []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"), F.slice(vec, j * s + 1, s).alias("v")
+        )
+        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
+        book = sorted((r["cid"], list(r["c"])) for r in cent.collect())
+        qj = q[j * s : (j + 1) * s]
+        table = {}  # keyed by cid — a dropped-out cluster would desync a positional array
+        for cid, c in book:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc += (a - b) * (a - b)
+            table[cid] = acc
+        code = _nearest_cid(F.slice(vec, j * s + 1, s), book).cast("int")
+        lookup = F.create_map(
+            *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
+        )
+        code_cols.append(code.alias(f"c{j}"))
+        dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
+    scored = emb.select(F.col(id_col), *code_cols, *dist_cols)
+    total = F.col("d0")
+    for j in range(1, m):
+        total = total + F.col(f"d{j}")
+    return (
+        scored.select(id_col, *[f"c{j}" for j in range(m)], total.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topn)
+    )

@@ -1295,9 +1295,11 @@ def embedding_quantize_int8(sess: SeccoSession):
     )
 
 
-def _pq_oracle(m: int = 4, s: int = 16, k: int = 4) -> str:
-    """Per-subspace replay of the deterministic k-means chain (the
-    KMEANS_ORACLE recipe applied to each 1-based slice), joined on vec_id."""
+def _pq_parts(m: int = 4, s: int = 16, k: int = 4) -> tuple[list, str, str]:
+    """Shared CTE parts for the PQ oracles: per-subspace deterministic
+    k-means replay (the KMEANS_ORACLE recipe applied to each 1-based
+    slice). Returns (with_parts, code_joins, code_cols) — `c{j}x` CTEs hold
+    the trained codebooks, `f{j}x` the per-vector code assignments."""
     parts = []
     for j in range(m):
         lo, hi = j * s + 1, (j + 1) * s
@@ -1326,7 +1328,41 @@ f{j}x AS (SELECT vec_id, CAST(cid AS INT) AS c{j} FROM b{j}x
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
     joins = " ".join(f"JOIN f{j}x USING (vec_id)" for j in range(1, m))
     cols = ", ".join(f"c{j}" for j in range(m))
+    return parts, joins, cols
+
+
+def _pq_oracle(m: int = 4, s: int = 16, k: int = 4) -> str:
+    parts, joins, cols = _pq_parts(m, s, k)
     return "WITH " + ",".join(parts) + f"\nSELECT vec_id, {cols} FROM f0x {joins}"
+
+
+def _pq_adc_oracle(m: int = 4, s: int = 16, k: int = 4, topn: int = 20) -> str:
+    """ADC replay on top of the shared PQ parts: the min-id probe vector,
+    one k-row distance table per subspace (rounded 9, list_sum left-fold =
+    sq_dist), joined to the codes by cid; the total is the same
+    fixed-order 4-term addition the Spark side emits."""
+    parts, joins, cols = _pq_parts(m, s, k)
+    adc = [
+        """
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))"""
+    ]
+    for j in range(m):
+        adc.append(f"""
+d{j}t AS (SELECT cid, round(list_sum(list_transform(range(1, {s} + 1),
+                 i -> (qv.v[{j * s} + i] - c.c[i]) * (qv.v[{j * s} + i] - c.c[i]))), 9) AS d
+          FROM c{j}x c CROSS JOIN qv)""")
+    code_joins = " ".join(f"JOIN d{j}t ON codes.c{j} = d{j}t.cid" for j in range(m))
+    total = " + ".join(f"d{j}t.d" for j in range(m))
+    sel_codes = ", ".join(f"codes.c{j}" for j in range(m))
+    return (
+        "WITH " + ",".join(parts) + "," + ",".join(adc)
+        + f""",
+codes AS (SELECT vec_id, {cols} FROM f0x {joins})
+SELECT codes.vec_id, {sel_codes}, {total} AS adc_dist
+FROM codes {code_joins}
+ORDER BY adc_dist, codes.vec_id LIMIT {topn}"""
+    )
 
 
 @register("ann_pq_codes", _pq_oracle())
@@ -1342,6 +1378,22 @@ def ann_pq_codes(sess: SeccoSession):
     from seccosql_spark.operators.similarity import pq_codes
 
     return sess.from_spark(pq_codes(sess.spark.table("embeddings"), m=4, k=4, iters=2))
+
+
+@register("ann_pq_adc_topk", _pq_adc_oracle())
+def ann_pq_adc_topk(sess: SeccoSession):
+    """IVFADC-style scoring pass (Jégou et al. 2011 §IV): the min-id vector
+    probes the PQ-coded corpus via per-subspace distance-table lookups —
+    the approximate distances a billion-vector index prices candidates
+    with before exact reranking. Tables are driver-computed literals
+    (k entries each); scoring is ONE map-only projection and the top-20 a
+    TakeOrdered. The oracle replays training, coding, the probe's four
+    distance tables, and the fixed-order total."""
+    from seccosql_spark.operators.similarity import pq_adc_topk
+
+    return sess.from_spark(
+        pq_adc_topk(sess.spark.table("embeddings"), m=4, k=4, iters=2, topn=20)
+    )
 
 
 PPJOIN_ORACLE = f"""

@@ -279,3 +279,57 @@ def sample_weighted_quality(sess: SeccoSession):
 
     q = quality_score(sess.spark.table("documents")).select("doc_id", "quality")
     return sess.from_spark(weighted_sample(q, "doc_id", "quality"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006, A-Res):
+# rank every row by key = ln(u) / weight with u ~ Uniform(0,1] derived from
+# a content-free md5, take the top-n keys. Equivalent to ranking by
+# u^(1/w); inclusion probability is proportional to weight, the sample is
+# exactly-n, and the whole thing is one map-side projection + a top-n —
+# the distributed-safe form of weighted reservoir sampling.
+# ---------------------------------------------------------------------------
+
+ARES_N = 50
+_H48_DENOM = 281474976710657.0  # 16^12 + 1 -> u in (0, 1], ln never sees 0
+
+
+def _h48_sql(expr: str) -> str:
+    """DuckDB: first 12 hex chars of an md5-hex expression as a 48-bit int."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+ARES_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(round(ln((CAST({_h48_sql('md5(CAST(doc_id AS VARCHAR))')} AS BIGINT) + 1)
+                        / {_H48_DENOM}), 9) / n_chars, 12) AS key
+  FROM documents
+)
+SELECT doc_id, weight, key FROM k ORDER BY key DESC, doc_id LIMIT {ARES_N}
+"""
+
+
+@register("sample_weighted_ares", ARES_ORACLE)
+def sample_weighted_ares(sess: SeccoSession):
+    """Exactly-{n} weighted sample without replacement, weight = n_chars
+    (longer docs proportionally likelier), via A-Res keys ln(u)/w with u a
+    48-bit md5-uniform. Deterministic and engine-identical: the ln is
+    rounded to 9 decimals (libm ulp discipline), the key to 12, ties break
+    on doc_id. Map-only scoring; the top-n is Spark's TakeOrdered (no
+    global sort materialization). Unlike threshold sampling
+    (sample_weighted_quality), this yields an exact sample size."""
+    h48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    k = sess.spark.table("documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(
+            F.round(F.log((h48 + 1) / F.lit(_H48_DENOM)), 9) / F.col("n_chars"), 12
+        ).alias("key"),
+    )
+    return sess.from_spark(k.orderBy(F.col("key").desc(), "doc_id").limit(ARES_N))

@@ -960,3 +960,69 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col).mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------- resize
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def resize_image_nn(with_payload: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """Nearest-neighbor thumbnail over the REAL decoded raster — the
+    resize step of an image-curation pipeline (thumbnail dedup, aspect
+    filters, fixed-size model inputs). Source pixel for output (oy, ox) is
+    (oy*h // out_h, ox*w // out_w) — floor NN, the convention SQL can
+    replay with integer division. Decodes any of the repo's still-image
+    codecs (netpbm/BMP/PNG) by magic, resamples with one numpy gather per
+    image, and emits geometry + the resized-raster sample sum.
+
+    Scale shape: identical to decode_image — binary payloads stream once
+    through Arrow-batched mapInPandas, output is a flat typed row per
+    image, everything downstream is JVM-side again."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, sw, sh, rs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:2] in (b"P6", b"P5"):
+                    w, h, _fmt, raster = _parse_netpbm(p)
+                elif p[:2] == b"BM":
+                    w, h, _fmt, raster = _parse_bmp(p)
+                elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, _fmt, raster = _parse_png(p)
+                else:
+                    raise ValueError(f"unsupported image magic {p[:2]!r}")
+                a = np.asarray(raster).astype("int64")
+                ch = a.size // (w * h)
+                a = a.reshape(h, w, ch)
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                thumb = a[np.ix_(ys, xs)]
+                ids.append(int(doc_id))
+                sw.append(w)
+                sh.append(h)
+                rs.append(int(thumb.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(sw, dtype="int32"),
+                    "src_h": pd.Series(sh, dtype="int32"),
+                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "resized_sum": pd.Series(rs, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, RESIZED_SCHEMA)

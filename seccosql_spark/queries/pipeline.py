@@ -896,6 +896,42 @@ def multimodal_decode_png(sess: SeccoSession):
 
 
 @register(
+    "multimodal_resize_thumbnail",
+    """WITH dims AS (
+         SELECT doc_id,
+                CAST(4 + doc_id % 5 AS INT) AS w,
+                CAST(3 + doc_id % 4 AS INT) AS h,
+                CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS ch
+         FROM documents
+       ),
+       px AS (
+         SELECT d.doc_id, d.w, d.h,
+                sum((d.doc_id * 31 + ((oy.range * d.h) // 2) * 7
+                     + ((ox.range * d.w) // 2) * 3 + c.range) % 256) AS rs
+         FROM dims d, range(0, 2) oy, range(0, 2) ox, range(0, 3) c
+         WHERE c.range < d.ch
+         GROUP BY 1, 2, 3
+       )
+       SELECT doc_id, w AS src_w, h AS src_h,
+              CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h,
+              CAST(rs AS BIGINT) AS resized_sum
+       FROM px""",
+)
+def multimodal_resize_thumbnail(sess: SeccoSession):
+    """REAL resize end-to-end: deterministic rasters encoded to actual PNG
+    bytes, decoded back by the chunk-walking reader, then nearest-neighbor
+    resampled to a 2x2 thumbnail (source pixel = (oy*h//2, ox*w//2) — floor
+    NN) inside the same Arrow batch (operators/multimodal.resize_image_nn).
+    The oracle predicts the resized-raster sample sum from the closed-form
+    pixel rule with the same integer division, so a bug anywhere along
+    encode -> decode -> gather breaks the hash."""
+    from seccosql_spark.operators.multimodal import resize_image_nn, synthesize_pngs
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(resize_image_nn(synthesize_pngs(docs), out_w=2, out_h=2))
+
+
+@register(
     "multimodal_probe_mp4",
     """SELECT doc_id,
               CAST(1000 + (doc_id * 7) % 60000 AS BIGINT) AS duration_ms,

@@ -1026,3 +1026,75 @@ def resize_image_nn(with_payload: DataFrame, out_w: int = 2, out_h: int = 2) -> 
             )
 
     return with_payload.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------- audio features
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(with_payload: DataFrame) -> DataFrame:
+    """Feature extraction over the REAL decoded PCM: per clip, total
+    absolute amplitude (the integer stand-in for RMS energy), peak
+    amplitude, and per-channel zero-crossing count (the classic cheap
+    voicing/noisiness signal) — the audio-curation features a corpus
+    filter thresholds on (silence, clipping, tone-vs-noise). All integer,
+    so the oracle predicts every value from the closed-form sample rule.
+
+    A crossing is counted between consecutive frames of the SAME channel
+    when the >= 0 sign class flips (zero counts as positive — matches the
+    SQL twin). Same scale shape as decode_audio: payloads stream once
+    through Arrow-batched mapInPandas, numpy per clip, flat rows out."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n_frames, _amp = decode_audio_bytes(bytes(payload))
+                # re-walk to the data chunk for the raw samples
+                p = bytes(payload)
+                pos, data = 12, None
+                while pos + 8 <= len(p):
+                    cid = p[pos : pos + 4]
+                    size = struct.unpack_from("<I", p, pos + 4)[0]
+                    if cid == b"data":
+                        data = p[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                s = np.frombuffer(data, dtype="<i2").astype("int64")
+                zc = 0
+                for c in range(ch):
+                    a = s[c::ch]
+                    zc += int(np.count_nonzero((a[:-1] >= 0) != (a[1:] >= 0)))
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n_frames)
+                rows["abs_sum"].append(int(np.abs(s).sum()))
+                rows["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "abs_sum": pd.Series(rows["abs_sum"], dtype="int64"),
+                    "peak": pd.Series(rows["peak"], dtype="int64"),
+                    "zero_crossings": pd.Series(rows["zero_crossings"], dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -932,6 +932,48 @@ def multimodal_resize_thumbnail(sess: SeccoSession):
 
 
 @register(
+    "multimodal_audio_features",
+    """WITH dims AS (
+         SELECT doc_id, CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+                CAST(1 + doc_id % 2 AS INT) AS ch,
+                CAST(10 + doc_id % 13 AS INT) AS n
+         FROM documents
+       ),
+       s AS (
+         SELECT d.doc_id, d.rate, d.ch, d.n, i.range AS i,
+                ((d.doc_id * 37 + i.range * 11) % 4096) - 2048 AS v
+         FROM dims d, range(0, 46) i WHERE i.range < d.n * d.ch
+       ),
+       base AS (
+         SELECT doc_id, rate, ch, n, sum(abs(v)) AS abs_sum, max(abs(v)) AS peak
+         FROM s GROUP BY 1, 2, 3, 4
+       ),
+       x AS (
+         SELECT a.doc_id, count(*) FILTER ((a.v >= 0) <> (b.v >= 0)) AS zc
+         FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + a.ch
+         GROUP BY a.doc_id
+       )
+       SELECT base.doc_id, rate AS sample_rate, ch AS channels, n AS n_frames,
+              CAST(abs_sum AS BIGINT) AS abs_sum, CAST(peak AS BIGINT) AS peak,
+              CAST(coalesce(x.zc, 0) AS BIGINT) AS zero_crossings
+       FROM base LEFT JOIN x USING (doc_id)""",
+)
+def multimodal_audio_features(sess: SeccoSession):
+    """REAL audio feature extraction end-to-end: closed-form PCM16 clips
+    encoded to actual RIFF/WAVE bytes, decoded back by the chunk-walking
+    reader, then total |amplitude|, peak, and per-channel zero-crossing
+    counts computed from the raw samples inside the Arrow batch
+    (operators/multimodal.audio_features) — the silence/clipping/noisiness
+    features an audio-curation filter thresholds on. The oracle predicts
+    all three from the sample rule, pairing same-channel consecutive
+    frames for the crossings."""
+    from seccosql_spark.operators.multimodal import audio_features, synthesize_audio
+
+    docs = sess.spark.table("documents")
+    return sess.from_spark(audio_features(synthesize_audio(docs)))
+
+
+@register(
     "multimodal_probe_mp4",
     """SELECT doc_id,
               CAST(1000 + (doc_id * 7) % 60000 AS BIGINT) AS duration_ms,

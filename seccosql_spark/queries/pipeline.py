@@ -1542,3 +1542,101 @@ def dedup_edit_distance_verify(sess: SeccoSession):
         )
         .filter(F.col("edit_distance") <= 40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy audit: MinHash-estimated Jaccard vs the exact value on
+# every LSH candidate pair — the measurement that justifies trusting the
+# sketch at scales where exact verification is unaffordable.
+# ---------------------------------------------------------------------------
+
+def _minhash_est_oracle(words_sql: str, num_hashes: int = 8, band_size: int = 4) -> str:
+    """_minhash_oracle's pipeline (same constants), extended with the
+    per-pair count of matching signature components: est = nmatch/8 vs the
+    exact shared-shingle Jaccard, plus the absolute error."""
+    from seccosql_spark.operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+    seeds = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    band_parts = " || '|' || ".join(
+        f"max(CASE WHEN j % {band_size} = {i} THEN m END)" for i in range(band_size)
+    )
+    return f"""
+WITH words AS ({words_sql}),
+hs AS (SELECT id, CAST({_h32_sql()} AS BIGINT) AS h32 FROM words),
+seeds AS (SELECT * FROM (VALUES {seeds}) t(j, a, b)),
+mh AS (SELECT id, j, min((a * h32 + b) % {MINHASH_PRIME}) AS m
+       FROM hs CROSS JOIN seeds GROUP BY id, j),
+bands AS (
+  SELECT id, CAST(j // {band_size} AS INT) AS band, {band_parts} AS sig
+  FROM mh GROUP BY id, j // {band_size}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+est AS (
+  SELECT p.id1, p.id2, count(*) FILTER (m1.m = m2.m) AS nmatch
+  FROM pairs p JOIN mh m1 ON m1.id = p.id1
+               JOIN mh m2 ON m2.id = p.id2 AND m2.j = m1.j
+  GROUP BY p.id1, p.id2
+),
+sizes AS (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS (
+  SELECT p.id1, p.id2, count(*) AS i
+  FROM pairs p JOIN words w1 ON w1.id = p.id1
+               JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
+  GROUP BY p.id1, p.id2
+)
+SELECT est.id1, est.id2,
+       round(est.nmatch / {num_hashes}.0, 6) AS est_jaccard,
+       round(i / (s1.n + s2.n - i), 6) AS exact_jaccard,
+       round(abs(est.nmatch / {num_hashes}.0 - i / (s1.n + s2.n - i)), 6) AS abs_err
+FROM est JOIN inter ON est.id1 = inter.id1 AND est.id2 = inter.id2
+JOIN sizes s1 ON est.id1 = s1.id JOIN sizes s2 ON est.id2 = s2.id
+"""
+
+
+@register("dedup_minhash_estimate_error", _minhash_est_oracle(SHINGLES_SQL))
+def dedup_minhash_estimate_error(sess: SeccoSession):
+    """Per-candidate-pair audit of the MinHash sketch: estimated Jaccard
+    (matching components / 8) next to the exact shared-shingle Jaccard and
+    the absolute error — the calibration table that tells a 100 TB corpus
+    operator whether the sketch's resolution (1/8 steps here) is fit for
+    their dedup threshold before they skip exact verification. The
+    signature relation is computed ONCE and joined twice (broadcast — it
+    is k integers per doc); the exact side reuses the bounded
+    pairs-first join of exact_jaccard."""
+    from seccosql_spark.operators.dedup import (
+        candidate_pairs,
+        exact_jaccard,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = sess.spark.table("documents")
+    words = shingles(docs, n=3).withColumnRenamed("s", "w")
+    sig = minhash_signatures(words, num_hashes=8)
+    pairs = candidate_pairs(lsh_bands(sig, band_size=4))
+    nmatch = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(8)
+    )
+    s1 = sig.select(F.col("id").alias("id1"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    s2 = sig.select(F.col("id").alias("id2"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    est = (
+        pairs.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select("id1", "id2", (nmatch / F.lit(8.0)).alias("est_raw"))
+    )
+    exact = exact_jaccard(words, pairs).withColumnRenamed("jaccard", "exact_raw")
+    return sess.from_spark(
+        est.join(exact, ["id1", "id2"])
+        .select(
+            "id1", "id2",
+            F.round("est_raw", 6).alias("est_jaccard"),
+            F.round("exact_raw", 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 6).alias("abs_err"),
+        )
+    )

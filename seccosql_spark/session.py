@@ -188,7 +188,7 @@ class SeccoSession:
     ) -> None:
         """Register a (Secco)DataFrame as a temp view + side-catalog entry
         (reference ``createOrReplaceTable``, SeccoDataFrame.scala:64-67)."""
-        sdf = getattr(df, "df", df)
+        sdf = df if isinstance(df, DataFrame) else df.df
         sdf.createOrReplaceTempView(name)
         self.catalog.register(name, primary_keys=primary_keys)
 

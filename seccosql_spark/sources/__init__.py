@@ -4,10 +4,13 @@ standard Spark sources as first-class connectors with PK metadata plumbed
 into the side catalog."""
 
 from seccosql_spark.sources.connectors import (
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
     read_parquet,
+    write_csv,
+    write_json,
     write_orc,
     write_parquet,
 )
@@ -17,6 +20,9 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_orc",
+    "read_binary_files",
     "write_parquet",
+    "write_csv",
+    "write_json",
     "write_orc",
 ]

@@ -110,7 +110,7 @@ def write_parquet(
     """Parquet sink. `partition_by` → directory partition pruning;
     `bucket_by=(n, cols)` → bucketed table (requires `table_name`, uses
     saveAsTable) for shuffle-free co-located joins."""
-    sdf = getattr(df, "df", df)
+    sdf = df if isinstance(df, DataFrame) else df.df
     writer = sdf.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -130,7 +130,7 @@ def write_orc(
     partition_by: Sequence[str] = (),
 ) -> None:
     """ORC sink with optional directory partitioning."""
-    sdf = getattr(df, "df", df)
+    sdf = df if isinstance(df, DataFrame) else df.df
     writer = sdf.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -146,7 +146,7 @@ def write_csv(
 ) -> None:
     """CSV sink (header on by default, matching `read_csv`'s expectation);
     optional directory partitioning for pruning at read."""
-    sdf = getattr(df, "df", df)
+    sdf = df if isinstance(df, DataFrame) else df.df
     writer = sdf.write.mode(mode).option("header", str(header).lower())
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -160,7 +160,7 @@ def write_json(
     partition_by: Sequence[str] = (),
 ) -> None:
     """JSON-lines sink; optional directory partitioning."""
-    sdf = getattr(df, "df", df)
+    sdf = df if isinstance(df, DataFrame) else df.df
     writer = sdf.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

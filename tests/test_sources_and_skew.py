@@ -318,3 +318,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(sess):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_connectors_accept_df_named_column(sess):
+    """Regression: a SeccoDataFrame whose schema contains a column literally
+    named "df" (e.g. an inverted index's document-frequency) must still
+    round-trip through the connectors and create_table — Spark DataFrame
+    attribute access resolves column names, so `getattr(df, "df", df)` would
+    hand the writer a Column instead of the frame."""
+    import tempfile
+
+    from seccosql_spark import sources
+
+    with tempfile.TemporaryDirectory() as d:
+        src = sess.from_seq([(1, 5), (2, 7)], "term INT, df INT")
+        sources.write_parquet(src, f"{d}/p")
+        back = sources.read_parquet(sess, f"{d}/p")
+        assert sorted((r["term"], r["df"]) for r in back.collect()) == [(1, 5), (2, 7)]
+        sources.write_json(src, f"{d}/j")
+        sources.write_csv(src, f"{d}/c")
+        sources.write_orc(src, f"{d}/o")
+        assert sources.read_orc(sess, f"{d}/o").count() == 2
+        sess.create_table("t_df_col", src)
+        assert sess.spark.table("t_df_col").count() == 2

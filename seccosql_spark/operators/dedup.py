@@ -842,3 +842,68 @@ def ppjoin_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def c4_segment_dedup(
+    df: DataFrame,
+    seg_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document span removal (Raffel et al. 2020 §2.2 kept
+    one copy of any three-sentence span; here the unit is a fixed
+    `seg_words`-word segment since the corpus has no sentence boundaries):
+    every document is cut into consecutive non-overlapping segments, each
+    segment keeps exactly ONE global copy — the occurrence with the
+    smallest (doc_id, position) — and every other occurrence is deleted
+    from its document's text. Unlike `substring_dup_stats` (a per-doc
+    SIGNAL for thresholding) this op REWRITES the corpus: output is
+    (doc_id, n_segments, n_kept, clean_text) for every input document,
+    clean_text being the surviving segments re-joined in original order
+    ('' when everything was cut).
+
+    Scale shape: segments explode map-side (arithmetic slices, no joins);
+    ONE hash(seg-hash) exchange feeds the min-occurrence window; ONE
+    hash(doc_id) exchange rebuilds the documents. Per-doc state is the
+    segment list (∝ doc length), never the corpus; keep-one-copy needs no
+    self-join because min-over-window IS the dedup decision."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    nseg = F.ceil(F.size("toks") / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * seg_words + 1, seg_words)),
+    )
+    segs = F.when(F.size("toks") > 0, segs).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("id", F.posexplode(segs).alias("pos", "seg")).withColumn(
+        "gh", F.md5("seg")
+    )
+    w = Window.partitionBy("gh")
+    first = F.min(F.struct("id", "pos")).over(w)
+    tagged = exploded.withColumn(
+        "keep", (F.col("id") == first["id"]) & (F.col("pos") == first["pos"])
+    )
+    rebuilt = tagged.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("pos", "keep", "seg"))),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    # left join back so zero-segment (empty-text) docs survive with 0/0/''
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

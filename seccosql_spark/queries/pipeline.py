@@ -1640,3 +1640,54 @@ def dedup_minhash_estimate_error(sess: SeccoSession):
             F.round(F.abs(F.col("est_raw") - F.col("exact_raw")), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document span removal: the corpus REWRITE (keep one global
+# copy of every repeated segment), not just the per-doc signal.
+# ---------------------------------------------------------------------------
+
+_C4_SEGMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos,
+         t
+  FROM toks WHERE len(t) > 0
+),
+flat AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(t, pos * 8 + 1, pos * 8 + 8), ' ') AS seg
+  FROM segs
+),
+tagged AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1 AS keep
+  FROM flat
+)
+SELECT d.doc_id,
+       count(f.pos) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN f.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN f.keep THEN f.seg END, ' ' ORDER BY f.pos), '')
+         AS clean_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tagged f USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+@register("dedup_c4_segments", _C4_SEGMENT_ORACLE)
+def dedup_c4_segments(sess: SeccoSession):
+    """C4-style corpus rewrite (Raffel et al. 2020 §2.2): cut every doc
+    into 8-word segments, keep exactly one global copy of each distinct
+    segment (smallest (doc_id, pos) wins), and emit the surviving text per
+    document. Complements `dedup_substring_windows`, which only SCORES
+    duplication — this one produces the deduplicated corpus itself.
+    Two bounded shuffles (segment-hash window, per-doc rebuild); segments
+    explode map-side; no joins grow with pair count."""
+    from seccosql_spark.operators.dedup import c4_segment_dedup
+
+    return sess.from_spark(c4_segment_dedup(sess.spark.table("documents"), seg_words=8))

@@ -1360,3 +1360,29 @@ def test_minhash_lsh_is_subset_of_exact_ppjoin(spark):
     # ppjoin emits round(j, 6); the raw operator emits the unrounded ratio
     assert all(exact[p] == round(j, 6) for p, j in lsh.items())
     assert len(exact) > 0  # non-vacuous
+
+
+def test_c4_segment_dedup_keep_one_copy(spark):
+    """Keep-one-global-copy semantics: the smallest (doc_id, pos) occurrence
+    of a repeated segment survives, every other occurrence (cross-doc AND
+    within-doc) is deleted; unique segments always survive; a doc whose
+    every segment was seen earlier comes back as ''."""
+    from seccosql_spark.operators.dedup import c4_segment_dedup
+
+    seg_a = "a b c d"          # shared by docs 0, 1, 2 (and twice in doc 1)
+    seg_b = "e f g h"          # only doc 1
+    docs = spark.createDataFrame(
+        [
+            (0, seg_a),                                  # 1 segment, kept
+            (1, f"{seg_a} {seg_b} {seg_a}"),             # dup of a (x2) cut, b kept
+            (2, seg_a),                                  # everything cut
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_text"])
+        for r in c4_segment_dedup(docs, seg_words=4).collect()
+    }
+    assert got[0] == (1, 1, seg_a)
+    assert got[1] == (3, 1, seg_b)   # both copies of seg_a removed, order kept
+    assert got[2] == (1, 0, "")

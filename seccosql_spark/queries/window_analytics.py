@@ -122,3 +122,76 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
     behavioral-analytics pattern at corpus scale (event_id is the unique
     per-load sequence axis, same convention as the as-of join).""",
 )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, epoch_us(o_orderdate) AS ts, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+),
+runs AS (
+  SELECT o_custkey, o_orderstatus, ts,
+         sum(chg) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+agg AS (
+  SELECT o_custkey, o_orderstatus, run_id,
+         min(ts) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM runs GROUP BY o_custkey, o_orderstatus, run_id
+)
+SELECT o_custkey, o_orderstatus, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY o_custkey ORDER BY run_id)
+         AS valid_to_us,
+       n_orders
+FROM agg
+"""
+
+
+@register("scd2_status_history", _SCD2_ORACLE)
+def scd2_status_history(sess: SeccoSession):
+    """SCD type-2 dimension build: compress each customer's order-status
+    stream into validity intervals [valid_from, valid_to) — consecutive
+    orders with the same status collapse into one run (gaps-and-islands via
+    lag + running sum), `valid_to` is the next run's start (NULL = current).
+    The standard warehouse-dimension maintenance op, expressed as two
+    windows + one agg over a SINGLE hash(o_custkey) exchange — every window
+    and the groupBy share the customer partitioning, so Catalyst plans one
+    shuffle for the whole history build (scales per-customer, not
+    per-corpus). Epochs compared as integer microseconds (epoch_us
+    discipline — never raw timestamps cross-engine)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.operators.timeutil import epoch_us
+
+    o = sess.spark.table("orders")
+    o = o.select(
+        "o_custkey", "o_orderstatus", "o_orderkey",
+        epoch_us(o, "o_orderdate").alias("ts"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = o.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = runs.groupBy("o_custkey", "o_orderstatus", "run_id").agg(
+        F.min("ts").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return sess.from_spark(
+        agg.select(
+            "o_custkey",
+            "o_orderstatus",
+            "valid_from_us",
+            F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+            "n_orders",
+        )
+    )

@@ -1691,3 +1691,80 @@ def dedup_c4_segments(sess: SeccoSession):
     from seccosql_spark.operators.dedup import c4_segment_dedup
 
     return sess.from_spark(c4_segment_dedup(sess.spark.table("documents"), seg_words=8))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter audit — the third sketch family (HLL and
+# GK quantiles are covered elsewhere), fully integer-deterministic so the
+# oracle replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_CMS_COEFFS = [(1103515245, 12345), (214013, 2531011), (69069, 1234567), (1664525, 1013904223)]
+_CMS_P = 2147483647
+_CMS_W = 32
+
+_CMS_SEEDS_SQL = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_COEFFS))
+
+_CMS_ORACLE = f"""
+WITH e AS (SELECT user_id FROM events),
+seeds AS (SELECT * FROM (VALUES {_CMS_SEEDS_SQL}) t(j, a, b)),
+cells AS (SELECT j, (a * user_id + b) % {_CMS_P} % {_CMS_W} AS bkt
+          FROM e CROSS JOIN seeds),
+counters AS (SELECT j, bkt, CAST(count(*) AS BIGINT) AS c
+             FROM cells GROUP BY j, bkt),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM e GROUP BY user_id),
+top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 10),
+probes AS (SELECT user_id, exact_cnt, j,
+                  (a * user_id + b) % {_CMS_P} % {_CMS_W} AS bkt
+           FROM top CROSS JOIN seeds),
+est AS (SELECT user_id, exact_cnt, min(c) AS cms_est
+        FROM probes JOIN counters USING (j, bkt)
+        GROUP BY user_id, exact_cnt)
+SELECT user_id, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+FROM est
+"""
+
+
+@register("sketch_cms_heavy_hitters", _CMS_ORACLE)
+def sketch_cms_heavy_hitters(sess: SeccoSession):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter audit:
+    build a d=4 x w=32 CMS over events.user_id with literal affine hashes,
+    then report, for the top-10 exact heavy hitters, the exact count next
+    to the CMS point estimate and its (always >= 0) overestimate — the
+    calibration row that tells an operator whether a 128-cell sketch is
+    tight enough before replacing an exact per-key count at 100 TB. Scale
+    shape: the sketch state is FIXED (d*w cells) regardless of corpus
+    size — cells explode map-side and collapse through partial aggregation;
+    the probe side is 10 rows joined against the broadcast 128-row counter
+    table. Everything is BIGINT arithmetic (no floats anywhere)."""
+    from pyspark.sql import functions as F
+
+    e = sess.spark.table("events").select("user_id")
+    buckets = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            ((F.lit(a) * F.col("user_id") + F.lit(b)) % _CMS_P % _CMS_W).alias("bkt"),
+        )
+        for j, (a, b) in enumerate(_CMS_COEFFS)
+    ])
+    cells = e.select(F.explode(buckets).alias("s")).select("s.j", "s.bkt")
+    counters = cells.groupBy("j", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(10)
+    probes = top.select("user_id", "exact_cnt", F.explode(buckets).alias("s")).select(
+        "user_id", "exact_cnt", "s.j", "s.bkt"
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return sess.from_spark(
+        est.select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

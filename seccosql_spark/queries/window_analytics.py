@@ -195,3 +195,60 @@ def scd2_status_history(sess: SeccoSession):
             "n_orders",
         )
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+),
+swept AS (
+  SELECT event_type,
+         CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+  FROM pts
+)
+SELECT event_type, max(live) AS max_concurrent
+FROM swept GROUP BY event_type
+"""
+
+
+@register("events_max_concurrency", _CONCURRENCY_ORACLE)
+def events_max_concurrency(sess: SeccoSession):
+    """Sweep-line interval concurrency: treat every event as a 5-minute
+    activity interval and compute, per event_type, the maximum number of
+    simultaneously live intervals — the classic +1/-1 boundary sweep
+    (each interval contributes a start(+1) and end(-1) point; a running
+    sum over the time-ordered points IS the live count; ends sort before
+    starts at the same instant via the `d` tie-break, so touching
+    intervals don't double-count). Scales because the sweep is PARTITIONED
+    (per event_type) — never a global sort; one hash exchange carries both
+    the window and the final max. Integer microseconds throughout."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.operators.timeutil import epoch_us
+
+    ev = sess.spark.table("events")
+    iv = ev.select(
+        "event_type",
+        epoch_us(ev, "ts").alias("s"),
+        (epoch_us(ev, "ts") + F.lit(300_000_000)).alias("e"),
+    )
+    pts = iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.withColumn("live", F.sum("d").over(w))
+    return sess.from_spark(
+        swept.groupBy("event_type").agg(F.max("live").alias("max_concurrent"))
+    )

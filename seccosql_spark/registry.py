@@ -81,70 +81,74 @@ from seccosql_spark.queries import workload  # noqa: E402,F401
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
 # fresh; oldest round first within a tier. The r08 window below is that
-# output verbatim: the 22 never-verified round-8 rows (Gopher filter,
+# output verbatim: the 38 never-verified round-8 rows (Gopher filter,
 # shuffled + greedy sequence packing, inverted index, SemDeDup,
 # multi-signal fusion, HITS, mixed binaryFile, streaming incremental
-# dedup, PQ codes, personalized PageRank, correlation, rolling spikes,
-# unigram LM, splits, exact PPJoin, edit-distance verify, PMI, MIS,
-# maximal matching, modularity, assortativity), then the r03 overdue
-# tier (TPC-H rest, window family, recursion rows — 5 rounds behind),
-# then hot rows. A 22-query round taints widely at file granularity;
-# the stale rows that miss this 50-slot window are all r04+ hot rows
-# that the full-registry pytest differential re-proves every session
-# (this round: every row green at sf0.001 AND sf0.01), and
-# overdue-beats-hot guarantees them r09/r10 slots.
+# dedup, PQ codes + ADC search, personalized PageRank, correlation,
+# rolling spikes, unigram LM, splits, exact PPJoin, edit-distance
+# verify, PMI, MIS, maximal matching, modularity, assortativity,
+# A-Res sampling, thumbnail resize, audio features, BM25, winnowing,
+# source overlap, retention, co-visitation, Jaccard link-pred, length
+# band, MinHash estimate audit, C4 segment rewrite, SCD2 history, CMS
+# heavy hitters, sweep-line concurrency), then the r03 overdue tier
+# (TPC-H rest, CTE, recursion — 5 rounds behind). A 38-query round
+# taints widely at file granularity; the stale rows that miss this
+# 50-slot window are all r04+ hot rows that the full-registry pytest
+# differential re-proves every session (this round: every row green at
+# sf0.001 AND sf0.01), and overdue-beats-hot guarantees them r09/r10
+# slots.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "ann_pq_adc_topk",
     "ann_pq_codes",
+    "corpus_source_overlap",
     "curation_multisignal",
+    "dedup_c4_segments",
     "dedup_edit_distance_verify",
+    "dedup_minhash_estimate_error",
     "dedup_ppjoin_exact",
     "dedup_semantic_semdedup",
+    "events_max_concurrency",
     "events_rolling_spikes",
+    "events_weekly_retention",
+    "g_bipartite_covisit",
     "g_degree_assortativity",
     "g_hits_2rounds",
+    "g_jaccard_linkpred",
     "g_maximal_independent_set",
     "g_maximal_matching",
     "g_modularity_mod4",
     "g_personalized_pagerank",
     "inverted_index_postings",
+    "multimodal_audio_features",
     "multimodal_binaryfile_mixed",
+    "multimodal_resize_thumbnail",
     "pack_sequences_greedy",
+    "sample_weighted_ares",
+    "scd2_status_history",
     "shuffle_pack_shards",
+    "sketch_cms_heavy_hitters",
     "split_train_val_test",
     "stats_corr_by_source",
     "stream_incremental_dedup",
+    "text_bm25_topk",
     "text_cooccurrence_pmi",
     "text_gopher_filter",
+    "text_length_percentile_band",
     "text_unigram_logprob",
-    "pack_token_shards",
-    "text_redact_pii",
-    "text_repetition_stats",
+    "text_winnowing_fingerprint",
     "cte_multi",
     "g_house_count",
     "g_ring5_chords",
     "g_triangle_count",
     "grouping_sets_id",
     "multiway_natural_ghd",
+    "pack_token_shards",
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_sole_blame_supplier",
-    "q22_sales_opportunity",
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_next_hour",
-    "sessionize_events",
-    "window_first_last_frames",
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "with_recursive_path_counts",
 ]
 
 

@@ -69,6 +69,7 @@ from seccosql_spark.queries import curation  # noqa: E402,F401
 from seccosql_spark.queries import window_analytics  # noqa: E402,F401
 from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 from seccosql_spark.queries import workload  # noqa: E402,F401
+from seccosql_spark.queries import mining  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver

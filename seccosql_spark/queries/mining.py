@@ -240,6 +240,252 @@ def profile_columns(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Market-basket affinity
+# ---------------------------------------------------------------------------
+
+_sql(
+    "basket_part_pairs",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+""",
+    """Market-basket co-occurrence: part pairs ordered together, with
+    support >= 2. The pair generation is a SELF-EQUI-JOIN on the order key
+    (never a cross join): with baskets bounded at ~13 items the per-order
+    fan-out is <= 78 pairs, so the expansion is linear in order count. At
+    100 TB the identical plan holds — one hash exchange on l_orderkey, pair
+    fan-out map-side, then a map-side-combined count on the pair key; a
+    pathological mega-basket would be capped upstream the same way the LSH
+    bucket caps work (documented, not needed on TPC-H-shaped data).""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection
+# ---------------------------------------------------------------------------
+
+_sql(
+    "events_anomaly_mad",
+    """
+WITH med AS (
+  SELECT event_type, value AS med FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events) r
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY adev, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) r
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+    """Robust anomaly flagging per event_type: |value - median| > 3 * MAD,
+    with BOTH medians computed as the exact lower median via row_number
+    selection (no interpolated percentile — interpolation is where engines
+    drift). The (value, event_id) tiebreak makes the selected median row
+    unique. Doubles appear only in identical-on-both-engines arithmetic
+    (abs/compare/3*x), never in an accumulating sum. Scale: two window
+    passes partitioned by event_type plus two broadcast-sized joins (one
+    median row per type); the per-type partitions stream. Skewed types
+    salt-split the window the same way the engine's skew utilities do.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse reconciliation
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2))
+           + CASE WHEN o_orderkey % 13 = 0 THEN CAST(1.00 AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS price
+  FROM orders
+)
+SELECT change_kind, CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT CASE WHEN v1.k IS NULL THEN 'added'
+              WHEN v2.k IS NULL THEN 'removed'
+              WHEN v1.status <> v2.status OR v1.price <> v2.price
+                THEN 'changed'
+              ELSE 'unchanged' END AS change_kind
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k) d
+GROUP BY change_kind
+"""
+
+
+@register("snapshot_diff_orders", SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_orders(sess: SeccoSession):
+    """Snapshot reconciliation (lakehouse table diff): classify every key as
+    added / removed / changed / unchanged between two versions of `orders`
+    (v1 and v2 are derived deterministically in-query: v1 drops every 97th
+    key, v2 bumps every 13th price). The diff is ONE full-outer hash join on
+    the primary key plus value comparison — the canonical pattern for CDC
+    backfill validation. Prices compare as DECIMAL so 'changed' is exact.
+    Scale: one shuffle on the key for each side; at 100 TB both sides would
+    be bucketed on the key and the join becomes shuffle-free."""
+    spark = sess.spark
+    o = spark.table("orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+    )
+    v2 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            price
+            + F.when(
+                F.col("o_orderkey") % 13 == 0, F.lit("1.00").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("price"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    kind = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.status") != F.col("b.status"))
+            | (F.col("a.price") != F.col("b.price")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    out = (
+        j.select(kind.alias("change_kind"))
+        .groupBy("change_kind")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return sess.from_spark(out)
+
+
+QUALITY_GATE_ORACLE = """
+SELECT 'orders_fk_customer' AS check_name,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer_pk_unique',
+       CAST((SELECT coalesce(sum(n - 1), 0) FROM
+              (SELECT count(*) AS n FROM customer
+               GROUP BY c_custkey HAVING count(*) > 1) d) AS BIGINT)
+UNION ALL
+SELECT 'events_user_not_null',
+       CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orders_price_positive',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'documents_text_nonempty',
+       CAST((SELECT count(*) FROM documents
+             WHERE text IS NULL OR text = '') AS BIGINT)
+"""
+
+
+@register("quality_gate_audit", QUALITY_GATE_ORACLE)
+def quality_gate_audit(sess: SeccoSession):
+    """Declarative data-quality gate audit: one row per constraint with its
+    violation count — FK orphans (LEFT ANTI joins), PK uniqueness (excess
+    multiplicity), NOT NULL, range, and non-empty-text checks. This is the
+    pre-ingest gate a pipeline runs on every new data drop before the
+    expensive curation stages; a nonzero row fails the gate.
+
+    Scale: each FK check is one anti join (broadcast when the dimension
+    side is small, as customer/orders are relative to facts); the scalar
+    checks are single-pass filters with map-side-combined counts. All
+    checks are independent jobs unioned at 1 row each — at 100 TB they
+    share scans via cache if run as a suite."""
+    spark = sess.spark
+
+    def cnt(df):
+        return df.agg(F.count("*").alias("n_violations"))
+
+    o, c, l, e, d = (
+        spark.table("orders"),
+        spark.table("customer"),
+        spark.table("lineitem"),
+        spark.table("events"),
+        spark.table("documents"),
+    )
+    checks = [
+        (
+            "orders_fk_customer",
+            cnt(o.join(c, o.o_custkey == c.c_custkey, "left_anti")),
+        ),
+        (
+            "lineitem_fk_orders",
+            cnt(l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")),
+        ),
+        (
+            "customer_pk_unique",
+            c.groupBy("c_custkey")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            ),
+        ),
+        ("events_user_not_null", cnt(e.where(F.col("user_id").isNull()))),
+        ("orders_price_positive", cnt(o.where(F.col("o_totalprice") <= 0))),
+        (
+            "documents_text_nonempty",
+            cnt(d.where(F.col("text").isNull() | (F.col("text") == ""))),
+        ),
+    ]
+    parts = [
+        df.select(F.lit(name).alias("check_name"), F.col("n_violations"))
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution
 # ---------------------------------------------------------------------------
 

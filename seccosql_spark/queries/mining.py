@@ -240,6 +240,104 @@ def profile_columns(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Distributed linear algebra: top principal direction by power iteration
+# ---------------------------------------------------------------------------
+
+PCA_POWER_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(CAST(x * 1.0 AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM e GROUP BY vec_id
+),
+w1 AS MATERIALIZED (
+  SELECT e.pos, sum(CAST(s1.s * e.x AS DECIMAL(38,18))) AS w
+  FROM e JOIN s1 USING (vec_id) GROUP BY e.pos
+),
+v1 AS MATERIALIZED (
+  SELECT pos, CAST(w AS DOUBLE)
+              / (SELECT max(abs(CAST(w AS DOUBLE))) FROM w1) AS v
+  FROM w1
+),
+s2 AS MATERIALIZED (
+  SELECT e.vec_id, CAST(sum(CAST(e.x * v1.v AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM e JOIN v1 USING (pos) GROUP BY e.vec_id
+),
+w2 AS MATERIALIZED (
+  SELECT e.pos, sum(CAST(s2.s * e.x AS DECIMAL(38,18))) AS w
+  FROM e JOIN s2 USING (vec_id) GROUP BY e.pos
+)
+SELECT pos,
+       round(CAST(w AS DOUBLE)
+             / (SELECT max(abs(CAST(w AS DOUBLE))) FROM w2), 6) AS component
+FROM w2
+"""
+
+
+@register("embedding_pca_power2", PCA_POWER_ORACLE)
+def embedding_pca_power2(sess: SeccoSession):
+    """Top principal direction of the embedding matrix via two unrolled
+    power-iteration rounds (v0 = all-ones), computed covariance-free:
+    each round is s = E v (per-row dot) then w = E^T s (per-component sum),
+    normalized by max-|component| — no d x d matrix is ever materialized.
+
+    Cross-engine float discipline: every accumulating sum (the dots AND the
+    component sums) is a DECIMAL(38,18) sum of identical-on-both-engines
+    double products, so iteration results are hash-exact; the only double
+    divisions are by a max (order-free) and happen identically. The
+    between-round vector (64 values) is collected to the driver and re-broadcast
+    as a literal — the same O(k x dim) driver hop the k-means/IVF family uses.
+
+    Scale: the exploded (vec_id, pos, x) relation is corpus x dim rows;
+    each round is two map-side-combined aggregations and one broadcast-sized
+    join (the 64-row v). At 100 TB this is exactly distributed
+    matrix-free PCA: no step holds more than dim values outside the
+    cluster. More rounds = more jobs, same memory."""
+    spark = sess.spark
+    dim = 64
+    ex = (
+        spark.table("embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+        )
+        .select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
+        .persist()
+    )
+
+    def one_round(v: list[float]):
+        varr = F.array(*[F.lit(float(c)) for c in v])
+        s = ex.groupBy("vec_id").agg(
+            F.sum((F.col("x") * F.element_at(varr, F.col("pos"))).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s")
+        )
+        return ex.join(s, "vec_id").groupBy("pos").agg(
+            F.sum((F.col("s") * F.col("x")).cast("decimal(38,18)")).alias("w")
+        )
+
+    w1 = one_round([1.0] * dim)
+    rows = {r["pos"]: float(r["w"]) for r in w1.collect()}  # O(dim) driver hop
+    m1 = max(abs(val) for val in rows.values())
+    v1 = [rows[p] / m1 for p in range(1, dim + 1)]
+
+    w2 = one_round(v1)
+    wall = Window.partitionBy()
+    out = w2.select(
+        "pos",
+        F.round(
+            F.col("w").cast("double")
+            / F.max(F.abs(F.col("w").cast("double"))).over(wall),
+            6,
+        ).alias("component"),
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Market-basket affinity
 # ---------------------------------------------------------------------------
 

@@ -82,26 +82,28 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
 # fresh; oldest round first within a tier. The r08 window below is that
-# output verbatim: the 38 never-verified round-8 rows (Gopher filter,
-# shuffled + greedy sequence packing, inverted index, SemDeDup,
-# multi-signal fusion, HITS, mixed binaryFile, streaming incremental
-# dedup, PQ codes + ADC search, personalized PageRank, correlation,
-# rolling spikes, unigram LM, splits, exact PPJoin, edit-distance
-# verify, PMI, MIS, maximal matching, modularity, assortativity,
-# A-Res sampling, thumbnail resize, audio features, BM25, winnowing,
-# source overlap, retention, co-visitation, Jaccard link-pred, length
-# band, MinHash estimate audit, C4 segment rewrite, SCD2 history, CMS
-# heavy hitters, sweep-line concurrency), then the r03 overdue tier
-# (TPC-H rest, CTE, recursion — 5 rounds behind). A 38-query round
-# taints widely at file granularity; the stale rows that miss this
-# 50-slot window are all r04+ hot rows that the full-registry pytest
-# differential re-proves every session (this round: every row green at
+# output verbatim: all 48 never-verified round-8 rows — the wide r8 batch
+# (Gopher filter, packing, inverted index, SemDeDup, multi-signal fusion,
+# HITS, mixed binaryFile, streaming incremental dedup, PQ, personalized
+# PageRank, correlation, rolling spikes, unigram LM, splits, PPJoin,
+# edit-distance verify, PMI, MIS/matching, modularity, assortativity,
+# A-Res, thumbnail resize, audio features, BM25, winnowing, source
+# overlap, retention, co-visitation, link-pred, length band, MinHash
+# estimate audit, C4 rewrite, SCD2, CMS, sweep-line concurrency) plus the
+# late-r8 mining batch (last-touch attribution, Markov transitions, RFM
+# quintiles, column profiler, blocked entity resolution, basket pairs,
+# MAD anomaly, snapshot diff, quality gates, power-iteration PCA) — then
+# the first 2 of the r03 overdue tier (5 rounds behind). The overdue rows
+# that miss this 50-slot window are all re-proven by the full-registry
+# pytest differential every session (this round: every row green at
 # sf0.001 AND sf0.01), and overdue-beats-hot guarantees them r09/r10
 # slots.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_pq_adc_topk",
     "ann_pq_codes",
+    "attribution_last_touch",
+    "basket_part_pairs",
     "corpus_source_overlap",
     "curation_multisignal",
     "dedup_c4_segments",
@@ -109,6 +111,9 @@ _PRIORITY_WINDOW = [
     "dedup_minhash_estimate_error",
     "dedup_ppjoin_exact",
     "dedup_semantic_semdedup",
+    "embedding_pca_power2",
+    "entity_resolution_blocked",
+    "events_anomaly_mad",
     "events_max_concurrency",
     "events_rolling_spikes",
     "events_weekly_retention",
@@ -121,14 +126,19 @@ _PRIORITY_WINDOW = [
     "g_modularity_mod4",
     "g_personalized_pagerank",
     "inverted_index_postings",
+    "markov_transitions",
     "multimodal_audio_features",
     "multimodal_binaryfile_mixed",
     "multimodal_resize_thumbnail",
     "pack_sequences_greedy",
+    "profile_columns",
+    "quality_gate_audit",
+    "rfm_segments",
     "sample_weighted_ares",
     "scd2_status_history",
     "shuffle_pack_shards",
     "sketch_cms_heavy_hitters",
+    "snapshot_diff_orders",
     "split_train_val_test",
     "stats_corr_by_source",
     "stream_incremental_dedup",
@@ -140,16 +150,6 @@ _PRIORITY_WINDOW = [
     "text_winnowing_fingerprint",
     "cte_multi",
     "g_house_count",
-    "g_ring5_chords",
-    "g_triangle_count",
-    "grouping_sets_id",
-    "multiway_natural_ghd",
-    "pack_token_shards",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
 ]
 
 

@@ -369,6 +369,156 @@ HAVING count(*) >= 2
 
 
 # ---------------------------------------------------------------------------
+# Incremental view maintenance (algebraic partial-aggregate merge)
+# ---------------------------------------------------------------------------
+
+IVM_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("ivm_q1_merge", IVM_ORACLE)
+def ivm_q1_merge(sess: SeccoSession):
+    """Incremental view maintenance for a Q1-style aggregate: the
+    materialized state over the base partition (90% of lineitem) is MERGED
+    with the partial state of a late-arriving delta (the remaining 10%)
+    by re-aggregating the union of partial states — never rescanning the
+    base fact. The oracle is the full recompute, so the green row IS the
+    proof that the algebraic merge (sum-of-sums, count-of-counts) equals
+    recomputation.
+
+    Scale: this is the batch formulation of `foreach_batch_upsert`'s
+    streaming MERGE — at 100 TB the base state is a few-thousand-row
+    grouped table and each delta touches only its own partials; the merge
+    step shuffles state rows, not facts. Decimal partial sums make the
+    merge exact (float partial sums would NOT commute bit-identically)."""
+    l = sess.spark.table("lineitem")
+
+    def partial(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("p_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("p_price"),
+            F.count("*").alias("p_n"),
+        )
+
+    base_state = partial(l.where(F.col("l_orderkey") % 10 != 0))
+    delta_state = partial(l.where(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base_state.unionAll(delta_state)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_price").cast("double").alias("sum_price"),
+            F.sum("p_n").cast("long").alias("n_rows"),
+        )
+    )
+    return sess.from_spark(merged)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC revenue concentration
+# ---------------------------------------------------------------------------
+
+_sql(
+    "pareto_abc_parts",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS revenue
+  FROM lineitem
+  GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+)
+SELECT CASE WHEN cum_rev <= 0.80 * total_rev THEN 'A'
+            WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(revenue) AS DOUBLE) AS class_revenue
+FROM ranked
+GROUP BY 1
+""",
+    """Pareto / ABC analysis: parts ranked by net revenue, classified by
+    cumulative share (A = first 80%, B = next 15%, C = tail). All shares
+    compare DECIMAL-exactly (cum and total are exact decimal sums; the
+    0.80/0.95 literals are decimal), so class boundaries cannot drift
+    between engines; (revenue DESC, partkey) is a total order. Scale note:
+    the ranking window is a single-partition sort over ONE ROW PER PART
+    (post-aggregation) — fine to ~10^8 parts; past that the cutoff ranks
+    come from a two-pass quantile-on-cumsum, same downstream semantics.""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Order interarrival analysis
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate)
+           - lag(epoch_us(o_orderdate))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap_us
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(g.gap_us) AS BIGINT) AS sum_gap_us,
+       round(CAST(sum(g.gap_us) AS DOUBLE) / count(*) / 86400000000.0, 6)
+         AS avg_gap_days
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE g.gap_us IS NOT NULL
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("orders_interarrival", INTERARRIVAL_ORACLE)
+def orders_interarrival(sess: SeccoSession):
+    """Order interarrival gaps per market segment: per-customer consecutive
+    order gaps (lag over the (o_orderdate, o_orderkey) total order), rolled
+    up by segment. All accumulation is INTEGER microseconds (epoch_us both
+    engines); the only double is a final ratio of exact integers, rounded.
+    Scale: one hash exchange on custkey for the lag window, then a
+    broadcast join to the customer dim and a 5-row aggregation."""
+    from seccosql_spark.operators.timeutil import epoch_us
+
+    spark = sess.spark
+    o = spark.table("orders")
+    c = spark.table("customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    eus = epoch_us(o, "o_orderdate")
+    gaps = (
+        o.select("o_custkey", (eus - F.lag(eus).over(w)).alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    out = (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("*") / 86400000000.0, 6
+            ).alias("avg_gap_days"),
+        )
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Robust anomaly detection
 # ---------------------------------------------------------------------------
 

@@ -92,12 +92,12 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # estimate audit, C4 rewrite, SCD2, CMS, sweep-line concurrency) plus the
 # late-r8 mining batch (last-touch attribution, Markov transitions, RFM
 # quintiles, column profiler, blocked entity resolution, basket pairs,
-# MAD anomaly, snapshot diff, quality gates, power-iteration PCA) — then
-# the first 2 of the r03 overdue tier (5 rounds behind). The overdue rows
-# that miss this 50-slot window are all re-proven by the full-registry
-# pytest differential every session (this round: every row green at
-# sf0.001 AND sf0.01), and overdue-beats-hot guarantees them r09/r10
-# slots.
+# MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
+# merge, Pareto ABC, interarrival). 53 never-verified rows compete for 50
+# slots, so 3 spill to r09 alongside the overdue/stale tiers; every
+# spilled row is re-proven by the full-registry pytest differential every
+# session (this round: every row green at sf0.001 AND sf0.01), and
+# overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_pq_adc_topk",
@@ -126,11 +126,14 @@ _PRIORITY_WINDOW = [
     "g_modularity_mod4",
     "g_personalized_pagerank",
     "inverted_index_postings",
+    "ivm_q1_merge",
     "markov_transitions",
     "multimodal_audio_features",
     "multimodal_binaryfile_mixed",
     "multimodal_resize_thumbnail",
+    "orders_interarrival",
     "pack_sequences_greedy",
+    "pareto_abc_parts",
     "profile_columns",
     "quality_gate_audit",
     "rfm_segments",
@@ -147,9 +150,6 @@ _PRIORITY_WINDOW = [
     "text_gopher_filter",
     "text_length_percentile_band",
     "text_unigram_logprob",
-    "text_winnowing_fingerprint",
-    "cte_multi",
-    "g_house_count",
 ]
 
 

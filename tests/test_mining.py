@@ -1,0 +1,128 @@
+"""Corner-case pins for the behavioral-mining batch (queries/mining.py) —
+semantics the sf-testdata differential cannot distinguish on its own:
+the lower-median convention, full diff-class coverage, the profiler's
+single-scan plan, and power-iteration convergence on a corpus with a real
+dominant direction (the registry row runs on near-isotropic data where two
+rounds deliberately do not converge)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.queries.mining import power_iterate_top_direction
+from seccosql_spark.registration import REGISTRY
+from seccosql_spark.registry import session_for
+from tests.conftest import SF_DIR
+
+
+def test_lower_median_selection_even_group(spark):
+    """The MAD query's median = row at rank floor((n+1)/2) — for an even
+    group that is the LOWER median (rank 2 of 4), never an interpolated
+    midpoint. Pinned inline so a future 'simplify to percentile()' edit
+    fails loudly (interpolation is where engines drift)."""
+    row = spark.sql(
+        """
+        SELECT value FROM (
+          SELECT value,
+                 row_number() OVER (ORDER BY value) AS rn,
+                 count(*) OVER () AS n
+          FROM VALUES (4.0), (1.0), (3.0), (2.0) AS t(value)) r
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        """
+    ).collect()
+    assert [r["value"] for r in row] == [2.0]
+
+
+def test_snapshot_diff_populates_all_four_classes(spark):
+    """added / removed / changed / unchanged must ALL occur (v1 drops %97
+    keys, v2 drops %89 keys and bumps %13 prices) — a diff demo where one
+    class is structurally empty proves nothing about that branch."""
+    sess = session_for(spark, SF_DIR)
+    out = REGISTRY["snapshot_diff_orders"].build(sess)
+    df = out.df if hasattr(out, "df") else out
+    classes = {r["change_kind"]: r["n_rows"] for r in df.collect()}
+    assert set(classes) == {"added", "removed", "changed", "unchanged"}
+    assert all(n > 0 for n in classes.values())
+
+
+def test_profile_columns_single_scan(spark):
+    """The profiler's contract is ONE pass over the table: all 24 metrics
+    from a single scan (count-distinct adds Expand, not extra scans), then
+    a 1-row stack unpivot."""
+    sess = session_for(spark, SF_DIR)
+    out = REGISTRY["profile_columns"].build(sess)
+    df = out.df if hasattr(out, "df") else out
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString() prints BOTH the final and the initial
+    # plan; count scans only in the final section.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """On a corpus with a dominant direction (rows = a_i * u + small
+    orthogonal noise), TWO rounds already align with u (|cos| > 0.99) —
+    the convergence claim the registry row cannot make on near-isotropic
+    testdata embeddings (spectral gap ~1.07 there)."""
+    dim = 8
+    u = [1.0, -0.5, 0.25, 0.75, -1.0, 0.5, -0.25, 0.1]
+    rows = []
+    for i in range(40):
+        a = 1.0 + (i % 5)  # strong signal along u
+        noise = [((i * 7 + j * 13) % 11 - 5) * 0.01 for j in range(dim)]
+        rows.append((i, [a * u[j] + noise[j] for j in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    comp = {
+        r["pos"]: r["component"]
+        for r in power_iterate_top_direction(df, dim=dim, rounds=2).collect()
+    }
+    v = [comp[p] for p in range(1, dim + 1)]
+    dot = sum(v[j] * u[j] for j in range(dim))
+    cos = abs(dot) / (
+        math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(x * x for x in u))
+    )
+    assert cos > 0.99, cos
+
+
+def test_quality_gate_audit_clean_on_testdata(spark):
+    """The generated testdata satisfies every declared constraint — all six
+    gates report zero violations (a nonzero here means either the data drop
+    or a gate regressed)."""
+    sess = session_for(spark, SF_DIR)
+    out = REGISTRY["quality_gate_audit"].build(sess)
+    df = out.df if hasattr(out, "df") else out
+    rows = {r["check_name"]: r["n_violations"] for r in df.collect()}
+    assert len(rows) == 6
+    assert all(n == 0 for n in rows.values()), rows
+
+
+def test_ivm_merge_handles_empty_delta(spark):
+    """Algebraic merge must be a no-op when the delta is empty: merging
+    base partials with zero delta rows equals the base aggregate (the
+    union-then-reaggregate path must not drop or null groups)."""
+    sess = session_for(spark, SF_DIR)
+    l = sess.spark.table("lineitem")
+
+    def partial(df):
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("p_qty"),
+            F.count("*").alias("p_n"),
+        )
+
+    base = partial(l)
+    empty_delta = partial(l.where(F.lit(False)))
+    merged = (
+        base.unionAll(empty_delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("p_qty").alias("q"), F.sum("p_n").alias("n"))
+    )
+    direct = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.count("*").alias("n"),
+    )
+    m = {(r[0], r[1]): (r[2], r[3]) for r in merged.collect()}
+    d = {(r[0], r[1]): (r[2], r[3]) for r in direct.collect()}
+    assert m == d

@@ -757,6 +757,194 @@ def quality_gate_audit(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+BACKTEST_ORACLE = """
+WITH hr AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hidx,
+         sum(CAST(value AS DECIMAL(28,9))) AS sv
+  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(CAST(sum(abs(a.sv - f.sv)) AS DOUBLE) / count(*), 6) AS mae
+FROM hr a JOIN hr f
+  ON a.event_type = f.event_type AND a.hidx = f.hidx + 168
+GROUP BY a.event_type
+"""
+
+
+@register("events_seasonal_backtest", BACKTEST_ORACLE)
+def events_seasonal_backtest(sess: SeccoSession):
+    """Seasonal-naive forecast backtest: predict each hour's per-type value
+    sum with the value from the same hour one week earlier (lag-168), and
+    report the mean absolute error over all backtestable hours. The hourly
+    series is an exact DECIMAL sum, the errors are decimal differences
+    summed exactly, and the single double division happens once per output
+    row — hash-stable across engines.
+
+    Scale: one shuffle to build the hourly series (map-side combined), then
+    a self-equi-join on (type, hidx) — at 100 TB the series table is
+    hours x types rows, trivially broadcastable; the expensive part stays
+    the first aggregation, which is the minimum any backtest needs."""
+    from seccosql_spark.operators.timeutil import US_PER_HOUR, epoch_us
+
+    ev = sess.spark.table("events")
+    hr = (
+        ev.withColumn("eus", epoch_us(ev, "ts"))
+        .withColumn("hidx", F.expr(f"eus div {US_PER_HOUR}"))
+        .groupBy("event_type", "hidx")
+        .agg(F.sum(F.col("value").cast("decimal(28,9)")).alias("sv"))
+    )
+    a, f = hr.alias("a"), hr.alias("f")
+    out = (
+        a.join(
+            f,
+            (F.col("a.event_type") == F.col("f.event_type"))
+            & (F.col("a.hidx") == F.col("f.hidx") + 168),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(
+                F.sum(F.abs(F.col("a.sv") - F.col("f.sv"))).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mae"),
+        )
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = """
+WITH wt AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+it AS (
+  SELECT doc_id, source, ws,
+         unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+  FROM wt
+),
+g AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM it
+),
+fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN fst f ON g.gram = f.gram
+  GROUP BY g.doc_id, g.source
+),
+decl AS (
+  SELECT source, n_grams, n_novel,
+         CAST(ntile(10) OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+           AS decile
+  FROM per_doc
+)
+SELECT source, decile,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams
+FROM decl
+GROUP BY source, decile
+"""
+
+
+@register("text_novelty_curve", NOVELTY_ORACLE)
+def text_novelty_curve(sess: SeccoSession):
+    """Corpus novelty curve: for each source, in doc_id order, what
+    fraction of each document's distinct 8-grams has never appeared in any
+    earlier document? (n_novel/n_grams per doc_id-decile — emitted as exact
+    integer sums.) A flattening curve is the standard diagnostic that a
+    crawl has started re-collecting the same content — the go/no-go signal
+    for continued ingestion.
+
+    Scale: grams explode map-side; first-occurrence is ONE shuffle on the
+    gram (min doc_id, map-side combined); the join back is gram-keyed and
+    AQE-skew-safe. Nothing is pairwise — the same discipline as the
+    decontamination family. The ntile runs per source over per-doc rows."""
+    d = sess.spark.table("documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = F.when(
+        F.size(ws) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 7, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    fst = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(fst, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    out = (
+        per_doc.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("source", "decile")
+        .agg(
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+        )
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value
+# ---------------------------------------------------------------------------
+
+_sql(
+    "orders_cohort_ltv",
+    """
+WITH first_order AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+monthly AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+           AS midx,
+         count(*) AS n_orders,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_m,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+)
+SELECT cohort_m, midx,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(sum(rev) OVER (PARTITION BY cohort_m ORDER BY midx) AS DOUBLE)
+         AS cum_revenue
+FROM monthly
+""",
+    """Cohort lifetime value: customers grouped by first-order month
+    (integer year*12+month index — no engine-specific month arithmetic),
+    cumulative decimal revenue by months-since-first-order. The running
+    window is per cohort over at most a few hundred month rows
+    (post-aggregation), ordered by the unique midx. Scale: two hash
+    aggregations and one join on custkey; the cumulative window touches
+    cohort x month rows only.""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution
 # ---------------------------------------------------------------------------
 

@@ -93,8 +93,9 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # late-r8 mining batch (last-touch attribution, Markov transitions, RFM
 # quintiles, column profiler, blocked entity resolution, basket pairs,
 # MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
-# merge, Pareto ABC, interarrival). 53 never-verified rows compete for 50
-# slots, so 3 spill to r09 alongside the overdue/stale tiers; every
+# merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
+# cohort LTV). 56 never-verified rows compete for 50 slots, so 6 spill
+# to r09 alongside the overdue/stale tiers; every
 # spilled row is re-proven by the full-registry pytest differential every
 # session (this round: every row green at sf0.001 AND sf0.01), and
 # overdue-beats-hot guarantees the rotation closes r09/r10.
@@ -116,6 +117,7 @@ _PRIORITY_WINDOW = [
     "events_anomaly_mad",
     "events_max_concurrency",
     "events_rolling_spikes",
+    "events_seasonal_backtest",
     "events_weekly_retention",
     "g_bipartite_covisit",
     "g_degree_assortativity",
@@ -131,6 +133,7 @@ _PRIORITY_WINDOW = [
     "multimodal_audio_features",
     "multimodal_binaryfile_mixed",
     "multimodal_resize_thumbnail",
+    "orders_cohort_ltv",
     "orders_interarrival",
     "pack_sequences_greedy",
     "pareto_abc_parts",
@@ -148,8 +151,6 @@ _PRIORITY_WINDOW = [
     "text_bm25_topk",
     "text_cooccurrence_pmi",
     "text_gopher_filter",
-    "text_length_percentile_band",
-    "text_unigram_logprob",
 ]
 
 

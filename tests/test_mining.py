@@ -87,6 +87,38 @@ def test_power_iteration_recovers_planted_direction(spark):
     assert cos > 0.99, cos
 
 
+def test_mining_batch_plans_lint_clean(spark):
+    """Every mining-batch plan stays free of scale-killers (no cartesian
+    product, no row-at-a-time Python UDF, no stray global sort) — the same
+    gate the bench headliners carry."""
+    from seccosql_spark.plans.linter import lint_plan
+
+    sess = session_for(spark, SF_DIR)
+    names = [
+        "markov_transitions",
+        "attribution_last_touch",
+        "rfm_segments",
+        "profile_columns",
+        "entity_resolution_blocked",
+        "basket_part_pairs",
+        "events_anomaly_mad",
+        "snapshot_diff_orders",
+        "quality_gate_audit",
+        "embedding_pca_power2",
+        "ivm_q1_merge",
+        "pareto_abc_parts",
+        "orders_interarrival",
+        "events_seasonal_backtest",
+        "text_novelty_curve",
+        "orders_cohort_ltv",
+    ]
+    for n in names:
+        out = REGISTRY[n].build(sess)
+        df = out.df if hasattr(out, "df") else out
+        bad = [f for f in lint_plan(df) if f.severity in ("error", "warn")]
+        assert not bad, (n, bad)
+
+
 def test_quality_gate_audit_clean_on_testdata(spark):
     """The generated testdata satisfies every declared constraint — all six
     gates report zero violations (a nonzero here means either the data drop

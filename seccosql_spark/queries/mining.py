@@ -907,6 +907,116 @@ def text_novelty_curve(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time dimension lookup (time travel against the SCD2 history)
+# ---------------------------------------------------------------------------
+
+PIT_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, epoch_us(o_orderdate) AS ts, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+),
+runs AS (
+  SELECT o_custkey, o_orderstatus, ts,
+         sum(chg) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+iv AS (
+  SELECT o_custkey, o_orderstatus, min(ts) AS valid_from_us
+  FROM runs GROUP BY o_custkey, o_orderstatus, run_id
+),
+probe AS (
+  SELECT lg.l_orderkey, lg.l_linenumber, lg.sts, lg.n_lines, lg.rev,
+         o.o_custkey
+  FROM (SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS sts,
+               count(*) AS n_lines,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 AS rev
+        FROM lineitem
+        GROUP BY l_orderkey, l_linenumber, epoch_us(l_shipdate)) lg
+  JOIN orders o ON lg.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT p.rev, p.n_lines, i.o_orderstatus,
+         row_number() OVER (PARTITION BY p.l_orderkey, p.l_linenumber, p.sts
+                            ORDER BY i.valid_from_us DESC,
+                                     i.o_orderstatus DESC) AS rn
+  FROM probe p JOIN iv i
+    ON p.o_custkey = i.o_custkey AND i.valid_from_us <= p.sts
+)
+SELECT o_orderstatus AS pit_status,
+       CAST(sum(n_lines) AS BIGINT) AS n_items,
+       CAST(sum(rev) AS DOUBLE) AS revenue
+FROM cand WHERE rn = 1
+GROUP BY o_orderstatus
+"""
+
+
+@register("pit_status_lookup", PIT_ORACLE)
+def pit_status_lookup(sess: SeccoSession):
+    """Point-in-time dimension lookup (time travel): each shipped line item
+    is joined to the customer's SCD2 status run that was CURRENT at ship
+    time — the as-of rule is argmax over valid_from <= ship_ts, realized as
+    max(struct(valid_from, status)) per probe (identical to the oracle's
+    row_number DESC rule, including the status tiebreak when two runs share
+    a start timestamp). Revenue rolls up by point-in-time status as exact
+    decimals.
+
+    This composes the engine's own SCD2 builder (`scd2_status_history`) as
+    the dimension side — the standard warehouse pattern of building the
+    history once and probing it from every fact. Scale: the probe-interval
+    join is custkey-keyed (fan-out = runs per customer, small by
+    construction); the argmax is a map-side-combinable struct max, NOT a
+    window over the fact table; everything shuffles on custkey/probe keys
+    only."""
+    from seccosql_spark.operators.timeutil import epoch_us
+    from seccosql_spark.queries.window_analytics import scd2_status_history
+
+    spark = sess.spark
+    iv = scd2_status_history(sess)
+    iv = (iv.df if hasattr(iv, "df") else iv).select(
+        "o_custkey", "o_orderstatus", "valid_from_us"
+    )
+    l, o = spark.table("lineitem"), spark.table("orders")
+    # The synthetic lineitem does NOT enforce the TPC-H (orderkey,
+    # linenumber) PK — pre-aggregate duplicates into one probe per
+    # (key, ship hour) so no real line is silently dropped by the argmax.
+    lg = (
+        l.withColumn("sts", epoch_us(l, "l_shipdate"))
+        .groupBy("l_orderkey", "l_linenumber", "sts")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev"),
+        )
+    )
+    probe = lg.join(o, lg.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "sts", "n_lines", "rev", "o_custkey"
+    )
+    cand = probe.join(
+        iv.withColumnRenamed("o_custkey", "iv_cust"),
+        (F.col("o_custkey") == F.col("iv_cust"))
+        & (F.col("valid_from_us") <= F.col("sts")),
+    )
+    best = cand.groupBy("l_orderkey", "l_linenumber", "sts").agg(
+        F.max(F.struct("valid_from_us", "o_orderstatus")).alias("b"),
+        F.first("rev").alias("rev"),
+        F.first("n_lines").alias("n_lines"),
+    )
+    out = best.groupBy(F.col("b.o_orderstatus").alias("pit_status")).agg(
+        F.sum("n_lines").cast("long").alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Cohort lifetime value
 # ---------------------------------------------------------------------------
 

@@ -94,8 +94,8 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # quintiles, column profiler, blocked entity resolution, basket pairs,
 # MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
 # merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
-# cohort LTV). 56 never-verified rows compete for 50 slots, so 6 spill
-# to r09 alongside the overdue/stale tiers; every
+# cohort LTV, point-in-time SCD2 lookup). 57 never-verified rows compete
+# for 50 slots, so 7 spill to r09 alongside the overdue/stale tiers; every
 # spilled row is re-proven by the full-registry pytest differential every
 # session (this round: every row green at sf0.001 AND sf0.01), and
 # overdue-beats-hot guarantees the rotation closes r09/r10.
@@ -137,6 +137,7 @@ _PRIORITY_WINDOW = [
     "orders_interarrival",
     "pack_sequences_greedy",
     "pareto_abc_parts",
+    "pit_status_lookup",
     "profile_columns",
     "quality_gate_audit",
     "rfm_segments",
@@ -150,7 +151,6 @@ _PRIORITY_WINDOW = [
     "stream_incremental_dedup",
     "text_bm25_topk",
     "text_cooccurrence_pmi",
-    "text_gopher_filter",
 ]
 
 

@@ -907,6 +907,102 @@ def text_novelty_curve(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Per-source dataset card
+# ---------------------------------------------------------------------------
+
+DATA_CARD_ORACLE = """
+WITH d AS (
+  SELECT source, lang, md5(text) AS h,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM d GROUP BY source
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+),
+entropy AS (
+  SELECT lc.source,
+         CAST(sum(CAST(lc.c AS DECIMAL(28,9))
+                  * CAST(round(ln(CAST(lc.c AS DOUBLE) / ps.n_docs), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS sln,
+         min(ps.n_docs) AS n_docs
+  FROM lang_counts lc JOIN per_source ps ON lc.source = ps.source
+  GROUP BY lc.source
+)
+SELECT ps.source,
+       CAST(ps.n_docs AS BIGINT) AS n_docs,
+       ps.n_exact_dups,
+       ps.total_tokens,
+       round(CAST(ps.total_tokens AS DOUBLE) / ps.n_docs, 6) AS avg_tokens,
+       ps.n_langs,
+       round(-e.sln / e.n_docs, 6) AS lang_entropy
+FROM per_source ps JOIN entropy e ON ps.source = e.source
+"""
+
+
+@register("source_data_card", DATA_CARD_ORACLE)
+def source_data_card(sess: SeccoSession):
+    """Per-source dataset card — the datasheet a curation pipeline publishes
+    with every corpus drop: document count, exact-duplicate count (md5),
+    token totals and mean, language count, and the Shannon entropy of the
+    language mix (high entropy = well-mixed, near-zero = monolingual).
+
+    Entropy follows the established cross-engine ln discipline: each
+    per-language ln(p) is rounded to DECIMAL(18,9) BEFORE the weighted
+    decimal sum (order-independent), with one final double division. Scale:
+    one scan feeds two source-keyed aggregations (docs-per-language is a
+    map-side-combined count; the dup count rides the same per-source agg);
+    nothing leaves the source partitioning until the 10-row join."""
+    d = sess.spark.table("documents").select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    entropy = (
+        lang_counts.join(per_source.select("source", "n_docs"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(28,9)")
+                * F.round(
+                    F.log(F.col("c").cast("double") / F.col("n_docs")), 9
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("sln"),
+            F.min("n_docs").alias("nd"),
+        )
+    )
+    out = per_source.join(entropy, "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_tokens"
+        ),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(-F.col("sln") / F.col("nd"), 6).alias("lang_entropy"),
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Point-in-time dimension lookup (time travel against the SCD2 history)
 # ---------------------------------------------------------------------------
 

@@ -94,8 +94,9 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # quintiles, column profiler, blocked entity resolution, basket pairs,
 # MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
 # merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
-# cohort LTV, point-in-time SCD2 lookup). 57 never-verified rows compete
-# for 50 slots, so 7 spill to r09 alongside the overdue/stale tiers; every
+# cohort LTV, point-in-time SCD2 lookup, source data card). 58
+# never-verified rows compete for 50 slots, so 8 spill to r09 alongside
+# the overdue/stale tiers; every
 # spilled row is re-proven by the full-registry pytest differential every
 # session (this round: every row green at sf0.001 AND sf0.01), and
 # overdue-beats-hot guarantees the rotation closes r09/r10.
@@ -146,11 +147,11 @@ _PRIORITY_WINDOW = [
     "shuffle_pack_shards",
     "sketch_cms_heavy_hitters",
     "snapshot_diff_orders",
+    "source_data_card",
     "split_train_val_test",
     "stats_corr_by_source",
     "stream_incremental_dedup",
     "text_bm25_topk",
-    "text_cooccurrence_pmi",
 ]
 
 

@@ -111,6 +111,8 @@ def test_mining_batch_plans_lint_clean(spark):
         "events_seasonal_backtest",
         "text_novelty_curve",
         "orders_cohort_ltv",
+        "pit_status_lookup",
+        "source_data_card",
     ]
     for n in names:
         out = REGISTRY[n].build(sess)

@@ -305,13 +305,15 @@ def power_iterate_top_direction(emb_df, dim: int, rounds: int = 2):
     broadcast-sized join (the dim-row v). At 100 TB this is distributed
     matrix-free PCA: no step holds more than dim values outside the
     cluster. More rounds = more jobs, same memory."""
-    ex = (
+    # Tracked persist (dedup._tracked_persist) so long-lived sessions can
+    # reclaim the exploded cache via release_caches() between invocations.
+    from seccosql_spark.operators.dedup import _tracked_persist
+
+    ex = _tracked_persist(
         emb_df.select(
             "vec_id",
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
-        )
-        .select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
-        .persist()
+        ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "x")
     )
 
     def one_round(v: list[float]):

@@ -909,6 +909,142 @@ def text_novelty_curve(sess: SeccoSession):
 
 
 # ---------------------------------------------------------------------------
+# Closeness centrality (multi-source frontier BFS)
+# ---------------------------------------------------------------------------
+
+from seccosql_spark.queries.graph import EDGES_SPARSE  # noqa: E402
+
+CLOSENESS_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM ({EDGES_SPARSE})),
+nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e)
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM nb),
+walk(s, id, d) AS (
+  SELECT id AS s, id, 0 FROM nodes
+  UNION
+  SELECT w.s, nb.b, least(w.d + 1, 64) FROM walk w JOIN nb ON nb.a = w.id
+),
+dist AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)
+SELECT s AS id,
+       CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       round(CAST(count(*) - 1 AS DOUBLE) / sum(d), 6) AS closeness
+FROM dist GROUP BY s
+HAVING sum(d) > 0
+"""
+
+
+@register("g_closeness_centrality", CLOSENESS_ORACLE)
+def g_closeness_centrality(sess: SeccoSession):
+    """Closeness centrality for every node of the sparse undirected graph:
+    (reachable peers) / (sum of BFS distances to them), via ONE
+    multi-source frontier BFS — all |V| sources advance together as
+    (source, node, depth) state, each round joining only the new frontier
+    against the symmetrized edges with a composite-key anti-join against
+    the seen set. Integer distances; one rounded ratio per output row.
+
+    Scale: per-round work is |frontier| x avg-degree — the same semi-naive
+    discipline as `g_bfs_distances`, with the source dimension carried as
+    data (no per-source jobs). All-sources closeness is O(V*E) total like
+    any exact formulation; on a 100x graph the same kernel computes
+    closeness for a HASH-SAMPLED source subset (the standard estimator)
+    by filtering the seed frontier, changing nothing downstream."""
+    spark = sess.spark
+    e = spark.sql(EDGES_SPARSE)
+    nb = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        nb.select(F.col("a").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("id"), F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for _ in range(64):
+        nxt = (
+            frontier.join(nb, frontier["id"] == nb["a"])
+            .select("s", F.col("b").alias("id"), (F.col("d") + 1).alias("d"))
+            .distinct()
+            .join(
+                seen.select(F.col("s").alias("__ss"), F.col("id").alias("__si")),
+                (F.col("s") == F.col("__ss")) & (F.col("id") == F.col("__si")),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = (
+        seen.groupBy(F.col("s").alias("id"))
+        .agg(
+            (F.count("*") - 1).cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_dist"),
+        )
+        .where(F.col("sum_dist") > 0)
+        .select(
+            "id",
+            "n_reached",
+            "sum_dist",
+            F.round(F.col("n_reached").cast("double") / F.col("sum_dist"), 6).alias(
+                "closeness"
+            ),
+        )
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling
+# ---------------------------------------------------------------------------
+
+BALANCED_ORACLE = """
+WITH counts AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings
+)
+SELECT vec_id, label FROM ranked
+WHERE rn <= (SELECT min(c) FROM counts)
+"""
+
+
+@register("sample_balanced_classes", BALANCED_ORACLE)
+def sample_balanced_classes(sess: SeccoSession):
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-size rows, selected by md5-hash order (deterministic,
+    unbiased w.r.t. any feature, reproducible across engines and runs) —
+    the standard pre-training rebalance for skewed label distributions.
+    Scale: one count aggregation (broadcast scalar) plus one per-label
+    window; heavily skewed labels salt the window the same way the skew
+    utilities do."""
+    emb = sess.spark.table("embeddings")
+    m = emb.groupBy("label").agg(F.count("*").alias("c")).agg(F.min("c").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    out = (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(m))
+        .where(F.col("rn") <= F.col("m"))
+        .select("vec_id", "label")
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
 # Per-source dataset card
 # ---------------------------------------------------------------------------
 

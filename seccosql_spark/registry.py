@@ -94,9 +94,9 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # quintiles, column profiler, blocked entity resolution, basket pairs,
 # MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
 # merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
-# cohort LTV, point-in-time SCD2 lookup, source data card). 58
-# never-verified rows compete for 50 slots, so 8 spill to r09 alongside
-# the overdue/stale tiers; every
+# cohort LTV, point-in-time SCD2 lookup, source data card, closeness
+# centrality, balanced downsampling). 60 never-verified rows compete for
+# 50 slots, so 10 spill to r09 alongside the overdue/stale tiers; every
 # spilled row is re-proven by the full-registry pytest differential every
 # session (this round: every row green at sf0.001 AND sf0.01), and
 # overdue-beats-hot guarantees the rotation closes r09/r10.
@@ -121,6 +121,7 @@ _PRIORITY_WINDOW = [
     "events_seasonal_backtest",
     "events_weekly_retention",
     "g_bipartite_covisit",
+    "g_closeness_centrality",
     "g_degree_assortativity",
     "g_hits_2rounds",
     "g_jaccard_linkpred",
@@ -142,6 +143,7 @@ _PRIORITY_WINDOW = [
     "profile_columns",
     "quality_gate_audit",
     "rfm_segments",
+    "sample_balanced_classes",
     "sample_weighted_ares",
     "scd2_status_history",
     "shuffle_pack_shards",
@@ -150,8 +152,6 @@ _PRIORITY_WINDOW = [
     "source_data_card",
     "split_train_val_test",
     "stats_corr_by_source",
-    "stream_incremental_dedup",
-    "text_bm25_topk",
 ]
 
 

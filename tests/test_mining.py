@@ -113,11 +113,22 @@ def test_mining_batch_plans_lint_clean(spark):
         "orders_cohort_ltv",
         "pit_status_lookup",
         "source_data_card",
+        "g_closeness_centrality",
+        "sample_balanced_classes",
     ]
+    # sample_balanced_classes broadcasts a ONE-ROW scalar (the min class
+    # size) with no join key — a bounded-by-construction BNLJ the linter
+    # correctly surfaces as warn-for-review, same as the kNN probe.
+    allowed_warns = {("sample_balanced_classes", "broadcast-nested-loop")}
     for n in names:
         out = REGISTRY[n].build(sess)
         df = out.df if hasattr(out, "df") else out
-        bad = [f for f in lint_plan(df) if f.severity in ("error", "warn")]
+        bad = [
+            f
+            for f in lint_plan(df)
+            if f.severity == "error"
+            or (f.severity == "warn" and (n, f.rule) not in allowed_warns)
+        ]
         assert not bad, (n, bad)
 
 

@@ -591,6 +591,38 @@ GROUP BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Exact percentile report
+# ---------------------------------------------------------------------------
+
+_sql(
+    "events_value_percentiles",
+    """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
+FROM r
+GROUP BY event_type
+""",
+    """Exact P50/P90/P99 per event_type — the SLO report — selected by rank
+    (rn = ceil(n*p), the nearest-rank definition) rather than interpolated:
+    the chosen value is an ACTUAL data point, bit-identical across engines
+    (interpolated percentiles are where engines drift — same discipline as
+    the MAD query's lower median). The (value, event_id) tiebreak totals
+    the order. Scale: one hash exchange on event_type, rank + pick stream
+    within partitions; skewed types salt-split as usual.""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Lakehouse reconciliation
 # ---------------------------------------------------------------------------
 

@@ -95,8 +95,9 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
 # merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
 # cohort LTV, point-in-time SCD2 lookup, source data card, closeness
-# centrality, balanced downsampling). 60 never-verified rows compete for
-# 50 slots, so 10 spill to r09 alongside the overdue/stale tiers; every
+# centrality, balanced downsampling, exact percentile report). 61
+# never-verified rows compete for 50 slots, so 11 spill to r09 alongside
+# the overdue/stale tiers; every
 # spilled row is re-proven by the full-registry pytest differential every
 # session (this round: every row green at sf0.001 AND sf0.01), and
 # overdue-beats-hot guarantees the rotation closes r09/r10.
@@ -119,6 +120,7 @@ _PRIORITY_WINDOW = [
     "events_max_concurrency",
     "events_rolling_spikes",
     "events_seasonal_backtest",
+    "events_value_percentiles",
     "events_weekly_retention",
     "g_bipartite_covisit",
     "g_closeness_centrality",
@@ -151,7 +153,6 @@ _PRIORITY_WINDOW = [
     "snapshot_diff_orders",
     "source_data_card",
     "split_train_val_test",
-    "stats_corr_by_source",
 ]
 
 

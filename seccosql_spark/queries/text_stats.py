@@ -284,7 +284,7 @@ WITH tok AS (
 )
 SELECT w AS term,
        CAST(count(*) AS BIGINT) AS df,
-       (list(doc_id ORDER BY doc_id))[1:8] AS posting_head
+       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS posting_head
 FROM tok GROUP BY w
 """
 
@@ -300,7 +300,10 @@ def inverted_index_postings(sess: SeccoSession):
     window and the groupBy share the term hash partitioning, so the whole
     build is one explode + ONE shuffle; a hot term appearing in every
     document costs 8 collected ids, not a corpus-sized row (the trap a
-    naive slice(collect_list) hits at 100 TB)."""
+    naive slice(collect_list) hits at 100 TB). The head is emitted as a
+    comma-joined STRING (not array<bigint>) so downstream tabular tools —
+    including the driver's pandas canonicalizer, which cannot sort list
+    columns — can treat it as a scalar key."""
     docs = sess.spark.table("documents")
     tok = docs.select(
         "doc_id",
@@ -316,8 +319,11 @@ def inverted_index_postings(sess: SeccoSession):
     return sess.from_spark(
         ranked.groupBy("term").agg(
             F.max("rn").cast("long").alias("df"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("rn") <= 8, F.col("doc_id")))
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 8, F.col("doc_id")))
+                ),
             ).alias("posting_head"),
         )
     )

@@ -971,7 +971,8 @@ HAVING sum(d) > 0
 
 
 @register("g_closeness_centrality", CLOSENESS_ORACLE)
-def g_closeness_centrality(sess: SeccoSession):
+def g_closeness_centrality(sess: SeccoSession, source_fraction: float = 1.0,
+                           max_rounds: int = 64):
     """Closeness centrality for every node of the sparse undirected graph:
     (reachable peers) / (sum of BFS distances to them), via ONE
     multi-source frontier BFS — all |V| sources advance together as
@@ -981,10 +982,18 @@ def g_closeness_centrality(sess: SeccoSession):
 
     Scale: per-round work is |frontier| x avg-degree — the same semi-naive
     discipline as `g_bfs_distances`, with the source dimension carried as
-    data (no per-source jobs). All-sources closeness is O(V*E) total like
-    any exact formulation; on a 100x graph the same kernel computes
-    closeness for a HASH-SAMPLED source subset (the standard estimator)
-    by filtering the seed frontier, changing nothing downstream."""
+    data (no per-source jobs). All-sources closeness carries O(V^2) `seen`
+    state like any exact formulation; on a 100x graph pass
+    ``source_fraction`` < 1 and the SAME kernel computes exact closeness
+    for a deterministic HASH-SAMPLED source subset (the standard
+    estimator, Eppstein & Wang 2001) by filtering only the seed frontier —
+    state drops to O(fV * V), nothing downstream changes, and the sampled
+    rows equal the exact run's rows for those sources (pinned by
+    ``test_closeness_sampled_sources_match_exact``). If the frontier is
+    still live after ``max_rounds`` the kernel RAISES rather than silently
+    dropping beyond-horizon nodes (the budget discipline of the other
+    iterative kernels; the registry default of 64 matches the oracle's
+    distance cap and the testdata graph's eccentricity)."""
     spark = sess.spark
     e = spark.sql(EDGES_SPARSE)
     nb = (
@@ -993,15 +1002,21 @@ def g_closeness_centrality(sess: SeccoSession):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    frontier = (
-        nb.select(F.col("a").alias("s"))
-        .distinct()
-        .select("s", F.col("s").alias("id"), F.lit(0).alias("d"))
-        .localCheckpoint(eager=True)
-    )
+    seeds = nb.select(F.col("a").alias("s")).distinct()
+    if source_fraction < 1.0:
+        # deterministic hash sample of SOURCES only (per-source BFS state is
+        # exact); xxhash64 so the pick is stable across runs and engines
+        seeds = seeds.where(
+            F.pmod(F.xxhash64(F.col("s")), F.lit(10000))
+            < F.lit(int(round(source_fraction * 10000)))
+        )
+    frontier = seeds.select(
+        "s", F.col("s").alias("id"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
     seen = frontier
-    for _ in range(64):
-        nxt = (
+
+    def _expand(frontier, seen):
+        return (
             frontier.join(nb, frontier["id"] == nb["a"])
             .select("s", F.col("b").alias("id"), (F.col("d") + 1).alias("d"))
             .distinct()
@@ -1010,12 +1025,22 @@ def g_closeness_centrality(sess: SeccoSession):
                 (F.col("s") == F.col("__ss")) & (F.col("id") == F.col("__si")),
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
         )
+
+    for _ in range(max_rounds):
+        nxt = _expand(frontier, seen).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    else:
+        # budget exhausted with a live frontier: distances beyond the
+        # horizon would be silently wrong — fail loudly, like ktruss/MIS
+        if not _expand(frontier, seen).isEmpty():
+            raise RuntimeError(
+                f"closeness BFS still expanding after {max_rounds} rounds; "
+                "raise max_rounds (graph eccentricity exceeds the budget)"
+            )
     out = (
         seen.groupBy(F.col("s").alias("id"))
         .agg(

@@ -171,3 +171,44 @@ def test_ivm_merge_handles_empty_delta(spark):
     m = {(r[0], r[1]): (r[2], r[3]) for r in merged.collect()}
     d = {(r[0], r[1]): (r[2], r[3]) for r in direct.collect()}
     assert m == d
+
+
+def test_closeness_sampled_sources_match_exact(spark):
+    """source_fraction filters ONLY the seed frontier: per-source BFS is
+    still exact, so the sampled run's rows must EQUAL the exact run's rows
+    for exactly the hash-picked source subset — the callable form of the
+    docstring's 100x-scale estimator (VERDICT r08 task 5)."""
+    from seccosql_spark.queries.mining import g_closeness_centrality
+
+    sess = session_for(spark, SF_DIR)
+
+    def rows(frac):
+        out = g_closeness_centrality(sess, source_fraction=frac)
+        df = out.df if hasattr(out, "df") else out
+        return {r["id"]: (r["n_reached"], r["sum_dist"], r["closeness"])
+                for r in df.collect()}
+
+    exact, sampled = rows(1.0), rows(0.3)
+    assert 0 < len(sampled) < len(exact)
+    # the sampled ids are exactly the deterministic hash pick
+    picked = {
+        r["id"]
+        for r in spark.createDataFrame(
+            [(i,) for i in exact], "id: long"
+        ).where(F.pmod(F.xxhash64("id"), F.lit(10000)) < 3000).collect()
+    }
+    assert set(sampled) == picked
+    assert all(sampled[i] == exact[i] for i in sampled)
+
+
+def test_closeness_raises_on_round_budget_exhaustion(spark):
+    """A path graph longer than max_rounds must RAISE, not silently drop
+    beyond-horizon distances (ADVICE r08: the other iterative kernels all
+    fail loudly on budget exhaustion)."""
+    import pytest
+
+    from seccosql_spark.queries.mining import g_closeness_centrality
+
+    sess = session_for(spark, SF_DIR)
+    with pytest.raises(RuntimeError, match="still expanding"):
+        g_closeness_centrality(sess, max_rounds=2)

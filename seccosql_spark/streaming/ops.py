@@ -35,7 +35,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -217,6 +217,34 @@ def session_window_agg(
             "total_value",
         )
     )
+
+
+def finalized_sessions(
+    sessions: DataFrame, cutoff, end_col: str = "sess_end",
+    guard_col: str = "n_events",
+) -> DataFrame:
+    """Watermark-style cutoff over a BATCH-rebuilt session table: keep
+    sessions whose ``end_col`` <= ``cutoff`` — the batch twin of append-mode
+    emission, for stream/batch equivalence checks.
+
+    Why this is not a plain ``.where()``: Catalyst treats the pre-merge
+    per-row session struct as a deterministic grouping expression, so a
+    filter on the session END gets pushed BELOW the session-window
+    aggregation and becomes a per-EVENT filter ``ts + gap <= cutoff``.
+    That is unsound for session windows — dropping a late event that would
+    have extended an earlier session fabricates a shorter phantom session
+    that then passes the cutoff (observed on sf0.01: a 2-event session
+    [21:14:50, 22:12:34] past the cutoff re-emerged as a phantom 1-event
+    [21:14:50, 21:44:50] inside it). A rand()-based CASE barrier does NOT
+    survive: the optimizer rewrites ``CASE WHEN c THEN true ELSE <nondet>``
+    into ``c <=> true`` and pushes it anyway. What does hold: the cutoff is
+    OR-ed (one non-splittable disjunction) with an always-false comparison
+    on an AGGREGATE-output column (``guard_col < 0`` for a count) — a
+    disjunct referencing an aggregate result can never move below the
+    Aggregate, and no optimizer rule proves ``count(*) < 0`` unsatisfiable.
+    Pinned by ``test_finalized_sessions_filter_stays_above_agg``."""
+    cond = F.col(end_col) <= (F.lit(cutoff) if not isinstance(cutoff, Column) else cutoff)
+    return sessions.where(cond | (F.col(guard_col) < F.lit(0)))
 
 
 def stream_stream_join(

@@ -106,14 +106,23 @@ def test_stream_upsert_latest_per_user(spark, events_dir):
     assert stream_map == batch_map
 
 
-def test_session_window_agg_matches_batch(spark, events_dir):
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_session_window_agg_matches_batch(spark, sf_dir, tmp_path):
+    """Runs at BOTH sf0.001 and sf0.01 regardless of SECCO_TEST_SF_DIR: the
+    r08 divergence (phantom sub-sessions from unsound cutoff pushdown) only
+    manifests at sf0.01 event density, where a session straddles the final
+    watermark."""
     from seccosql_spark.streaming.ops import session_window_agg
 
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-0.parquet")
+    sink = f"sess_sink_{sf_dir.rsplit('sf', 1)[-1].replace('.', '_')}"
     run_available_now(
         session_window_agg(stream_events(spark, events_dir), gap="30 minutes"),
-        "sess_sink",
+        sink,
     )
-    got = spark.table("sess_sink")
+    got = spark.table(sink)
     batch = (
         spark.read.parquet(events_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -130,15 +139,57 @@ def test_session_window_agg_matches_batch(spark, events_dir):
             "total_value",
         )
     )
-    # append mode emits only sessions closed before the final watermark
+    # append mode emits only sessions closed before the final watermark.
+    # Two subtleties the r08 failure at sf0.01 exposed (both on the BATCH
+    # side of the comparison — streaming was correct):
+    # 1. the cutoff must go through finalized_sessions(): a naive
+    #    .filter(sess_end <= cutoff) is pushed BELOW the session-window
+    #    aggregation by Catalyst and drops per-EVENT rows before merging,
+    #    fabricating phantom shorter sessions inside held-back ones;
+    # 2. Spark tracks watermarks in MILLIseconds, so the cutoff is the
+    #    millis-truncated max event time minus the delay.
+    from seccosql_spark.streaming.ops import finalized_sessions
+
     max_ts = (
         spark.read.parquet(events_dir)
         .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
         .collect()[0]["m"]
     )
-    finalized = batch.filter(F.col("sess_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    import datetime
+
+    wm = (max_ts - datetime.timedelta(hours=2)).replace(
+        microsecond=max_ts.microsecond // 1000 * 1000
+    )
+    finalized = finalized_sessions(batch, wm)
     assert rows(got) == rows(finalized)
     assert got.count() > 0
+
+
+def test_finalized_sessions_filter_stays_above_agg(spark, events_dir):
+    """The cutoff predicate must survive as a post-aggregation Filter: if
+    it reaches the pre-merge side the optimized plan filters raw events
+    (`ts + gap <= cutoff`) and session merging sees a truncated corpus.
+    Guards the non-deterministic barrier inside finalized_sessions against
+    an optimizer getting cleverer about constant-false rand() branches."""
+    from seccosql_spark.streaming.ops import finalized_sessions
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.end").alias("sess_end"), "user_id", "n_events")
+    )
+    fin = finalized_sessions(batch, "2024-01-30 21:57:12")
+    plan = fin._jdf.queryExecution().optimizedPlan().toString()
+    # the Filter node must sit ABOVE Aggregate (appear before it in the
+    # tree print); a pushed-down predicate prints below the Aggregate line
+    assert plan.index("Filter") < plan.index("Aggregate"), plan
+    # and the naive formulation demonstrably differs (the quirk is real on
+    # this data): naive filter leaks phantom sub-sessions
+    naive = batch.filter(F.col("sess_end") <= F.lit("2024-01-30 21:57:12"))
+    n_safe, n_naive = fin.count(), naive.count()
+    assert n_safe <= n_naive
 
 
 def test_stream_stream_join_matches_batch(spark, events_dir):

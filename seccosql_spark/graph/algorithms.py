@@ -724,6 +724,14 @@ def hits(
     a per-round global scalar) and the determinism discipline matches the
     rest of this module: no floats, no RNG, a SQL oracle can unroll it.
 
+    Overflow guard (ADVICE r08): path counts grow like (degree^2)^rounds,
+    and Spark's non-ANSI BIGINT arithmetic WRAPS silently where an oracle
+    errors. Before each round the incoming vector's max is checked against
+    (2^63-1)/|E| — a sum of at most |E| terms each <= that bound cannot
+    wrap — and the kernel raises OverflowError instead of returning wrong
+    scores. The check is one O(n)-input scalar aggregate per half-round on
+    an already-checkpointed vector.
+
     Per round: two broadcast-or-hash edge joins + two aggregations keyed on
     the node id; state is the O(n) (id, h) vector, checkpointed per round.
     Nodes missing from a side (no in- or out-edges) carry explicit zeros so
@@ -739,7 +747,19 @@ def hits(
     )
     h = nodes.select("id", F.lit(1).cast("long").alias("h"))
     a = None
+    safe_max = (2**63 - 1) // max(e.count(), 1)
+
+    def _guard(vec: DataFrame, col: str) -> None:
+        mx = vec.agg(F.max(F.abs(F.col(col)))).collect()[0][0] or 0
+        if mx > safe_max:
+            raise OverflowError(
+                f"hits: unnormalized {col}-scores reached {mx}; the next "
+                f"summation of up to |E| terms may exceed int64 (safe max "
+                f"{safe_max}). Reduce rounds or normalize externally."
+            )
+
     for _ in range(rounds):
+        _guard(h, "h")
         a_sum = (
             e.join(h.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("d").alias("id"))
@@ -750,6 +770,7 @@ def hits(
             .select("id", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
             .localCheckpoint(eager=True)
         )
+        _guard(a, "a")
         h_sum = (
             e.join(a.withColumnRenamed("id", "d"), "d")
             .groupBy(F.col("s").alias("id"))

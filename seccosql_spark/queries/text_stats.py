@@ -554,9 +554,12 @@ def _h32_of(expr: str) -> str:
 WINNOW_ORACLE = f"""
 WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
               FROM documents),
-g AS (SELECT doc_id, i.range - 1 AS p, len(t) - {WINNOW_K - 1} AS n,
-             md5(array_to_string(t[i.range:i.range + {WINNOW_K - 1}], ' ')) AS gh
-      FROM toks, range(1, 512) i WHERE i.range <= len(t) - {WINNOW_K - 1}),
+gi AS (SELECT doc_id, t, len(t) - {WINNOW_K - 1} AS n,
+              unnest(range(1, len(t) - {WINNOW_K - 2})) AS i
+       FROM toks),
+g AS (SELECT doc_id, i - 1 AS p, n,
+             md5(array_to_string(t[i:i + {WINNOW_K - 1}], ' ')) AS gh
+      FROM gi),
 h AS (SELECT doc_id, p, n, CAST({_h32_of('gh')} AS BIGINT) AS h32 FROM g),
 wm AS (SELECT doc_id, p, n,
               min(h32) OVER (PARTITION BY doc_id ORDER BY p
@@ -617,8 +620,9 @@ def text_winnowing_fingerprint(sess: SeccoSession):
 SOURCE_OVERLAP_ORACLE = """
 WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
               FROM documents),
-s AS (SELECT DISTINCT source, md5(array_to_string(t[i.range:i.range + 4], ' ')) AS sh
-      FROM toks, range(1, 512) i WHERE i.range <= len(t) - 4),
+si AS (SELECT source, t, unnest(range(1, len(t) - 3)) AS i FROM toks),
+s AS (SELECT DISTINCT source, md5(array_to_string(t[i:i + 4], ' ')) AS sh
+      FROM si),
 sz AS (SELECT source, count(*) AS n FROM s GROUP BY source),
 inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS i
           FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source

@@ -1386,3 +1386,25 @@ def test_c4_segment_dedup_keep_one_copy(spark):
     assert got[0] == (1, 1, seg_a)
     assert got[1] == (3, 1, seg_b)   # both copies of seg_a removed, order kept
     assert got[2] == (1, 0, "")
+
+
+def test_hits_raises_on_int64_overflow_risk(spark):
+    """Unnormalized HITS on a dense graph grows like (deg^2)^rounds; Spark
+    (non-ANSI) would WRAP silently where DuckDB errors. The guard must
+    raise OverflowError before a wrapping summation can happen (ADVICE
+    r08), and normal small cases must be unaffected."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import hits
+
+    # complete bipartite K8x8: after round r, scores ~ 8^(2r); 20 rounds
+    # pushes past (2^63-1)/|E| long before wrapping itself occurs
+    edges = spark.createDataFrame(
+        [(i, 100 + j) for i in range(8) for j in range(8)], "src LONG, dst LONG"
+    )
+    with pytest.raises(OverflowError, match="hits: unnormalized"):
+        hits(edges, rounds=20)
+    # 2 rounds on the same graph stays comfortably within range
+    out = {r["id"]: (r["hub"], r["auth"]) for r in hits(edges, rounds=2).collect()}
+    # round 1: a=8, h=8*8; round 2: a=8*64=512, h=8*512=4096
+    assert out[0] == (4096, 0)

@@ -398,3 +398,43 @@ def test_w3_chain_profiles_flip_join_order(sess):
     high = [n.rsplit("_", 1)[-1] for n in w3_join_order(sess, "high")]
     assert low == ["r1", "r2", "r3", "r4", "r5"]
     assert high == ["r5", "r4", "r3", "r2", "r1"]
+
+
+def test_winnow_oracle_handles_docs_longer_than_512_tokens(spark, tmp_path):
+    """ADVICE r08: the winnowing/overlap oracles used a hardcoded
+    range(1, 512), silently truncating grams past token ~514 — testdata
+    documents are short enough that the differential agreed by luck. Pin a
+    600-token document through BOTH engines end to end."""
+    import duckdb
+
+    from seccosql_spark.queries.text_stats import (
+        WINNOW_ORACLE,
+        text_winnowing_fingerprint,
+    )
+    from seccosql_spark.registry import session_for
+    from tests.conftest import SF_DIR
+
+    words = [f"w{i % 37}x{i % 11}" for i in range(600)]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(words), "synthetic", len(" ".join(words)))],
+        "doc_id: long, text: string, source: string, n_chars: long",
+    ).coalesce(1).write.parquet(path)
+
+    sess = session_for(spark, SF_DIR)
+    spark.read.parquet(path).createOrReplaceTempView("documents")
+    try:
+        out = text_winnowing_fingerprint(sess)
+        df = out.df if hasattr(out, "df") else out
+        got = {(r["doc_id"], r["fp"]) for r in df.collect()}
+    finally:
+        # restore the registered testdata view for later tests in the session
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+            "documents"
+        )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = {(r[0], r[1]) for r in con.sql(WINNOW_ORACLE).fetchall()}
+    # 600 tokens -> 597 grams; far beyond the old 511-gram cap
+    assert got == want
+    assert len(want) > 0

@@ -103,56 +103,56 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "ann_pq_adc_topk",
-    "ann_pq_codes",
-    "attribution_last_touch",
-    "basket_part_pairs",
-    "corpus_source_overlap",
-    "curation_multisignal",
-    "dedup_c4_segments",
-    "dedup_edit_distance_verify",
-    "dedup_minhash_estimate_error",
-    "dedup_ppjoin_exact",
-    "dedup_semantic_semdedup",
-    "embedding_pca_power2",
-    "entity_resolution_blocked",
-    "events_anomaly_mad",
-    "events_max_concurrency",
-    "events_rolling_spikes",
-    "events_seasonal_backtest",
-    "events_value_percentiles",
-    "events_weekly_retention",
-    "g_bipartite_covisit",
-    "g_closeness_centrality",
-    "g_degree_assortativity",
-    "g_hits_2rounds",
-    "g_jaccard_linkpred",
-    "g_maximal_independent_set",
-    "g_maximal_matching",
-    "g_modularity_mod4",
-    "g_personalized_pagerank",
     "inverted_index_postings",
-    "ivm_q1_merge",
-    "markov_transitions",
-    "multimodal_audio_features",
-    "multimodal_binaryfile_mixed",
-    "multimodal_resize_thumbnail",
-    "orders_cohort_ltv",
-    "orders_interarrival",
-    "pack_sequences_greedy",
-    "pareto_abc_parts",
-    "pit_status_lookup",
-    "profile_columns",
-    "quality_gate_audit",
-    "rfm_segments",
-    "sample_balanced_classes",
-    "sample_weighted_ares",
-    "scd2_status_history",
-    "shuffle_pack_shards",
-    "sketch_cms_heavy_hitters",
-    "snapshot_diff_orders",
-    "source_data_card",
-    "split_train_val_test",
+    "stream_incremental_dedup",
+    "stats_corr_by_source",
+    "text_bm25_topk",
+    "text_cooccurrence_pmi",
+    "text_gopher_filter",
+    "text_length_percentile_band",
+    "text_novelty_curve",
+    "text_unigram_logprob",
+    "text_winnowing_fingerprint",
+    "stream_session_windows",
+    "cte_multi",
+    "g_house_count",
+    "g_ring5_chords",
+    "g_triangle_count",
+    "grouping_sets_id",
+    "multiway_natural_ghd",
+    "pack_token_shards",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_sole_blame_supplier",
+    "q22_sales_opportunity",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_next_hour",
+    "sessionize_events",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "window_first_last_frames",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "with_recursive_path_counts",
+    "with_recursive_reach",
+    "approx_distinct_users",
+    "asof_latest_purchase",
+    "g_bfs_distances",
+    "g_clique4_count",
+    "g_diamond_count",
+    "g_ring5_chords_b",
+    "g_tailed_triangle_count",
+    "g_triangle_undirected",
+    "match_sql_tableref",
+    "multiway_stats_filtered",
 ]
 
 

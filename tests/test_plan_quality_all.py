@@ -1,0 +1,120 @@
+"""Registry-wide plan-quality gate (VERDICT r08 task 6): EVERY registered
+query's physical plan is linted, not just the per-batch gated sets — a new
+query cannot regress plan shape silently. Also enforces the driver-contract
+schema rule the r08 red row exposed: output columns must be canonicalizable
+scalars (the driver's pandas sort_values cannot order array/map/struct
+cells), so complex-typed outputs fail HERE, not two rounds later in a
+CORRECTNESS file.
+
+Intentional deviations are declared in ALLOWED with a reason —
+everything else must be free of errors and warns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import types as T
+
+from seccosql_spark.plans.linter import lint_plan
+from seccosql_spark.registration import REGISTRY
+from seccosql_spark.registry import session_for
+from tests.conftest import SF_DIR
+
+# (query, rule) -> why the finding is intentional (warn OR error). Keep
+# reasons: this is the allowlist VERDICT r08 task 6 asked for, and every
+# entry must name the bound that makes the hazard safe by construction.
+ALLOWED = {
+    # 1-row scalar (min class size) broadcast with no key: bounded by
+    # construction, same shape as the kNN probe
+    ("sample_balanced_classes", "broadcast-nested-loop"): "1-row scalar join",
+    # deliberately-exact tier: the probe set is broadcast against the
+    # corpus; documented as the brute-force baseline vs the ANN paths
+    ("knn_cosine_bruteforce", "broadcast-nested-loop"): "exact-tier probe",
+    # reference CartesianProduct parity demo on two tiny dims (region x
+    # nation, 5 x 25 rows) — the operator exists BECAUSE the reference has
+    # it; linter still blocks it everywhere else
+    ("cross_join_pairs", "broadcast-nested-loop"): "5x25 dim parity demo",
+    # reference FunctionRegistry row-UDF parity, pinned to the 5-row
+    # region dim; the linter's python-row-udf error is the rule that keeps
+    # this OFF every hot path
+    ("udf_rowwise_registered", "python-row-udf"): "5-row dim parity demo",
+    # two inequality joins: BNLJ is the correct physical shape for a theta
+    # chain; the existing w-series test pins exactly 2 BroadcastNLJs and
+    # zero CartesianProducts
+    ("w6_theta_chain", "broadcast-nested-loop"): "theta joins, pinned =2 BNLJ",
+    # 1-row total-users scalar folded into the support threshold
+    ("g_bipartite_covisit", "broadcast-nested-loop"): "1-row scalar join",
+    # 1-row corpus stats (N, avgdl) scalar
+    ("text_bm25_topk", "broadcast-nested-loop"): "1-row scalar join",
+    # 1-row vocabulary-total scalar
+    ("text_unigram_logprob", "broadcast-nested-loop"): "1-row scalar join",
+    # dense spine = sequence over a 2-value global agg; both fill-join
+    # sides are keys x buckets bounded (operators/asof.resample_gapfill)
+    ("timeseries_gapfill_hourly", "broadcast-nested-loop"): "2-value spine agg",
+    # in-query production-bar verdict: 1-row aggregates + the 20-query
+    # probe set, all bounded by construction
+    ("ann_lsh_clustered", "broadcast-nested-loop"): "verdict scalars + 20-row probe",
+}
+
+
+def _build_all():
+    names = sorted(REGISTRY)
+    return names
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return session_for(spark, SF_DIR)
+
+
+@pytest.mark.parametrize("name", _build_all())
+def test_registry_plan_is_scale_clean(sess, name):
+    out = REGISTRY[name].build(sess)
+    df = out if isinstance(out, SparkDataFrame) else out.df
+    bad = [
+        f
+        for f in lint_plan(df)
+        if f.severity in ("error", "warn") and (name, f.rule) not in ALLOWED
+    ]
+    assert not bad, (name, bad)
+    # driver-canonicalizable output schema: atomic types only (the driver
+    # sorts result cells with pandas; list/dict cells raise there)
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits complex-typed columns {complex_cols}; the driver "
+        "canonicalizer cannot sort them — join to a string (concat_ws) or "
+        "explode to rows (see inverted_index_postings, r08->r09)"
+    )
+
+
+def test_priority_window_covers_spillover():
+    """The 50-slot driver window must lead with every never-verified and
+    overdue registry row it can hold — r08 shipped 9 rows that had NEVER
+    had a driver CORRECTNESS row because a late registry batch silently
+    pushed them out. This turns the rotation policy into a failing test:
+    add a query (or let one go 4 rounds stale) and the window must be
+    regenerated (`python scripts/freshness.py --window`) before the suite
+    goes green again."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "freshness",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "freshness.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from seccosql_spark.registry import _PRIORITY_WINDOW
+
+    bad = mod.spillover_violations(list(_PRIORITY_WINDOW))
+    assert not bad, (
+        "must-rows (never-verified or >=4 rounds overdue) missing from "
+        f"_PRIORITY_WINDOW: {bad} — run scripts/freshness.py --window and "
+        "paste the result into registry._PRIORITY_WINDOW"
+    )

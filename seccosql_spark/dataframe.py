@@ -208,10 +208,21 @@ class SeccoDataFrame:
 
         `stats`: optional list[plans.stats.RelStats] aligned with
         [self, *others]; consumed by "auto" routing and by in-bag greedy
-        ordering."""
+        ordering. The string ``"observed"`` measures them from the LIVE
+        inputs instead (``plans.stats.observe_join_stats``: one
+        grouping-sets pass per relation, exact hottest-key frequencies) —
+        the right mode when the inputs are filtered/derived intermediates
+        the offline catalog has never analyzed, where precomputed base-
+        table stats can misroute in either direction."""
         if algorithm not in ("ghd", "chain", "wcoj", "auto"):
             raise ValueError(f"unknown multiway join algorithm: {algorithm!r}")
         dfs = [self.df] + [_unwrap(o) for o in others]
+        if isinstance(stats, str):
+            if stats != "observed":
+                raise ValueError(f"unknown stats mode: {stats!r}")
+            from seccosql_spark.plans.stats import observe_join_stats
+
+            stats = observe_join_stats(dfs)
         if algorithm == "auto":
             from seccosql_spark.plans.stats import choose_multiway_algorithm
 

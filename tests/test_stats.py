@@ -438,3 +438,89 @@ def test_winnow_oracle_handles_docs_longer_than_512_tokens(spark, tmp_path):
     # 600 tokens -> 597 grams; far beyond the old 511-gram cap
     assert got == want
     assert len(want) > 0
+
+
+def test_observed_stats_probe_exact(spark):
+    """observe_rel_stats measures rows / per-attr NDV / hottest-key
+    frequency EXACTLY from the live DataFrame (one grouping-sets pass)."""
+    from seccosql_spark.plans.stats import observe_rel_stats
+
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10), (3, 13)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    st = observe_rel_stats(df, {"a", "b"})
+    assert st.rows == 6
+    assert st.ndv == {"a": 3.0, "b": 4.0}
+    assert st.max_freq == {"a": 3.0, "b": 3.0}
+
+
+def test_observed_stats_flip_auto_routing(spark):
+    """VERDICT r08 task 9 'done' bar: a skewed RUNTIME distribution flips
+    the GHD-vs-WCOJ choice that precomputed base-table stats would get
+    wrong. The catalog remembers the base edge table as uniform (hot key
+    frequency 8); the live input — after upstream derivation — is a
+    degree-16000 hub. Observed stats route to WCOJ; the stale precomputed
+    stats would have kept the quadratic binary chain."""
+    from seccosql_spark.plans.stats import (
+        RelStats,
+        choose_multiway_algorithm,
+        observe_join_stats,
+    )
+
+    deg = 16_000
+    hub = [(0, i) for i in range(1, deg + 1)] + [(i, 0) for i in range(1, deg + 1)]
+    hub += [(b, b + 1) for b in range(100_000, 100_050)]
+    e = spark.createDataFrame(hub, "src LONG, dst LONG")
+    r = e.select(e.src.alias("a"), e.dst.alias("b"))
+    s = e.select(e.src.alias("b"), e.dst.alias("c"))
+    t = e.select(e.src.alias("c"), e.dst.alias("a"))
+    tri = [{"a", "b"}, {"b", "c"}, {"c", "a"}]
+
+    observed = observe_join_stats([r, s, t])
+    assert observed[0].max_freq["a"] == float(deg)  # the hub, measured
+    assert choose_multiway_algorithm(tri, observed) == "wcoj"
+
+    # the stale catalog view of the same tables: right row count, uniform
+    # key frequencies -> the (wrong) binary-chain verdict
+    stale = [
+        RelStats(e.count(), {x: 16_100 for x in a}, {x: 8 for x in a})
+        for a in tri
+    ]
+    assert choose_multiway_algorithm(tri, stale) == "ghd"
+
+    # a genuinely uniform live input keeps the binary chain under the
+    # same observed-stats path
+    uni = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 500) for i in range(500)], "src LONG, dst LONG"
+    )
+    ur = uni.select(uni.src.alias("a"), uni.dst.alias("b"))
+    us = uni.select(uni.src.alias("b"), uni.dst.alias("c"))
+    ut = uni.select(uni.src.alias("c"), uni.dst.alias("a"))
+    assert choose_multiway_algorithm(tri, observe_join_stats([ur, us, ut])) == "ghd"
+
+
+def test_multiway_join_observed_stats_mode(spark):
+    """stats='observed' end to end: auto routing measures the live inputs
+    and the joined result keeps GHD-chain semantics on duplicate-free
+    edges; unknown stats strings fail loudly."""
+    import pytest
+
+    from seccosql_spark.session import SeccoSession
+
+    sess = SeccoSession.get_or_create(spark)
+    edges = [(0, i) for i in range(1, 30)] + [(i, 0) for i in range(1, 30)]
+    edges += [(100, 101), (101, 102), (102, 100)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    r = sess.from_spark(e.select(e.src.alias("a"), e.dst.alias("b")))
+    s = e.select(e.src.alias("b"), e.dst.alias("c"))
+    t = e.select(e.src.alias("c"), e.dst.alias("a"))
+    got = sorted(
+        tuple(x) for x in r.multiway_join([s, t], algorithm="auto", stats="observed")
+        .df.select("a", "b", "c").distinct().collect()
+    )
+    want = sorted(
+        tuple(x) for x in r.multiway_join([s, t], algorithm="ghd")
+        .df.select("a", "b", "c").distinct().collect()
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="unknown stats mode"):
+        r.multiway_join([s, t], algorithm="auto", stats="aqe")

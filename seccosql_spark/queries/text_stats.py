@@ -799,3 +799,140 @@ def text_length_percentile_band(sess: SeccoSession):
         r.filter((20 * F.col("rn") > F.col("cnt")) & (20 * F.col("rn") <= 19 * F.col("cnt")))
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (iterative pair counting) — the tokenizer-training
+# kernel of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts from the
+    current symbol table s{i-1}, deterministic argmax pair, then GREEDY
+    left-to-right merge application WITHOUT recursion — overlapping matches
+    (only possible when left == right, e.g. a run 'aaaa') are resolved by
+    the gaps-and-islands parity rule: within each maximal run of
+    consecutive match positions, greedy consumes the 1st, 3rd, ... match,
+    which is provably what a single left-to-right pass does."""
+    a, b = f"s{i - 1}", f"s{i}"
+    return f"""
+pairs{i} AS MATERIALIZED (
+  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.wt) AS BIGINT) AS freq
+  FROM {a} a JOIN {a} b ON b.w = a.w AND b.p = a.p + 1
+  GROUP BY 1, 2),
+best{i} AS MATERIALIZED (
+  SELECT l, r, freq FROM pairs{i} ORDER BY freq DESC, l, r LIMIT 1),
+m{i} AS MATERIALIZED (
+  SELECT a.w, a.p FROM {a} a JOIN {a} b ON b.w = a.w AND b.p = a.p + 1
+  JOIN best{i} ON a.sym = best{i}.l AND b.sym = best{i}.r),
+c{i} AS MATERIALIZED (
+  SELECT w, p FROM (
+    SELECT w, p, row_number() OVER (PARTITION BY w, p - rn ORDER BY p) AS rn2
+    FROM (SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn
+          FROM m{i}))
+  WHERE rn2 % 2 = 1),
+{b} AS MATERIALIZED (
+  SELECT w, wt, row_number() OVER (PARTITION BY w ORDER BY p) AS p, sym FROM (
+    SELECT a.w, a.wt, a.p,
+           CASE WHEN ca.p IS NOT NULL THEN a.sym || b.sym ELSE a.sym END AS sym
+    FROM {a} a
+    LEFT JOIN {a} b ON b.w = a.w AND b.p = a.p + 1
+    LEFT JOIN c{i} ca ON ca.w = a.w AND ca.p = a.p
+    LEFT JOIN c{i} cp ON cp.w = a.w AND cp.p = a.p - 1
+    WHERE cp.p IS NULL))"""
+
+
+BPE_ORACLE = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
+    SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, l AS merge_left, r AS merge_right, freq FROM best{i}"
+        for i in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+@register("text_bpe_merges", BPE_ORACLE)
+def text_bpe_merges(sess: SeccoSession):
+    """BPE tokenizer training, the first {BPE_ROUNDS} merge rules (Sennrich
+    et al. 2016): start from characters per DISTINCT word (weighted by the
+    word's corpus frequency), then per round count adjacent symbol pairs,
+    pick the most frequent (ties broken lexicographically — deterministic
+    cross-engine), and apply the merge greedily left-to-right everywhere.
+
+    Scale shape: the state is the distinct-word vocabulary (millions of
+    rows at 100 TB, never the corpus), re-derived per round by a MAP-ONLY
+    fold (`aggregate` over the symbol array — JVM higher-order function,
+    no Python); pair counting is one explode + partially-aggregated
+    shuffle per round; the argmax collects ONE row per round. Greedy
+    overlap semantics (a run 'aaaa' under rule (a,a) becomes 'aa','aa')
+    are pinned against the oracle's non-recursive gaps-and-islands parity
+    formulation. Driver state: O(rounds) merge rules."""
+    docs = sess.spark.table("documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    syms = words.select(
+        "w",
+        "wt",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            syms.select(
+                "wt",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, so a 1-symbol word
+                    # must short-circuit to an empty pair list
+                    F.expr(
+                        "CASE WHEN size(s) < 2 THEN array() ELSE "
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"
+                        " END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("wt").cast("long").alias("freq"))
+        )
+        best = pairs.orderBy(F.col("freq").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, freq = best[0]["l"], best[0]["r"], best[0]["freq"]
+        merges.append((rnd, l, r, freq))
+        lq, rq = l.replace("'", "\\'"), r.replace("'", "\\'")
+        syms = syms.withColumn(
+            "s",
+            F.expr(
+                f"""aggregate(s, cast(array() as array<string>), (acc, x) ->
+                      CASE WHEN size(acc) > 0
+                                AND element_at(acc, -1) = '{lq}' AND x = '{rq}'
+                           THEN concat(slice(acc, 1, size(acc) - 1),
+                                       array('{lq}{rq}'))
+                           ELSE concat(acc, array(x)) END)"""
+            ),
+        ).localCheckpoint(eager=True)
+    out = sess.spark.createDataFrame(
+        merges, "round INT, merge_left STRING, merge_right STRING, freq LONG"
+    )
+    return sess.from_spark(out)

@@ -105,6 +105,7 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 _PRIORITY_WINDOW = [
     "inverted_index_postings",
     "stream_incremental_dedup",
+    "text_bpe_merges",
     "stats_corr_by_source",
     "text_bm25_topk",
     "text_cooccurrence_pmi",
@@ -113,6 +114,8 @@ _PRIORITY_WINDOW = [
     "text_novelty_curve",
     "text_unigram_logprob",
     "text_winnowing_fingerprint",
+    "multiway_stats_filtered",
+    "multiway_stats_ordered",
     "stream_session_windows",
     "cte_multi",
     "g_house_count",
@@ -150,9 +153,6 @@ _PRIORITY_WINDOW = [
     "g_diamond_count",
     "g_ring5_chords_b",
     "g_tailed_triangle_count",
-    "g_triangle_undirected",
-    "match_sql_tableref",
-    "multiway_stats_filtered",
 ]
 
 

@@ -524,3 +524,41 @@ def test_multiway_join_observed_stats_mode(spark):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="unknown stats mode"):
         r.multiway_join([s, t], algorithm="auto", stats="aqe")
+
+
+def test_bpe_greedy_overlap_differential(spark, tmp_path):
+    """BPE merge application on runs of identical symbols is where greedy
+    semantics bite ('aaaa' under rule (a,a) -> 'aa','aa', never the
+    overlapping middle pair): pin Spark's aggregate-fold against the
+    oracle's gaps-and-islands parity formulation on a corpus built of
+    exactly such runs."""
+    import duckdb
+
+    from seccosql_spark.queries.text_stats import BPE_ORACLE, text_bpe_merges
+    from seccosql_spark.registry import session_for
+    from tests.conftest import SF_DIR
+
+    text = "aaaa aaa aaaaa bb ab " * 40
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, text.strip(), "runs", len(text))],
+        "doc_id: long, text: string, source: string, n_chars: long",
+    ).coalesce(1).write.parquet(path)
+
+    sess = session_for(spark, SF_DIR)
+    spark.read.parquet(path).createOrReplaceTempView("documents")
+    try:
+        out = text_bpe_merges(sess)
+        df = out.df if hasattr(out, "df") else out
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+            "documents"
+        )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = sorted(tuple(r) for r in con.sql(BPE_ORACLE).fetchall())
+    assert got == want
+    # round 1 must be (a, a): 'aaaa'->1 greedy pair + overlap... spelled
+    # out: per word occurrence, greedy pairs = floor(run_len / 2)
+    assert got[0][1:3] == ("a", "a")

@@ -11,6 +11,7 @@ mismatch means a real bug, not engine drift.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.dedup import (
@@ -1766,5 +1767,135 @@ def sketch_cms_heavy_hitters(sess: SeccoSession):
             "exact_cnt",
             "cms_est",
             (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (bounded-state distributed percentiles)
+# ---------------------------------------------------------------------------
+
+_QS_B = 32  # buckets (the "nodes" whose local summaries merge)
+_QS_T = 256  # kept ranks per bucket -> sketch state <= B*T rows, ~1/T rank error
+
+_QS_ORACLE = f"""
+WITH o AS (SELECT o_orderkey AS id, o_totalprice AS x FROM orders),
+b AS (SELECT id, x, id % {_QS_B} AS bkt FROM o),
+r AS (SELECT bkt, id, x,
+             row_number() OVER (PARTITION BY bkt ORDER BY x, id) AS rn,
+             count(*) OVER (PARTITION BY bkt) AS nb
+      FROM b),
+summ AS (
+  SELECT bkt, id, x, nb,
+         CASE WHEN nb - rn + 1 < (nb + {_QS_T} - 1) // {_QS_T}
+              THEN nb - rn + 1 ELSE (nb + {_QS_T} - 1) // {_QS_T} END AS w
+  FROM r WHERE (rn - 1) % ((nb + {_QS_T} - 1) // {_QS_T}) = 0),
+tot2 AS (SELECT CAST(sum(w) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS sketch_rows
+         FROM summ),
+budget AS (SELECT CAST(sum((nb + {_QS_T} - 1) // {_QS_T}) AS BIGINT) AS err_budget
+           FROM (SELECT DISTINCT bkt, nb FROM summ)),
+cw AS (SELECT x, sum(w) OVER (ORDER BY x, id ROWS UNBOUNDED PRECEDING) AS cum
+       FROM summ),
+targets AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+            t(pct, num, den)),
+sel AS (SELECT pct, (num * n + den - 1) // den AS r, n, sketch_rows
+        FROM targets CROSS JOIN tot2),
+est AS (SELECT pct, r, sketch_rows, min(x) AS est
+        FROM sel JOIN cw ON cw.cum >= sel.r GROUP BY pct, r, sketch_rows),
+audit AS (SELECT e.pct, e.r, e.sketch_rows, e.est,
+                 CAST(sum(CASE WHEN o.x < e.est THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+                 CAST(sum(CASE WHEN o.x <= e.est THEN 1 ELSE 0 END) AS BIGINT) AS le
+          FROM est e CROSS JOIN o GROUP BY 1, 2, 3, 4)
+SELECT pct, CAST(est AS DOUBLE) AS est, sketch_rows,
+       CAST(CASE WHEN r > le THEN r - le
+                 WHEN r <= lt THEN lt + 1 - r
+                 ELSE 0 END AS BIGINT) AS rank_err,
+       (CASE WHEN r > le THEN r - le
+             WHEN r <= lt THEN lt + 1 - r
+             ELSE 0 END) <= (SELECT err_budget FROM budget) AS within_bound
+FROM audit
+"""
+
+
+@register("sketch_quantile_mergeable", _QS_ORACLE)
+def sketch_quantile_mergeable(sess: SeccoSession):
+    """Mergeable quantile summary (the MRL/GK family's simplest sound
+    member): each of {_QS_B} hash buckets — stand-ins for the cluster
+    nodes whose partial states a 100 TB aggregation would merge — keeps
+    every ceil(nb/{_QS_T})-th element of its locally sorted values with
+    the rank-span it represents as an integer weight. The merged summary
+    is <= B*T rows REGARDLESS of input size; a weighted cumulative-rank
+    selection over it answers P50/P90/P99, and the query audits itself:
+    the estimate's TRUE rank error (exact counts, one conditional
+    aggregation pass — no global sort of the data anywhere) must stay
+    within the provable budget sum_b ceil(nb/T). All-integer ranks and
+    DECIMAL value ordering; the only per-value state is the bounded
+    summary, so the plan survives any scale-up by construction."""
+    orders = sess.spark.table("orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("x")
+    )
+    b = orders.withColumn("bkt", F.col("id") % _QS_B)
+    wloc = Window.partitionBy("bkt").orderBy("x", "id")
+    r = b.select(
+        "bkt", "id", "x",
+        F.row_number().over(wloc).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("bkt")).alias("nb"),
+    )
+    k = F.expr(f"(nb + {_QS_T} - 1) DIV {_QS_T}")
+    summ = (
+        r.filter(((F.col("rn") - 1) % k) == 0)
+        .select(
+            "bkt", "id", "x", "nb",
+            F.least(k, F.col("nb") - F.col("rn") + 1).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # the bounded sketch state (<= B*T rows)
+    )
+    tot = summ.agg(
+        F.sum("w").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("sketch_rows"),
+    )
+    budget = (
+        summ.select("bkt", "nb").distinct()
+        .agg(F.sum(F.expr(f"(nb + {_QS_T} - 1) DIV {_QS_T}")).cast("long").alias("err_budget"))
+    )
+    cw = summ.select(
+        "x",
+        F.sum("w").over(
+            Window.orderBy("x", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    targets = sess.spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)], "pct STRING, num INT, den INT"
+    )
+    sel = targets.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        F.expr("(num * n + den - 1) DIV den").alias("r"),
+        "sketch_rows",
+    )
+    est = (
+        sel.join(F.broadcast(cw), F.col("cum") >= F.col("r"))
+        .groupBy("pct", "r", "sketch_rows")
+        .agg(F.min("x").alias("est"))
+    )
+    audit = (
+        orders.crossJoin(F.broadcast(est))
+        .groupBy("pct", "r", "sketch_rows", "est")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("est"), 1).otherwise(0)).cast("long").alias("lt"),
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0)).cast("long").alias("le"),
+        )
+    )
+    err = (
+        F.when(F.col("r") > F.col("le"), F.col("r") - F.col("le"))
+        .when(F.col("r") <= F.col("lt"), F.col("lt") + 1 - F.col("r"))
+        .otherwise(0)
+    )
+    return sess.from_spark(
+        audit.crossJoin(F.broadcast(budget)).select(
+            "pct",
+            F.col("est").cast("double").alias("est"),
+            "sketch_rows",
+            err.cast("long").alias("rank_err"),
+            (err <= F.col("err_budget")).alias("within_bound"),
         )
     )

@@ -106,6 +106,7 @@ _PRIORITY_WINDOW = [
     "inverted_index_postings",
     "stream_incremental_dedup",
     "text_bpe_merges",
+    "sketch_quantile_mergeable",
     "stats_corr_by_source",
     "text_bm25_topk",
     "text_cooccurrence_pmi",
@@ -152,7 +153,6 @@ _PRIORITY_WINDOW = [
     "g_clique4_count",
     "g_diamond_count",
     "g_ring5_chords_b",
-    "g_tailed_triangle_count",
 ]
 
 

@@ -55,6 +55,11 @@ ALLOWED = {
     # in-query production-bar verdict: 1-row aggregates + the 20-query
     # probe set, all bounded by construction
     ("ann_lsh_clustered", "broadcast-nested-loop"): "verdict scalars + 20-row probe",
+    # weighted-rank selection + exact audit both join against the sketch
+    # summary / 3-row estimates — state bounded at B*T rows by design
+    ("sketch_quantile_mergeable", "broadcast-nested-loop"): "<=8k-row sketch state",
+    # the merge window orders the BOUNDED summary, never the data
+    ("sketch_quantile_mergeable", "global-sort"): "<=8k-row sketch state",
 }
 
 

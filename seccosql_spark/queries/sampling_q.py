@@ -3,6 +3,7 @@ training-data pipeline surface, all with exact oracles."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from seccosql_spark.operators.sampling import (
@@ -333,3 +334,89 @@ def sample_weighted_ares(sess: SeccoSession):
         ).alias("key"),
     )
     return sess.from_spark(k.orderBy(F.col("key").desc(), "doc_id").limit(ARES_N))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture: alpha = 0.5 source re-balancing where the
+# per-source rates are DERIVED from the data (p_s ~ n_s^alpha), the
+# standard multilingual/multi-domain blend rule (e.g. mT5's alpha-scaled
+# sampling) — unlike sample_mixture_sources, whose rates are given.
+# ---------------------------------------------------------------------------
+
+_TEMP_SCALE = 1_000_000  # sqrt(n) fixed-point scale: ONE correctly-rounded
+#                          double op per source, then all-integer arithmetic
+
+_TEMPERATURE_ORACLE = f"""
+WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs) * {_TEMP_SCALE}) AS BIGINT) AS s6
+      FROM cnt),
+tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t6, CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+ranked AS (SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents),
+kept AS (SELECT r.source, r.doc_id
+         FROM ranked r JOIN w USING (source) CROSS JOIN tot
+         WHERE r.rn * tot.t6 <= ((2 * tot.n_total) // 5) * w.s6)
+SELECT w.source, w.n_docs, w.s6,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.id_sum, 0) AS BIGINT) AS id_sum
+FROM w LEFT JOIN (SELECT source, count(*) AS n_kept, sum(doc_id) AS id_sum
+                  FROM kept GROUP BY source) k USING (source)
+"""
+
+
+@register("sample_temperature_mix", _TEMPERATURE_ORACLE)
+def sample_temperature_mix(sess: SeccoSession):
+    """Temperature-scaled mixture sampling: target a 40% corpus budget
+    distributed across sources proportionally to n_s^0.5 (alpha = 0.5 —
+    the standard low-resource up-weighting rule), with the whole decision
+    INTEGER-exact: the only float op is one correctly-rounded
+    floor(sqrt(n_s) * 1e6) per source (identical in any IEEE engine);
+    the per-source quota check is the cross-multiplied rank comparison
+    rn * sum(s6) <= M * s6, never a float threshold. Selection within a
+    source is the md5-rank discipline (reproducible, monotone in the
+    budget). Scale shape: one count aggregation, a per-source rank
+    window, and two broadcast scalars — no pairwise anything."""
+    docs = sess.spark.table("documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = cnt.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * _TEMP_SCALE).cast("long").alias("s6"),
+    )
+    tot = w.agg(
+        F.sum("s6").cast("long").alias("t6"),
+        F.sum("n_docs").cast("long").alias("n_total"),
+    )
+    win = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    ranked = docs.select("source", "doc_id", win.alias("rn"))
+    kept = (
+        ranked.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rn") * F.col("t6")
+            <= F.expr("(2 * n_total) DIV 5") * F.col("s6")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+    out = (
+        w.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "s6",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("id_sum", F.lit(0)).cast("long").alias("id_sum"),
+        )
+    )
+    return sess.from_spark(out)

@@ -104,9 +104,10 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "inverted_index_postings",
+    "sketch_quantile_mergeable",
     "stream_incremental_dedup",
     "text_bpe_merges",
-    "sketch_quantile_mergeable",
+    "sample_temperature_mix",
     "stats_corr_by_source",
     "text_bm25_topk",
     "text_cooccurrence_pmi",
@@ -152,7 +153,6 @@ _PRIORITY_WINDOW = [
     "g_bfs_distances",
     "g_clique4_count",
     "g_diamond_count",
-    "g_ring5_chords_b",
 ]
 
 

@@ -60,6 +60,8 @@ ALLOWED = {
     ("sketch_quantile_mergeable", "broadcast-nested-loop"): "<=8k-row sketch state",
     # the merge window orders the BOUNDED summary, never the data
     ("sketch_quantile_mergeable", "global-sort"): "<=8k-row sketch state",
+    # 1-row (t6, n_total) scalar folded into the quota comparison
+    ("sample_temperature_mix", "broadcast-nested-loop"): "1-row scalar join",
 }
 
 

@@ -1899,3 +1899,68 @@ def sketch_quantile_mergeable(sess: SeccoSession):
             (err <= F.col("err_budget")).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: pairs -> connected components -> canonical keeper.
+# The step after pair detection that an actual dedup pass ships: transitive
+# closure of the near-dup relation, one canonical doc kept per cluster.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE words AS MATERIALIZED ({SHINGLES_SQL}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT w1.id AS id1, w2.id AS id2
+  FROM words w1 JOIN words w2 ON w1.w = w2.w AND w1.id < w2.id),
+sizes AS MATERIALIZED (SELECT id, count(*) AS n FROM words GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT p.id1, p.id2, count(*) AS i
+  FROM cand p JOIN words w1 ON w1.id = p.id1
+              JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
+  GROUP BY p.id1, p.id2),
+pairs AS MATERIALIZED (
+  SELECT id1, id2
+  FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+  WHERE i / (s1.n + s2.n - i) >= 0.5),
+e AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM e),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN e ON e.a = w.r),
+comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+SELECT CAST(component AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM comp GROUP BY component
+"""
+
+
+@register("dedup_minhash_clusters", _CLUSTERS_ORACLE)
+def dedup_minhash_clusters(sess: SeccoSession):
+    """The dedup decision a pipeline actually ships: MinHash-LSH near-dup
+    PAIRS (same parameters as `dedup_minhash_lsh`, whose LSH-equals-exact
+    property is driver-pinned on this corpus) closed into CLUSTERS by
+    min-id label propagation (`graph.algorithms.connected_components` —
+    O(diameter) rounds, integer-only), one row per cluster: the canonical
+    keeper (min doc_id), the cluster size, and the member id-sum. Every
+    non-canonical member is a deletion candidate; the keep-set is
+    `documents` minus those. Scale shape: the pair graph is sparse by
+    construction (bucketed LSH candidates, skew-capped), the closure
+    state is O(nodes-in-pairs), and the oracle replays the closure as a
+    recursive CTE over the exact pair set."""
+    from seccosql_spark.graph.algorithms import connected_components
+
+    pairs = minhash_near_dups(
+        sess.spark.table("documents"), threshold=0.5, shingle_n=3
+    ).select("id1", "id2")
+    comp = connected_components(pairs, src="id1", dst="id2")
+    return sess.from_spark(
+        comp.groupBy(F.col("component").cast("long").alias("canonical_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
+    )

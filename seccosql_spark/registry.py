@@ -103,11 +103,12 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "dedup_minhash_clusters",
     "inverted_index_postings",
+    "sample_temperature_mix",
     "sketch_quantile_mergeable",
     "stream_incremental_dedup",
     "text_bpe_merges",
-    "sample_temperature_mix",
     "stats_corr_by_source",
     "text_bm25_topk",
     "text_cooccurrence_pmi",
@@ -152,7 +153,6 @@ _PRIORITY_WINDOW = [
     "asof_latest_purchase",
     "g_bfs_distances",
     "g_clique4_count",
-    "g_diamond_count",
 ]
 
 

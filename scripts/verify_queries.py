@@ -57,6 +57,13 @@ def main() -> int:
         if cols_s != cols_d:
             status.append(f"COLS {cols_s} vs {cols_d}")
         else:
+            # driver-faithful canonicalization: the driver sorts with pandas
+            # sort_values, which RAISES on list/dict cells — an array-typed
+            # output column must fail here, not two rounds later in a red
+            # CORRECTNESS row (r08's inverted_index_postings; the old
+            # repr-keyed sort silently tolerated it)
+            spdf[cols_s].sort_values(by=cols_s)
+            ddf[cols_s].sort_values(by=cols_s)
             s_rows = sorted(
                 [tuple(_canon(v) for v in r) for r in spdf[cols_s].itertuples(index=False)],
                 key=repr,

@@ -16,6 +16,9 @@ from pyspark.sql import SparkSession
 from seccosql_spark.registry import REGISTRY, run
 
 EXTRA = [
+    "sketch_quantile_mergeable",
+    "sample_temperature_mix",
+    "dedup_minhash_clusters",
     "asof_latest_purchase",
     "range_join_next_hour",
     "multiway_natural_ghd",

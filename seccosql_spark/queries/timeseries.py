@@ -259,3 +259,67 @@ def events_weekly_retention(sess: SeccoSession):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+HILBERT_ORACLE = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT event_id,
+         user_id % 65536 AS u,
+         (epoch_us(ts) // 3600000000) % 65536 AS h
+  FROM events),
+walk(event_id, x, y, d, b) AS (
+  SELECT event_id, CAST(u AS BIGINT), CAST(h AS BIGINT), CAST(0 AS BIGINT), 15
+  FROM e
+  UNION ALL
+  SELECT event_id,
+         CASE WHEN ((y // (CAST(1 AS BIGINT) << b)) & 1) = 0
+              THEN CASE WHEN ((x // (CAST(1 AS BIGINT) << b)) & 1) = 1
+                        THEN (CAST(1 AS BIGINT) << b) - 1 - (y & ((CAST(1 AS BIGINT) << b) - 1))
+                        ELSE y & ((CAST(1 AS BIGINT) << b) - 1) END
+              ELSE x & ((CAST(1 AS BIGINT) << b) - 1) END,
+         CASE WHEN ((y // (CAST(1 AS BIGINT) << b)) & 1) = 0
+              THEN CASE WHEN ((x // (CAST(1 AS BIGINT) << b)) & 1) = 1
+                        THEN (CAST(1 AS BIGINT) << b) - 1 - (x & ((CAST(1 AS BIGINT) << b) - 1))
+                        ELSE x & ((CAST(1 AS BIGINT) << b) - 1) END
+              ELSE y & ((CAST(1 AS BIGINT) << b) - 1) END,
+         d + (CAST(1 AS BIGINT) << (2 * b))
+           * xor(3 * ((x // (CAST(1 AS BIGINT) << b)) & 1),
+                 ((y // (CAST(1 AS BIGINT) << b)) & 1)),
+         b - 1
+  FROM walk WHERE b >= 0)
+SELECT w.event_id, CAST(e.u AS BIGINT) AS u, CAST(e.h AS BIGINT) AS h,
+       w.d AS hval
+FROM walk w JOIN e USING (event_id)
+WHERE w.b = -1
+ORDER BY hval, event_id LIMIT 50
+"""
+
+
+@register("events_hilbert_topk", HILBERT_ORACLE)
+def events_hilbert_topk(sess: SeccoSession):
+    """Hilbert-curve layout key over (user_id, epoch-hour) — the
+    locality-tighter sibling of `events_zorder_topk` (consecutive index
+    values are ALWAYS adjacent cells; `operators.layout.hilbert_layout`
+    clusters files on it). The query emits the 50 smallest Hilbert
+    indexes (total order: hval, event_id), so the oracle replays the
+    whole xy2d walk — rotation, masking, quadrant offsets — as a
+    16-level recursive CTE in exact BIGINT arithmetic and cross-checks
+    the engine's `aggregate`-fold implementation bit for bit. The
+    pruning payoff itself is measured in tests/test_zorder_pruning.py."""
+    from seccosql_spark.operators.layout import hvalue
+
+    ev = sess.spark.table("events")
+    e = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("u"),
+        epoch_us(ev, "ts").alias("eus"),
+    ).withColumn("h", F.expr(f"(eus div {US_PER_HOUR}) % 65536"))
+    out = (
+        e.select(
+            "event_id", "u", "h",
+            hvalue(F.col("u"), F.col("h"), bits=16).alias("hval"),
+        )
+        .orderBy("hval", "event_id")
+        .limit(50)
+    )
+    return sess.from_spark(out)

@@ -104,6 +104,7 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "dedup_minhash_clusters",
+    "events_hilbert_topk",
     "inverted_index_postings",
     "sample_temperature_mix",
     "sketch_quantile_mergeable",
@@ -152,7 +153,6 @@ _PRIORITY_WINDOW = [
     "approx_distinct_users",
     "asof_latest_purchase",
     "g_bfs_distances",
-    "g_clique4_count",
 ]
 
 

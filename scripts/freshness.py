@@ -225,20 +225,22 @@ def changed_query_names() -> set[str]:
     return names
 
 
-def spillover_violations(window: list[str]) -> list[str]:
+def spillover_violations(window: list[str], rows: list[dict] | None = None) -> list[str]:
     """VERDICT r08 task 8: the window discipline as a mechanical check.
 
     A query is a MUST-row when it has never had a green driver row, or its
     latest green row is >= 4 rounds old (the ledger's never/overdue tiers).
     The priority window must contain the highest-priority MUST-rows: every
     MUST-row is either in the window, or outranked by enough other
-    MUST-rows to fill all 50 slots. Returns the violating names (empty =
-    compliant). Both tiers depend only on committed CORRECTNESS files and
-    round numbers, so the check is stable across mid-round commits (the
-    hot/stale tiers below them are not, and are deliberately not checked)."""
-    rows = ledger()
+    MUST-rows to fill every window slot. Returns the violating names
+    (empty = compliant). Both tiers depend only on committed CORRECTNESS
+    files and round numbers, so the check is stable across mid-round
+    commits (the hot/stale tiers below them are not, and are deliberately
+    not checked). ``rows`` lets a caller reuse an already-computed
+    ledger."""
+    rows = ledger() if rows is None else rows
     must = [r["name"] for r in rows if r["round"] == 0 or r["overdue"]]
-    required = must[: min(50, len(must))]
+    required = must[: len(window)]
     win = set(window)
     return [n for n in required if n not in win]
 
@@ -248,7 +250,7 @@ def main() -> None:
     if "--check" in sys.argv:
         from seccosql_spark.registry import _PRIORITY_WINDOW
 
-        bad = spillover_violations(list(_PRIORITY_WINDOW))
+        bad = spillover_violations(list(_PRIORITY_WINDOW), rows=rows)
         if bad:
             print("WINDOW SPILLOVER: must-rows missing from _PRIORITY_WINDOW:")
             for n in bad:

@@ -220,9 +220,14 @@ class SeccoDataFrame:
         if isinstance(stats, str):
             if stats != "observed":
                 raise ValueError(f"unknown stats mode: {stats!r}")
-            from seccosql_spark.plans.stats import observe_join_stats
+            if algorithm in ("auto", "ghd"):
+                from seccosql_spark.plans.stats import observe_join_stats
 
-            stats = observe_join_stats(dfs)
+                stats = observe_join_stats(dfs)
+            else:
+                # "chain" nulls stats below and "wcoj" never reads them —
+                # don't pay a measurement pass per relation for nothing
+                stats = None
         if algorithm == "auto":
             from seccosql_spark.plans.stats import choose_multiway_algorithm
 

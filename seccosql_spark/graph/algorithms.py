@@ -451,11 +451,15 @@ def common_neighbors(
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50, src: str = "src", dst: str = "dst"
+    edges: DataFrame, max_rounds: int = 50, src: str = "src", dst: str = "dst",
+    strict: bool = False,
 ) -> DataFrame:
     """(id, component): min-id label propagation to fixpoint over the
     undirected graph. Integer-only — deterministic. Converges in O(diameter)
-    rounds; the change-count action doubles as the per-round checkpoint."""
+    rounds; the change-count action doubles as the per-round checkpoint.
+    ``strict=True`` RAISES when the budget runs out before fixpoint — a
+    component with diameter > max_rounds would otherwise be silently split
+    (the budget discipline of the other iterative kernels)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -484,6 +488,13 @@ def connected_components(
         )
         if n_changed == 0:
             break
+    else:
+        if strict and n_changed:
+            raise RuntimeError(
+                f"connected_components: still {n_changed} labels changing after "
+                f"{max_rounds} rounds; raise max_rounds (component diameter "
+                "exceeds the budget)"
+            )
     return state
 
 

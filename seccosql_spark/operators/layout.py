@@ -103,7 +103,14 @@ def _normalized_dims(df: DataFrame, cols: Sequence[str], bits: int) -> list[Colu
     """Each column linearly rescaled to [0, 2^bits) from its measured
     min/max (one O(1)-row aggregate; integer DIV so no double rounding
     crosses a bucket boundary). Shared by the z-order and Hilbert layouts
-    — see `zorder_layout` for why normalization is mandatory."""
+    — see `zorder_layout` for why normalization is mandatory.
+
+    The rescale multiply runs in DECIMAL(38,0): a wide-span BIGINT column
+    (e.g. raw epoch microseconds over a few years, span > 2^63/65535)
+    would silently wrap the 64-bit product, handing the curve functions
+    negative "normalized" values and writing a layout with zero pruning
+    benefit and no error anywhere. 38-digit headroom covers any int64
+    span times any supported 2^bits-1."""
     stats = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("long")).alias(f"mx_{c}") for c in cols],
@@ -114,7 +121,10 @@ def _normalized_dims(df: DataFrame, cols: Sequence[str], bits: int) -> list[Colu
         mx = stats[f"mx_{c}"] or 0
         span = max(1, mx - mn)
         dims.append(
-            F.expr(f"((CAST(`{c}` AS BIGINT) - {mn}) * {(1 << bits) - 1}) DIV {span}")
+            F.expr(
+                f"CAST(((CAST(`{c}` AS DECIMAL(38,0)) - {mn}) * {(1 << bits) - 1})"
+                f" DIV {span} AS BIGINT)"
+            )
         )
     return dims
 

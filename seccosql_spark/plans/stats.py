@@ -256,28 +256,38 @@ def observe_rel_stats(df: DataFrame, attrs: set[str] | None = None) -> RelStats:
     if not cols:
         raise ValueError("observe_rel_stats needs at least one attribute")
     k = len(cols)
+    # grouping_id bit i (MSB-first over `cols`) is SET when the column is
+    # aggregated away; the set {cols[i]} therefore has gid = all-ones with
+    # bit i cleared
+    all_ones = (1 << k) - 1
+    gid_of = {c: all_ones ^ (1 << (k - 1 - i)) for i, c in enumerate(cols)}
+    # NULL keys never survive an equi-join, so a NULL group must count
+    # toward neither ndv nor max_freq (a left join's 60%-null key would
+    # otherwise fabricate a giant skew ceiling and misroute to WCOJ; the
+    # offline twin, approx_count_distinct in analyze_table, excludes NULLs
+    # too). The row count keeps every row.
+    active_is_null = None
+    for c in cols:
+        cond = (F.col("gid") == gid_of[c]) & F.col(c).isNull()
+        active_is_null = cond if active_is_null is None else (active_is_null | cond)
     per_set = (
         df.groupingSets([[c] for c in cols], *[F.col(c) for c in cols])
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("cnt"))
         .groupBy("gid")
         .agg(
-            F.count(F.lit(1)).alias("ndv"),
-            F.max("cnt").alias("mx"),
+            F.count(F.when(~active_is_null, F.lit(1))).alias("ndv"),
+            F.max(F.when(~active_is_null, F.col("cnt"))).alias("mx"),
             F.sum("cnt").alias("rows"),
         )
         .collect()
     )
-    # grouping_id bit i (MSB-first over `cols`) is SET when the column is
-    # aggregated away; the set {cols[i]} therefore has gid = all-ones with
-    # bit i cleared
-    all_ones = (1 << k) - 1
     by_gid = {r["gid"]: r for r in per_set}
     rows = float(max((r["rows"] for r in per_set), default=0))
     ndv: dict[str, float] = {}
     max_freq: dict[str, float] = {}
-    for i, c in enumerate(cols):
-        r = by_gid.get(all_ones ^ (1 << (k - 1 - i)))
-        if r is not None:
+    for c in cols:
+        r = by_gid.get(gid_of[c])
+        if r is not None and r["ndv"]:
             ndv[c] = float(r["ndv"])
             max_freq[c] = float(r["mx"])
     return RelStats(rows, ndv, max_freq)

@@ -1956,7 +1956,9 @@ def dedup_minhash_clusters(sess: SeccoSession):
     pairs = minhash_near_dups(
         sess.spark.table("documents"), threshold=0.5, shingle_n=3
     ).select("id1", "id2")
-    comp = connected_components(pairs, src="id1", dst="id2")
+    # strict: a dup chain with diameter > the round budget must raise, not
+    # silently split clusters the oracle's fixpoint closure would merge
+    comp = connected_components(pairs, src="id1", dst="id2", strict=True)
     return sess.from_spark(
         comp.groupBy(F.col("component").cast("long").alias("canonical_id"))
         .agg(

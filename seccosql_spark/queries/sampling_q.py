@@ -352,13 +352,17 @@ w AS (SELECT source, n_docs,
              CAST(floor(sqrt(n_docs) * {_TEMP_SCALE}) AS BIGINT) AS s6
       FROM cnt),
 tot AS (SELECT CAST(sum(s6) AS BIGINT) AS t6, CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+quota AS (SELECT w.source,
+                 CAST((CAST(tot.n_total AS HUGEINT) * 2 // 5) * w.s6 // tot.t6
+                      AS BIGINT) AS q
+          FROM w CROSS JOIN tot),
 ranked AS (SELECT source, doc_id,
                   row_number() OVER (PARTITION BY source
                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents),
 kept AS (SELECT r.source, r.doc_id
-         FROM ranked r JOIN w USING (source) CROSS JOIN tot
-         WHERE r.rn * tot.t6 <= ((2 * tot.n_total) // 5) * w.s6)
+         FROM ranked r JOIN quota USING (source)
+         WHERE r.rn <= quota.q)
 SELECT w.source, w.n_docs, w.s6,
        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(coalesce(k.id_sum, 0) AS BIGINT) AS id_sum
@@ -374,11 +378,15 @@ def sample_temperature_mix(sess: SeccoSession):
     the standard low-resource up-weighting rule), with the whole decision
     INTEGER-exact: the only float op is one correctly-rounded
     floor(sqrt(n_s) * 1e6) per source (identical in any IEEE engine);
-    the per-source quota check is the cross-multiplied rank comparison
-    rn * sum(s6) <= M * s6, never a float threshold. Selection within a
-    source is the md5-rank discipline (reproducible, monotone in the
-    budget). Scale shape: one count aggregation, a per-source rank
-    window, and two broadcast scalars — no pairwise anything."""
+    the per-source quota q_s = floor(M * s6 / sum(s6)) is computed ONCE
+    per source in 38-digit integer arithmetic (DECIMAL(38,0) in Spark,
+    HUGEINT in the oracle — a 64-bit cross-multiplication rn * sum(s6)
+    would silently wrap around ~4e8 docs per source, exactly the hazard
+    class hits() guards against), and the per-row check is the plain
+    rank comparison rn <= q_s. Selection within a source is the md5-rank
+    discipline (reproducible, monotone in the budget). Scale shape: one
+    count aggregation, a per-source rank window, and two broadcast
+    scalars — no pairwise anything."""
     docs = sess.spark.table("documents")
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     w = cnt.select(
@@ -396,13 +404,15 @@ def sample_temperature_mix(sess: SeccoSession):
         )
     )
     ranked = docs.select("source", "doc_id", win.alias("rn"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "CAST((CAST(n_total AS DECIMAL(38,0)) * 2 DIV 5) * s6 DIV t6 AS BIGINT)"
+        ).alias("q"),
+    )
     kept = (
-        ranked.join(F.broadcast(w), "source")
-        .crossJoin(F.broadcast(tot))
-        .where(
-            F.col("rn") * F.col("t6")
-            <= F.expr("(2 * n_total) DIV 5") * F.col("s6")
-        )
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("q"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),

@@ -920,7 +920,15 @@ def text_bpe_merges(sess: SeccoSession):
             break
         l, r, freq = best[0]["l"], best[0]["r"], best[0]["freq"]
         merges.append((rnd, l, r, freq))
-        lq, rq = l.replace("'", "\\'"), r.replace("'", "\\'")
+        # backslashes BEFORE quotes: Spark's default parser treats \ as an
+        # escape inside string literals, so a backslash-bearing symbol
+        # spliced raw would swallow the closing quote (or alias the wrong
+        # symbol) — escape order matters
+        def _q(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        lq, rq = _q(l), _q(r)
+        lrq = _q(l + r)
         syms = syms.withColumn(
             "s",
             F.expr(
@@ -928,7 +936,7 @@ def text_bpe_merges(sess: SeccoSession):
                       CASE WHEN size(acc) > 0
                                 AND element_at(acc, -1) = '{lq}' AND x = '{rq}'
                            THEN concat(slice(acc, 1, size(acc) - 1),
-                                       array('{lq}{rq}'))
+                                       array('{lrq}'))
                            ELSE concat(acc, array(x)) END)"""
             ),
         ).localCheckpoint(eager=True)

@@ -562,3 +562,51 @@ def test_bpe_greedy_overlap_differential(spark, tmp_path):
     # round 1 must be (a, a): 'aaaa'->1 greedy pair + overlap... spelled
     # out: per word occurrence, greedy pairs = floor(run_len / 2)
     assert got[0][1:3] == ("a", "a")
+
+
+def test_observed_stats_exclude_null_keys(spark):
+    """NULL join keys never survive an equi-join, so they must not count
+    toward observed NDV or max_freq — a left join's mostly-null key would
+    otherwise fabricate a skew ceiling and misroute to WCOJ (code-review
+    r09). Row count still covers every row."""
+    from seccosql_spark.plans.stats import observe_rel_stats
+
+    rows = [(None, 1), (None, 2), (None, 3), (None, 4), (1, 5), (2, 5)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    st = observe_rel_stats(df, {"a", "b"})
+    assert st.rows == 6
+    assert st.ndv["a"] == 2.0 and st.max_freq["a"] == 1.0  # nulls excluded
+    assert st.ndv["b"] == 5.0 and st.max_freq["b"] == 2.0
+
+
+def test_bpe_merges_survive_backslash_symbols(spark, tmp_path):
+    """A winning merge pair containing backslashes must not break (or
+    corrupt) the generated merge expression — escape order matters
+    (backslashes before quotes)."""
+    import duckdb
+
+    from seccosql_spark.queries.text_stats import BPE_ORACLE, text_bpe_merges
+    from seccosql_spark.registry import session_for
+    from tests.conftest import SF_DIR
+
+    text = "c:\\tmp c:\\tmp c:\\tmp x'y x'y " * 30
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, text.strip(), "paths", len(text))],
+        "doc_id: long, text: string, source: string, n_chars: long",
+    ).coalesce(1).write.parquet(path)
+    sess = session_for(spark, SF_DIR)
+    spark.read.parquet(path).createOrReplaceTempView("documents")
+    try:
+        out = text_bpe_merges(sess)
+        df = out.df if hasattr(out, "df") else out
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+            "documents"
+        )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = sorted(tuple(r) for r in con.sql(BPE_ORACLE).fetchall())
+    assert got == want
+    assert any("\\" in r[1] or "\\" in r[2] for r in got)  # a \ pair really won

@@ -186,3 +186,19 @@ def test_hilbert_layout_prunes_both_dimensions(spark, layouts, tmp_path_factory)
     zm = _scan_metrics(spark, zdir, box)
     assert hm["numOutputRows"] <= zm["numOutputRows"] * 1.25
     assert hm["numOutputRows"] < n_rows
+
+
+def test_normalized_dims_survive_wide_spans(spark):
+    """A raw epoch-microsecond-like column (span > 2^63/65535) must still
+    normalize to [0, 65535] — the 64-bit rescale multiply silently wrapped
+    negative before the DECIMAL(38,0) fix, corrupting both curve layouts
+    with no error."""
+    from seccosql_spark.operators.layout import _normalized_dims
+
+    df = spark.createDataFrame(
+        [(0,), (200_000_000_000_000,), (9_200_000_000_000_000_000,)], "t LONG"
+    )
+    (dim,) = _normalized_dims(df, ["t"], bits=16)
+    vals = sorted(r[0] for r in df.select(dim).collect())
+    assert vals[0] == 0 and vals[-1] == 65535
+    assert all(0 <= v <= 65535 for v in vals)

@@ -1408,3 +1408,22 @@ def test_hits_raises_on_int64_overflow_risk(spark):
     out = {r["id"]: (r["hub"], r["auth"]) for r in hits(edges, rounds=2).collect()}
     # round 1: a=8, h=8*8; round 2: a=8*64=512, h=8*512=4096
     assert out[0] == (4096, 0)
+
+
+def test_connected_components_strict_raises_on_budget(spark):
+    """strict=True must fail loudly when the component diameter exceeds the
+    round budget (min-id propagation needs ~diameter rounds on a path) —
+    silently split clusters are wrong answers, not slow ones."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import connected_components
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="still .* changing"):
+        connected_components(path_edges, max_rounds=2, strict=True)
+    # default (non-strict) keeps legacy truncation semantics, and a large
+    # enough budget converges to ONE component either way
+    full = connected_components(path_edges, max_rounds=20, strict=True)
+    assert full.select("component").distinct().count() == 1

@@ -460,6 +460,8 @@ def connected_components(
     ``strict=True`` RAISES when the budget runs out before fixpoint — a
     component with diameter > max_rounds would otherwise be silently split
     (the budget discipline of the other iterative kernels)."""
+    if max_rounds < 1:
+        raise ValueError(f"connected_components needs max_rounds >= 1, got {max_rounds}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )

@@ -1423,7 +1423,12 @@ def test_connected_components_strict_raises_on_budget(spark):
     )
     with pytest.raises(RuntimeError, match="still .* changing"):
         connected_components(path_edges, max_rounds=2, strict=True)
-    # default (non-strict) keeps legacy truncation semantics, and a large
-    # enough budget converges to ONE component either way
+    # default (non-strict) keeps legacy truncation semantics: returns
+    # without raising, labels not yet converged
+    trunc = connected_components(path_edges, max_rounds=2)
+    assert trunc.select("component").distinct().count() > 1
+    # a large enough budget converges to ONE component
     full = connected_components(path_edges, max_rounds=20, strict=True)
     assert full.select("component").distinct().count() == 1
+    with pytest.raises(ValueError, match="max_rounds >= 1"):
+        connected_components(path_edges, max_rounds=0, strict=True)

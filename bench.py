@@ -56,6 +56,34 @@ WARMUP_MAX_RUNS = 5
 WARMUP_STABLE_RTOL = 0.20
 TIMED_RUNS = 3
 
+# Loadavg guard (VERDICT r09 task 3): the r08/r09 "regressions" were host
+# CPU-steal bursts, visible as loadavg 3-5 before the affected queries. Wait
+# for a quiet host before timing each query; record how long we waited so a
+# run that timed out waiting is distinguishable from a genuinely quiet one.
+LOAD_QUIET_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_QUIET", "2.0"))
+LOAD_WAIT_STEP_SEC = 10.0
+LOAD_WAIT_MAX_SEC = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_MAX", "120"))
+
+
+def _wait_for_quiet_host() -> float:
+    """Sleep until 1-min loadavg drops below threshold (bounded). Returns
+    total seconds waited. External load is the #1 confounder on this host.
+
+    Two exits besides "quiet": (a) max-wait cap, (b) loadavg plateaued above
+    the threshold — that is SUSTAINED external load (our own JVM is idle here
+    and self-load decays ~e^(-t/60)), so waiting longer buys nothing and the
+    recorded wait + load_before in BENCH_RAW.json is the steal diagnosis."""
+    waited = 0.0
+    prev = os.getloadavg()[0]
+    while prev > LOAD_QUIET_THRESHOLD and waited < LOAD_WAIT_MAX_SEC:
+        time.sleep(LOAD_WAIT_STEP_SEC)
+        waited += LOAD_WAIT_STEP_SEC
+        cur = os.getloadavg()[0]
+        if cur > prev * 0.95:  # not decaying -> external sustained load
+            return waited
+        prev = cur
+    return waited
+
 
 def _once(name: str, spark: SparkSession) -> tuple[float, int]:
     t0 = time.perf_counter()
@@ -90,6 +118,7 @@ def main() -> None:
     failures: dict[str, str] = {}
     for name in headliners:
         try:
+            wait_sec = _wait_for_quiet_host()
             load0 = os.getloadavg()[0]
             # adaptive warmup: run until two consecutive times agree within
             # 20% — that's when codegen+JIT have converged and we are
@@ -136,6 +165,7 @@ def main() -> None:
             "timed": [round(t, 3) for t in timed],
             "load_before": round(load0, 1),
             "load_after": round(os.getloadavg()[0], 1),
+            "quiet_wait_sec": round(wait_sec, 1),
         }
         print(
             f"# {name}: median {timings[name]}s / min {timings_min[name]}s"
@@ -161,22 +191,22 @@ def main() -> None:
         "pinned_total_min_sec": round(
             sum(t for n, t in timings_min.items() if n in HEADLINE_ORDER), 3
         ),
-        "runs_raw": runs_raw,
-        # r08 regression diagnosis (VERDICT r08 task 4): dedup_minhash_lsh
-        # min 0.55->2.30s and g_scc 2.37->3.84s with byte-identical code.
-        # Re-measured at r09 start: dedup_minhash_lsh back to ~0.6s min with
-        # no code change, while other queries in the same run showed 3-6x
-        # swings between consecutive runs (knn 0.43 min vs 1.99 median) —
-        # sustained multi-second CPU-steal bursts on this host, not engine
-        # drift. runs_raw above exists so future judges can separate the two.
-        "notes": "r08 pinned regression = host CPU steal (re-measured r09; "
-                 "minhash recovered to ~0.6s min unchanged); raw per-run "
-                 "arrays + loadavg now recorded per query",
+        # Per-run arrays + loadavg live in BENCH_RAW.json (VERDICT r09 task 1:
+        # inlining them here made the headline line longer than the driver's
+        # bounded tail capture -> BENCH_r09 parsed:null). The headline line
+        # must stay compact AND be the last stdout line.
+        "raw_file": "BENCH_RAW.json",
+        "notes": "loadavg guard active (wait-for-quiet before each query, "
+                 "plateau-aware); per-run arrays in BENCH_RAW.json",
     }
     if failures:
         result["failures"] = failures
-    print(json.dumps(result))
+    raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW.json")
+    with open(raw_path, "w") as f:
+        json.dump({"runs_raw": runs_raw, "result": result}, f, indent=1)
     spark.stop()
+    # the compact headline is the LAST stdout line — nothing may print after
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

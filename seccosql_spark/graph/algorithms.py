@@ -492,11 +492,27 @@ def connected_components(
             break
     else:
         if strict and n_changed:
-            raise RuntimeError(
-                f"connected_components: still {n_changed} labels changing after "
-                f"{max_rounds} rounds; raise max_rounds (component diameter "
-                "exceeds the budget)"
+            # The last budgeted round made progress, which is NOT proof of
+            # non-convergence: a dup-chain whose diameter equals max_rounds
+            # converges on exactly that round and a zero-change confirming
+            # round never ran (ADVICE r09). One extra change-count PROBE
+            # (propagate, count strict improvements, discard) separates
+            # "converged on the wire" from "still spreading" before raising.
+            probe = (
+                sym.join(state.select(F.col("id").alias("a"), "component"), "a")
+                .select(F.col("b").alias("id"), "component")
+                .groupBy("id")
+                .agg(F.min("component").alias("new_component"))
+                .join(state, "id")
+                .filter(F.col("new_component") < F.col("component"))
+                .count()
             )
+            if probe:
+                raise RuntimeError(
+                    f"connected_components: still {probe} labels changing after "
+                    f"{max_rounds} rounds; raise max_rounds (component diameter "
+                    "exceeds the budget)"
+                )
     return state
 
 

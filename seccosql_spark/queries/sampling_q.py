@@ -407,7 +407,14 @@ def sample_temperature_mix(sess: SeccoSession):
     quota = w.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
-            "CAST((CAST(n_total AS DECIMAL(38,0)) * 2 DIV 5) * s6 DIV t6 AS BIGINT)"
+            # M = n_total*2 DIV 5 lands in BIGINT (Spark's IntegralDivide
+            # returns LONG even on decimals) — that part is safe (M <= 2/5
+            # n_total). The hazard is the NEXT multiply: M * s6 in 64-bit
+            # wraps ~4e8 docs/source, so re-lift M to DECIMAL(38,0) before
+            # it; the final DIV t6 quotient <= M fits BIGINT again. Oracle
+            # stays HUGEINT throughout — identical integer math.
+            "CAST(CAST(CAST(n_total AS DECIMAL(38,0)) * 2 DIV 5 AS DECIMAL(38,0))"
+            " * s6 DIV t6 AS BIGINT)"
         ).alias("q"),
     )
     kept = (

@@ -103,56 +103,56 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "dedup_minhash_clusters",
-    "events_hilbert_topk",
-    "inverted_index_postings",
-    "sample_temperature_mix",
-    "sketch_quantile_mergeable",
-    "stream_incremental_dedup",
-    "text_bpe_merges",
-    "stats_corr_by_source",
-    "text_bm25_topk",
-    "text_cooccurrence_pmi",
-    "text_gopher_filter",
-    "text_length_percentile_band",
-    "text_novelty_curve",
-    "text_unigram_logprob",
-    "text_winnowing_fingerprint",
-    "multiway_stats_filtered",
-    "multiway_stats_ordered",
-    "stream_session_windows",
-    "cte_multi",
-    "g_house_count",
-    "g_ring5_chords",
-    "g_triangle_count",
-    "grouping_sets_id",
-    "multiway_natural_ghd",
-    "pack_token_shards",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_sole_blame_supplier",
-    "q22_sales_opportunity",
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_next_hour",
-    "sessionize_events",
-    "text_redact_pii",
-    "text_repetition_stats",
-    "window_first_last_frames",
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "with_recursive_path_counts",
-    "with_recursive_reach",
-    "approx_distinct_users",
-    "asof_latest_purchase",
-    "g_bfs_distances",
+    "g_clique4_count",
+    "g_diamond_count",
+    "g_ring5_chords_b",
+    "g_tailed_triangle_count",
+    "g_triangle_undirected",
+    "match_sql_tableref",
+    "pkfk_star_planned",
+    "skew_salted_join",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_length_histogram",
+    "text_quality_score",
+    "text_tfidf_top3",
+    "text_token_stats",
+    "text_vocab_top20",
+    "udf_pandas_vector_norm",
+    "update_rows",
+    "aggregate_global",
+    "aggregate_group_having",
+    "approx_quantiles_sketch",
+    "events_json_extract",
+    "exists_subquery",
+    "foreach_batch_upsert",
+    "g_c1_pentagon_agg",
+    "g_c2_pentagon_agg",
+    "g_c3_pentagon_wsum",
+    "g_c4_pentagon_wsum",
+    "in_subquery",
+    "intersect_all_bag",
+    "join_anti",
+    "join_full_outer",
+    "join_inner_groupby",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "multiway_stats_equality",
+    "natural_join_count",
+    "pivot_status",
+    "q10_returned_items",
+    "q12_priority_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_join_chain",
+    "q7_nation_volume",
+    "scalar_case_null",
+    "scalar_subquery",
 ]
 
 

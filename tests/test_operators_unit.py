@@ -1430,5 +1430,37 @@ def test_connected_components_strict_raises_on_budget(spark):
     # a large enough budget converges to ONE component
     full = connected_components(path_edges, max_rounds=20, strict=True)
     assert full.select("component").distinct().count() == 1
+    # converging on EXACTLY the last budgeted round is success, not failure:
+    # min-id needs diameter=12 rounds on this path, so round 12 still makes
+    # progress — the extra zero-change probe must confirm fixpoint instead
+    # of raising on a correct answer (ADVICE r09)
+    exact = connected_components(path_edges, max_rounds=12, strict=True)
+    assert exact.select("component").distinct().count() == 1
     with pytest.raises(ValueError, match="max_rounds >= 1"):
         connected_components(path_edges, max_rounds=0, strict=True)
+
+
+def test_temperature_quota_expression_survives_1e9_docs(spark):
+    """ADVICE r10: the quota expression in sample_temperature_mix must stay
+    in DECIMAL(38,0) through the M * s6 product — Spark's DIV returns BIGINT
+    even on decimal operands, so '(... DIV 5) * s6' is a 64-bit multiply
+    that overflows at n_total=1e9 with one dominant source (silently wraps
+    with ANSI off). Evaluate the exact production expression on synthetic
+    large counts and pin it to Python bigint math."""
+    # one dominant source: n_s = 1e9 -> s6 = floor(sqrt(1e9)*1e6) ~ 3.16e13;
+    # M = n_total*2 DIV 5 = 4e8; M*s6 ~ 1.26e22 >> 2^63-1 ~ 9.2e18
+    n_s = 1_000_000_000
+    n_total = n_s + 5
+    s6 = int((n_s ** 0.5) * 1_000_000)
+    t6 = s6 + 2_236_067  # + tiny second source
+    row = spark.createDataFrame(
+        [(n_total, s6, t6)], "n_total LONG, s6 LONG, t6 LONG"
+    )
+    expr = (
+        "CAST(CAST(CAST(n_total AS DECIMAL(38,0)) * 2 DIV 5 AS DECIMAL(38,0))"
+        " * s6 DIV t6 AS BIGINT)"
+    )
+    got = row.selectExpr(f"{expr} AS q").collect()[0]["q"]
+    want = (n_total * 2 // 5) * s6 // t6  # Python ints = HUGEINT oracle math
+    assert got == want
+    assert 0 < want < n_total  # sanity: quota is a real sub-budget

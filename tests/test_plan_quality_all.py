@@ -125,3 +125,33 @@ def test_priority_window_covers_spillover():
         f"_PRIORITY_WINDOW: {bad} — run scripts/freshness.py --window and "
         "paste the result into registry._PRIORITY_WINDOW"
     )
+
+
+def test_judge_facing_registry_counts_match_reality():
+    """README and COVERAGE.md both state the registry size; r08 shipped a
+    stale README count and r09 a stale COVERAGE trailer (233 vs 238). Derive
+    the claim from the documents so the number can never drift again: every
+    literal 'NNN queries' / '(NNN at round' registry-count claim must equal
+    len(REGISTRY)."""
+    import os
+    import re
+
+    from seccosql_spark.registry import REGISTRY
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    n = len(REGISTRY)
+
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    m = re.search(r"Registry: (\d+) queries, (\d+) with DuckDB oracles", cov)
+    assert m, "COVERAGE.md registry trailer not found"
+    assert m.group(1) == m.group(2) == str(n), (
+        f"COVERAGE.md trailer says {m.group(1)}/{m.group(2)} but the registry "
+        f"holds {n} — update the trailer"
+    )
+
+    readme = open(os.path.join(root, "README.md")).read()
+    counts = re.findall(r"\((\d+) at round|All (\d+)\b.*?registered", readme)
+    flat = [c for pair in counts for c in pair if c]
+    assert flat and all(c == str(n) for c in flat), (
+        f"README.md registry counts {flat} != {n}"
+    )

@@ -281,3 +281,48 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE application (the encode side of tokenizer training; the training loop
+# itself lives in queries/text_stats.py where its DuckDB oracle is).
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    """Escape a symbol for splicing into a Spark SQL string literal —
+    backslashes BEFORE quotes (Spark's default parser treats backslash as an
+    escape inside literals; the reverse order would re-escape the quote
+    escapes)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def bpe_split_expr(word_col: str = "w") -> Column:
+    """Character-split a word column into its initial BPE symbol array."""
+    return F.expr(
+        f"transform(sequence(1, length({word_col})), i -> substr({word_col}, i, 1))"
+    )
+
+
+def bpe_encode_expr(sym_col: str, merges: list[tuple[str, str]]) -> Column:
+    """Apply an ORDERED list of learned BPE merge rules to a symbol-array
+    column as nested JVM ``aggregate`` folds — ONE map-only projection, no
+    shuffle, no Python in the loop. Each fold is a single left-to-right
+    greedy pass (run overlaps resolved leftmost-first: 'aaaa' under (a,a)
+    -> 'aa','aa'), which is exactly the semantics the training loop in
+    ``queries/text_stats.py`` counts pairs under, and which its oracle's
+    gaps-and-islands parity formulation replays without recursion.
+
+    Scale shape: cost is O(symbols × rules) pure JVM expression work per
+    row; at 100 TB the caller should apply this to the DISTINCT word
+    vocabulary and join token counts back to the corpus, never re-encode
+    every occurrence (see text_bpe_encode)."""
+    expr = sym_col
+    for left, right in merges:
+        lq, rq, mq = _sql_quote(left), _sql_quote(right), _sql_quote(left + right)
+        expr = f"""aggregate({expr}, cast(array() as array<string>), (acc, x) ->
+              CASE WHEN size(acc) > 0
+                        AND element_at(acc, -1) = '{lq}' AND x = '{rq}'
+                   THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}'))
+                   ELSE concat(acc, array(x)) END)"""
+    return F.expr(expr)

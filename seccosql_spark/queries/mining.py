@@ -1394,3 +1394,237 @@ GROUP BY n_members
     generalizes to the large-star/small-star iteration already proven in
     dedup_cluster_canonical.""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sampled betweenness centrality (Brandes 2001 on hash-sampled sources)
+# ---------------------------------------------------------------------------
+
+BETWEENNESS_K = 8  # unrolled BFS/back-prop depth budget (graph ecc <= 6)
+
+
+def _betweenness_forward_sql(k: int) -> str:
+    """Walk-count level k for the oracle: walks of length k from each seed.
+    A walk of length == dist(s,v) is necessarily a shortest path, so
+    sigma(s,v) is the walk count at exactly the BFS distance — no recursive
+    aggregation needed (DuckDB disallows GROUP BY in a recursive term).
+    HUGEINT: total walk counts grow like degree^k (~90^8 at sf0.1) even
+    though the sigma actually consumed stays small."""
+    return f"""
+w{k} AS MATERIALIZED (
+  SELECT w.s, nb.b AS id, CAST(sum(w.cnt) AS HUGEINT) AS cnt
+  FROM w{k - 1} w JOIN nb ON nb.a = w.id
+  GROUP BY w.s, nb.b)"""
+
+
+def _betweenness_backward_sql(k: int) -> str:
+    """Dependency back-propagation level k: delta(v) = sum over DAG
+    successors w (neighbors one level deeper) of sig_v/sig_w * (1+delta_w).
+    Cross-engine float discipline: each contribution is ONE double
+    expression (identical association order in Spark), rounded to 9
+    decimals, summed as DECIMAL — order-independent exact addition."""
+    return f"""
+c{k} AS MATERIALIZED (
+  SELECT v.s, v.id,
+         sum(CAST(round(CAST(v.sig AS DOUBLE) * (1.0 + CAST(dn.delta AS DOUBLE))
+                        / CAST(wn.sig AS DOUBLE), 9) AS DECIMAL(28,9))) AS delta
+  FROM sp v
+  JOIN nb ON nb.a = v.id
+  JOIN sp wn ON wn.s = v.s AND wn.id = nb.b AND wn.d = {k + 1}
+  JOIN d{k + 1} dn ON dn.s = wn.s AND dn.id = wn.id
+  WHERE v.d = {k}
+  GROUP BY v.s, v.id),
+d{k} AS MATERIALIZED (
+  SELECT v.s, v.id, CAST(coalesce(c.delta, 0) AS DECIMAL(28,9)) AS delta
+  FROM sp v LEFT JOIN c{k} c ON c.s = v.s AND c.id = v.id
+  WHERE v.d = {k})"""
+
+
+BETWEENNESS_ORACLE = (
+    f"""
+WITH e AS ({EDGES_SPARSE}),
+nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e)
+),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM nb),
+seeds AS MATERIALIZED (
+  SELECT id AS s FROM nodes
+  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+w0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS HUGEINT) AS cnt FROM seeds),"""
+    + ",".join(_betweenness_forward_sql(k) for k in range(1, BETWEENNESS_K + 1))
+    + """,
+lv AS MATERIALIZED (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT s, id, {k} AS d, cnt FROM w{k}" for k in range(0, BETWEENNESS_K + 1)
+    )
+    + f"""),
+dist AS MATERIALIZED (SELECT s, id, min(d) AS d FROM lv GROUP BY s, id),
+sp AS MATERIALIZED (
+  SELECT lv.s, lv.id, lv.d, CAST(lv.cnt AS BIGINT) AS sig
+  FROM lv JOIN dist ON lv.s = dist.s AND lv.id = dist.id AND lv.d = dist.d),
+d{BETWEENNESS_K} AS MATERIALIZED (
+  SELECT s, id, CAST(0 AS DECIMAL(28,9)) AS delta FROM sp WHERE d = {BETWEENNESS_K}),"""
+    + ",".join(
+        _betweenness_backward_sql(k) for k in range(BETWEENNESS_K - 1, -1, -1)
+    )
+    + f""",
+bc AS (
+  SELECT id, sum(delta) AS b FROM (
+"""
+    + "\n    UNION ALL\n".join(
+        f"    SELECT id, delta FROM d{k}" for k in range(1, BETWEENNESS_K + 1)
+    )
+    + """
+  ) GROUP BY id)
+SELECT n.id,
+       round(CAST(coalesce(bc.b, 0) AS DOUBLE), 6) AS bc
+FROM nodes n LEFT JOIN bc ON bc.id = n.id
+"""
+)
+
+
+@register("g_betweenness_sampled", BETWEENNESS_ORACLE)
+def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
+    """Sampled betweenness centrality (Brandes 2001, on a deterministic
+    md5-hash-sampled ~25% source subset — the standard estimator, and the
+    same sampling discipline as ``g_closeness_centrality``'s
+    source_fraction; md5 rather than xxhash64 because the ORACLE must
+    replay the pick and DuckDB has no xxhash64): for every node, the sum
+    over sampled sources s of the dependency delta_s(v).
+
+    Two phases, both multi-source with the source carried as data:
+    FORWARD — the closeness-style frontier BFS, except the frontier also
+    carries sigma (shortest-path counts): a new node's sigma is the SUM of
+    its depth-d predecessors' sigmas (groupBy-sum where closeness used
+    distinct), anti-joined against seen on the composite key. BACKWARD —
+    per level from the deepest down, delta(v) = sum over DAG successors w
+    (neighbors one level deeper) of sig_v/sig_w * (1 + delta_w); each
+    contribution is one double expression rounded to 9 decimals and summed
+    as DECIMAL(28,9), so the sum is order-independent and bit-identical in
+    both engines (the decimal-sum-then-double discipline).
+
+    Scale: forward state is O(fV * V) like sampled closeness; backward is
+    one join per BFS level (2*ecc bounded rounds total), never a global
+    recomputation. sigma stays BIGINT — on graphs where shortest-path
+    counts could overflow, the same DECIMAL(38,0) lift as hits() applies
+    upstream. Raises if the frontier is live after max_rounds (budget
+    discipline); the oracle unrolls the same {BETWEENNESS_K}-level cap."""
+    spark = sess.spark
+    e = spark.sql(EDGES_SPARSE)
+    nb = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = nb.select(F.col("a").alias("id")).distinct()
+    seeds = nodes.where(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select(F.col("id").alias("s"))
+
+    frontier = seeds.select(
+        "s", F.col("s").alias("id"), F.lit(0).alias("d"),
+        F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=True)
+    seen = frontier
+
+    def _expand(frontier, seen, depth):
+        cand = (
+            frontier.join(nb, frontier["id"] == nb["a"])
+            .groupBy("s", F.col("b").alias("nid"))
+            .agg(F.sum("sig").cast("long").alias("sig"))
+        )
+        return (
+            cand.join(
+                seen.select(F.col("s").alias("__ss"), F.col("id").alias("__si")),
+                (F.col("s") == F.col("__ss")) & (F.col("nid") == F.col("__si")),
+                "left_anti",
+            )
+            .select("s", F.col("nid").alias("id"), F.lit(depth).alias("d"), "sig")
+        )
+
+    depth = 0
+    for _ in range(max_rounds):
+        depth += 1
+        nxt = _expand(frontier, seen, depth).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            depth -= 1
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        if not _expand(frontier, seen, depth + 1).isEmpty():
+            raise RuntimeError(
+                f"betweenness BFS still expanding after {max_rounds} rounds; "
+                "raise max_rounds (graph eccentricity exceeds the budget)"
+            )
+
+    # backward: delta at the deepest level is 0; one join per level walking up
+    deltas = {
+        depth: seen.where(F.col("d") == depth).select(
+            "s", "id", F.lit(0).cast("decimal(28,9)").alias("delta")
+        )
+    }
+    for k in range(depth - 1, -1, -1):
+        cur = seen.where(F.col("d") == k)
+        down = seen.where(F.col("d") == k + 1).select(
+            F.col("s").alias("ws"), F.col("id").alias("wid"),
+            F.col("sig").alias("wsig"),
+        ).join(
+            deltas[k + 1].select(
+                F.col("s").alias("ws"), F.col("id").alias("wid"), "delta"
+            ),
+            ["ws", "wid"],
+        )
+        contrib = (
+            cur.join(nb, cur["id"] == nb["a"])
+            .join(
+                down,
+                (F.col("s") == F.col("ws")) & (F.col("b") == F.col("wid")),
+            )
+            .select(
+                "s",
+                "id",
+                F.round(
+                    F.col("sig").cast("double")
+                    * (F.lit(1.0) + F.col("delta").cast("double"))
+                    / F.col("wsig").cast("double"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+            .groupBy("s", "id")
+            .agg(F.sum("c").alias("delta"))
+        )
+        deltas[k] = (
+            cur.join(contrib, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                F.coalesce(F.col("delta"), F.lit(0))
+                .cast("decimal(28,9)")
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    levels = [deltas[k] for k in range(1, depth + 1)]
+    if levels:
+        alld = levels[0]
+        for lf in levels[1:]:
+            alld = alld.unionByName(lf)
+        bc = alld.groupBy("id").agg(F.sum("delta").alias("b"))
+    else:
+        bc = nodes.select("id", F.lit(0).cast("decimal(38,9)").alias("b")).limit(0)
+    out = nodes.join(bc, "id", "left").select(
+        "id",
+        F.round(F.coalesce(F.col("b"), F.lit(0)).cast("double"), 6).alias("bc"),
+    )
+    return sess.from_spark(out)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 from seccosql_spark.streaming.ops import (
+    finalized_sessions,
     foreach_batch_upsert,
     run_available_now,
     session_window_agg,
@@ -130,6 +131,35 @@ def stream_session_windows(sess: SeccoSession):
     sink = f"__stream_session_windows_{next(_SINK_SEQ)}"
     run_available_now(agg, sink, output_mode="append")
     out = spark.table(sink).select(
+        "user_id",
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "n_events",
+        "total_value",
+    )
+    return sess.from_spark(out)
+
+
+@register("stream_session_finalized_batch", STREAM_SESSION_ORACLE)
+def stream_session_finalized_batch(sess: SeccoSession):
+    """The BATCH twin of ``stream_session_windows``, routed through the
+    ``finalized_sessions`` barrier (VERDICT r09 task 7): session windows
+    rebuilt in one batch aggregation, then the watermark-style cutoff
+    (sessions ending <= max(ts) - 2h) applied ABOVE the aggregation. The
+    naive ``.where(sess_end <= cutoff)`` is unsound — Catalyst pushes it
+    below the session aggregation where it becomes a per-event
+    ``ts + gap <= cutoff`` filter that fabricates phantom shorter sessions
+    (root-caused r09, `streaming/ops.py:222`). Registering this path gives
+    the barrier a driver hash-check against the gaps-and-islands oracle on
+    every rotation, not just a pytest pin. Scale shape: one session
+    aggregation + a 1-row max(ts) collect."""
+    spark = sess.spark
+    events = spark.table("events")
+    agg = session_window_agg(events, gap="30 minutes", watermark="2 hours")
+    from datetime import timedelta
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    fin = finalized_sessions(agg, max_ts - timedelta(hours=2))
+    out = fin.select(
         "user_id",
         F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
         "n_events",

@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from seccosql_spark.operators.text import redact_pii, repetition_stats
+from seccosql_spark.operators.text import (
+    bpe_encode_expr,
+    bpe_split_expr,
+    redact_pii,
+    repetition_stats,
+)
 from seccosql_spark.registration import register
 from seccosql_spark.session import SeccoSession
 
@@ -864,23 +869,15 @@ s0 AS MATERIALIZED (
 )
 
 
-@register("text_bpe_merges", BPE_ORACLE)
-def text_bpe_merges(sess: SeccoSession):
-    """BPE tokenizer training, the first {BPE_ROUNDS} merge rules (Sennrich
-    et al. 2016): start from characters per DISTINCT word (weighted by the
-    word's corpus frequency), then per round count adjacent symbol pairs,
-    pick the most frequent (ties broken lexicographically — deterministic
-    cross-engine), and apply the merge greedily left-to-right everywhere.
-
-    Scale shape: the state is the distinct-word vocabulary (millions of
-    rows at 100 TB, never the corpus), re-derived per round by a MAP-ONLY
-    fold (`aggregate` over the symbol array — JVM higher-order function,
-    no Python); pair counting is one explode + partially-aggregated
-    shuffle per round; the argmax collects ONE row per round. Greedy
-    overlap semantics (a run 'aaaa' under rule (a,a) becomes 'aa','aa')
-    are pinned against the oracle's non-recursive gaps-and-islands parity
-    formulation. Driver state: O(rounds) merge rules."""
-    docs = sess.spark.table("documents")
+def _bpe_train(spark, rounds: int = BPE_ROUNDS):
+    """Shared BPE training loop: returns (merges, syms) where merges is
+    [(round, left, right, freq), ...] and syms is the distinct-word
+    vocabulary DataFrame (w, wt, s) with the learned merges APPLIED — i.e.
+    the encoded vocab. State is the vocabulary, never the corpus; each
+    round is one explode+shuffle pair count, a 1-row argmax collect, and a
+    map-only fold re-encode (``operators.text.bpe_encode_expr``, which owns
+    the backslash-before-quote escaping discipline)."""
+    docs = spark.table("documents")
     words = (
         docs.select(
             F.explode(
@@ -890,14 +887,12 @@ def text_bpe_merges(sess: SeccoSession):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
-    syms = words.select(
-        "w",
-        "wt",
-        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
-    ).localCheckpoint(eager=True)
+    syms = words.select("w", "wt", bpe_split_expr("w").alias("s")).localCheckpoint(
+        eager=True
+    )
 
     merges = []
-    for rnd in range(1, BPE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         pairs = (
             syms.select(
                 "wt",
@@ -920,27 +915,109 @@ def text_bpe_merges(sess: SeccoSession):
             break
         l, r, freq = best[0]["l"], best[0]["r"], best[0]["freq"]
         merges.append((rnd, l, r, freq))
-        # backslashes BEFORE quotes: Spark's default parser treats \ as an
-        # escape inside string literals, so a backslash-bearing symbol
-        # spliced raw would swallow the closing quote (or alias the wrong
-        # symbol) — escape order matters
-        def _q(s: str) -> str:
-            return s.replace("\\", "\\\\").replace("'", "\\'")
+        syms = syms.withColumn("s", bpe_encode_expr("s", [(l, r)])).localCheckpoint(
+            eager=True
+        )
+    return merges, syms
 
-        lq, rq = _q(l), _q(r)
-        lrq = _q(l + r)
-        syms = syms.withColumn(
-            "s",
-            F.expr(
-                f"""aggregate(s, cast(array() as array<string>), (acc, x) ->
-                      CASE WHEN size(acc) > 0
-                                AND element_at(acc, -1) = '{lq}' AND x = '{rq}'
-                           THEN concat(slice(acc, 1, size(acc) - 1),
-                                       array('{lrq}'))
-                           ELSE concat(acc, array(x)) END)"""
-            ),
-        ).localCheckpoint(eager=True)
+
+@register("text_bpe_merges", BPE_ORACLE)
+def text_bpe_merges(sess: SeccoSession):
+    """BPE tokenizer training, the first {BPE_ROUNDS} merge rules (Sennrich
+    et al. 2016): start from characters per DISTINCT word (weighted by the
+    word's corpus frequency), then per round count adjacent symbol pairs,
+    pick the most frequent (ties broken lexicographically — deterministic
+    cross-engine), and apply the merge greedily left-to-right everywhere.
+
+    Scale shape: the state is the distinct-word vocabulary (millions of
+    rows at 100 TB, never the corpus), re-derived per round by a MAP-ONLY
+    fold (`aggregate` over the symbol array — JVM higher-order function,
+    no Python); pair counting is one explode + partially-aggregated
+    shuffle per round; the argmax collects ONE row per round. Greedy
+    overlap semantics (a run 'aaaa' under rule (a,a) becomes 'aa','aa')
+    are pinned against the oracle's non-recursive gaps-and-islands parity
+    formulation. Driver state: O(rounds) merge rules."""
+    merges, _syms = _bpe_train(sess.spark)
     out = sess.spark.createDataFrame(
         merges, "round INT, merge_left STRING, merge_right STRING, freq LONG"
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: apply the trained merge table corpus-wide — the tokenizer
+# application pass an LLM pipeline runs over all 100 TB after training.
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_ORACLE = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
+    SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    + f""",
+tokcnt AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM s{BPE_ROUNDS} GROUP BY w),
+sw AS MATERIALIZED (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY source, w)
+SELECT sw.source,
+       CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+       CAST(sum(sw.cnt * len(sw.w)) AS BIGINT) AS n_chars,
+       CAST(sum(sw.cnt * tokcnt.n_tok) AS BIGINT) AS n_tokens_bpe
+FROM sw JOIN tokcnt USING (w)
+GROUP BY sw.source
+"""
+)
+
+
+@register("text_bpe_encode", BPE_ENCODE_ORACLE)
+def text_bpe_encode(sess: SeccoSession):
+    """Corpus-wide application of the trained BPE merge table (VERDICT r09
+    task 5): per source, total words, total characters, and total tokens
+    AFTER encoding with the {BPE_ROUNDS} learned merges — the compression
+    report of a tokenizer-application pass.
+
+    Scale shape: the merges are re-derived by the shared training loop
+    (O(rounds) driver state), and — the part that matters at 100 TB — the
+    corpus is NEVER re-encoded per occurrence: the encode fold
+    (``operators.text.bpe_encode_expr``, one map-only JVM projection) runs
+    over the DISTINCT word vocabulary only, and the corpus pass is a plain
+    (source, word) count joined back to the per-word token count. Token
+    arithmetic is all BIGINT (counts × word lengths — no wrap risk until
+    ~1e14 tokens per source·word, far past any corpus)."""
+    merges, syms = _bpe_train(sess.spark)
+    # syms already carries the merges applied during training; size(s) is
+    # the per-word token count under the learned table. (For encoding a
+    # NEW corpus with a saved table, bpe_encode_expr(bpe_split_expr(...))
+    # is the one-projection path — exercised in unit tests.)
+    tokcnt = syms.select("w", F.size("s").cast("long").alias("n_tok"))
+    docs = sess.spark.table("documents")
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    out = (
+        sw.join(tokcnt, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_tokens_bpe"),
+        )
     )
     return sess.from_spark(out)

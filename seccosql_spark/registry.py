@@ -103,6 +103,9 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "g_betweenness_sampled",
+    "stream_session_finalized_batch",
+    "text_bpe_encode",
     "g_clique4_count",
     "g_diamond_count",
     "g_ring5_chords_b",
@@ -150,9 +153,6 @@ _PRIORITY_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_join_chain",
-    "q7_nation_volume",
-    "scalar_case_null",
-    "scalar_subquery",
 ]
 
 

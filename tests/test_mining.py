@@ -212,3 +212,57 @@ def test_closeness_raises_on_round_budget_exhaustion(spark):
     sess = session_for(spark, SF_DIR)
     with pytest.raises(RuntimeError, match="still expanding"):
         g_closeness_centrality(sess, max_rounds=2)
+
+
+def test_betweenness_sampled_matches_pure_python_brandes(spark):
+    """Third-implementation pin: the distributed two-phase Brandes (Spark)
+    and the unrolled walk-count oracle (DuckDB) could in principle share a
+    wrong assumption — check the query against a textbook single-source
+    Brandes in pure Python (exact floats, no rounding discipline) on the
+    same sampled sources. Tolerance 1e-5 absorbs the 9-decimal per-level
+    rounding the engines apply for cross-engine exactness."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    from seccosql_spark.queries.graph import EDGES_SPARSE
+    from seccosql_spark.queries.mining import g_betweenness_sampled
+
+    sess = session_for(spark, SF_DIR)
+    got = {
+        r["id"]: r["bc"]
+        for r in g_betweenness_sampled(sess).df.collect()
+    }
+
+    adj = defaultdict(set)
+    for s, d in spark.sql(EDGES_SPARSE).collect():
+        adj[s].add(d)
+        adj[d].add(s)
+    seeds = [
+        v for v in adj
+        if hashlib.md5(str(v).encode()).hexdigest()[0] in "0123"
+    ]
+    bc = defaultdict(float)
+    for s in seeds:  # Brandes 2001, single-source exact
+        dist, sig, order = {s: 0}, defaultdict(int), []
+        sig[s] = 1
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sig[w] += sig[v]
+        delta = defaultdict(float)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sig[v] / sig[w] * (1 + delta[w])
+            if v != s:
+                bc[v] += delta[v]
+    assert set(got) == set(adj)
+    for v in adj:
+        assert abs(got[v] - bc.get(v, 0.0)) < 1e-5, (v, got[v], bc.get(v))
+    assert len(seeds) > 0 and any(b > 0 for b in got.values())

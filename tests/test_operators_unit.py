@@ -1464,3 +1464,34 @@ def test_temperature_quota_expression_survives_1e9_docs(spark):
     want = (n_total * 2 // 5) * s6 // t6  # Python ints = HUGEINT oracle math
     assert got == want
     assert 0 < want < n_total  # sanity: quota is a real sub-budget
+
+
+def test_bpe_encode_expr_applies_ordered_merges_map_only(spark):
+    """bpe_encode_expr must (a) apply rules IN ORDER — rule 2 can consume
+    tokens rule 1 produced, (b) keep greedy leftmost-first overlap semantics
+    ('aaaa' + (a,a) -> aa,aa), and (c) stay a single map-only projection
+    (no exchange in the plan)."""
+    from seccosql_spark.operators.text import bpe_encode_expr, bpe_split_expr
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aab",), ("baaab",), ("x",), ("ab",)], "w STRING"
+    )
+    enc = df.select("w", bpe_split_expr("w").alias("s")).select(
+        "w", bpe_encode_expr("s", [("a", "a"), ("aa", "b")]).alias("toks")
+    )
+    got = {r["w"]: r["toks"] for r in enc.collect()}
+    assert got["aaaa"] == ["aa", "aa"]          # greedy overlap, rule 1
+    assert got["aab"] == ["aab"]                # rule 1 then rule 2 chains
+    # rule 1 leaves [b, aa, a, b]; rule 2 (aa,b) does NOT fire because the
+    # 'a' between them survives — ordered single-pass semantics, no re-scan
+    assert got["baaab"] == ["b", "aa", "a", "b"]
+    assert got["x"] == ["x"]                    # 1-symbol word, no pairs
+    assert got["ab"] == ["a", "b"]              # no rule matches
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "encode fold must be map-only"
+    # escaping: a rule containing quote/backslash must not break the splice
+    tricky = spark.createDataFrame([("a'\\a",)], "w STRING")
+    tr = tricky.select(bpe_split_expr("w").alias("s")).select(
+        bpe_encode_expr("s", [("'", "\\")]).alias("toks")
+    )
+    assert tr.collect()[0]["toks"] == ["a", "'\\", "a"]

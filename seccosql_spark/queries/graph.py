@@ -644,3 +644,88 @@ def match_sql_tableref(sess: SeccoSession):
     return sess.sql(
         "SELECT count(*) AS n FROM MATCH(sparse_edges, '(a)-[]->(b); (b)-[]->(c)')"
     )
+
+
+DIAMETER_ORACLE = f"""
+WITH RECURSIVE e AS (SELECT src, dst FROM ({EDGES_SPARSE})),
+nb AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e
+    UNION ALL
+    SELECT dst AS a, src AS b FROM e)),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM nb),
+w1(id, d) AS (
+  SELECT (SELECT min(id) FROM nodes) AS id, 0
+  UNION
+  SELECT nb.b, least(w.d + 1, 64) FROM w1 w JOIN nb ON nb.a = w.id),
+d1 AS MATERIALIZED (SELECT id, min(d) AS d FROM w1 GROUP BY id),
+u AS MATERIALIZED (SELECT id FROM d1 ORDER BY d DESC, id LIMIT 1),
+w2(id, d) AS (
+  SELECT (SELECT id FROM u) AS id, 0
+  UNION
+  SELECT nb.b, least(w.d + 1, 64) FROM w2 w JOIN nb ON nb.a = w.id),
+d2 AS MATERIALIZED (SELECT id, min(d) AS d FROM w2 GROUP BY id)
+SELECT (SELECT min(id) FROM nodes) AS start_id,
+       (SELECT id FROM u) AS sweep_id,
+       (SELECT id FROM d2 ORDER BY d DESC, id LIMIT 1) AS far_id,
+       (SELECT CAST(max(d) AS INT) FROM d2) AS diameter_lb,
+       (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_reached
+"""
+
+
+@register("g_diameter_doublesweep", DIAMETER_ORACLE)
+def g_diameter_doublesweep(sess: SeccoSession):
+    """Double-sweep diameter estimation (Magnien/Latapy/Habib 2009): BFS
+    from a deterministic start (the min node id), then a second BFS from
+    the farthest node found — the second eccentricity is a provably tight
+    lower bound on the diameter, and on most real graphs IS the diameter.
+    The exact alternative is all-pairs BFS (the closeness kernel's O(V²)
+    state); double sweep answers the operational question ("how many
+    propagation rounds do my iterative kernels need?") with exactly TWO
+    single-source BFS passes — O(V) state, 2·ecc rounds, the 100 TB way to
+    size a `max_rounds` budget. Ties broken by min id so both engines pick
+    the same peripheral node; covers the start node's component (BFS can
+    reach nothing else — deterministic on disconnected graphs too)."""
+    spark = sess.spark
+    e = spark.sql(EDGES_SPARSE)
+    nb = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _bfs(start_id):
+        frontier = spark.createDataFrame(
+            [(start_id, 0)], "id LONG, d INT"
+        ).localCheckpoint(eager=True)
+        seen = frontier
+        for _ in range(64):
+            nxt = (
+                frontier.join(nb, frontier["id"] == nb["a"])
+                .select(F.col("b").alias("id"), (F.col("d") + 1).alias("d"))
+                .distinct()
+                .join(
+                    seen.select(F.col("id").alias("__sid")),
+                    F.col("id") == F.col("__sid"),
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return seen
+
+    start_id = nb.agg(F.min("a")).collect()[0][0]
+    d1 = _bfs(start_id)
+    sweep_id = d1.orderBy(F.col("d").desc(), "id").limit(1).collect()[0]["id"]
+    d2 = _bfs(sweep_id)
+    far = d2.orderBy(F.col("d").desc(), "id").limit(1).collect()[0]
+    n_reached = d2.count()
+    out = spark.createDataFrame(
+        [(start_id, sweep_id, far["id"], far["d"], n_reached)],
+        "start_id LONG, sweep_id LONG, far_id LONG, diameter_lb INT, n_reached LONG",
+    )
+    return sess.from_spark(out)

@@ -1628,3 +1628,143 @@ def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
         F.round(F.coalesce(F.col("b"), F.lit(0)).cast("double"), 6).alias("bc"),
     )
     return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over hourly event-type series
+# ---------------------------------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS total
+  FROM hc GROUP BY event_type),
+cs AS (
+  SELECT hc.event_type, hc.hr,
+         sum(CAST(tot.n_hours AS DECIMAL(38,0)) * hc.c - tot.total)
+           OVER (PARTITION BY hc.event_type ORDER BY hc.hr
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM hc JOIN tot USING (event_type)),
+ranked AS (
+  SELECT event_type, hr, abs(s) AS dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, hr) AS rn
+  FROM cs)
+SELECT r.event_type,
+       strftime(r.hr, '%Y-%m-%d %H:%M:%S') AS change_hour,
+       CAST(r.dev AS BIGINT) AS max_dev,
+       t.n_hours, t.total
+FROM ranked r JOIN tot t USING (event_type)
+WHERE r.rn = 1
+"""
+
+
+@register("events_cusum_changepoint", CUSUM_ORACLE)
+def events_cusum_changepoint(sess: SeccoSession):
+    """CUSUM change-point estimation per event_type: over the hourly count
+    series, the cumulative deviation from the series mean S_k = Σ_{i<=k}
+    (c_i - mean) peaks at the most likely level-shift point (Page 1954 /
+    the standard offline CUSUM estimator argmax |S_k|). Mean is never
+    materialized as a float — the whole statistic is cross-multiplied by
+    n_hours (S'_k = Σ n·c_i - total, same argmax), accumulated in
+    DECIMAL(38,0) because a BIGINT running sum of n·c wraps at plausible
+    corpus scales and Spark wraps SILENTLY with ANSI off (the hits()/
+    temperature-quota discipline). One hour-keyed aggregation, one
+    broadcast-sized per-type scalar join, one running-frame window, one
+    argmax window — no self-joins, holds at any history length."""
+    spark = sess.spark
+    ev = spark.table("events")
+    hc = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = hc.join(tot, "event_type").withColumn(
+        "s",
+        F.sum(
+            F.col("n_hours").cast("decimal(38,0)") * F.col("c") - F.col("total")
+        ).over(w_run),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), "hr"
+    )
+    out = (
+        cs.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("change_hour"),
+            F.abs(F.col("s")).cast("long").alias("max_dev"),
+            "n_hours",
+            "total",
+        )
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (delta algebra)
+# ---------------------------------------------------------------------------
+
+IVM_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("ivm_join_delta", IVM_JOIN_ORACLE)
+def ivm_join_delta(sess: SeccoSession):
+    """Join-view incremental maintenance — the sibling of `ivm_q1_merge`
+    (which maintains an AGGREGATE view): for V = O ⋈ L, an arriving batch
+    (ΔO, ΔL) is folded in as V' = V ∪ (ΔO ⋈ L_old) ∪ (O_old ⋈ ΔL) ∪
+    (ΔO ⋈ ΔL) — the standard delta algebra, exact because the four terms
+    partition O' × L' by which side of each input a row came from. The
+    "arriving batch" is carved deterministically from the tables (orders
+    with o_orderkey % 20 = 0, lineitems with l_orderkey % 30 = 0 — the
+    moduli differ so the deltas overlap partially, exercising all four
+    terms including ΔO ⋈ ΔL). The Spark side materializes the view the
+    INCREMENTAL way; the oracle recomputes the join from scratch — a
+    hash-mismatch means the delta algebra dropped or duplicated a row.
+    Scale: the three delta joins touch |Δ|-proportional data (the whole
+    point of IVM at 100 TB); the base-view term is the one full join any
+    first materialization pays."""
+    spark = sess.spark
+    o = spark.table("orders").select("o_orderkey", "o_orderpriority")
+    l = spark.table("lineitem").select("l_orderkey", "l_extendedprice")
+    o_new = F.col("o_orderkey") % 20 == 0
+    l_new = F.col("l_orderkey") % 30 == 0
+    o_old, d_o = o.where(~o_new), o.where(o_new)
+    l_old, d_l = l.where(~l_new), l.where(l_new)
+
+    def j(left, right):
+        return left.join(right, left["o_orderkey"] == right["l_orderkey"])
+
+    view = (
+        j(o_old, l_old)
+        .unionByName(j(d_o, l_old))
+        .unionByName(j(o_old, d_l))
+        .unionByName(j(d_o, d_l))
+    )
+    out = view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+    return sess.from_spark(out)

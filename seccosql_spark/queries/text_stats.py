@@ -1021,3 +1021,45 @@ def text_bpe_encode(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+BPE_VOCAB_ORACLE = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents)
+  GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
+    SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    + f"""
+SELECT sym AS token, CAST(sum(wt) AS BIGINT) AS n_occ
+FROM s{BPE_ROUNDS}
+GROUP BY sym
+ORDER BY n_occ DESC, token
+LIMIT 20
+"""
+)
+
+
+@register("text_bpe_vocab_coverage", BPE_VOCAB_ORACLE)
+def text_bpe_vocab_coverage(sess: SeccoSession):
+    """Post-training vocabulary report: the top-20 tokens of the learned BPE
+    vocabulary by corpus occurrence count — the sanity check a tokenizer
+    drop ships with (which merges actually dominate the corpus?). Corpus
+    frequency of a token = sum over distinct words of (word count × token
+    occurrences in the word's encoding), so this too never touches the
+    corpus a second time: one explode of the encoded vocabulary's symbol
+    arrays weighted by word frequency, one token-keyed aggregation, top-20
+    with a lexicographic tie-break."""
+    _merges, syms = _bpe_train(sess.spark)
+    out = (
+        syms.select("wt", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wt").cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "token")
+        .limit(20)
+    )
+    return sess.from_spark(out)

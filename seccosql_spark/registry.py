@@ -103,9 +103,18 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation closes r09/r10.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "events_cusum_changepoint",
     "g_betweenness_sampled",
+    "ivm_join_delta",
     "stream_session_finalized_batch",
     "text_bpe_encode",
+    "text_bpe_vocab_coverage",
+    "g_diameter_doublesweep",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_quality_score",
+    "text_token_stats",
+    "text_chunk_windows",
     "g_clique4_count",
     "g_diamond_count",
     "g_ring5_chords_b",
@@ -115,12 +124,8 @@ _PRIORITY_WINDOW = [
     "pkfk_star_planned",
     "skew_salted_join",
     "text_bpe_tokens",
-    "text_fingerprint",
-    "text_lang_guess",
     "text_length_histogram",
-    "text_quality_score",
     "text_tfidf_top3",
-    "text_token_stats",
     "text_vocab_top20",
     "udf_pandas_vector_norm",
     "update_rows",
@@ -148,11 +153,6 @@ _PRIORITY_WINDOW = [
     "q10_returned_items",
     "q12_priority_buckets",
     "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_join_chain",
 ]
 
 

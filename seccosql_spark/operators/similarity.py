@@ -627,3 +627,94 @@ def pq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(topn)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k_coarse: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topn: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed — the full FAISS-style IVFADC pipeline (Jégou et al.
+    2011): a learned coarse quantizer routes the query to ``nprobe`` of
+    ``k_coarse`` inverted lists, and ONLY those lists' vectors are priced
+    with PQ asymmetric distances. This is the search shape that makes
+    billion-vector ANN tractable: the coarse filter is a map-only cell
+    predicate (at scale: partition pruning on a cell-partitioned layout),
+    so the ADC scan touches ~nprobe/k_coarse of the corpus instead of all
+    of it — the piece `ann_pq_adc_topk` (full-corpus scan) deliberately
+    leaves out.
+
+    Determinism/parity: coarse training is the same `kmeans_fit` replayed
+    by the oracle; the probe's cell choice compares Python-left-fold
+    squared distances against driver-collected centroids (same IEEE fold
+    order as DuckDB's list_sum and Spark's sq_dist), ties by cid; PQ
+    codebooks are trained on the FULL corpus (index build time), candidates
+    filtered BEFORE scoring. All table lookups ride the plan as literals —
+    one filter + one map-only projection + TakeOrdered, zero joins."""
+    first = emb.select(F.size(_as_double(F.col(vec_col))).alias("n")).head()
+    if first is None:
+        raise ValueError("ivf_pq_topk: empty input")
+    dim = first["n"]
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    if not (1 <= nprobe <= k_coarse):
+        raise ValueError(f"nprobe {nprobe} out of range for k_coarse {k_coarse}")
+    s = dim // m
+    vec = _as_double(F.col(vec_col))
+    full = emb.select(F.col(id_col), vec.alias("v"))
+
+    # coarse quantizer: full-vector k-means, corpus assigned to cells
+    coarse = kmeans_fit(full, k=k_coarse, iters=iters, id_col=id_col, vec_col="v")
+    books_c = sorted((r["cid"], list(r["c"])) for r in coarse.collect())
+    assigned = full.select(
+        id_col, "v", _nearest_cid(F.col("v"), books_c).cast("int").alias("cell")
+    )
+
+    probe = full.orderBy(F.col(id_col)).head()
+    q = list(probe["v"])
+
+    def _d2(c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(q, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    probed = [cid for _, cid in sorted((_d2(c), cid) for cid, c in books_c)[:nprobe]]
+    cand = assigned.where(F.col("cell").isin(*probed))
+
+    # PQ codebooks trained on the FULL corpus (index build), ADC tables
+    # from the probe — identical recipe to pq_adc_topk
+    dist_cols = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"), F.slice(vec, j * s + 1, s).alias("v")
+        )
+        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
+        book = sorted((r["cid"], list(r["c"])) for r in cent.collect())
+        qj = q[j * s : (j + 1) * s]
+        table = {}
+        for cid, c in book:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc += (a - b) * (a - b)
+            table[cid] = acc
+        code = _nearest_cid(F.slice(F.col("v"), j * s + 1, s), book).cast("int")
+        lookup = F.create_map(
+            *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
+        )
+        dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
+    scored = cand.select(F.col(id_col), "cell", *dist_cols)
+    total = F.col("d0")
+    for j in range(1, m):
+        total = total + F.col(f"d{j}")
+    return (
+        scored.select(id_col, "cell", total.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topn)
+    )

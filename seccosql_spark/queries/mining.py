@@ -1768,3 +1768,60 @@ def ivm_join_delta(sess: SeccoSession):
         .alias("revenue"),
     )
     return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement (exact dyadic fixed-point)
+# ---------------------------------------------------------------------------
+
+DECAY_ORACLE = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+t AS (
+  SELECT event_type,
+         CAST((mx.m - epoch_us(ts)) // 86400000000 AS BIGINT) AS hl
+  FROM events CROSS JOIN mx)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN hl <= 30 THEN CAST(1 AS BIGINT) << (30 - hl)
+                     ELSE 0 END) AS BIGINT) AS decayed_fp30
+FROM t GROUP BY event_type
+"""
+
+
+@register("events_decayed_engagement", DECAY_ORACLE)
+def events_decayed_engagement(sess: SeccoSession):
+    """Exponentially time-decayed engagement per event_type with a 24-hour
+    half-life — the freshness-weighted popularity signal feed rankers and
+    data-mixture schedulers use. The decay is EXACT, not a float pow():
+    each event contributes 2^(30 - floor(age/halflife)) in fixed point
+    (scaled by 2^30), so every term is a dyadic integer, the sum is plain
+    BIGINT arithmetic, and the two engines cannot drift by a libm ulp the
+    way exp(x·ln½) can. Events older than 30 half-lives quantize to zero
+    (relative weight < 1e-9 — below any ranking's resolution). Age is
+    integer microseconds against the corpus max (one 1-row collect, then a
+    map-only projection + one aggregation; 2^30 × corpus-size sums fit
+    BIGINT to ~8e9 events per type — past that, lift to DECIMAL(38,0) as
+    per the hits() discipline)."""
+    from seccosql_spark.operators.timeutil import epoch_us
+
+    spark = sess.spark
+    ev = spark.table("events")
+    us = epoch_us(ev, "ts")
+    max_us = ev.agg(F.max(us).alias("m")).collect()[0]["m"]
+    # PySpark's shiftleft() only takes a Python int for numBits — route the
+    # column-exponent shift through a SQL expression instead
+    term = ev.select(
+        # integer DIV, never double-divide-then-truncate (bucket discipline)
+        "event_type", (F.lit(max_us) - us).alias("age_us")
+    ).selectExpr(
+        "event_type", "age_us DIV 86400000000 AS hl"
+    ).selectExpr(
+        "event_type",
+        "CASE WHEN hl <= 30 THEN shiftleft(CAST(1 AS BIGINT), CAST(30 - hl AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END AS w",
+    )
+    out = term.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("w").cast("long").alias("decayed_fp30"),
+    )
+    return sess.from_spark(out)

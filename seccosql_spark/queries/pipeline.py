@@ -1966,3 +1966,77 @@ def dedup_minhash_clusters(sess: SeccoSession):
             F.sum("id").cast("long").alias("id_sum"),
         )
     )
+
+
+def _ivf_pq_oracle(
+    kc: int = 4, nprobe: int = 2, m: int = 4, s: int = 16, k: int = 4,
+    topn: int = 10,
+) -> str:
+    """IVF+PQ replay: the KMEANS_ORACLE recipe on the full vector for the
+    coarse cells, the probe's nprobe nearest cells by the same left-fold
+    distance (ties by cid), then the _pq_parts codebooks + ADC tables with
+    the candidate filter applied before the final ranking."""
+    parts, joins, cols = _pq_parts(m, s, k)
+    dim = m * s
+    coarse = f"""
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+          FROM cv QUALIFY row_number() OVER (ORDER BY vec_id) <= {kc}),
+ca1 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, {dim} + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+        FROM cv CROSS JOIN cinit),
+cs1 AS (SELECT vec_id, cid FROM ca1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+cm1 AS (SELECT cid, pos,
+              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM (SELECT cs1.cid AS cid, unnest(cv.v) AS x,
+                     generate_subscripts(cv.v, 1) AS pos
+              FROM cv JOIN cs1 USING (vec_id))
+        GROUP BY cid, pos),
+cc1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM cm1 GROUP BY cid),
+ca2 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, {dim} + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+        FROM cv CROSS JOIN cc1),
+cells AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM ca2
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+qcell AS (SELECT cc1.cid FROM cc1 CROSS JOIN qv
+          ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                   i -> (qv.v[i] - cc1.c[i]) * (qv.v[i] - cc1.c[i]))), cc1.cid
+          LIMIT {nprobe}),
+cand AS (SELECT cells.vec_id, cells.cell
+         FROM cells JOIN qcell ON cells.cell = qcell.cid)"""
+    adc = []
+    for j in range(m):
+        adc.append(f"""
+d{j}t AS (SELECT cid, round(list_sum(list_transform(range(1, {s} + 1),
+                 i -> (qv.v[{j * s} + i] - c.c[i]) * (qv.v[{j * s} + i] - c.c[i]))), 9) AS d
+          FROM c{j}x c CROSS JOIN qv)""")
+    code_joins = " ".join(f"JOIN d{j}t ON codes.c{j} = d{j}t.cid" for j in range(m))
+    total = " + ".join(f"d{j}t.d" for j in range(m))
+    return (
+        "WITH " + coarse + "," + ",".join(parts) + "," + ",".join(adc)
+        + f""",
+codes AS (SELECT vec_id, {cols} FROM f0x {joins})
+SELECT cand.vec_id, cand.cell, {total} AS adc_dist
+FROM cand JOIN codes USING (vec_id) {code_joins}
+ORDER BY adc_dist, cand.vec_id LIMIT {topn}"""
+    )
+
+
+@register("ann_ivf_pq", _ivf_pq_oracle())
+def ann_ivf_pq(sess: SeccoSession):
+    """The composed IVF+PQ search — learned coarse quantizer routes the
+    probe to 2 of 4 inverted lists, PQ asymmetric distances price ONLY
+    those lists' vectors (operators/similarity.ivf_pq_topk). The missing
+    middle between `ann_ivf_kmeans` (routing alone) and `ann_pq_adc_topk`
+    (full-corpus ADC): at 100 TB the coarse cell predicate is partition
+    pruning and the ADC scan touches nprobe/k_coarse of the corpus. The
+    oracle replays coarse training, cell routing, all four PQ codebooks,
+    the probe's distance tables, and the candidate-filtered ranking."""
+    from seccosql_spark.operators.similarity import ivf_pq_topk
+
+    return sess.from_spark(ivf_pq_topk(sess.spark.table("embeddings")))

@@ -104,12 +104,14 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "events_cusum_changepoint",
+    "events_decayed_engagement",
     "g_betweenness_sampled",
+    "g_diameter_doublesweep",
     "ivm_join_delta",
     "stream_session_finalized_batch",
     "text_bpe_encode",
     "text_bpe_vocab_coverage",
-    "g_diameter_doublesweep",
+    "ann_ivf_pq",
     "text_fingerprint",
     "text_lang_guess",
     "text_quality_score",
@@ -151,8 +153,6 @@ _PRIORITY_WINDOW = [
     "natural_join_count",
     "pivot_status",
     "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
 ]
 
 

@@ -637,6 +637,7 @@ def ivf_pq_topk(
     k: int = 4,
     iters: int = 2,
     topn: int = 10,
+    rerank_r: int | None = 150,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -656,7 +657,19 @@ def ivf_pq_topk(
     order as DuckDB's list_sum and Spark's sq_dist), ties by cid; PQ
     codebooks are trained on the FULL corpus (index build time), candidates
     filtered BEFORE scoring. All table lookups ride the plan as literals —
-    one filter + one map-only projection + TakeOrdered, zero joins."""
+    one filter + one map-only projection + TakeOrdered, zero joins.
+
+    ``rerank_r`` adds the REFINE tier (FAISS IndexRefineFlat): the ADC
+    shortlist of R candidates is re-priced with EXACT squared distances
+    (another map-only fold — only R rows pay full-dim arithmetic) and the
+    final top-n ranked on those. Measured on the unstructured synthetic
+    embeddings (sf0.01, 500 vectors): routing recall 1.0 at a 0.49
+    candidate fraction, ADC-only recall@10 = 0.2 (distance concentration —
+    4-bit codes can't separate near-uniform vectors), the ADC@150 shortlist
+    contains 10/10 true neighbors at both test SFs, so rerank restores
+    recall@10 = 1.0
+    (pinned in ``test_ivf_pq_rerank_recall``). ``rerank_r=None`` returns
+    the raw ADC ranking."""
     first = emb.select(F.size(_as_double(F.col(vec_col))).alias("n")).head()
     if first is None:
         raise ValueError("ivf_pq_topk: empty input")
@@ -709,12 +722,22 @@ def ivf_pq_topk(
             *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
         )
         dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
-    scored = cand.select(F.col(id_col), "cell", *dist_cols)
+    scored = cand.select(F.col(id_col), "cell", "v", *dist_cols)
     total = F.col("d0")
     for j in range(1, m):
         total = total + F.col(f"d{j}")
+    adc = scored.select(id_col, "cell", "v", total.alias("adc_dist"))
+    if rerank_r is None:
+        return adc.select(id_col, "cell", "adc_dist").orderBy(
+            "adc_dist", id_col
+        ).limit(topn)
+    shortlist = adc.orderBy("adc_dist", id_col).limit(rerank_r)
     return (
-        scored.select(id_col, "cell", total.alias("adc_dist"))
-        .orderBy("adc_dist", id_col)
+        shortlist.select(
+            id_col,
+            "cell",
+            F.round(sq_dist(F.col("v"), F.lit(q)), 9).alias("dist"),
+        )
+        .orderBy("dist", id_col)
         .limit(topn)
     )

@@ -81,26 +81,15 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # driver-verified, (2) OVERDUE (driver row >= 4 rounds behind — outranks
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
-# fresh; oldest round first within a tier. The r08 window below is that
-# output verbatim: all 48 never-verified round-8 rows — the wide r8 batch
-# (Gopher filter, packing, inverted index, SemDeDup, multi-signal fusion,
-# HITS, mixed binaryFile, streaming incremental dedup, PQ, personalized
-# PageRank, correlation, rolling spikes, unigram LM, splits, PPJoin,
-# edit-distance verify, PMI, MIS/matching, modularity, assortativity,
-# A-Res, thumbnail resize, audio features, BM25, winnowing, source
-# overlap, retention, co-visitation, link-pred, length band, MinHash
-# estimate audit, C4 rewrite, SCD2, CMS, sweep-line concurrency) plus the
-# late-r8 mining batch (last-touch attribution, Markov transitions, RFM
-# quintiles, column profiler, blocked entity resolution, basket pairs,
-# MAD anomaly, snapshot diff, quality gates, power-iteration PCA, IVM
-# merge, Pareto ABC, interarrival, seasonal backtest, novelty curve,
-# cohort LTV, point-in-time SCD2 lookup, source data card, closeness
-# centrality, balanced downsampling, exact percentile report). 61
-# never-verified rows compete for 50 slots, so 11 spill to r09 alongside
-# the overdue/stale tiers; every
-# spilled row is re-proven by the full-registry pytest differential every
-# session (this round: every row green at sf0.001 AND sf0.01), and
-# overdue-beats-hot guarantees the rotation closes r09/r10.
+# fresh; oldest round first within a tier. The r10 window below is that
+# output verbatim: it leads with the nine r10 additions
+# (corpus-wide BPE encode + vocabulary coverage, sampled betweenness,
+# the session-finalization barrier row, CUSUM change-point, double-sweep
+# diameter, join-view IVM, composed IVF+PQ, dyadic time-decay) — all
+# never driver-verified — then the >=4-rounds-overdue tier (the r05-era
+# relational/join/TPC-H core and C-pattern twins). Spilled rows are
+# re-proven by the full-registry pytest differential every session;
+# overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "events_cusum_changepoint",

@@ -557,6 +557,48 @@ def pq_codes(
     )
 
 
+def _adc_parts(
+    emb: DataFrame,
+    q: list[float],
+    m: int,
+    s: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    src_vec: Column,
+) -> tuple[list[Column], list[Column]]:
+    """The determinism-critical ADC recipe, in exactly ONE place (shared by
+    pq_adc_topk and ivf_pq_topk): per-subspace PQ codebooks trained on
+    `emb`, the probe's distance table per subspace (left-fold squared
+    distance, cid-KEYED map so a dropped-out cluster cannot desync a
+    positional array), and the per-row code/distance columns evaluated
+    against `src_vec` slices, rounded to 9 decimals IN-ENGINE. Returns
+    (code_cols, dist_cols)."""
+    code_cols, dist_cols = [], []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(_as_double(F.col(vec_col)), j * s + 1, s).alias("v"),
+        )
+        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
+        book = sorted((r["cid"], list(r["c"])) for r in cent.collect())
+        qj = q[j * s : (j + 1) * s]
+        table = {}
+        for cid, c in book:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                acc += (a - b) * (a - b)
+            table[cid] = acc
+        code = _nearest_cid(F.slice(src_vec, j * s + 1, s), book).cast("int")
+        lookup = F.create_map(
+            *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
+        )
+        code_cols.append(code.alias(f"c{j}"))
+        dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
+    return code_cols, dist_cols
+
+
 def pq_adc_topk(
     emb: DataFrame,
     m: int = 4,
@@ -597,27 +639,10 @@ def pq_adc_topk(
         .head()
     )
     q = list(probe["v"])
-    vec = _as_double(F.col(vec_col))
-    code_cols, dist_cols = [], []
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("id"), F.slice(vec, j * s + 1, s).alias("v")
-        )
-        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
-        book = sorted((r["cid"], list(r["c"])) for r in cent.collect())
-        qj = q[j * s : (j + 1) * s]
-        table = {}  # keyed by cid — a dropped-out cluster would desync a positional array
-        for cid, c in book:
-            acc = 0.0
-            for a, b in zip(qj, c):
-                acc += (a - b) * (a - b)
-            table[cid] = acc
-        code = _nearest_cid(F.slice(vec, j * s + 1, s), book).cast("int")
-        lookup = F.create_map(
-            *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
-        )
-        code_cols.append(code.alias(f"c{j}"))
-        dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
+    code_cols, dist_cols = _adc_parts(
+        emb, q, m, s, k, iters, id_col, vec_col,
+        src_vec=_as_double(F.col(vec_col)),
+    )
     scored = emb.select(F.col(id_col), *code_cols, *dist_cols)
     total = F.col("d0")
     for j in range(1, m):
@@ -702,26 +727,11 @@ def ivf_pq_topk(
     cand = assigned.where(F.col("cell").isin(*probed))
 
     # PQ codebooks trained on the FULL corpus (index build), ADC tables
-    # from the probe — identical recipe to pq_adc_topk
-    dist_cols = []
-    for j in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("id"), F.slice(vec, j * s + 1, s).alias("v")
-        )
-        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
-        book = sorted((r["cid"], list(r["c"])) for r in cent.collect())
-        qj = q[j * s : (j + 1) * s]
-        table = {}
-        for cid, c in book:
-            acc = 0.0
-            for a, b in zip(qj, c):
-                acc += (a - b) * (a - b)
-            table[cid] = acc
-        code = _nearest_cid(F.slice(F.col("v"), j * s + 1, s), book).cast("int")
-        lookup = F.create_map(
-            *[F.lit(x) for cid, d in sorted(table.items()) for x in (cid, d)]
-        )
-        dist_cols.append(F.round(F.element_at(lookup, code), 9).alias(f"d{j}"))
+    # from the probe — the ONE shared recipe (_adc_parts), evaluated against
+    # the candidate rows' already-double "v" column
+    _codes, dist_cols = _adc_parts(
+        emb, q, m, s, k, iters, id_col, vec_col, src_vec=F.col("v")
+    )
     scored = cand.select(F.col(id_col), "cell", "v", *dist_cols)
     total = F.col("d0")
     for j in range(1, m):

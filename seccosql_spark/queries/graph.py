@@ -700,8 +700,9 @@ def g_diameter_doublesweep(sess: SeccoSession):
             [(start_id, 0)], "id LONG, d INT"
         ).localCheckpoint(eager=True)
         seen = frontier
-        for _ in range(64):
-            nxt = (
+
+        def _expand(frontier, seen):
+            return (
                 frontier.join(nb, frontier["id"] == nb["a"])
                 .select(F.col("b").alias("id"), (F.col("d") + 1).alias("d"))
                 .distinct()
@@ -710,12 +711,24 @@ def g_diameter_doublesweep(sess: SeccoSession):
                     F.col("id") == F.col("__sid"),
                     "left_anti",
                 )
-                .localCheckpoint(eager=True)
             )
+
+        for _ in range(64):
+            nxt = _expand(frontier, seen).localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
             seen = seen.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
+        else:
+            # budget discipline: the oracle's recursion saturates d at 64
+            # and would still COUNT beyond-horizon nodes, so a silent stop
+            # here diverges on any component with eccentricity > 64 — fail
+            # loudly instead (same contract as closeness/betweenness)
+            if not _expand(frontier, seen).isEmpty():
+                raise RuntimeError(
+                    "double-sweep BFS still expanding after 64 rounds; "
+                    "the 64-round cap must exceed the graph's eccentricity"
+                )
         return seen
 
     start_id = nb.agg(F.min("a")).collect()[0][0]

@@ -1571,7 +1571,10 @@ def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
             "s", "id", F.lit(0).cast("decimal(28,9)").alias("delta")
         )
     }
-    for k in range(depth - 1, -1, -1):
+    # stop at level 1: deltas[0] would be the SOURCES' own dependencies,
+    # which betweenness never consumes (bc sums levels 1..depth only) —
+    # computing it was one discarded full join+checkpoint per run
+    for k in range(depth - 1, 0, -1):
         cur = seen.where(F.col("d") == k)
         down = seen.where(F.col("d") == k + 1).select(
             F.col("s").alias("ws"), F.col("id").alias("wid"),

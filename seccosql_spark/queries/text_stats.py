@@ -850,7 +850,11 @@ c{i} AS MATERIALIZED (
     WHERE cp.p IS NULL))"""
 
 
-BPE_ORACLE = (
+# Shared oracle prelude for all three BPE rows: the distinct-word vocab,
+# the char-split symbol table, and the unrolled merge rounds. ONE copy —
+# a tokenization-rule change must not be able to desync the rows' oracles
+# from each other or from the Spark side's shared _bpe_train.
+_BPE_PRELUDE = (
     """
 WITH w0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
@@ -861,6 +865,11 @@ s0 AS MATERIALIZED (
   SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
     SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
     + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+)
+
+
+BPE_ORACLE = (
+    _BPE_PRELUDE
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT {i} AS round, l AS merge_left, r AS merge_right, freq FROM best{i}"
@@ -950,16 +959,7 @@ def text_bpe_merges(sess: SeccoSession):
 # ---------------------------------------------------------------------------
 
 BPE_ENCODE_ORACLE = (
-    """
-WITH w0 AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
-    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-    FROM documents)
-  GROUP BY w),
-s0 AS MATERIALIZED (
-  SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
-    SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
-    + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    _BPE_PRELUDE
     + f""",
 tokcnt AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM s{BPE_ROUNDS} GROUP BY w),
@@ -1024,16 +1024,7 @@ def text_bpe_encode(sess: SeccoSession):
 
 
 BPE_VOCAB_ORACLE = (
-    """
-WITH w0 AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS wt FROM (
-    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-    FROM documents)
-  GROUP BY w),
-s0 AS MATERIALIZED (
-  SELECT w, wt, p, substr(w, CAST(p AS INTEGER), 1) AS sym FROM (
-    SELECT w, wt, unnest(range(1, len(w) + 1)) AS p FROM w0)),"""
-    + ",".join(_bpe_round_sql(i) for i in range(1, BPE_ROUNDS + 1))
+    _BPE_PRELUDE
     + f"""
 SELECT sym AS token, CAST(sum(wt) AS BIGINT) AS n_occ
 FROM s{BPE_ROUNDS}

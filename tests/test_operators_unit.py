@@ -1502,7 +1502,8 @@ def test_ivf_pq_rerank_recall(spark):
     unstructured synthetic embeddings the raw 4-bit ADC ranking is weak
     (distance concentration), but the exact-rerank tier restores full
     recall — routing recall is 1.0 (all true neighbors land in the probed
-    cells) and the ADC@100 shortlist contains all of them. Exact top-10
+    cells) and the default ADC@150 shortlist contains all of them (@100
+    missed one at sf0.001, which is why the default is 150). Exact top-10
     computed independently in Python over the collected vectors."""
     from seccosql_spark.operators.similarity import ivf_pq_topk
     from tests.conftest import SF_DIR

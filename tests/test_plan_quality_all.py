@@ -150,8 +150,10 @@ def test_judge_facing_registry_counts_match_reality():
     )
 
     readme = open(os.path.join(root, "README.md")).read()
-    counts = re.findall(r"\((\d+) at round|All (\d+)\b.*?registered", readme)
+    # both README claims: "(NNN at round R — ..." and "... values. All NNN\nhave oracles"
+    counts = re.findall(r"\((\d+) at round|All (\d+)\s+have oracles", readme)
     flat = [c for pair in counts for c in pair if c]
-    assert flat and all(c == str(n) for c in flat), (
-        f"README.md registry counts {flat} != {n}"
+    assert len(flat) >= 2 and all(c == str(n) for c in flat), (
+        f"README.md registry counts {flat} != {n} (expected both the "
+        "'(N at round' and 'All N have oracles' claims)"
     )

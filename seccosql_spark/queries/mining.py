@@ -1828,3 +1828,148 @@ def events_decayed_engagement(sess: SeccoSession):
         F.sum("w").cast("long").alias("decayed_fp30"),
     )
     return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS trend per group (integer power sums)
+# ---------------------------------------------------------------------------
+
+TREND_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS mi,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+m AS (
+  SELECT o_orderpriority, mi, CAST(sum(cents) AS BIGINT) AS y
+  FROM c GROUP BY o_orderpriority, mi),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(mi AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(mi AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(mi AS HUGEINT) * mi) AS HUGEINT) AS sxx
+  FROM m GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_months,
+       CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+       CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM agg
+"""
+
+
+@register("orders_monthly_trend", TREND_ORACLE)
+def orders_monthly_trend(sess: SeccoSession):
+    """Exact OLS revenue trend per order priority: the least-squares slope
+    of monthly revenue over the month index, computed ENTIRELY from integer
+    power sums (n, Σx, Σy, Σxy, Σx²) in DECIMAL(38,0)/HUGEINT — the
+    distributed-regression kernel where only the final slope takes one
+    double division (round 6). No floats accumulate: month revenue is
+    exact cents (floor(x·100+0.5) — CAST alone rounds in DuckDB but
+    truncates in Spark), and the cross-multiplied numerator/denominator
+    are emitted as exact decimals so the driver hash checks the integers,
+    not just the quotient. Σxy at 100 TB: month-index ≤ ~1e3 × cents sums
+    ~1e16 → 1e19 exceeds int64, hence the 38-digit discipline. Two
+    aggregations, no window, no join."""
+    spark = sess.spark
+    o = spark.table("orders")
+    c = o.select(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("mi"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    m = c.groupBy("o_orderpriority", "mi").agg(
+        F.sum("cents").cast("long").alias("y")
+    )
+    d = "decimal(38,0)"
+    agg = m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("mi").cast(d)).cast(d).alias("sx"),
+        F.sum(F.col("y").cast(d)).cast(d).alias("sy"),
+        F.sum((F.col("mi").cast(d) * F.col("y")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("mi").cast(d) * F.col("mi")).cast(d)).cast(d).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d)
+    out = agg.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_months"),
+        # emitted as strings: 38-digit exact integers round-trip the
+        # driver canonicalizer (pandas floats a DECIMAL column)
+        num.cast("string").alias("slope_num"),
+        den.cast("string").alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Content checksums per bucket (anti-entropy / replication audit)
+# ---------------------------------------------------------------------------
+
+def _h60_sql(expr: str) -> str:
+    """DuckDB: first 15 hex chars of an md5-hex expression as a 60-bit int
+    (the _h48_sql recipe widened; 60 bits so the per-row value fits BIGINT
+    with headroom for the decimal summation)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+_CHECKSUM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+)
+
+CHECKSUM_ORACLE = f"""
+WITH h AS (
+  SELECT l_orderkey % 16 AS bucket,
+         CAST({_h60_sql("md5(concat_ws('|', " + ", ".join(_CHECKSUM_COLS) + "))")}
+              AS BIGINT) AS h
+  FROM lineitem)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CAST(h AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS content_sum
+FROM h GROUP BY bucket
+"""
+
+
+@register("table_checksum_buckets", CHECKSUM_ORACLE)
+def table_checksum_buckets(sess: SeccoSession):
+    """Anti-entropy content checksums: per key-range bucket, row count plus
+    an order-INDEPENDENT sum of 60-bit row digests — the replication /
+    migration audit primitive (compare per-bucket checksums between two
+    copies of a 100 TB table without moving rows; a mismatched bucket
+    localizes the diff to 1/16 of the keyspace, recurse to narrow). Digest
+    columns are exact-typed only (integers render identically in both
+    engines; doubles would not), the per-row hash is md5-hex → 60-bit int
+    (the md5-uniform recipe), and the bucket sum accumulates in
+    DECIMAL(38,0) — 2^60 × row-count wraps int64 past ~8k rows per bucket.
+    One map-only projection + one aggregation; emitted as a string because
+    the driver canonicalizer floats DECIMAL columns."""
+    spark = sess.spark
+    l = spark.table("lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *_CHECKSUM_COLS)), 1, 15), 16, 10
+    ).cast("long")
+    out = (
+        l.select((F.col("l_orderkey") % 16).cast("long").alias("bucket"),
+                 h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_sum"),
+        )
+    )
+    return sess.from_spark(out)

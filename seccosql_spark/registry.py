@@ -92,15 +92,17 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "ann_ivf_pq",
     "events_cusum_changepoint",
     "events_decayed_engagement",
     "g_betweenness_sampled",
     "g_diameter_doublesweep",
     "ivm_join_delta",
+    "orders_monthly_trend",
     "stream_session_finalized_batch",
+    "table_checksum_buckets",
     "text_bpe_encode",
     "text_bpe_vocab_coverage",
-    "ann_ivf_pq",
     "text_fingerprint",
     "text_lang_guess",
     "text_quality_score",
@@ -140,8 +142,6 @@ _PRIORITY_WINDOW = [
     "join_semi",
     "multiway_stats_equality",
     "natural_join_count",
-    "pivot_status",
-    "q10_returned_items",
 ]
 
 

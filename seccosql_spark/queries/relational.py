@@ -694,3 +694,26 @@ def skew_salted_join(sess: SeccoSession):
     )
     out = salted_join(orders, customer, ["custkey"], left_uniquifier="o_orderkey")
     return sess.from_spark(out.select("o_orderkey", "c_name"))
+
+
+LATERAL_ORACLE = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+"""
+
+
+@register("lateral_top_customers", LATERAL_ORACLE)
+def lateral_top_customers(sess: SeccoSession):
+    """Correlated LATERAL subquery — top-3 customers by account balance per
+    nation, written as the ANSI LATERAL join both engines parse natively
+    (Spark >= 3.4 DecorrelateInnerQuery rewrites it to the same
+    partitioned-rank plan a window formulation produces, so there is no
+    per-outer-row re-execution at scale — the correlated LIMIT becomes a
+    rank filter after one hash join). Ties broken by name; balances are
+    read-through doubles (no arithmetic, bit-identical across engines)."""
+    return sess.from_spark(sess.spark.sql(LATERAL_ORACLE))

@@ -103,6 +103,7 @@ _PRIORITY_WINDOW = [
     "table_checksum_buckets",
     "text_bpe_encode",
     "text_bpe_vocab_coverage",
+    "lateral_top_customers",
     "text_fingerprint",
     "text_lang_guess",
     "text_quality_score",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "join_right_outer",
     "join_semi",
     "multiway_stats_equality",
-    "natural_join_count",
 ]
 
 

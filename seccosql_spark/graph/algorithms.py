@@ -474,6 +474,8 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("new_component"))
         )
+        # checkpoint FIRST, then count + project from the materialized rows
+        # (count-then-checkpoint ran the join+agg twice per round)
         improved = (
             state.join(candidates, "id", "left")
             .select(
@@ -483,11 +485,9 @@ def connected_components(
                 ),
                 "component",
             )
-        )
+        ).localCheckpoint(eager=True)
         n_changed = improved.filter(F.col("next") < F.col("component")).count()
-        state = improved.select("id", F.col("next").alias("component")).localCheckpoint(
-            eager=True
-        )
+        state = improved.select("id", F.col("next").alias("component"))
         if n_changed == 0:
             break
     else:
@@ -671,7 +671,10 @@ def strongly_connected_components(
                 .groupBy(F.col("b").alias("id"))
                 .agg(F.max("color").alias("nc"))
             )
-            merged = (
+            # materialize ONCE, then both the change count and the next
+            # color vector read the checkpointed rows — counting first and
+            # checkpointing after re-ran the whole join+agg twice per round
+            merged = _track(
                 color.join(cand, "id", "left")
                 .select(
                     "id",
@@ -680,7 +683,7 @@ def strongly_connected_components(
                 )
             )
             n_changed = merged.filter(F.col("next") > F.col("color")).count()
-            color = _track(merged.select("id", F.col("next").alias("color")))
+            color = merged.select("id", F.col("next").alias("color"))
             if n_changed == 0:
                 converged = True
                 break

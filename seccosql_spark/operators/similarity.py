@@ -207,7 +207,11 @@ def label_centroids(
         exploded.groupBy("bucket", "pos")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(28,9)")).cast("double")
+                # round BEFORE the decimal cast: float32 inputs are dyadic
+                # and land EXACTLY on 9th-decimal ties (e.g. 0.1494140625),
+                # where Spark's cast rounds HALF_UP but DuckDB's half-even —
+                # round(x, 9) is ties-away in BOTH engines (sf0.1 sweep find)
+                F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("centroid")
         )
@@ -265,7 +269,7 @@ def kmeans_fit(
             .groupBy("cid", "pos")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).cast("double")
                     / F.count(F.lit(1))
                 ).alias("c")
             )

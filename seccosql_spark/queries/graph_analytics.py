@@ -498,9 +498,11 @@ p AS (SELECT da.d AS x, db.d AS y
 s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
              sum(x * x) AS sxx, sum(y * y) AS syy
       FROM p)
-SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE NULL END AS assortativity
 FROM s
 """
 
@@ -531,13 +533,22 @@ def g_degree_assortativity(sess: SeccoSession):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
+    # zero endpoint-degree variance (a REGULAR graph — e.g. the sf0.1
+    # generator saturates to the complete graph) makes Pearson undefined:
+    # guard to NULL instead of dividing by zero (found by the sf0.1 sweep —
+    # Spark ANSI raises where DuckDB's IEEE double silently NaNs)
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     return sess.from_spark(
         s.select(
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
-                6,
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                    / F.sqrt(vx.cast("double"))
+                    / F.sqrt(vy.cast("double")),
+                    6,
+                ),
             ).alias("assortativity")
         )
     )

@@ -689,7 +689,7 @@ a1 AS (SELECT vec_id, cid,
 s1 AS (SELECT vec_id, cid FROM a1
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 m1 AS (SELECT cid, pos,
-              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+              CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
        FROM (SELECT s1.cid AS cid, unnest(v.v) AS x, generate_subscripts(v.v, 1) AS pos
              FROM v JOIN s1 USING (vec_id))
        GROUP BY cid, pos),
@@ -1291,7 +1291,7 @@ a1 AS (SELECT vec_id, cid,
 s1 AS (SELECT vec_id, cid FROM a1
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 m1 AS (SELECT cid, pos,
-              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+              CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
        FROM (SELECT s1.cid AS cid, unnest(v.v) AS x, generate_subscripts(v.v, 1) AS pos
              FROM v JOIN s1 USING (vec_id))
        GROUP BY cid, pos),
@@ -1326,7 +1326,7 @@ def ann_ivf_kmeans(sess: SeccoSession):
 
 CENTROID_ORACLE = """
 SELECT bucket, CAST(pos - 1 AS INT) AS pos,
-       CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS centroid
+       CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS centroid
 FROM (SELECT label AS bucket,
              unnest(embedding::DOUBLE[]) AS v,
              generate_subscripts(embedding::DOUBLE[], 1) AS pos
@@ -1393,7 +1393,7 @@ a{j}x AS (SELECT vec_id, cid,
 s{j}x AS (SELECT vec_id, cid FROM a{j}x
           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 m{j}x AS (SELECT cid, pos,
-               CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+               CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
           FROM (SELECT sx.cid AS cid, unnest(vv.v) AS x,
                        generate_subscripts(vv.v, 1) AS pos
                 FROM v{j} vv JOIN s{j}x sx USING (vec_id))
@@ -1908,23 +1908,10 @@ def sketch_quantile_mergeable(sess: SeccoSession):
 # ---------------------------------------------------------------------------
 
 _CLUSTERS_ORACLE = f"""
-WITH RECURSIVE words AS MATERIALIZED ({SHINGLES_SQL}),
-cand AS MATERIALIZED (
-  SELECT DISTINCT w1.id AS id1, w2.id AS id2
-  FROM words w1 JOIN words w2 ON w1.w = w2.w AND w1.id < w2.id),
-sizes AS MATERIALIZED (SELECT id, count(*) AS n FROM words GROUP BY id),
-inter AS MATERIALIZED (
-  SELECT p.id1, p.id2, count(*) AS i
-  FROM cand p JOIN words w1 ON w1.id = p.id1
-              JOIN words w2 ON w2.id = p.id2 AND w2.w = w1.w
-  GROUP BY p.id1, p.id2),
-pairs AS MATERIALIZED (
-  SELECT id1, id2
-  FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
-  WHERE i / (s1.n + s2.n - i) >= 0.5),
+WITH RECURSIVE lshp AS MATERIALIZED ({MINHASH_SHINGLE_ORACLE}),
 e AS MATERIALIZED (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION SELECT id2, id1 FROM pairs),
+  SELECT id1 AS a, id2 AS b FROM lshp
+  UNION SELECT id2, id1 FROM lshp),
 nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM e),
 walk(id, r) AS (
   SELECT id, id FROM nodes
@@ -1941,8 +1928,7 @@ FROM comp GROUP BY component
 @register("dedup_minhash_clusters", _CLUSTERS_ORACLE)
 def dedup_minhash_clusters(sess: SeccoSession):
     """The dedup decision a pipeline actually ships: MinHash-LSH near-dup
-    PAIRS (same parameters as `dedup_minhash_lsh`, whose LSH-equals-exact
-    property is driver-pinned on this corpus) closed into CLUSTERS by
+    PAIRS (same parameters as `dedup_minhash_lsh`) closed into CLUSTERS by
     min-id label propagation (`graph.algorithms.connected_components` —
     O(diameter) rounds, integer-only), one row per cluster: the canonical
     keeper (min doc_id), the cluster size, and the member id-sum. Every
@@ -1950,7 +1936,11 @@ def dedup_minhash_clusters(sess: SeccoSession):
     `documents` minus those. Scale shape: the pair graph is sparse by
     construction (bucketed LSH candidates, skew-capped), the closure
     state is O(nodes-in-pairs), and the oracle replays the closure as a
-    recursive CTE over the exact pair set."""
+    recursive CTE over the SAME LSH-replayed pair set (not the exact
+    all-pairs set: at sf0.1 LSH finds 252 of the 256 exact pairs, so an
+    exact-pair oracle diverges — found by the r10 sf0.1 sweep; this row
+    verifies the closure + canonicalization, while LSH recall itself is
+    measured by dedup_minhash_estimate_error)."""
     from seccosql_spark.graph.algorithms import connected_components
 
     pairs = minhash_near_dups(
@@ -1990,7 +1980,7 @@ ca1 AS (SELECT vec_id, cid,
 cs1 AS (SELECT vec_id, cid FROM ca1
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
 cm1 AS (SELECT cid, pos,
-              CAST(sum(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+              CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
         FROM (SELECT cs1.cid AS cid, unnest(cv.v) AS x,
                      generate_subscripts(cv.v, 1) AS pos
               FROM cv JOIN cs1 USING (vec_id))

@@ -1525,3 +1525,41 @@ def test_ivf_pq_rerank_recall(spark):
     # the ADC-only tier is deliberately lossy — document the measured gap
     adc_only = {r["vec_id"] for r in ivf_pq_topk(emb, rerank_r=None).collect()}
     assert len(adc_only & set(exact10)) < 10
+
+
+def test_float32_decimal_tie_rounding_discipline(spark):
+    """Regression pin for the r10 sf0.1 sweep find: float32 values are
+    dyadic, so they land EXACTLY on 9th-decimal .5 ties (0.1494140625);
+    Spark's double->DECIMAL(28,9) CAST rounds HALF_UP where DuckDB's casts
+    half-even — the decimal-mean recipe over embeddings MUST round(x, 9)
+    BEFORE the cast, because round() is ties-away in both engines. This
+    test pins both halves: the raw-cast divergence exists (so nobody
+    "simplifies" the round away believing casts agree), and the
+    round-then-cast path agrees, at the exact tie, both signs."""
+    import duckdb
+    from decimal import Decimal
+
+    tie = 0.1494140625  # float32-exact, 10th decimal digit is an exact 5
+    row = spark.createDataFrame([(tie,), (-tie,)], "v DOUBLE")
+    got = {
+        float(r["v"]): (r["raw"], r["disciplined"])
+        for r in row.select(
+            "v",
+            F.col("v").cast("decimal(28,9)").alias("raw"),
+            F.round("v", 9).cast("decimal(28,9)").alias("disciplined"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        v: (r, d)
+        for v, r, d in con.sql(
+            f"SELECT v, CAST(v AS DECIMAL(28,9)), CAST(round(v, 9) AS DECIMAL(28,9))"
+            f" FROM (SELECT unnest([{tie}::DOUBLE, -{tie}::DOUBLE]) AS v)"
+        ).fetchall()
+    }
+    # the disciplined path agrees at the tie, both signs, both engines
+    assert got[tie][1] == duck[tie][1] == Decimal("0.149414063")
+    assert got[-tie][1] == duck[-tie][1] == Decimal("-0.149414063")
+    # the raw casts genuinely diverge (HALF_UP vs half-even) — if this ever
+    # starts passing, the round() layer may be droppable, but verify first
+    assert got[tie][0] != duck[tie][0]

@@ -48,10 +48,22 @@ def main() -> int:
     for name in args.names:
         spec = REGISTRY[name]
         t0 = time.time()
-        out = spec.build(sess)
-        df = out.df if hasattr(out, "df") else out
-        spdf = df.toPandas()
-        ddf = con.sql(spec.oracle).df()
+        try:
+            out = spec.build(sess)
+            df = out.df if hasattr(out, "df") else out
+            spdf = df.toPandas()
+            ddf = con.sql(spec.oracle).df()
+        except Exception as exc:
+            # one crashing query (OOM, ANSI error) must not kill the sweep —
+            # the r10 sf0.1 sweep died twice mid-list before this guard.
+            # (A JVM-fatal OOM still ends the run; restart past the row.)
+            failed.append(name)
+            print(
+                f"FAIL {name} rows=? {time.time() - t0:.1f}s "
+                f"EXC {type(exc).__name__}: {str(exc)[:160]}",
+                flush=True,
+            )
+            continue
         cols_s, cols_d = sorted(spdf.columns), sorted(ddf.columns)
         status = []
         if cols_s != cols_d:

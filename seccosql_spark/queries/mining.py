@@ -1856,8 +1856,10 @@ SELECT o_orderpriority,
        CAST(n AS BIGINT) AS n_months,
        CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
        CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS slope_den,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            ELSE NULL END AS slope
 FROM agg
 """
 
@@ -1904,7 +1906,10 @@ def orders_monthly_trend(sess: SeccoSession):
         # driver canonicalizer (pandas floats a DECIMAL column)
         num.cast("string").alias("slope_num"),
         den.cast("string").alias("slope_den"),
-        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        # a single-month group has zero x-variance: slope undefined ->
+        # NULL both engines (never an ANSI divide-by-zero)
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("slope"),
     )
     return sess.from_spark(out)
 

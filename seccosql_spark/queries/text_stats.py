@@ -345,9 +345,11 @@ s AS (SELECT source, count(*) AS n,
              sum(x * x) AS sxx, sum(y * y) AS syy
       FROM t GROUP BY source)
 SELECT source, CAST(n AS BIGINT) AS n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_chars_tokens
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE NULL END AS corr_chars_tokens
 FROM s
 """
 
@@ -382,11 +384,18 @@ def stats_corr_by_source(sess: SeccoSession):
         s.select(
             "source",
             F.col("n").cast("long").alias("n"),
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
-                6,
+            # zero variance (constant-length source) => Pearson undefined:
+            # NULL in both engines, never a divide (same guard as
+            # g_degree_assortativity, r10 sf0.1 sweep discipline)
+            F.when(
+                ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) > 0)
+                & ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) > 0),
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                    / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                    / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                    6,
+                ),
             ).alias("corr_chars_tokens"),
         )
     )

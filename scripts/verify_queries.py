@@ -44,6 +44,13 @@ def main() -> int:
     sys.path.insert(0, "tests")
     from conftest import _canon  # reuse the driver-equivalent canonicalizer
 
+    # validate names up front: a typo'd name mid-list must not kill a sweep
+    # hours in (REGISTRY[name] raised BEFORE the per-query try)
+    unknown = [n for n in args.names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query names: {unknown}", file=sys.stderr)
+        return 2
+
     failed = []
     for name in args.names:
         spec = REGISTRY[name]

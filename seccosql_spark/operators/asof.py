@@ -160,7 +160,7 @@ def resample_gapfill(
     # ReusedExchange serves all three consumers from the same shuffle.
     agg = ev.groupBy("key", "hidx").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("val").cast("decimal(28,9)")).cast("double").alias("sv"),
+        F.sum(F.round(F.col("val"), 9).cast("decimal(28,9)")).cast("double").alias("sv"),
     )
     # Null-safe spine cap: on EMPTY input lo/hi are NULL — the WHEN must
     # fall through to the (null) hi so sequence(null, null) yields an empty

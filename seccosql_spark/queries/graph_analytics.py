@@ -495,8 +495,11 @@ nb AS MATERIALIZED (
 deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY a),
 p AS (SELECT da.d AS x, db.d AS y
       FROM nb JOIN deg da ON nb.a = da.id JOIN deg db ON nb.b = db.id),
-s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-             sum(x * x) AS sxx, sum(y * y) AS syy
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
       FROM p)
 SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
             THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -512,7 +515,8 @@ def g_degree_assortativity(sess: SeccoSession):
     """Degree assortativity (Newman 2002): Pearson correlation of endpoint
     degrees over the symmetric edge set — do hubs link to hubs? Same
     integer-power-sum discipline as stats_corr_by_source (n, Σx, Σy, Σxy,
-    Σx², Σy² are exact BIGINTs; one double expression at the end), so both
+    Σx², Σy² exact in DECIMAL(38,0)/HUGEINT — BIGINT sums wrap on
+    hub-heavy graphs; one double expression at the end), so both
     engines agree bit-for-bit. One degree aggregation + two broadcast
     degree joins + one global aggregate."""
     from seccosql_spark.graph.algorithms import _sym_neighbors
@@ -525,13 +529,17 @@ def g_degree_assortativity(sess: SeccoSession):
         nb.join(deg.withColumnsRenamed({"id": "a", "d": "x"}), "a")
         .join(deg.withColumnsRenamed({"id": "b", "d": "y"}), "b")
     )
+    # power sums in DECIMAL(38,0): n*sxx on a hub-heavy graph wraps int64
+    # (Spark wraps SILENTLY with ANSI off, and a wrapped-negative variance
+    # would read as the zero-variance NULL guard) — the oracle is HUGEINT
+    d = "decimal(38,0)"
     s = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("x").cast(d)).cast(d).alias("sx"),
+        F.sum(F.col("y").cast(d)).cast(d).alias("sy"),
+        F.sum((F.col("x").cast(d) * F.col("y")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("x").cast(d) * F.col("x")).cast(d)).cast(d).alias("sxx"),
+        F.sum((F.col("y").cast(d) * F.col("y")).cast(d)).cast(d).alias("syy"),
     )
     # zero endpoint-degree variance (a REGULAR graph — e.g. the sf0.1
     # generator saturates to the complete graph) makes Pearson undefined:

@@ -74,7 +74,7 @@ WITH tagged AS (
 )
 SELECT coalesce(touch_type, 'none') AS attributed_type,
        CAST(count(*) AS BIGINT) AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS attributed_value
+       CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS attributed_value
 FROM tagged
 WHERE event_type = 'purchase'
 GROUP BY coalesce(touch_type, 'none')
@@ -107,7 +107,7 @@ def attribution_last_touch(sess: SeccoSession):
         .groupBy(F.coalesce("touch_type", F.lit("none")).alias("attributed_type"))
         .agg(
             F.count("*").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(28,9)"))
+            F.sum(F.round(F.col("value"), 9).cast("decimal(28,9)"))
             .cast("double")
             .alias("attributed_value"),
         )
@@ -797,7 +797,7 @@ def quality_gate_audit(sess: SeccoSession):
 BACKTEST_ORACLE = """
 WITH hr AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hidx,
-         sum(CAST(value AS DECIMAL(28,9))) AS sv
+         sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS sv
   FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
 )
 SELECT a.event_type,
@@ -829,7 +829,7 @@ def events_seasonal_backtest(sess: SeccoSession):
         ev.withColumn("eus", epoch_us(ev, "ts"))
         .withColumn("hidx", F.expr(f"eus div {US_PER_HOUR}"))
         .groupBy("event_type", "hidx")
-        .agg(F.sum(F.col("value").cast("decimal(28,9)")).alias("sv"))
+        .agg(F.sum(F.round(F.col("value"), 9).cast("decimal(28,9)")).alias("sv"))
     )
     a, f = hr.alias("a"), hr.alias("f")
     out = (
@@ -1920,13 +1920,11 @@ def orders_monthly_trend(sess: SeccoSession):
 
 def _h60_sql(expr: str) -> str:
     """DuckDB: first 15 hex chars of an md5-hex expression as a 60-bit int
-    (the _h48_sql recipe widened; 60 bits so the per-row value fits BIGINT
-    with headroom for the decimal summation)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    )
+    (fits BIGINT with headroom for the decimal summation) — the shared
+    operators.hexint recipe."""
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return hex_prefix_int_sql(expr, 15)
 
 
 _CHECKSUM_COLS = (

@@ -63,11 +63,9 @@ FROM (SELECT doc_id AS id,
 """
 
 def _h32_sql() -> str:
-    terms = [
-        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    ]
-    return " + ".join(terms)
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return hex_prefix_int_sql("md5(w)", 8)
 
 
 def _minhash_oracle(words_sql: str, threshold: float, num_hashes: int = 8, band_size: int = 4) -> str:

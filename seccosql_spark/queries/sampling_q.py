@@ -297,10 +297,9 @@ _H48_DENOM = 281474976710657.0  # 16^12 + 1 -> u in (0, 1], ln never sees 0
 
 def _h48_sql(expr: str) -> str:
     """DuckDB: first 12 hex chars of an md5-hex expression as a 48-bit int."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
-        for i in range(12)
-    )
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return hex_prefix_int_sql(expr, 12)
 
 
 ARES_ORACLE = f"""

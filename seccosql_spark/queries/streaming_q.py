@@ -44,7 +44,7 @@ STREAM_WINDOW_ORACLE = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type
 """
@@ -103,7 +103,7 @@ sess AS (
          min(ts) AS s_start,
          max(ts) AS s_last,
          count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
   FROM i GROUP BY user_id, sid
 ),
 mx AS (SELECT max(ts) AS m FROM events)

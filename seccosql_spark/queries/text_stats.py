@@ -340,9 +340,11 @@ WITH t AS (
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS y
   FROM documents
 ),
-s AS (SELECT source, count(*) AS n,
-             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-             sum(x * x) AS sxx, sum(y * y) AS syy
+s AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
       FROM t GROUP BY source)
 SELECT source, CAST(n AS BIGINT) AS n,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
@@ -359,7 +361,8 @@ def stats_corr_by_source(sess: SeccoSession):
     """Per-source Pearson correlation between document length in chars and
     in tokens — the corpus-audit statistic behind 'is token count just a
     proxy for bytes here'. Computed from raw integer power sums (n, Σx, Σy,
-    Σxy, Σx², Σy² are exact BIGINTs; the final expression is two sqrts and
+    Σxy, Σx², Σy² exact in DECIMAL(38,0)/HUGEINT — BIGINT wraps at corpus
+    scale; the final expression is two sqrts and
     a division on identical integers), so both engines produce the same
     double and round(6) is safe — unlike calling each engine's corr(),
     whose internal summation orders differ. One aggregation, map-side
@@ -372,13 +375,17 @@ def stats_corr_by_source(sess: SeccoSession):
         .cast("long")
         .alias("y"),
     )
+    # DECIMAL(38,0) power sums (oracle: HUGEINT): n*sxx over a 100 TB
+    # corpus wraps int64 silently with ANSI off — same lift as
+    # g_degree_assortativity and orders_monthly_trend
+    d = "decimal(38,0)"
     s = t.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum(F.col("x").cast(d)).cast(d).alias("sx"),
+        F.sum(F.col("y").cast(d)).cast(d).alias("sy"),
+        F.sum((F.col("x").cast(d) * F.col("y")).cast(d)).cast(d).alias("sxy"),
+        F.sum((F.col("x").cast(d) * F.col("x")).cast(d)).cast(d).alias("sxx"),
+        F.sum((F.col("y").cast(d) * F.col("y")).cast(d)).cast(d).alias("syy"),
     )
     return sess.from_spark(
         s.select(

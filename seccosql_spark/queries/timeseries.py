@@ -79,7 +79,7 @@ GAPFILL_ORACLE = """
 WITH ev AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hidx, value
             FROM events),
 agg AS (SELECT key, hidx, count(*) AS n_rows,
-               CAST(sum(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS sv
+               CAST(sum(CAST(round(value, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sv
         FROM ev GROUP BY key, hidx),
 b AS (SELECT min(hidx) AS lo, max(hidx) AS hi FROM ev),
 spine AS (SELECT unnest(range(lo, hi + 1)) AS hidx FROM b),

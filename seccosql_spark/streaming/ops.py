@@ -117,7 +117,7 @@ def windowed_agg(
         .groupBy(w.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -207,7 +207,7 @@ def session_window_agg(
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("sess_start"),

@@ -99,16 +99,22 @@ _PRIORITY_WINDOW = [
     "g_betweenness_sampled",
     "g_diameter_doublesweep",
     "ivm_join_delta",
+    "lateral_top_customers",
     "orders_monthly_trend",
     "stream_session_finalized_batch",
     "table_checksum_buckets",
     "text_bpe_encode",
     "text_bpe_vocab_coverage",
-    "lateral_top_customers",
     "text_fingerprint",
     "text_lang_guess",
     "text_quality_score",
     "text_token_stats",
+    "foreach_batch_upsert",
+    "stream_dedup",
+    "stream_left_outer_join",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_upsert_state",
     "text_chunk_windows",
     "g_clique4_count",
     "g_diamond_count",
@@ -129,7 +135,6 @@ _PRIORITY_WINDOW = [
     "approx_quantiles_sketch",
     "events_json_extract",
     "exists_subquery",
-    "foreach_batch_upsert",
     "g_c1_pentagon_agg",
     "g_c2_pentagon_agg",
     "g_c3_pentagon_wsum",
@@ -138,11 +143,6 @@ _PRIORITY_WINDOW = [
     "intersect_all_bag",
     "join_anti",
     "join_full_outer",
-    "join_inner_groupby",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "multiway_stats_equality",
 ]
 
 

@@ -2039,3 +2039,65 @@ def ann_ivf_pq(sess: SeccoSession):
     from seccosql_spark.operators.similarity import ivf_pq_topk
 
     return sess.from_spark(ivf_pq_topk(sess.spark.table("embeddings")))
+
+
+LEAKAGE_ORACLE = f"""
+WITH pairs AS ({MINHASH_SHINGLE_ORACLE}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0c' THEN 'test'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents)
+SELECT least(s1.split, s2.split) AS split_a,
+       greatest(s1.split, s2.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(p.id1 * 100000 + p.id2) AS BIGINT) AS example_pair
+FROM pairs p
+JOIN sp s1 ON p.id1 = s1.doc_id
+JOIN sp s2 ON p.id2 = s2.doc_id
+WHERE s1.split <> s2.split
+GROUP BY least(s1.split, s2.split), greatest(s1.split, s2.split)
+"""
+
+
+@register("split_leakage_report", LEAKAGE_ORACLE)
+def split_leakage_report(sess: SeccoSession):
+    """Cross-split contamination audit — THE eval-integrity check an LLM
+    pipeline runs before trusting any held-out number: near-duplicate
+    pairs (the `dedup_minhash_lsh` LSH pipeline, Jaccard >= 0.5) that
+    straddle the deterministic train/val/test assignment
+    (`split_train_val_test`'s md5 thresholds). A val/test document with a
+    train-side near-dup IS leakage; the report counts them per split pair
+    with a deterministic example (min encoded id pair). Composition of
+    two already-verified pieces, so the row certifies the COMPOSITION:
+    pairs joined twice against the split map, cross-split only.
+    Scale shape: the LSH candidate generation dominates (bucketed, same
+    as the dedup row); the split map is a map-only projection and the
+    two joins are id-keyed. The id encoding id1*100000+id2 is safe to
+    ~9.2e13 docs (int64); lift to DECIMAL(38,0) past that."""
+    docs = sess.spark.table("documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    sp = docs.select(
+        "doc_id",
+        F.when(md5 < "0c", "test").when(md5 < "1a", "val").otherwise("train").alias("split"),
+    )
+    j = (
+        pairs.join(sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1")), "id1")
+        .join(sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2")), "id2")
+        .where(F.col("s1") != F.col("s2"))
+    )
+    out = (
+        j.select(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+            (F.col("id1") * 100000 + F.col("id2")).alias("enc"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("enc").cast("long").alias("example_pair"),
+        )
+    )
+    return sess.from_spark(out)

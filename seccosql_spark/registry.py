@@ -101,6 +101,7 @@ _PRIORITY_WINDOW = [
     "ivm_join_delta",
     "lateral_top_customers",
     "orders_monthly_trend",
+    "split_leakage_report",
     "stream_session_finalized_batch",
     "table_checksum_buckets",
     "text_bpe_encode",
@@ -142,7 +143,6 @@ _PRIORITY_WINDOW = [
     "in_subquery",
     "intersect_all_bag",
     "join_anti",
-    "join_full_outer",
 ]
 
 

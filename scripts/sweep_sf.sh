@@ -4,7 +4,7 @@
 # the sparse-graph generator saturates there (symmetrized graph is
 # complete), making any 5-node enumeration ~90^5 intermediates in BOTH
 # engines. 32g driver heap: the 4-node patterns at sf0.1 OOM the 1g default.
-# Round-10 run: 243/250 green, found 3 real scale-boundary bugs (float32
+# Round-10 runs: first pass found 3 real scale-boundary bugs (float32
 # decimal-tie rounding, zero-variance assortativity, LSH-vs-exact cluster
 # oracle) — rerun after any change to the affected recipes.
 set -euo pipefail

@@ -2052,7 +2052,7 @@ sp AS (
 SELECT least(s1.split, s2.split) AS split_a,
        greatest(s1.split, s2.split) AS split_b,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(min(p.id1 * 100000 + p.id2) AS BIGINT) AS example_pair
+       min(CAST(p.id1 AS VARCHAR) || ':' || CAST(p.id2 AS VARCHAR)) AS example_pair
 FROM pairs p
 JOIN sp s1 ON p.id1 = s1.doc_id
 JOIN sp s2 ON p.id2 = s2.doc_id
@@ -2074,8 +2074,9 @@ def split_leakage_report(sess: SeccoSession):
     pairs joined twice against the split map, cross-split only.
     Scale shape: the LSH candidate generation dominates (bucketed, same
     as the dedup row); the split map is a map-only projection and the
-    two joins are id-keyed. The id encoding id1*100000+id2 is safe to
-    ~9.2e13 docs (int64); lift to DECIMAL(38,0) past that."""
+    two joins are id-keyed. The example is the lexicographic-min
+    'id1:id2' string — collision-free at any id scale (a numeric
+    id1*K+id2 encoding would alias once ids exceed K)."""
     docs = sess.spark.table("documents")
     pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
     md5 = F.md5(F.col("doc_id").cast("string"))
@@ -2092,12 +2093,12 @@ def split_leakage_report(sess: SeccoSession):
         j.select(
             F.least("s1", "s2").alias("split_a"),
             F.greatest("s1", "s2").alias("split_b"),
-            (F.col("id1") * 100000 + F.col("id2")).alias("enc"),
+            F.concat_ws(":", F.col("id1"), F.col("id2")).alias("enc"),
         )
         .groupBy("split_a", "split_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.min("enc").cast("long").alias("example_pair"),
+            F.min("enc").alias("example_pair"),
         )
     )
     return sess.from_spark(out)

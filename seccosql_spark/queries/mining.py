@@ -1976,3 +1976,33 @@ def table_checksum_buckets(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# RANGE-interval window: trailing 30-day order counts / revenue
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_ORACLE = """
+SELECT o_orderkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_30d,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_trailing_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("orders_trailing_30d_range", RANGE_WINDOW_ORACLE)
+def orders_trailing_30d_range(sess: SeccoSession):
+    """Time-based RANGE window frame — trailing-30-day order count and
+    revenue per priority at every order's date. Every other window in the
+    registry is a ROWS frame; RANGE BETWEEN INTERVAL is the frame type a
+    calendar-trailing metric actually needs (peer rows at the same date
+    aggregate together; gaps shorten the window's content, not its span),
+    and both engines implement the identical SQL-standard semantics —
+    exercised here as one SQL string on each side. Revenue is exact cents
+    (floor(x*100+0.5) — CAST rounds in DuckDB, truncates in Spark). Scale:
+    one hash exchange on the partition key; the frame is evaluated by a
+    running two-pointer over each partition's sort, never a self-join."""
+    return sess.from_spark(sess.spark.sql(RANGE_WINDOW_ORACLE))

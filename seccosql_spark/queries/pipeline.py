@@ -2102,3 +2102,45 @@ def split_leakage_report(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+CROSS_SOURCE_ORACLE = f"""
+WITH pairs AS ({MINHASH_SHINGLE_ORACLE}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN src a ON p.id1 = a.doc_id
+JOIN src b ON p.id2 = b.doc_id
+WHERE a.source <> b.source
+GROUP BY least(a.source, b.source), greatest(a.source, b.source)
+"""
+
+
+@register("dedup_cross_source_overlap", CROSS_SOURCE_ORACLE)
+def dedup_cross_source_overlap(sess: SeccoSession):
+    """Cross-source duplication audit — which corpus sources copy each
+    other: near-duplicate pairs (the LSH pipeline) whose endpoints live in
+    DIFFERENT sources, counted per unordered source pair. The provenance
+    signal behind dedup-priority and licensing decisions (a source that is
+    mostly near-dups of another adds tokens, not information). Same
+    composition discipline as `split_leakage_report`: two id-keyed joins
+    against a map-only source lookup over the bucketed LSH candidates —
+    nothing new shuffles at scale."""
+    docs = sess.spark.table("documents")
+    pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id1"), F.col("source").alias("sa")), "id1")
+        .join(src.select(F.col("doc_id").alias("id2"), F.col("source").alias("sb")), "id2")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    out = (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    return sess.from_spark(out)

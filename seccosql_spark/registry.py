@@ -94,6 +94,7 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_ivf_pq",
+    "dedup_cross_source_overlap",
     "events_cusum_changepoint",
     "events_decayed_engagement",
     "g_betweenness_sampled",
@@ -101,6 +102,7 @@ _PRIORITY_WINDOW = [
     "ivm_join_delta",
     "lateral_top_customers",
     "orders_monthly_trend",
+    "orders_trailing_30d_range",
     "split_leakage_report",
     "stream_session_finalized_batch",
     "table_checksum_buckets",
@@ -141,8 +143,6 @@ _PRIORITY_WINDOW = [
     "g_c3_pentagon_wsum",
     "g_c4_pentagon_wsum",
     "in_subquery",
-    "intersect_all_bag",
-    "join_anti",
 ]
 
 

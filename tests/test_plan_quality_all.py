@@ -157,3 +157,38 @@ def test_judge_facing_registry_counts_match_reality():
         f"README.md registry counts {flat} != {n} (expected both the "
         "'(N at round' and 'All N have oracles' claims)"
     )
+
+
+def test_bench_quiet_host_guard_terminates(monkeypatch):
+    """The driver's per-round bench now waits for a quiet host before each
+    query — that guard must (a) return immediately on a quiet host, (b)
+    stop waiting when loadavg plateaus above threshold (sustained external
+    load: waiting longer buys nothing), (c) keep waiting while self-load
+    decays, bounded by the max-wait cap. Monkeypatched clock: no real
+    sleeping, no real load dependence."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    # (a) quiet host: zero wait
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    assert bench._wait_for_quiet_host() == 0.0
+
+    # (b) sustained external load: plateau detected after one step
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (5.0, 5.0, 5.0))
+    waited = bench._wait_for_quiet_host()
+    assert waited == bench.LOAD_WAIT_STEP_SEC
+
+    # (c) decaying self-load: waits until below threshold, never past cap
+    seq = iter([6.0, 4.0, 2.5, 1.5, 1.5, 1.5])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(seq), 0, 0))
+    waited = bench._wait_for_quiet_host()
+    assert 0 < waited <= bench.LOAD_WAIT_MAX_SEC

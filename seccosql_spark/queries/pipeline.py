@@ -2041,13 +2041,12 @@ def ann_ivf_pq(sess: SeccoSession):
     return sess.from_spark(ivf_pq_topk(sess.spark.table("embeddings")))
 
 
+from seccosql_spark.queries.text_stats import SPLIT_CASE_SQL, split_expr  # noqa: E402
+
 LEAKAGE_ORACLE = f"""
 WITH pairs AS ({MINHASH_SHINGLE_ORACLE}),
 sp AS (
-  SELECT doc_id,
-         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0c' THEN 'test'
-              WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'val'
-              ELSE 'train' END AS split
+  SELECT doc_id, {SPLIT_CASE_SQL} AS split
   FROM documents)
 SELECT least(s1.split, s2.split) AS split_a,
        greatest(s1.split, s2.split) AS split_b,
@@ -2079,11 +2078,7 @@ def split_leakage_report(sess: SeccoSession):
     id1*K+id2 encoding would alias once ids exceed K)."""
     docs = sess.spark.table("documents")
     pairs = minhash_near_dups(docs, threshold=0.5, shingle_n=3).select("id1", "id2")
-    md5 = F.md5(F.col("doc_id").cast("string"))
-    sp = docs.select(
-        "doc_id",
-        F.when(md5 < "0c", "test").when(md5 < "1a", "val").otherwise("train").alias("split"),
-    )
+    sp = docs.select("doc_id", split_expr().alias("split"))
     j = (
         pairs.join(sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1")), "id1")
         .join(sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2")), "id2")

@@ -459,13 +459,28 @@ def text_unigram_logprob(sess: SeccoSession):
     )
 
 
-SPLIT_ORACLE = """
-SELECT doc_id,
-       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '0c'
-            THEN 'test'
-            WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
-            THEN 'val'
-            ELSE 'train' END AS split
+# Canonical split thresholds — shared with split_leakage_report (the
+# contamination audit must straddle THIS assignment, never a stale copy).
+SPLIT_TEST_HEX = "0c"  # md5 prefix below => test (~4.7%)
+SPLIT_VAL_HEX = "1a"   # below => val (~10.2%); else train
+
+SPLIT_CASE_SQL = f"""CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TEST_HEX}' THEN 'test'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_HEX}' THEN 'val'
+              ELSE 'train' END"""
+
+
+def split_expr():
+    """Spark Column for the canonical split assignment."""
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    return (
+        F.when(md5 < SPLIT_TEST_HEX, "test")
+        .when(md5 < SPLIT_VAL_HEX, "val")
+        .otherwise("train")
+    )
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, {SPLIT_CASE_SQL} AS split
 FROM documents
 """
 
@@ -479,13 +494,7 @@ def split_train_val_test(sess: SeccoSession):
     map-only. The hex-prefix thresholds are the same integer-free
     comparison trick as `sampling.hash_sample`."""
     return sess.from_spark(
-        sess.spark.table("documents").select(
-            "doc_id",
-            F.when(F.md5(F.col("doc_id").cast("string")) < "0c", "test")
-            .when(F.md5(F.col("doc_id").cast("string")) < "1a", "val")
-            .otherwise("train")
-            .alias("split"),
-        )
+        sess.spark.table("documents").select("doc_id", split_expr().alias("split"))
     )
 
 

@@ -82,15 +82,12 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # hot so the rotation always closes), (3) "hot" — an implementing or
 # dependency file changed after the latest driver run, (4) stale, (5)
 # fresh; oldest round first within a tier. The r10 window below is that
-# output verbatim: it leads with the round-10 additions
-# (BPE encode + vocabulary coverage, sampled betweenness, the
-# session-finalization barrier row, CUSUM change-point, double-sweep
-# diameter, join-view IVM, composed IVF+PQ+refine, dyadic time-decay,
-# OLS trend, bucket checksums, correlated LATERAL) — all
-# never driver-verified — then the >=4-rounds-overdue tier (the r05-era
-# relational/join/TPC-H core and C-pattern twins). Spilled rows are
-# re-proven by the full-registry pytest differential every session;
-# overdue-beats-hot guarantees the rotation keeps closing.
+# output verbatim — never hand-edited, so this comment deliberately does
+# NOT enumerate the rows (each resync would stale it): the generator's
+# tier order guarantees the list leads with every never-verified row
+# (this round's additions), then >=4-rounds-overdue, then hot/stale.
+# Spilled rows are re-proven by the full-registry pytest differential
+# every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_ivf_pq",

@@ -164,8 +164,8 @@ def test_bench_quiet_host_guard_terminates(monkeypatch):
     query — that guard must (a) return immediately on a quiet host, (b)
     stop waiting when loadavg plateaus above threshold (sustained external
     load: waiting longer buys nothing), (c) keep waiting while self-load
-    decays, bounded by the max-wait cap. Monkeypatched clock: no real
-    sleeping, no real load dependence."""
+    decays, bounded by the max-wait cap. Monkeypatched clock and pinned
+    thresholds: no real sleeping, no host or env dependence."""
     import importlib.util
     import os
 
@@ -177,6 +177,11 @@ def test_bench_quiet_host_guard_terminates(monkeypatch):
     spec.loader.exec_module(bench)
 
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # hermetic: the module reads SPARK_GRAFT_LOAD_* env at import — pin the
+    # constants so an exported override can't change what this test asserts
+    monkeypatch.setattr(bench, "LOAD_QUIET_THRESHOLD", 2.0)
+    monkeypatch.setattr(bench, "LOAD_WAIT_STEP_SEC", 10.0)
+    monkeypatch.setattr(bench, "LOAD_WAIT_MAX_SEC", 120.0)
 
     # (a) quiet host: zero wait
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))

@@ -12,7 +12,9 @@ JIT-warmup artifacts as engine time):
   within 20% (max 5 runs), because a single warmup pass does not reach C2
   steady state for the giant generated methods (md5-array minhash, the
   zip_with/aggregate cosine fold);
-- then timed 3 runs: the PRIMARY per-query number is the MEDIAN of the 3
+- then timed 3 runs (extended to 7 when the 3 disagree by more than 2x —
+  a median-of-3 can still land on a steal-perturbed run; 7 gives the median
+  a quorum of clean runs): the PRIMARY per-query number is the MEDIAN
   (robust to one steal burst without cherry-picking the fastest run); the
   min over all post-first runs is kept as a secondary field
   (`queries_min` / `pinned_total_min_sec`) because rounds 1-6 published
@@ -55,6 +57,12 @@ HEADLINE_ORDER = [
 WARMUP_MAX_RUNS = 5
 WARMUP_STABLE_RTOL = 0.20
 TIMED_RUNS = 3
+# Variance-adaptive extension (VERDICT r10 task 1): if the spread within the
+# timed runs exceeds this factor, at least one run was perturbed (host steal
+# burst) and a median-of-3 can still land on a perturbed run — extend to 7
+# timed runs so the median has a quorum of clean ones.
+VARIANCE_SPREAD_FACTOR = 2.0
+TIMED_RUNS_EXTRA = 4
 
 # Loadavg guard (VERDICT r09 task 3): the r08/r09 "regressions" were host
 # CPU-steal bursts, visible as loadavg 3-5 before the affected queries. Wait
@@ -70,17 +78,26 @@ def _wait_for_quiet_host() -> float:
     total seconds waited. External load is the #1 confounder on this host.
 
     Two exits besides "quiet": (a) max-wait cap, (b) loadavg plateaued above
-    the threshold — that is SUSTAINED external load (our own JVM is idle here
-    and self-load decays ~e^(-t/60)), so waiting longer buys nothing and the
-    recorded wait + load_before in BENCH_RAW.json is the steal diagnosis."""
+    the threshold for TWO consecutive steps — that is SUSTAINED external load
+    (our own JVM is idle here and self-load decays ~e^(-t/60)), so waiting
+    longer buys nothing and the recorded wait + load_before in BENCH_RAW.json
+    is the steal diagnosis. One non-decaying step is NOT enough to bail: a
+    single noisy 1-min loadavg reading that decays slightly slower than
+    5%/10s would otherwise abort the wait on genuinely-ours decaying load
+    (ADVICE r10)."""
     waited = 0.0
     prev = os.getloadavg()[0]
+    plateau_steps = 0
     while prev > LOAD_QUIET_THRESHOLD and waited < LOAD_WAIT_MAX_SEC:
         time.sleep(LOAD_WAIT_STEP_SEC)
         waited += LOAD_WAIT_STEP_SEC
         cur = os.getloadavg()[0]
-        if cur > prev * 0.95:  # not decaying -> external sustained load
-            return waited
+        if cur > prev * 0.95:  # not decaying this step
+            plateau_steps += 1
+            if plateau_steps >= 2:  # sustained external load
+                return waited
+        else:
+            plateau_steps = 0
         prev = cur
     return waited
 
@@ -135,6 +152,10 @@ def main() -> None:
             for _ in range(TIMED_RUNS):
                 dt, n = _once(name, spark)
                 timed.append(dt)
+            if max(timed) > VARIANCE_SPREAD_FACTOR * min(timed):
+                for _ in range(TIMED_RUNS_EXTRA):
+                    dt, n = _once(name, spark)
+                    timed.append(dt)
             times.extend(timed)
             # PRIMARY: median of the timed runs — one CPU-steal burst (this
             # VM swings identical runs 2s<->14s) cannot drag it, and unlike
@@ -166,6 +187,7 @@ def main() -> None:
             "load_before": round(load0, 1),
             "load_after": round(os.getloadavg()[0], 1),
             "quiet_wait_sec": round(wait_sec, 1),
+            "extended": len(timed) > TIMED_RUNS,
         }
         print(
             f"# {name}: median {timings[name]}s / min {timings_min[name]}s"
@@ -197,16 +219,32 @@ def main() -> None:
         # must stay compact AND be the last stdout line.
         "raw_file": "BENCH_RAW.json",
         "notes": "loadavg guard active (wait-for-quiet before each query, "
-                 "plateau-aware); per-run arrays in BENCH_RAW.json",
+                 "2-step plateau detection); timed runs auto-extend 3->7 on "
+                 ">2x spread; per-run arrays in BENCH_RAW.json",
     }
     if failures:
         result["failures"] = failures
     raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW.json")
     with open(raw_path, "w") as f:
-        json.dump({"runs_raw": runs_raw, "result": result}, f, indent=1)
-    spark.stop()
-    # the compact headline is the LAST stdout line — nothing may print after
+        json.dump(
+            {
+                # deliberately committed: the judge diagnoses variance
+                # verdicts (steal burst vs engine regression) from these
+                # per-run arrays; the snapshot is refreshed and committed
+                # together with each round's published bench numbers.
+                "note": "judge-facing raw-runs snapshot; regenerate with "
+                        "`python bench.py`, commit alongside BENCH numbers",
+                "runs_raw": runs_raw,
+                "result": result,
+            },
+            f,
+            indent=1,
+        )
+    # print BEFORE stop(): if stop() raises on a loaded JVM the result line
+    # must not be lost (ADVICE r10). stop() emits only to stderr, so the
+    # last-stdout-line invariant holds with the print first.
     print(json.dumps(result))
+    spark.stop()
 
 
 if __name__ == "__main__":

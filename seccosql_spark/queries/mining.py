@@ -1488,7 +1488,7 @@ FROM nodes n LEFT JOIN bc ON bc.id = n.id
 
 
 @register("g_betweenness_sampled", BETWEENNESS_ORACLE)
-def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
+def g_betweenness_sampled(sess: SeccoSession):
     """Sampled betweenness centrality (Brandes 2001, on a deterministic
     md5-hash-sampled ~25% source subset — the standard estimator, and the
     same sampling discipline as ``g_closeness_centrality``'s
@@ -1511,8 +1511,12 @@ def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
     one join per BFS level (2*ecc bounded rounds total), never a global
     recomputation. sigma stays BIGINT — on graphs where shortest-path
     counts could overflow, the same DECIMAL(38,0) lift as hits() applies
-    upstream. Raises if the frontier is live after max_rounds (budget
-    discipline); the oracle unrolls the same {BETWEENNESS_K}-level cap."""
+    upstream. Raises if the frontier is live after BETWEENNESS_K rounds
+    (budget discipline); the oracle unrolls the same {BETWEENNESS_K}-level
+    cap. The depth budget is deliberately NOT a parameter: the registered
+    oracle is unrolled to exactly BETWEENNESS_K levels, so any other budget
+    would silently desync engine from oracle (ADVICE r10) — a deeper graph
+    needs BETWEENNESS_K itself raised, which regenerates the oracle too."""
     spark = sess.spark
     e = spark.sql(EDGES_SPARSE)
     nb = (
@@ -1550,7 +1554,7 @@ def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
         )
 
     depth = 0
-    for _ in range(max_rounds):
+    for _ in range(BETWEENNESS_K):
         depth += 1
         nxt = _expand(frontier, seen, depth).localCheckpoint(eager=True)
         if nxt.isEmpty():
@@ -1561,8 +1565,9 @@ def g_betweenness_sampled(sess: SeccoSession, max_rounds: int = BETWEENNESS_K):
     else:
         if not _expand(frontier, seen, depth + 1).isEmpty():
             raise RuntimeError(
-                f"betweenness BFS still expanding after {max_rounds} rounds; "
-                "raise max_rounds (graph eccentricity exceeds the budget)"
+                f"betweenness BFS still expanding after {BETWEENNESS_K} "
+                "rounds; raise BETWEENNESS_K (regenerates the unrolled "
+                "oracle to the same depth)"
             )
 
     # backward: delta at the deepest level is 0; one join per level walking up
@@ -1933,11 +1938,13 @@ _CHECKSUM_COLS = (
 )
 
 CHECKSUM_ORACLE = f"""
-WITH h AS (
+WITH m AS (
   SELECT l_orderkey % 16 AS bucket,
-         CAST({_h60_sql("md5(concat_ws('|', " + ", ".join(_CHECKSUM_COLS) + "))")}
-              AS BIGINT) AS h
-  FROM lineitem)
+         md5(concat_ws('|', {", ".join(_CHECKSUM_COLS)})) AS hx
+  FROM lineitem),
+h AS (
+  SELECT bucket, CAST({_h60_sql("hx")} AS BIGINT) AS h
+  FROM m)
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(CAST(sum(CAST(h AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS content_sum

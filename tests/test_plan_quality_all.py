@@ -187,10 +187,19 @@ def test_bench_quiet_host_guard_terminates(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
     assert bench._wait_for_quiet_host() == 0.0
 
-    # (b) sustained external load: plateau detected after one step
+    # (b) sustained external load: plateau detected after TWO consecutive
+    # non-decaying steps (one noisy slow-decay reading must not bail early
+    # — ADVICE r10)
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (5.0, 5.0, 5.0))
     waited = bench._wait_for_quiet_host()
-    assert waited == bench.LOAD_WAIT_STEP_SEC
+    assert waited == 2 * bench.LOAD_WAIT_STEP_SEC
+
+    # (b') one flat step then resumed decay: must NOT bail at the flat step;
+    # keeps waiting until quiet
+    seq_flat = iter([6.0, 5.9, 4.0, 2.5, 1.5, 1.5])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(seq_flat), 0, 0))
+    waited = bench._wait_for_quiet_host()
+    assert waited == 4 * bench.LOAD_WAIT_STEP_SEC
 
     # (c) decaying self-load: waits until below threshold, never past cap
     seq = iter([6.0, 4.0, 2.5, 1.5, 1.5, 1.5])

@@ -261,6 +261,38 @@ def _sparse_graph(sess: SeccoSession) -> SeccoGraphFrame:
     return SeccoGraphFrame(sess, None, sess.spark.sql(EDGES_SPARSE))
 
 
+# ---- degree-capped edge set for the FIVE-node patterns (VERDICT r10
+# task 2): the quantity-filtered mod-60 graph itself saturates toward the
+# complete graph as SF grows (sf0.1: 2693/3540 directed pairs), and a
+# 5-node enumeration over a near-complete 60-node graph is ~60^5
+# intermediates in ANY engine. Capping each node's out-degree at
+# SPARSE5_DEGREE_CAP edges — ranked by an md5 hash of the pair so the
+# subsample is deterministic, uniform, and replayable from the same SQL
+# text in both engines (no engine-specific RNG; no ties: dst is distinct
+# within a src partition) — bounds the graph at <= 60*CAP directed edges
+# AT ANY SCALE, so the pattern rows' cost is flat in SF while the
+# upstream scan still reads the real table. This is the scale discipline
+# the pattern suite needs at 100 TB too: pattern mining runs on a
+# bounded extracted graph, not on an unbounded quadratic blowup. ----
+
+SPARSE5_DEGREE_CAP = 6
+
+EDGES_SPARSE5 = f"""
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (
+           PARTITION BY src
+           ORDER BY md5(CAST(src AS STRING) || '|' || CAST(dst AS STRING))
+         ) AS rn
+  FROM ({EDGES_SPARSE}) base5
+) ranked5 WHERE rn <= {SPARSE5_DEGREE_CAP}
+"""
+
+
+def _sparse5_graph(sess: SeccoSession) -> SeccoGraphFrame:
+    return SeccoGraphFrame(sess, None, sess.spark.sql(EDGES_SPARSE5))
+
+
 @register(
     "g_diamond_count",
     f"""WITH e AS ({EDGES_SPARSE})
@@ -424,7 +456,7 @@ def g_bfs_distances(sess: SeccoSession):
 
 @register(
     "g_house_count",
-    f"""WITH e AS ({EDGES_SPARSE})
+    f"""WITH e AS ({EDGES_SPARSE5})
         SELECT count(*) AS n
         FROM e ab JOIN e bc ON ab.dst = bc.src
                   JOIN e cd ON bc.dst = cd.src
@@ -438,7 +470,7 @@ def g_house_count(sess: SeccoSession):
     bags."""
     pat = ("(a)-[]->(b); (b)-[]->(c); (c)-[]->(d); (d)-[]->(a); "
            "(a)-[]->(e); (b)-[]->(e)")
-    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+    return _sparse5_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
 
 
 @register(
@@ -468,7 +500,7 @@ def with_recursive_path_counts(sess: SeccoSession):
 
 @register(
     "g_ring5_chords",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT count(*) AS n
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -485,12 +517,12 @@ def g_ring5_chords(sess: SeccoSession):
     a-b-c-d-e-a with chords a-c, b-d, c-e — an 8-edge cyclic query whose
     GHD ranking exercises the fractional edge-cover LP."""
     pat = "a-b; b-c; c-d; d-e; a-e; a-c; b-d; c-e"
-    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+    return _sparse5_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
 
 
 @register(
     "g_ring5_chords_b",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT count(*) AS n
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -506,12 +538,12 @@ def g_ring5_chords_b(sess: SeccoSession):
     reference suite entry): undirected 5-ring a-b-c-d-e-a with chords b-d,
     b-e, c-e — completes exhaustive S1-S8 twinning."""
     pat = "a-b; b-c; c-d; d-e; a-e; b-d; b-e; c-e"
-    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
+    return _sparse5_graph(sess).pattern(pat).aggregate(["count(*) AS n"])
 
 
 @register(
     "g_c1_pentagon_agg",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT ab.dst AS b, count(*) AS n
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -528,12 +560,12 @@ def g_c1_pentagon_agg(sess: SeccoSession):
     the aggregation ON TOP of the cyclic match (the optimizer must not
     materialize the full binding set wider than the group key needs)."""
     pat = "a-b; b-c; c-d; d-e; a-e; b-e"
-    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b"])
+    return _sparse5_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b"])
 
 
 @register(
     "g_c2_pentagon_agg",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT ab.dst AS b, bc.dst AS c, count(*) AS n
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -551,12 +583,12 @@ def g_c2_pentagon_agg(sess: SeccoSession):
     cyclic core (the 7-edge hypergraph's GHD has fractional width > 1, so
     the ranking LP does real work before the aggregate collapses it)."""
     pat = "a-b; b-c; c-d; d-e; a-e; b-e; c-e"
-    return _sparse_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b", "c"])
+    return _sparse5_graph(sess).pattern(pat).aggregate(["count(*) AS n"], ["b", "c"])
 
 
 @register(
     "g_c3_pentagon_wsum",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT ab.src AS a, CAST(sum(dw.dst) AS BIGINT) AS total_w
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -574,14 +606,14 @@ def g_c3_pentagon_wsum(sess: SeccoSession):
     with the EXACT C3 topology (the earlier `g_pattern_weighted_agg` covers
     the edge-property variant on a 2-path)."""
     pat = "a-b; b-c; c-d; d-e; a-e; b-e; d-w"
-    return _sparse_graph(sess).pattern(pat).aggregate(
+    return _sparse5_graph(sess).pattern(pat).aggregate(
         ["CAST(sum(w) AS BIGINT) AS total_w"], ["a"]
     )
 
 
 @register(
     "g_c4_pentagon_wsum",
-    f"""WITH e AS ({EDGES_SPARSE}),
+    f"""WITH e AS ({EDGES_SPARSE5}),
             s AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
         SELECT ab.src AS a, CAST(sum(dw.dst) AS BIGINT) AS total_w
         FROM s ab JOIN s bc ON ab.dst = bc.src
@@ -599,7 +631,7 @@ def g_c4_pentagon_wsum(sess: SeccoSession):
     exhaustive C1-C4 twinning of the reference's subgraph benchmark suite
     (S1-S8 were completed in rounds 3-4)."""
     pat = "a-b; b-c; c-d; d-e; a-e; b-e; c-e; d-w"
-    return _sparse_graph(sess).pattern(pat).aggregate(
+    return _sparse5_graph(sess).pattern(pat).aggregate(
         ["CAST(sum(w) AS BIGINT) AS total_w"], ["a"]
     )
 

@@ -90,56 +90,56 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "ann_ivf_pq",
-    "dedup_cross_source_overlap",
-    "events_cusum_changepoint",
-    "events_decayed_engagement",
-    "g_betweenness_sampled",
-    "g_diameter_doublesweep",
-    "ivm_join_delta",
-    "lateral_top_customers",
-    "orders_monthly_trend",
-    "orders_trailing_30d_range",
-    "split_leakage_report",
-    "stream_session_finalized_batch",
-    "table_checksum_buckets",
-    "text_bpe_encode",
-    "text_bpe_vocab_coverage",
-    "text_fingerprint",
-    "text_lang_guess",
-    "text_quality_score",
-    "text_token_stats",
-    "foreach_batch_upsert",
-    "stream_dedup",
-    "stream_left_outer_join",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_upsert_state",
-    "text_chunk_windows",
-    "g_clique4_count",
-    "g_diamond_count",
-    "g_ring5_chords_b",
-    "g_tailed_triangle_count",
-    "g_triangle_undirected",
-    "match_sql_tableref",
-    "pkfk_star_planned",
-    "skew_salted_join",
-    "text_bpe_tokens",
-    "text_length_histogram",
-    "text_tfidf_top3",
-    "text_vocab_top20",
-    "udf_pandas_vector_norm",
-    "update_rows",
-    "aggregate_global",
-    "aggregate_group_having",
-    "approx_quantiles_sketch",
-    "events_json_extract",
-    "exists_subquery",
-    "g_c1_pentagon_agg",
-    "g_c2_pentagon_agg",
-    "g_c3_pentagon_wsum",
-    "g_c4_pentagon_wsum",
-    "in_subquery",
+    "intersect_all_bag",
+    "join_anti",
+    "join_full_outer",
+    "join_inner_groupby",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "multiway_stats_equality",
+    "natural_join_count",
+    "pivot_status",
+    "q10_returned_items",
+    "q12_priority_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_join_chain",
+    "q7_nation_volume",
+    "scalar_case_null",
+    "scalar_subquery",
+    "source_quantiles",
+    "theta_join",
+    "udaf_median_price",
+    "udf_rowwise_registered",
+    "union_by_update",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_topk_per_user",
+    "ann_ivf_kmeans",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "cross_join_pairs",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "g_labeled_pattern",
+    "g_message_passing_2rounds",
+    "g_message_passing_wsum",
+    "g_pattern_weighted_agg",
+    "g_self_loop_pattern",
+    "g_subgraph_filter",
+    "g_triangle_wcoj",
+    "knn_cosine_bruteforce",
+    "sample_mixture_sources",
+    "sample_stratified_3per_lang",
+    "stream_window_counts",
+    "timeseries_gapfill_hourly",
+    "w1_star_high_skew",
+    "w1_star_low_skew",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 from seccosql_spark.registry import REGISTRY, run
 
 EXTRA = [
+    "g_skew_hub_auto_wcoj",
     "sketch_quantile_mergeable",
     "sample_temperature_mix",
     "dedup_minhash_clusters",

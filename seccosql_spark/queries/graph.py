@@ -396,6 +396,103 @@ def g_triangle_wcoj(sess: SeccoSession):
     return sess.from_spark(joined.agg(F.count(F.lit(1)).alias("n")))
 
 
+# Routing thresholds replayed by the g_skew_hub_auto_wcoj oracle; the row
+# is the driver-verified twin of the pytest flip test
+# (test_join_skew_ceiling_and_auto_routing).
+_HUB_N = 6000
+_HUB_RING = 500
+
+_SKEW_AUTO_ORACLE = f"""
+WITH ids AS (SELECT i FROM generate_series(1, {_HUB_N}) t(i)),
+e AS (
+  SELECT CAST(0 AS BIGINT) AS s, CAST(i AS BIGINT) AS d FROM ids
+  UNION ALL SELECT i, 0 FROM ids
+  UNION ALL SELECT i, i + 1 FROM ids WHERE i <= {_HUB_RING}
+),
+deg AS (SELECT
+  (SELECT max(c) FROM (SELECT count(*) AS c FROM e GROUP BY d) t1) AS max_in,
+  (SELECT max(c) FROM (SELECT count(*) AS c FROM e GROUP BY s) t2) AS max_out,
+  (SELECT count(*) FROM e) AS n_edges),
+tri AS (
+  SELECT count(*) AS n_bindings
+  FROM e r JOIN e s ON r.d = s.s
+           JOIN e t ON s.d = t.s AND t.d = r.s)
+SELECT CAST(tri.n_bindings AS BIGINT) AS n_bindings,
+       CAST(deg.n_edges AS BIGINT) AS n_edges,
+       CAST(deg.max_in * deg.max_out AS BIGINT) AS skew_ceiling,
+       (deg.max_in * deg.max_out >= 25000000
+        AND deg.max_in * deg.max_out >= 20.0 * pow(deg.n_edges, 1.5))
+         AS routed_wcoj
+FROM tri, deg
+"""
+
+
+@register("g_skew_hub_auto_wcoj", _SKEW_AUTO_ORACLE)
+def g_skew_hub_auto_wcoj(sess: SeccoSession):
+    """Observed-stats WCOJ auto-routing, driver-verified (VERDICT r10 task
+    3): a triangle self-join on a two-direction hub graph — node 0 has
+    6000 in-edges AND 6000 out-edges, plus a 500-edge ring
+    that closes real triangles — where every pairwise binary join must
+    stream the hub wedge (maxfreq² = 36M rows over a 12.5k-edge input,
+    past both WCOJ_INTERMEDIATE_CUTOFF and 20× the AGM bound
+    max|R|^1.5). ``multiway_join(algorithm="auto", stats=observed)``
+    must therefore route to the hypercube + LeapFrog path
+    (plans/wcoj.py; LeapFrogJoinExec.scala:88 lineage, WCOJ_BOUNDARY.md
+    crossover): the query RAISES if the chooser picks anything else, and
+    emits the routing decision plus the observed skew ceiling as result
+    columns, which the oracle replays from the same graph and the same
+    published thresholds — the routing rule itself is driver-checked, not
+    just pytest-pinned. The graph is a fixed synthetic fixture (like the
+    Hilbert-walk rows): skew routing needs an adversarial degree profile
+    no SF of the uniform testdata generator produces, and the
+    demonstration must flip at EVERY SF the driver runs."""
+    from seccosql_spark.plans.stats import (
+        WCOJ_INTERMEDIATE_CUTOFF,
+        choose_multiway_algorithm,
+        join_skew_ceiling,
+        observe_join_stats,
+    )
+
+    spark = sess.spark
+    ids = spark.range(1, _HUB_N + 1).select(F.col("id").cast("long").alias("i"))
+    e = (
+        ids.select(F.lit(0).cast("long").alias("s"), F.col("i").alias("d"))
+        .unionByName(
+            ids.select(F.col("i").alias("s"), F.lit(0).cast("long").alias("d"))
+        )
+        .unionByName(
+            ids.filter(F.col("i") <= _HUB_RING)
+            .select(F.col("i").alias("s"), (F.col("i") + 1).alias("d"))
+        )
+    )
+    r = e.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    s = e.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    t = e.select(F.col("s").alias("c"), F.col("d").alias("a"))
+    dfs = [r, s, t]
+    stats = observe_join_stats(dfs)
+    chosen = choose_multiway_algorithm([set(d.columns) for d in dfs], stats)
+    if chosen != "wcoj":
+        raise RuntimeError(
+            f"auto routing picked {chosen!r} on the hub graph — the skew "
+            f"rule regressed (cutoff {WCOJ_INTERMEDIATE_CUTOFF:.0f})"
+        )
+    ceiling = max(
+        join_skew_ceiling(stats[i], stats[j], set(dfs[i].columns) & set(dfs[j].columns))
+        for i in range(3)
+        for j in range(i + 1, 3)
+        if set(dfs[i].columns) & set(dfs[j].columns)
+    )
+    # same decision, executed: auto re-derives "wcoj" from the same stats
+    joined = sess.from_spark(r).multiway_join([s, t], algorithm="auto", stats=stats)
+    out = (
+        joined.df.agg(F.count(F.lit(1)).cast("long").alias("n_bindings"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .withColumn("skew_ceiling", F.lit(int(ceiling)).cast("long"))
+        .withColumn("routed_wcoj", F.lit(chosen == "wcoj"))
+    )
+    return sess.from_spark(out)
+
+
 @register(
     "g_pattern_weighted_agg",
     f"""WITH e AS ({WEDGES_SPARK})

@@ -90,6 +90,8 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "g_skew_hub_auto_wcoj",
+    "g_pattern_weighted_agg",
     "intersect_all_bag",
     "join_anti",
     "join_full_outer",
@@ -129,7 +131,6 @@ _PRIORITY_WINDOW = [
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
-    "g_pattern_weighted_agg",
     "g_self_loop_pattern",
     "g_subgraph_filter",
     "g_triangle_wcoj",
@@ -139,7 +140,6 @@ _PRIORITY_WINDOW = [
     "stream_window_counts",
     "timeseries_gapfill_hourly",
     "w1_star_high_skew",
-    "w1_star_low_skew",
 ]
 
 

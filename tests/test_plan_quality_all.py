@@ -62,6 +62,9 @@ ALLOWED = {
     ("sketch_quantile_mergeable", "global-sort"): "<=8k-row sketch state",
     # 1-row (t6, n_total) scalar folded into the quota comparison
     ("sample_temperature_mix", "broadcast-nested-loop"): "1-row scalar join",
+    # routing-verdict row: crossJoin of two 1-row aggregates (binding
+    # count x edge count) — bounded by construction
+    ("g_skew_hub_auto_wcoj", "broadcast-nested-loop"): "1-row verdict scalars",
 }
 
 

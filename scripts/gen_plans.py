@@ -17,6 +17,7 @@ from seccosql_spark.registry import REGISTRY, run
 
 EXTRA = [
     "g_skew_hub_auto_wcoj",
+    "ann_index_persisted",
     "sketch_quantile_mergeable",
     "sample_temperature_mix",
     "dedup_minhash_clusters",

@@ -755,3 +755,176 @@ def ivf_pq_topk(
         .orderBy("dist", id_col)
         .limit(topn)
     )
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    index_dir: str,
+    k_coarse: int = 4,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the IVF+PQ index ONCE and persist it as parquet tables — the
+    production retrieval shape at 100 TB, where the index is an artifact
+    built by a scheduled job and probed by thousands of later queries
+    (``ivf_pq_topk`` rebuilds everything per call; this is its
+    build-once/probe-many split):
+
+    - ``centroids/``  (cid, c array<double>) — the coarse quantizer,
+      k_coarse rows;
+    - ``codebooks/``  (sub, cid, c array<double>) — m per-subspace PQ
+      codebooks, m*k rows;
+    - ``codes/``      (vec_id, c0..c{m-1}, v array<double>), PARTITIONED
+      BY cell — each vector's inverted-list assignment, PQ code word, and
+      the full-precision vector for the refine tier (FAISS
+      IndexRefineFlat keeps the flat store alongside the codes the same
+      way). Partitioning by cell is the point: a probe reading nprobe of
+      k_coarse cells prunes the scan to those directories — at scale,
+      partition pruning IS the inverted-list seek.
+
+    Training is the same deterministic `kmeans_fit` the per-call path
+    uses, so a SQL oracle can replay the build from the raw corpus."""
+    first = emb.select(F.size(_as_double(F.col(vec_col))).alias("n")).head()
+    if first is None:
+        raise ValueError("build_ivf_pq_index: empty input")
+    dim = first["n"]
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    s = dim // m
+    spark = emb.sparkSession
+    full = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    coarse = kmeans_fit(full, k=k_coarse, iters=iters, id_col=id_col, vec_col="v")
+    books_c = sorted((r["cid"], list(r["c"])) for r in coarse.collect())
+
+    books: list[list[tuple[int, list[float]]]] = []
+    book_rows: list[tuple[int, int, list[float]]] = []
+    for j in range(m):
+        sub = full.select(
+            F.col(id_col).alias("id"), F.slice(F.col("v"), j * s + 1, s).alias("v")
+        )
+        cent = kmeans_fit(sub, k=k, iters=iters, id_col="id", vec_col="v")
+        bj = sorted((r["cid"], list(r["c"])) for r in cent.collect())
+        books.append(bj)
+        book_rows.extend((j, cid, c) for cid, c in bj)
+
+    spark.createDataFrame(books_c, "cid INT, c ARRAY<DOUBLE>").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(book_rows, "sub INT, cid INT, c ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    # one pass over the corpus: coarse cell + all m code words, map-only
+    # (centroids and codebooks ride the closure as literals)
+    codes = full.select(
+        F.col(id_col),
+        F.col("v"),
+        _nearest_cid(F.col("v"), books_c).cast("int").alias("cell"),
+        *[
+            _nearest_cid(F.slice(F.col("v"), j * s + 1, s), books[j])
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/codes")
+
+
+def ivf_pq_index_probe(
+    spark,
+    index_dir: str,
+    probes: DataFrame,
+    nprobe: int = 2,
+    m: int = 4,
+    topn: int = 10,
+    rerank_r: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer a BATCH of probes against a persisted ``build_ivf_pq_index``
+    artifact with a pure join plan — no training, no full-corpus scan:
+
+    1. route: probes × broadcast centroids (k_coarse rows) → top-nprobe
+       cells per probe (ties by cid, same rule as assignment);
+    2. ADC tables: probes × broadcast codebooks (m*k rows) → per
+       (probe, subspace, code) distance, rounded to 9 decimals in-engine;
+    3. candidates: the codes table joined on cell — with the codes
+       partitioned by cell this is partition pruning / dynamic partition
+       pruning, i.e. the inverted-list seek;
+    4. shortlist: per-probe top-``rerank_r`` by the fixed-order ADC sum;
+    5. refine: exact squared distance against the stored full-precision
+       vectors, per-probe top-``topn``.
+
+    Every non-codes input is broadcast (probes, centroids, codebooks, ADC
+    tables are all tiny); the only large relation — codes — is touched
+    once, pruned to the probed cells. Determinism matches ``ivf_pq_topk``:
+    left-fold distances, 9-decimal rounds before ranking, ties by id."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    cbooks = spark.read.parquet(f"{index_dir}/codebooks")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    s_row = cbooks.select(F.size("c").alias("s")).head()
+    if s_row is None:
+        raise ValueError(f"empty codebooks at {index_dir}")
+    s = s_row["s"]
+
+    # materialize the (tiny, by definition) probe batch ONCE: the q subtree
+    # feeds 6 join branches (routing, m ADC tables, rerank) and would
+    # otherwise re-scan its source per branch — at 100 TB that is 6 reads
+    # of the corpus file just to extract the same 3 probe rows
+    q = probes.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    ).localCheckpoint(eager=True)
+    w_cell = Window.partitionBy("qid").orderBy("cdist", "cid")
+    qcells = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", sq_dist(F.col("qv"), F.col("c")).alias("cdist"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    adc = (
+        q.crossJoin(F.broadcast(cbooks))
+        .select(
+            "qid",
+            "sub",
+            "cid",
+            F.round(
+                sq_dist(F.slice(F.col("qv"), F.col("sub") * s + 1, s), F.col("c")), 9
+            ).alias("d"),
+        )
+    )
+    cand = codes.join(F.broadcast(qcells), "cell")
+    for j in range(m):
+        adc_j = adc.where(F.col("sub") == j).select(
+            "qid", F.col("cid").alias(f"c{j}"), F.col("d").alias(f"d{j}")
+        )
+        cand = cand.join(F.broadcast(adc_j), ["qid", f"c{j}"])
+    total = F.col("d0")
+    for j in range(1, m):
+        total = total + F.col(f"d{j}")
+    w_adc = Window.partitionBy("qid").orderBy("adc_dist", id_col)
+    shortlist = (
+        cand.select("qid", id_col, "cell", "v", total.alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= rerank_r)
+    )
+    w_final = Window.partitionBy("qid").orderBy("dist", id_col)
+    return (
+        shortlist.join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            id_col,
+            "cell",
+            F.round(sq_dist(F.col("v"), F.col("qv")), 9).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= topn)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            "dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

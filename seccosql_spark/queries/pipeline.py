@@ -2041,6 +2041,132 @@ def ann_ivf_pq(sess: SeccoSession):
     return sess.from_spark(ivf_pq_topk(sess.spark.table("embeddings")))
 
 
+def _ivf_pq_persisted_oracle(
+    kc: int = 4, nprobe: int = 2, m: int = 4, s: int = 16, k: int = 4,
+    topn: int = 10, rerank_r: int = 150, nq: int = 3,
+) -> str:
+    """Build-AND-probe replay for the persisted-index row: identical coarse
+    and PQ training to _ivf_pq_oracle (the artifact the build phase wrote
+    is a pure function of the corpus, so replaying training IS replaying
+    the index), then the multi-probe batch — per-probe cell routing, ADC
+    tables, shortlist, and exact rerank, all QUALIFY-partitioned by the
+    probe id."""
+    parts, joins, cols = _pq_parts(m, s, k)
+    dim = m * s
+    coarse = f"""
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+          FROM cv QUALIFY row_number() OVER (ORDER BY vec_id) <= {kc}),
+ca1 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, {dim} + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+        FROM cv CROSS JOIN cinit),
+cs1 AS (SELECT vec_id, cid FROM ca1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+cm1 AS (SELECT cid, pos,
+              CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM (SELECT cs1.cid AS cid, unnest(cv.v) AS x,
+                     generate_subscripts(cv.v, 1) AS pos
+              FROM cv JOIN cs1 USING (vec_id))
+        GROUP BY cid, pos),
+cc1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM cm1 GROUP BY cid),
+ca2 AS (SELECT vec_id, cid,
+              list_sum(list_transform(range(1, {dim} + 1),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist
+        FROM cv CROSS JOIN cc1),
+cells AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM ca2
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id < {nq}),
+qcells AS (SELECT qid, cid AS cell FROM (
+  SELECT qv.qid, cc1.cid,
+         row_number() OVER (PARTITION BY qv.qid
+           ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                    i -> (qv.v[i] - cc1.c[i]) * (qv.v[i] - cc1.c[i]))), cc1.cid) AS rn
+  FROM qv CROSS JOIN cc1) WHERE rn <= {nprobe}),
+cand AS (SELECT q.qid, cells.vec_id, cells.cell
+         FROM cells JOIN qcells q ON cells.cell = q.cell)"""
+    adc = []
+    for j in range(m):
+        adc.append(f"""
+d{j}t AS (SELECT qv.qid, c.cid, round(list_sum(list_transform(range(1, {s} + 1),
+                 i -> (qv.v[{j * s} + i] - c.c[i]) * (qv.v[{j * s} + i] - c.c[i]))), 9) AS d
+          FROM c{j}x c CROSS JOIN qv)""")
+    code_joins = " ".join(
+        f"JOIN d{j}t ON d{j}t.qid = cand.qid AND codes.c{j} = d{j}t.cid"
+        for j in range(m)
+    )
+    total = " + ".join(f"d{j}t.d" for j in range(m))
+    return (
+        "WITH " + coarse + "," + ",".join(parts) + "," + ",".join(adc)
+        + f""",
+codes AS (SELECT vec_id, {cols} FROM f0x {joins}),
+short AS (SELECT qid, vec_id, cell FROM (
+  SELECT cand.qid, cand.vec_id, cand.cell,
+         row_number() OVER (PARTITION BY cand.qid
+                            ORDER BY {total}, cand.vec_id) AS rn
+  FROM cand JOIN codes USING (vec_id) {code_joins}) WHERE rn <= {rerank_r})
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id, CAST(cell AS INT) AS cell,
+       dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT s.qid, s.vec_id, s.cell,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+               i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 9) AS dist,
+         row_number() OVER (PARTITION BY s.qid
+           ORDER BY round(list_sum(list_transform(range(1, {dim} + 1),
+                    i -> (cv.v[i] - qv.v[i]) * (cv.v[i] - qv.v[i]))), 9),
+                    s.vec_id) AS rn
+  FROM short s JOIN cv ON cv.vec_id = s.vec_id
+       JOIN qv ON qv.qid = s.qid
+) WHERE rn <= {topn}"""
+    )
+
+
+@register("ann_index_persisted", _ivf_pq_persisted_oracle())
+def ann_index_persisted(sess: SeccoSession):
+    """Build-once / probe-many ANN (VERDICT r10 task 5): the IVF+PQ
+    artifacts — coarse centroids, per-subspace codebooks, and the
+    cell-PARTITIONED codes+vectors table — are trained once and persisted
+    as parquet (`operators.similarity.build_ivf_pq_index`), then a batch
+    of 3 probes is answered by `ivf_pq_index_probe` with a PURE JOIN plan:
+    broadcast centroid routing, broadcast ADC tables, a cell-key join into
+    the partitioned codes table (partition pruning = the inverted-list
+    seek), per-probe ADC shortlist, exact rerank against the stored
+    full-precision vectors. No k-means, no corpus scan in the probe plan —
+    the production retrieval shape at 100 TB, where the index is a
+    scheduled artifact and probes are the hot path
+    (`test_ann_index_persisted_probe_plan` pins the no-retraining plan).
+    The index is cached on disk keyed by (corpus file, parameters): the
+    first run in a session builds, every later run probes only. The
+    oracle replays training + the multi-probe batch from the raw corpus —
+    the artifact is a pure function of the corpus, so replaying the build
+    IS replaying the index."""
+    import hashlib
+    import os
+    import tempfile
+
+    from seccosql_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_probe,
+    )
+
+    spark = sess.spark
+    emb = spark.table("embeddings")
+    src_file = sorted(emb.inputFiles())[0]
+    key = hashlib.md5(f"{src_file}|kc4,np2,m4,k4,it2,v1".encode()).hexdigest()[:16]
+    index_dir = os.path.join(tempfile.gettempdir(), f"secco_ann_index_{key}")
+    marker = os.path.join(index_dir, "_BUILT")
+    if not os.path.exists(marker):
+        build_ivf_pq_index(emb, index_dir, k_coarse=4, m=4, k=4, iters=2)
+        with open(marker, "w") as f:
+            f.write("ok")
+    probes = emb.where(F.col("vec_id") < 3)
+    return sess.from_spark(
+        ivf_pq_index_probe(spark, index_dir, probes, nprobe=2, m=4, topn=10,
+                           rerank_r=150)
+    )
+
+
 from seccosql_spark.queries.text_stats import SPLIT_CASE_SQL, split_expr  # noqa: E402
 
 LEAKAGE_ORACLE = f"""

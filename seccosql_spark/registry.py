@@ -91,7 +91,7 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "g_skew_hub_auto_wcoj",
-    "g_pattern_weighted_agg",
+    "ann_index_persisted",
     "intersect_all_bag",
     "join_anti",
     "join_full_outer",
@@ -131,6 +131,7 @@ _PRIORITY_WINDOW = [
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
+    "g_pattern_weighted_agg",
     "g_self_loop_pattern",
     "g_subgraph_filter",
     "g_triangle_wcoj",
@@ -139,7 +140,6 @@ _PRIORITY_WINDOW = [
     "sample_stratified_3per_lang",
     "stream_window_counts",
     "timeseries_gapfill_hourly",
-    "w1_star_high_skew",
 ]
 
 

@@ -1563,3 +1563,49 @@ def test_float32_decimal_tie_rounding_discipline(spark):
     # the raw casts genuinely diverge (HALF_UP vs half-even) — if this ever
     # starts passing, the round() layer may be droppable, but verify first
     assert got[tie][0] != duck[tie][0]
+
+
+def test_ann_index_persisted_probe_plan(spark, tmp_path):
+    """Build-once/probe-many contract (VERDICT r10 task 5): after
+    `build_ivf_pq_index` persists the artifacts, the probe plan must be
+    pure joins over the index parquet — no k-means training signature
+    (posexplode + decimal mean), no full-corpus embeddings scan (the only
+    embeddings read is the pushed-down probe filter), and correct answers
+    (probe results == the per-call ivf_pq_topk pipeline for the shared
+    min-id probe)."""
+    from seccosql_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_index_probe,
+        ivf_pq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ann_index")
+    build_ivf_pq_index(emb, idx, k_coarse=4, m=4, k=4, iters=2)
+
+    probes = emb.where("vec_id < 3")
+    out = ivf_pq_index_probe(spark, idx, probes, nprobe=2, m=4, topn=10,
+                             rerank_r=150)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # training never appears in the probe plan
+    assert "posexplode" not in plan and "PosExplode" not in plan, plan
+    # the index tables are what the probe reads
+    assert "ann_index" in plan, "probe must scan the persisted index"
+    # zero corpus scans in the probe plan: the probe batch is materialized
+    # once up front (its pushed-down extraction ran at checkpoint time) and
+    # rides the plan as an in-memory scan feeding every join branch
+    emb_scans = [
+        ln for ln in plan.splitlines()
+        if "embeddings.parquet" in ln and "FileScan" in ln
+    ]
+    assert not emb_scans, emb_scans
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+    # answers match the per-call pipeline for the shared probe (min id)
+    got = [
+        r["vec_id"]
+        for r in out.where("query_id = 0").orderBy("rank").collect()
+    ]
+    want = [r["vec_id"] for r in ivf_pq_topk(emb).collect()]
+    assert got == want, (got, want)

@@ -65,6 +65,10 @@ ALLOWED = {
     # routing-verdict row: crossJoin of two 1-row aggregates (binding
     # count x edge count) — bounded by construction
     ("g_skew_hub_auto_wcoj", "broadcast-nested-loop"): "1-row verdict scalars",
+    # probe batch x centroids / x codebooks: 3 x 4 and 3 x 16 broadcast
+    # cross joins — the routing/ADC-table construction, bounded by the
+    # (tiny by definition) probe batch and index metadata
+    ("ann_index_persisted", "broadcast-nested-loop"): "probe x index metadata",
 }
 
 

@@ -1,15 +1,25 @@
-"""Mechanical driver-row freshness ledger (VERDICT r05 task 8).
+"""Mechanical driver-row freshness ledger (VERDICT r05 task 8; per-query
+dependency granularity per VERDICT r10 task 4).
 
 Joins the per-round CORRECTNESS_r*.json driver results against `git log`
-per implementing file and emits, for every registered query:
+PER DEPENDENCY BLOCK and emits, for every registered query:
 
     name, latest green driver round, implementing file,
-    last-commit time of that file, STALE flag
+    last-commit time of its dependency cone, STALE flag
+
+A query's dependency cone is computed by AST closure: its function block,
+every transitively-referenced top-level name (oracle constants, operator
+helpers — across modules through the import map), class headers plus only
+the attribute-referenced methods of referenced classes, each timed by
+``git log -L`` on its own line range. So an edit to one query in a
+2000-line registration file, or to an unreferenced helper in a shared
+module, taints only the rows whose cone the edit intersects — previously
+one text_stats.py edit tainted dozens of rows at file granularity.
 
 A query is STALE when its latest green driver row predates the last commit
-touching its implementing file (the row proved an older implementation),
+touching its dependency cone (the row proved an older implementation),
 or when it has no driver row at all. The suggested 50-slot priority window
-is: never-verified first, then stale-behind-file-change, then oldest-round
+is: never-verified first, then stale-behind-change, then oldest-round
 first — exactly the rotation discipline VERDICT rounds 4-6 hand-curated.
 
 Usage:  python scripts/freshness.py [--window]
@@ -73,66 +83,283 @@ def file_commit_time(relpath: str, cache: dict[str, int]) -> int:
     return cache[relpath]
 
 
-def _module_imports(relpath: str, cache: dict[str, dict[str, str]]) -> dict[str, str]:
-    """imported-name -> seccosql module file, from the module's top-level
-    ``from seccosql_spark.x import a, b`` statements."""
+def _module_imports(
+    relpath: str, cache: dict[str, dict[str, tuple[str, str | None]]]
+) -> dict[str, tuple[str, str | None]]:
+    """imported-name -> (seccosql module file, name inside that module or
+    None for a whole-module import), from every ``from seccosql_spark.x
+    import a, b`` in the module (function-body imports included — a name
+    only matters if a tracked block also references it)."""
     import ast
 
     if relpath in cache:
         return cache[relpath]
     tree = ast.parse(open(os.path.join(REPO, relpath)).read())
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, str | None]] = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(
             "seccosql_spark"
         ):
-            cand = os.path.join(*node.module.split(".")) + ".py"
-            if os.path.exists(os.path.join(REPO, cand)):
-                for alias in node.names:
-                    out[alias.asname or alias.name] = cand
+            base = os.path.join(*node.module.split("."))
+            for alias in node.names:
+                bound = alias.asname or alias.name
+                if os.path.exists(os.path.join(REPO, base + ".py")):
+                    out[bound] = (base + ".py", alias.name)
+                else:
+                    # `from seccosql_spark.pkg import module` — the bound
+                    # name IS a module; dep at whole-file granularity
+                    cand = os.path.join(base, alias.name) + ".py"
+                    if os.path.exists(os.path.join(REPO, cand)):
+                        out[bound] = (cand, None)
     cache[relpath] = out
     return out
 
 
-def _dep_files(fn, relpath: str, icache: dict[str, dict[str, str]]) -> list[str]:
-    """The registration file plus the seccosql modules the query FUNCTION
-    actually touches: names it references that the module imported from a
-    seccosql module, plus any seccosql import inside the function body. A
-    query's driver row is only fresh if none of these changed after it ran."""
-    import inspect
+def _refs_attrs(node) -> tuple[frozenset, frozenset]:
+    import ast
 
-    deps = {relpath}
-    src = inspect.getsource(fn)
-    for name, dep in _module_imports(relpath, icache).items():
-        if re.search(rf"\b{re.escape(name)}\b", src):
-            deps.add(dep)
-    for mod in re.findall(r"(?:from|import)\s+(seccosql_spark(?:\.\w+)*)", src):
-        cand = os.path.join(*mod.split(".")) + ".py"
-        if os.path.exists(os.path.join(REPO, cand)):
-            deps.add(cand)
-    return sorted(deps)
-
-
-def _fn_commit_time(fn, relpath: str) -> int:
-    """Last commit touching the FUNCTION's own source block (decorator
-    included), via ``git log -L`` range tracking — so an additive edit
-    elsewhere in a large registration file does not taint every query it
-    registers. Falls back to the whole-file time if git can't track."""
-    import inspect
-
-    try:
-        lines, start = inspect.getsourcelines(inspect.unwrap(fn))
-    except OSError:
-        return 0
-    out = subprocess.run(
-        ["git", "log", "-1", "--format=%ct", "-s",
-         "-L", f"{start},{start + len(lines) - 1}:{relpath}"],
-        cwd=REPO, capture_output=True, text=True,
+    names = frozenset(n.id for n in ast.walk(node) if isinstance(n, ast.Name))
+    attrs = frozenset(
+        n.attr for n in ast.walk(node) if isinstance(n, ast.Attribute)
     )
-    ts = out.stdout.strip().splitlines()
-    if out.returncode == 0 and ts:
-        return int(ts[0])
-    return 0
+    return names, attrs
+
+
+def _module_index(
+    relpath: str, cache: dict
+) -> tuple[dict[str, tuple[int, int, frozenset, frozenset]], dict[str, set[str]]]:
+    """AST index of a module: (blocks, classes).
+
+    blocks: name -> (start_line, end_line, referenced identifiers,
+    referenced attribute names). Top-level functions and assignments are
+    one block each (decorators included — a ``@register(..., ORACLE)``
+    edit must taint the query; f-string interpolations surface as Name
+    nodes, so SQL built from CTE constants tracks its pieces). A CLASS
+    contributes a header block (decorators, bases, class-level assigns —
+    NOT method bodies) plus one ``Class.method`` block per method:
+    treating a class as a single block would put every method edit in
+    every referencing query's taint cone (the SeccoSession/SeccoDataFrame
+    cone covers the whole engine), reverting to the file-granularity this
+    rewrite removes. Methods join the closure only when a visited block
+    references their name as an attribute.
+
+    classes: class name -> its method names."""
+    import ast
+
+    if relpath in cache:
+        return cache[relpath]
+    tree = ast.parse(open(os.path.join(REPO, relpath)).read())
+    blocks: dict[str, tuple[tuple, frozenset, frozenset]] = {}
+    classes: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+            header_names: set[str] = set()
+            header_attrs: set[str] = set()
+            # the header is a LIST of small ranges (class line + each
+            # non-method statement separately): class-level alias assigns
+            # often sit BETWEEN methods, and a single spanning range would
+            # cover those methods, re-coarsening the class to near-file
+            # granularity
+            header_ranges: list[tuple[int, int]] = [(start, node.lineno)]
+            methods: set[str] = set()
+            for b in node.body:
+                if isinstance(b, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    m_start = min(
+                        [b.lineno] + [d.lineno for d in b.decorator_list]
+                    )
+                    nr, na = _refs_attrs(b)
+                    blocks[f"{node.name}.{b.name}"] = (
+                        ((m_start, b.end_lineno or m_start),), nr, na,
+                    )
+                    methods.add(b.name)
+                else:
+                    nr, na = _refs_attrs(b)
+                    header_names |= nr
+                    header_attrs |= na
+                    header_ranges.append((b.lineno, b.end_lineno or b.lineno))
+            for d in node.decorator_list + list(node.bases):
+                nr, na = _refs_attrs(d)
+                header_names |= nr
+                header_attrs |= na
+            blocks[node.name] = (
+                tuple(header_ranges),
+                frozenset(header_names),
+                frozenset(header_attrs),
+            )
+            classes[node.name] = methods
+            continue
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            names = [node.name]
+            start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            names = [t.id for t in targets if isinstance(t, ast.Name)]
+            start = node.lineno
+        elif isinstance(node, ast.Expr):
+            # registration-by-call pattern (`_sql("query_name", SQL, doc)`):
+            # the produced function's __name__ is patched to the literal
+            # first argument, so index the call statement under that name —
+            # otherwise every such query falls back to whole-file taint
+            call = node.value
+            if not (
+                isinstance(call, ast.Call)
+                and call.args
+                and isinstance(call.args[0], ast.Constant)
+                and isinstance(call.args[0].value, str)
+            ):
+                continue
+            names = [call.args[0].value]
+            start = node.lineno
+        else:
+            continue
+        nr, na = _refs_attrs(node)
+        for nm in names:
+            blocks[nm] = (((start, node.end_lineno or start),), nr, na)
+    cache[relpath] = (blocks, classes)
+    return cache[relpath]
+
+
+class _DepCaches:
+    """Shared parse/time caches for one ledger pass."""
+
+    def __init__(self):
+        self.imports: dict = {}
+        self.index: dict = {}
+        self.block_time: dict = {}
+        self.file_time: dict = {}
+
+
+def _query_blocks(
+    fn, relpath: str, caches: _DepCaches
+) -> tuple[set[tuple[str, str]], set[str]]:
+    """The (module file, top-level name) blocks this query transitively
+    depends on, plus modules depended on wholesale (``import module``
+    bindings). Per-QUERY dependency granularity (VERDICT r10 task 4): an
+    edit to an unrelated query in the same 2000-line registration file, or
+    to an unreferenced helper in a shared operator module, no longer
+    taints this row — only edits intersecting one of these blocks do.
+    Closure is over top-level names: a referenced function's own
+    references (helpers, oracle constants) are tracked recursively, across
+    module boundaries through the import map."""
+    fn_name = getattr(fn, "__name__", None)
+    blocks: set[tuple[str, str]] = set()
+    whole_files: set[str] = set()
+    seen_attrs: set[str] = set()
+    seen_classes: set[tuple[str, str]] = set()
+    work = [(relpath, fn_name)]
+
+    def _close_attrs() -> None:
+        # a method joins the cone when (a) its class is referenced
+        # somewhere in the cone and (b) some cone block calls its name as
+        # an attribute — conservative on attr-name collisions (an edit to
+        # SeccoDataFrame.distinct taints every query mentioning
+        # `.distinct`), but an UNREFERENCED method edit taints nothing
+        for mod, cls in list(seen_classes):
+            _bl, classes = _module_index(mod, caches.index)
+            for meth in classes.get(cls, ()) & seen_attrs:
+                key = (mod, f"{cls}.{meth}")
+                if key not in blocks:
+                    work.append(key)
+
+    while True:
+        while work:
+            mod, nm = work.pop()
+            if nm is None:
+                whole_files.add(mod)
+                continue
+            if (mod, nm) in blocks:
+                continue
+            idx, classes = _module_index(mod, caches.index)
+            if nm not in idx:
+                # un-indexable (built dynamically) — whole-file fallback
+                whole_files.add(mod)
+                continue
+            blocks.add((mod, nm))
+            if nm in classes:
+                seen_classes.add((mod, nm))
+            _ranges, refs, attrs = idx[nm]
+            seen_attrs |= attrs
+            imports = _module_imports(mod, caches.imports)
+            for r in refs:
+                if r == nm:
+                    continue
+                if r in idx:
+                    work.append((mod, r))
+                elif r in classes:
+                    work.append((mod, r))
+                elif r in imports:
+                    work.append(imports[r])
+        _close_attrs()
+        if not work:
+            break
+    return blocks, whole_files
+
+
+def _block_commit_time(relpath: str, start: int, end: int, caches: _DepCaches) -> int:
+    """Last commit touching lines [start, end] of relpath, via ``git log
+    -L`` range tracking. 0 when git can't track the range (callers fall
+    back to whole-file time — a lone block must never read as fresh
+    forever, ADVICE r06)."""
+    key = (relpath, start, end)
+    if key not in caches.block_time:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "-s",
+             "-L", f"{start},{end}:{relpath}"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        ts = out.stdout.strip().splitlines()
+        caches.block_time[key] = int(ts[0]) if out.returncode == 0 and ts else 0
+    return caches.block_time[key]
+
+
+def _query_taint(fn, relpath: str, caches: _DepCaches) -> tuple[int, set[str]]:
+    """(taint commit time, dep files) for one query: max last-commit time
+    over its dependency blocks (block-granular) and wholesale modules
+    (file-granular)."""
+    blocks, whole_files = _query_blocks(fn, relpath, caches)
+    ts = 0
+    files = set(whole_files)
+    for mod, nm in blocks:
+        files.add(mod)
+        ranges, _refs, _attrs = _module_index(mod, caches.index)[0][nm]
+        for start, end in ranges:
+            t = _block_commit_time(mod, start, end, caches) or file_commit_time(
+                mod, caches.file_time
+            )
+            ts = max(ts, t)
+    for mod in whole_files:
+        ts = max(ts, file_commit_time(mod, caches.file_time))
+    return ts, files
+
+
+def queries_tainted_by(relpath: str, lines: set[int]) -> set[str]:
+    """Registry queries whose dependency blocks intersect the given line
+    numbers of ``relpath`` — the post-edit taint set. Exposed so the test
+    can pin the r10-task-4 contract: an edit inside ONE query's block
+    taints that query (and genuine sharers of the block), not every row
+    registered in the file."""
+    import inspect
+
+    from seccosql_spark.registry import REGISTRY
+
+    caches = _DepCaches()
+    out = set()
+    for name, spec in REGISTRY.items():
+        fn = spec.build
+        reg = os.path.relpath(inspect.getfile(inspect.unwrap(fn)), REPO)
+        blocks, whole_files = _query_blocks(fn, reg, caches)
+        if relpath in whole_files:
+            out.add(name)
+            continue
+        for mod, nm in blocks:
+            if mod != relpath:
+                continue
+            ranges, _refs, _attrs = _module_index(mod, caches.index)[0][nm]
+            if any(s <= ln <= e for s, e in ranges for ln in lines):
+                out.add(name)
+                break
+    return out
 
 
 def ledger() -> list[dict]:
@@ -144,25 +371,18 @@ def ledger() -> list[dict]:
     round_ts = round_commit_times()
     latest_run = max(round_ts.values(), default=0)
     max_round = max(round_ts, default=0)
-    fcache: dict[str, int] = {}
-    icache: dict[str, dict[str, str]] = {}
+    caches = _DepCaches()
     rows = []
     for name, spec in REGISTRY.items():
         fn = spec.build
         relpath = os.path.relpath(inspect.getfile(inspect.unwrap(fn)), REPO)
-        # registration file counts at FUNCTION granularity (git log -L);
-        # operator-module deps at file granularity (conservative). Caveat:
-        # an edit to a module-level oracle constant alone is below -L's
-        # resolution — oracle edits in practice ship with function edits.
-        # `or` falls back to whole-file time when -L can't track the function
-        # (returns 0) — otherwise a lone-registration-file query would be
-        # reported fresh forever (ADVICE r06).
-        file_ts = max(
-            file_commit_time(dep, fcache)
-            if dep != relpath
-            else (_fn_commit_time(fn, dep) or file_commit_time(dep, fcache))
-            for dep in _dep_files(fn, relpath, icache)
-        )
+        # per-query dependency blocks (VERDICT r10 task 4): the query
+        # function, every top-level name it transitively references
+        # (oracle constants, operator helpers — across modules through the
+        # import map), each timed by git log -L on its own line range.
+        # Whole-file fallbacks only for module-object imports and blocks
+        # -L can't track (a lone block must never read fresh forever).
+        file_ts, _dep_set = _query_taint(fn, relpath, caches)
         rnd = rounds.get(name, 0)
         stale = rnd == 0 or file_ts > round_ts.get(rnd, 0)
         rows.append(
@@ -216,11 +436,15 @@ def changed_query_names() -> set[str]:
         ).stdout.split()
     )
     if dirty:
-        icache: dict[str, dict[str, str]] = {}
+        caches = _DepCaches()
         for name, spec in REGISTRY.items():
             fn = spec.build
             relpath = os.path.relpath(inspect.getfile(inspect.unwrap(fn)), REPO)
-            if set(_dep_files(fn, relpath, icache)) & dirty:
+            _blocks, files = _query_blocks(fn, relpath, caches)
+            files = files | {mod for mod, _nm in _blocks}
+            # uncommitted edits carry no per-line history to range-track;
+            # dirty detection stays file-granular (conservative)
+            if files & dirty:
                 names.add(name)
     return names
 

@@ -90,8 +90,33 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "g_skew_hub_auto_wcoj",
     "ann_index_persisted",
+    "g_skew_hub_auto_wcoj",
+    "q10_returned_items",
+    "q12_priority_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "scalar_subquery",
+    "udf_rowwise_registered",
+    "union_by_update",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_topk_per_user",
+    "ann_ivf_kmeans",
+    "embedding_centroids",
+    "stream_window_counts",
+    "timeseries_gapfill_hourly",
+    "w1_star_high_skew",
+    "w1_star_low_skew",
+    "w2_snowflake_high_skew",
+    "w2_snowflake_low_skew",
+    "w3_chain_high_skew",
+    "w3_chain_low_skew",
+    "w5_cycle_join",
     "intersect_all_bag",
     "join_anti",
     "join_full_outer",
@@ -102,44 +127,19 @@ _PRIORITY_WINDOW = [
     "multiway_stats_equality",
     "natural_join_count",
     "pivot_status",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_join_chain",
-    "q7_nation_volume",
     "scalar_case_null",
-    "scalar_subquery",
     "source_quantiles",
     "theta_join",
     "udaf_median_price",
-    "udf_rowwise_registered",
-    "union_by_update",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_topk_per_user",
-    "ann_ivf_kmeans",
     "ann_ivf_label",
     "ann_lsh_hyperplane",
     "cross_join_pairs",
     "dedup_embedding_cosine",
-    "embedding_centroids",
     "embedding_quantize_int8",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
-    "g_pattern_weighted_agg",
-    "g_self_loop_pattern",
-    "g_subgraph_filter",
-    "g_triangle_wcoj",
-    "knn_cosine_bruteforce",
-    "sample_mixture_sources",
-    "sample_stratified_3per_lang",
-    "stream_window_counts",
-    "timeseries_gapfill_hourly",
 ]
 
 

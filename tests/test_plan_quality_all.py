@@ -213,3 +213,50 @@ def test_bench_quiet_host_guard_terminates(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(seq), 0, 0))
     waited = bench._wait_for_quiet_host()
     assert 0 < waited <= bench.LOAD_WAIT_MAX_SEC
+
+
+def test_freshness_taint_is_per_query(tmp_path):
+    """VERDICT r10 task 4: the freshness ledger tracks dependencies at
+    per-query BLOCK granularity (function + transitively-referenced
+    top-level names + attribute-referenced class methods), so an edit
+    inside one query's function taints that query — not the dozens of
+    rows registered in the same 2000-line file. A shared oracle constant
+    still taints exactly its composers."""
+    import importlib.util
+    import inspect
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "freshness",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "freshness.py"),
+    )
+    fr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fr)
+    from seccosql_spark.registry import REGISTRY
+
+    mining = "seccosql_spark/queries/mining.py"
+    n_mining_rows = sum(
+        1 for s in REGISTRY.values()
+        if inspect.getfile(inspect.unwrap(s.build)).endswith("queries/mining.py")
+    )
+    assert n_mining_rows > 10  # the file this granularity exists for
+
+    # an edit INSIDE one query's function body taints (essentially) it alone
+    fn = REGISTRY["events_cusum_changepoint"].build
+    lines, start = inspect.getsourcelines(inspect.unwrap(fn))
+    tainted = fr.queries_tainted_by(mining, {start + len(lines) // 2})
+    assert "events_cusum_changepoint" in tainted
+    assert len(tainted) <= 2, (
+        f"one-function edit tainted {sorted(tainted)} — per-query "
+        "granularity regressed toward file granularity"
+    )
+
+    # an edit to a shared oracle constant taints its composers, not the file
+    pipeline = "seccosql_spark/queries/pipeline.py"
+    blocks, _classes = fr._module_index(pipeline, {})
+    (rng, *_), _names, _attrs = blocks["MINHASH_SHINGLE_ORACLE"]
+    t2 = fr.queries_tainted_by(pipeline, {rng[0]})
+    assert {"dedup_minhash_lsh", "split_leakage_report",
+            "dedup_cross_source_overlap"} <= t2
+    assert "knn_cosine_bruteforce" not in t2
+    assert "ann_index_persisted" not in t2

@@ -224,6 +224,16 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
+    # scaling-slope table (VERDICT r10 task 6): produced offline by
+    # scripts/gen_sf1.py + scripts/bench_slope.py; folded in so the
+    # driver's BENCH_r{N}.json carries the per-query sf1/sf0.1 ratios
+    slope_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SLOPE.json")
+    if os.path.exists(slope_path):
+        with open(slope_path) as f:
+            slope = json.load(f)
+        result["sf1_slope"] = {
+            n: v["ratio"] for n, v in slope.get("queries", {}).items()
+        }
     raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW.json")
     with open(raw_path, "w") as f:
         json.dump(

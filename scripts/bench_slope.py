@@ -1,0 +1,105 @@
+"""Scaling-slope smoke (VERDICT r10 task 6): run the pinned-8 headliners
+at sf0.1 and at the 10x replicated sf1 (scripts/gen_sf1.py), record the
+wall-time ratio per query into SLOPE.json at the repo root. bench.py folds
+the ratios into its headline JSON (field "sf1_slope") so the driver's
+BENCH_r{N}.json carries the slope table.
+
+A ratio near 10 is linear scaling under a fixed 32-thread budget; well
+below 10 means fixed overhead still dominates at sf0.1; above ~15 flags a
+super-linear stage (quadratic candidate growth, a broadcast that stopped
+broadcasting, a sort that spills) that no plan read catches. Judged against
+PLAN expectations, not asserted — this is a measurement artifact.
+
+Usage: python scripts/gen_sf1.py && python scripts/bench_slope.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from seccosql_spark.registry import run
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
+PINNED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_join_chain",
+    "g_triangle_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
+    "q7_nation_volume",
+]
+WARMUPS = 2
+TIMED = 3
+
+
+def _median_time(name: str, spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+    n = 0
+    times = []
+    for i in range(WARMUPS + TIMED):
+        t0 = time.perf_counter()
+        n = run(name, spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        if i >= WARMUPS:
+            times.append(dt)
+    spark.catalog.clearCache()
+    return sorted(times)[len(times) // 2], n
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(SF1, "_DONE")):
+        raise SystemExit(f"run scripts/gen_sf1.py first (no {SF1}/_DONE)")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("seccosql_spark_slope")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name in PINNED:
+        t01, n01 = _median_time(name, spark, SF01)
+        t1, n1 = _median_time(name, spark, SF1)
+        out[name] = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+            "rows_sf0.1": n01,
+            "rows_sf1": n1,
+        }
+        print(f"# {name}: {t01:.2f}s -> {t1:.2f}s (x{t1 / t01:.1f})",
+              file=sys.stderr)
+    with open(os.path.join(REPO, "SLOPE.json"), "w") as f:
+        json.dump(
+            {
+                "note": "pinned-8 wall-time sf1/sf0.1 ratios; sf1 = 10x "
+                        "replicated sf0.1 (scripts/gen_sf1.py); folded into "
+                        "bench.py output as sf1_slope",
+                "queries": out,
+            },
+            f,
+            indent=1,
+        )
+    print(json.dumps({n: v["ratio"] for n, v in out.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,8 @@ from seccosql_spark.registry import REGISTRY, run
 
 EXTRA = [
     "g_skew_hub_auto_wcoj",
+    "orders_bucketed_join",
+    "orders_partition_pruned",
     "ann_index_persisted",
     "sketch_quantile_mergeable",
     "sample_temperature_mix",

@@ -1,0 +1,160 @@
+"""Persisted storage-layout rows: the write-side decisions that make 100 TB
+reads cheap — directory partition pruning and bucketed co-located joins.
+Both follow the ann_index_persisted build-once/probe-many pattern: the
+artifact is written once per corpus (cached on disk / in the session
+catalog), and the registered query is the PROBE whose plan must show the
+payoff (partition filters at the scan; a shuffle-free join). The plan
+contracts are pinned in tests/test_storage_layout.py; the oracles replay
+the semantics from the raw tables (the layout is a pure reorganization, so
+the answer is layout-independent by definition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from seccosql_spark.registration import register
+from seccosql_spark.session import SeccoSession
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+PARTITION_PRUNED_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_CENTS}) AS BIGINT) AS cents
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+GROUP BY o_orderpriority
+"""
+
+
+def _orders_month_dir(sess: SeccoSession) -> str:
+    """orders re-written PARTITIONED BY month (build-once, keyed by the
+    source file): the ingest-time layout decision that turns every
+    month-ranged query into a directory prune instead of a full scan."""
+    spark = sess.spark
+    orders = spark.table("orders")
+    src = sorted(orders.inputFiles())[0]
+    key = hashlib.md5(f"{src}|month,v1".encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"secco_orders_month_{key}")
+    marker = os.path.join(out, "_BUILT")
+    if not os.path.exists(marker):
+        from seccosql_spark.sources.connectors import write_parquet
+
+        write_parquet(
+            orders.withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            ),
+            out,
+            partition_by=("o_month",),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register("orders_partition_pruned", PARTITION_PRUNED_ORACLE)
+def orders_partition_pruned(sess: SeccoSession):
+    """Directory-partition pruning — the first storage-layout lever at
+    100 TB: orders persisted partitioned by order month (build-once,
+    `_orders_month_dir`), probed for ONE month. The probe's scan carries
+    the month equality as a PartitionFilter, so Spark lists and reads
+    exactly one partition directory out of ~80 months — the scan cost is
+    the month's share of the table, not the table
+    (test_storage_layout.py pins PartitionFilters + the pruned partition
+    count). The oracle replays the month filter on the raw table: a
+    layout is a pure reorganization, so the answer is layout-independent.
+    Revenue in exact cents (floor(x*100+0.5), the shared discipline)."""
+    spark = sess.spark
+    path = _orders_month_dir(sess)
+    probe = (
+        spark.read.parquet(path)
+        .where(F.col("o_month") == "1995-03")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("long").alias("cents"),
+        )
+    )
+    return sess.from_spark(probe)
+
+
+BUCKETED_JOIN_ORACLE = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+_BUCKETS = 8
+
+
+def _bucketed_tables(sess: SeccoSession) -> tuple[str, str]:
+    """orders and lineitem persisted as BUCKETED tables (bucketBy + sortBy
+    o_orderkey/l_orderkey, same bucket count) — the co-location contract
+    that lets every future orderkey join run with ZERO exchange on either
+    side. Built once per (SparkSession, corpus): bucketing metadata lives
+    in the session catalog, so a fresh driver session rebuilds (cheap —
+    one shuffle-free write per table); within a session every probe reuses
+    the tables."""
+    spark = sess.spark
+    orders = spark.table("orders")
+    src = sorted(orders.inputFiles())[0]
+    key = hashlib.md5(f"{src}|b{_BUCKETS},v1".encode()).hexdigest()[:12]
+    names = (f"secco_bkt_orders_{key}", f"secco_bkt_lineitem_{key}")
+    base = os.path.join(tempfile.gettempdir(), f"secco_bkt_{key}")
+    from seccosql_spark.sources.connectors import write_parquet
+
+    for name, df, col in (
+        (names[0], orders, "o_orderkey"),
+        (names[1], spark.table("lineitem"), "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            write_parquet(
+                df.repartition(_BUCKETS, col).sortWithinPartitions(col),
+                os.path.join(base, name),
+                bucket_by=(_BUCKETS, (col,)),
+                table_name=name,
+            )
+    return names
+
+
+@register("orders_bucketed_join", BUCKETED_JOIN_ORACLE)
+def orders_bucketed_join(sess: SeccoSession):
+    """Bucketed co-located join — the second storage-layout lever: orders
+    and lineitem persisted bucketed+sorted on the join key with matching
+    bucket counts (`_bucketed_tables`), then joined. Because both scans
+    already satisfy the join's required hash distribution, the
+    SortMergeJoin runs with NO Exchange on either input — the only shuffle
+    in the plan is the final per-priority aggregation
+    (test_storage_layout.py pins exactly that). At 100 TB this is the
+    difference between a join that moves both tables over the network
+    every query and one that moves nothing: the shuffle was paid once at
+    write time and amortized over every subsequent join on the key.
+    Oracle replays the join on the raw tables (layout-independent
+    answer); revenue in exact cents."""
+    spark = sess.spark
+    t_orders, t_lineitem = _bucketed_tables(sess)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    # merge hint: at test SFs the planner would otherwise broadcast the
+    # (tiny) orders side, which ignores bucketing entirely — the row
+    # demonstrates the co-located SMJ shape that holds when BOTH sides are
+    # beyond broadcast range, i.e. the 100 TB case
+    out = (
+        o.join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return sess.from_spark(out)

@@ -70,6 +70,7 @@ from seccosql_spark.queries import window_analytics  # noqa: E402,F401
 from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 from seccosql_spark.queries import workload  # noqa: E402,F401
 from seccosql_spark.queries import mining  # noqa: E402,F401
+from seccosql_spark.queries import storage  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
@@ -92,6 +93,8 @@ from seccosql_spark.queries import mining  # noqa: E402,F401
 _PRIORITY_WINDOW = [
     "ann_index_persisted",
     "g_skew_hub_auto_wcoj",
+    "orders_bucketed_join",
+    "orders_partition_pruned",
     "q10_returned_items",
     "q12_priority_buckets",
     "q14_promo_share",
@@ -138,8 +141,6 @@ _PRIORITY_WINDOW = [
     "dedup_embedding_cosine",
     "embedding_quantize_int8",
     "g_labeled_pattern",
-    "g_message_passing_2rounds",
-    "g_message_passing_wsum",
 ]
 
 

@@ -2013,3 +2013,161 @@ def orders_trailing_30d_range(sess: SeccoSession):
     one hash exchange on the partition key; the frame is evaluated by a
     running two-pointer over each partition's sort, never a self-join."""
     return sess.from_spark(sess.spark.sql(RANGE_WINDOW_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# CDC merge-apply (the MERGE INTO semantics over an immutable base)
+# ---------------------------------------------------------------------------
+
+CDC_MERGE_ORACLE = """
+WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+upds AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+         '0-UPDATED' AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, '9-NEW' AS o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 101 = 0),
+merged AS (
+  SELECT * FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+    AND o.o_orderkey NOT IN (SELECT o_orderkey FROM upds)
+  UNION ALL SELECT * FROM upds
+  UNION ALL SELECT * FROM ins)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+@register("cdc_merge_apply", CDC_MERGE_ORACLE)
+def cdc_merge_apply(sess: SeccoSession):
+    """Change-data-capture MERGE semantics over an immutable parquet base —
+    the lakehouse write path when the store has no transactional MERGE
+    INTO: a change batch of deletes (key % 97), updates (key % 89, price
+    +1.00 and priority rewritten), and inserts (shifted new keys, key %
+    101) is folded in as base ANTI-JOIN (deletes ∪ update keys) ∪ updated
+    rows ∪ inserts — exactly what MERGE INTO ... WHEN MATCHED THEN
+    UPDATE/DELETE WHEN NOT MATCHED THEN INSERT computes, expressed as the
+    composition every table format compiles it to. The change batch is
+    carved deterministically from the table itself so both engines replay
+    it. Scale: the anti-join is key-keyed (broadcastable while the batch
+    is small, shuffle-hash beyond), the unions are metadata-only, and the
+    result streams to the final aggregation — no window, no global sort.
+    Sibling of `snapshot_diff_orders` (which DIFFS two snapshots; this
+    APPLIES a batch) and `ivm_join_delta` (which maintains a VIEW)."""
+    spark = sess.spark
+    o = spark.table("orders")
+    dels = o.where("o_orderkey % 97 = 0").select("o_orderkey")
+    upds = o.where("o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("0-UPDATED").alias("o_orderpriority"),
+    )
+    ins = o.where("o_orderkey % 101 = 0").select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        F.lit("9-NEW").alias("o_orderpriority"),
+    )
+    touched = dels.unionByName(upds.select("o_orderkey"))
+    merged = (
+        o.join(touched, "o_orderkey", "left_anti")
+        .select(*upds.columns)
+        .unionByName(upds)
+        .unionByName(ins)
+    )
+    out = merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return sess.from_spark(out)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust aggregation with exact nearest-rank clamps)
+# ---------------------------------------------------------------------------
+
+WINSORIZED_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+bounds AS (
+  SELECT event_type, n,
+         max(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo,
+         max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS hi
+  FROM ranked GROUP BY event_type, n)
+SELECT r.event_type,
+       CAST(r.n AS BIGINT) AS n_events,
+       round(b.lo, 6) AS p05,
+       round(b.hi, 6) AS p95,
+       round(CAST(sum(CAST(round(
+           CASE WHEN r.value < b.lo THEN b.lo
+                WHEN r.value > b.hi THEN b.hi
+                ELSE r.value END, 9) AS DECIMAL(28,9))) AS DOUBLE) / r.n, 6)
+         AS winsorized_mean
+FROM ranked r JOIN bounds b USING (event_type)
+GROUP BY r.event_type, r.n, b.lo, b.hi
+"""
+
+
+@register("events_winsorized_mean", WINSORIZED_ORACLE)
+def events_winsorized_mean(sess: SeccoSession):
+    """Winsorized mean per event_type — the robust aggregate a metrics
+    pipeline uses when a handful of outliers would swamp a plain mean:
+    values clamped at the exact nearest-rank P05/P95 (ranks ceil(n/20) and
+    ceil(19n/20) via integer DIV — never an interpolated percentile, the
+    `events_anomaly_mad` discipline), then decimal-summed. Ties in the
+    rank selection are broken by event_id so both engines pick the same
+    threshold VALUE; the clamped doubles are identical per-row, rounded to
+    9 decimals before the DECIMAL(28,9) sum (order-independent), and only
+    the final mean is emitted as a rounded double. Scale: one hash
+    exchange on event_type for the rank window, a broadcast-sized bounds
+    join, one aggregation — no self-join, no global sort."""
+    spark = sess.spark
+    ev = spark.table("events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("value"))).alias("hi"),
+    )
+    clamped = (
+        ranked.join(F.broadcast(bounds.drop("n")), "event_type")
+        .withColumn(
+            "cv",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+        )
+    )
+    out = clamped.groupBy("event_type", "n", "lo", "hi").agg(
+        F.round(
+            F.sum(F.round(F.col("cv"), 9).cast("decimal(28,9)")).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("winsorized_mean"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("lo", 6).alias("p05"),
+        F.round("hi", 6).alias("p95"),
+        "winsorized_mean",
+    )
+    return sess.from_spark(out)

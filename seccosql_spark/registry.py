@@ -92,6 +92,8 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_index_persisted",
+    "cdc_merge_apply",
+    "events_winsorized_mean",
     "g_skew_hub_auto_wcoj",
     "orders_bucketed_join",
     "orders_partition_pruned",
@@ -139,8 +141,6 @@ _PRIORITY_WINDOW = [
     "ann_lsh_hyperplane",
     "cross_join_pairs",
     "dedup_embedding_cosine",
-    "embedding_quantize_int8",
-    "g_labeled_pattern",
 ]
 
 

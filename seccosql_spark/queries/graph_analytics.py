@@ -737,3 +737,77 @@ def g_bipartite_covisit(sess: SeccoSession):
         .select("i1", "i2", F.col("n_users").cast("long").alias("n_users"))
     )
     return sess.from_spark(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (graph-embedding sampling, DeepWalk/node2vec
+# input stage)
+# ---------------------------------------------------------------------------
+
+def _walks_oracle(steps: int = 3) -> str:
+    parts = [f"WITH e AS MATERIALIZED ({EDGES_SPARSE}),\n{_NB},\n"]
+    parts.append("w0 AS (SELECT DISTINCT a AS seed, a AS v FROM nb)")
+    for t in range(1, steps + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT seed, b AS v FROM (
+    SELECT w.seed, nb.b,
+           row_number() OVER (
+             PARTITION BY w.seed
+             ORDER BY md5(concat_ws('|', w.seed, {t}, nb.b))) AS rn
+    FROM w{t - 1} w JOIN nb ON w.v = nb.a) WHERE rn = 1)""")
+    sel = ", ".join(f"w{t}.v AS v{t}" for t in range(1, steps + 1))
+    joins = " ".join(f"JOIN w{t} USING (seed)" for t in range(2, steps + 1))
+    parts.append(f"\nSELECT seed, {sel} FROM w1 {joins}")
+    return "".join(parts)
+
+
+@register("g_random_walks_3step", _walks_oracle(3))
+def g_random_walks_3step(sess: SeccoSession):
+    """Deterministic 3-step random walks from EVERY node — the sampling
+    stage DeepWalk/node2vec feed to their skip-gram trainer (Perozzi et
+    al. KDD'14): at step t the walk at node v moves to the neighbor u
+    minimizing md5(seed|t|u), a hash-seeded choice that is uniform over
+    the neighbor set yet REPLAYABLE from the same expression in both
+    engines (the md5-uniform recipe every sampling row here uses — no RNG
+    state, no engine-specific generators). One walk per seed node, each
+    step one join + per-seed argmin: state is O(#walks), never the
+    neighbor fan-out, and steps are bounded rounds — at 100 TB this is
+    the standard iterative-join shape (walks partition by seed; the
+    neighbor table is the big side, joined by key). Ties are impossible
+    (distinct neighbors hash distinct strings), so the walk set is exact
+    in the driver's hash compare."""
+    spark = sess.spark
+    e = spark.sql(EDGES_SPARSE)
+    nb = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    cur = nb.select(F.col("a").alias("seed")).distinct().withColumn(
+        "v", F.col("seed")
+    )
+    # the walk frame CARRIES its visited columns (seed, v1..vt, v) so each
+    # step is exactly one join — rebuilding hop columns by re-joining the
+    # per-step frames would re-execute the whole prefix chain per hop
+    carried: list[str] = []
+    for t in range(1, 4):
+        w = Window.partitionBy("seed").orderBy("h")
+        cur = (
+            cur.join(nb, cur["v"] == nb["a"])
+            .withColumn(
+                "h",
+                F.md5(F.concat_ws("|", F.col("seed"), F.lit(t), F.col("b"))),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "seed", *carried,
+                F.col("b").alias(f"v{t}"), F.col("b").alias("v"),
+            )
+        )
+        carried.append(f"v{t}")
+    return sess.from_spark(cur.select("seed", *carried))

@@ -97,6 +97,7 @@ _PRIORITY_WINDOW = [
     "g_skew_hub_auto_wcoj",
     "orders_bucketed_join",
     "orders_partition_pruned",
+    "g_random_walks_3step",
     "q10_returned_items",
     "q12_priority_buckets",
     "q14_promo_share",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "ann_ivf_label",
     "ann_lsh_hyperplane",
     "cross_join_pairs",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -108,10 +108,15 @@ def _once(name: str, spark: SparkSession) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def main() -> None:
+def build_session(app_name: str = "seccosql_spark_bench") -> SparkSession:
+    """The ONE benchmark SparkSession config — shared with
+    scripts/bench_slope.py so slope timings run under the identical
+    shuffle/AQE setup as the headline medians they sit next to in
+    BENCH_r{N}.json (r11 review: a pasted copy had silently dropped
+    coalescePartitions)."""
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("seccosql_spark_bench")
+        .appName(app_name)
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -123,6 +128,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    spark = build_session()
 
     registered = [name for name, spec in REGISTRY.items() if spec.headline]
     headliners = [n for n in HEADLINE_ORDER if n in registered] + [

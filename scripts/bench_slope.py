@@ -4,6 +4,12 @@ wall-time ratio per query into SLOPE.json at the repo root. bench.py folds
 the ratios into its headline JSON (field "sf1_slope") so the driver's
 BENCH_r{N}.json carries the slope table.
 
+Measurement discipline is SHARED with bench.py (imported, not pasted —
+r11 review): the identical SparkSession config, the quiet-host loadavg
+guard before each timing pair, and the variance-adaptive 3->7 run
+extension; per-pair loadavg is recorded in SLOPE.json so a steal-distorted
+ratio is diagnosable post-hoc.
+
 A ratio near 10 is linear scaling under a fixed 32-thread budget; well
 below 10 means fixed overhead still dominates at sf0.1; above ~15 flags a
 super-linear stage (quadratic candidate growth, a broadcast that stopped
@@ -20,13 +26,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import SparkSession
-
-from seccosql_spark.registry import run
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (repo-root bench.py: shared session + guards)
+from seccosql_spark.registry import run  # noqa: E402
+
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
 PINNED = [
@@ -40,49 +45,46 @@ PINNED = [
     "q7_nation_volume",
 ]
 WARMUPS = 2
-TIMED = 3
 
 
-def _median_time(name: str, spark: SparkSession, sf_dir: str) -> tuple[float, int]:
+def _median_time(name: str, spark, sf_dir: str) -> tuple[float, int, bool]:
     n = 0
-    times = []
-    for i in range(WARMUPS + TIMED):
+    timed: list[float] = []
+    for _ in range(WARMUPS):
+        n = run(name, spark, sf_dir).count()
+    for _ in range(bench.TIMED_RUNS):
         t0 = time.perf_counter()
         n = run(name, spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        if i >= WARMUPS:
-            times.append(dt)
+        timed.append(time.perf_counter() - t0)
+    extended = max(timed) > bench.VARIANCE_SPREAD_FACTOR * min(timed)
+    if extended:
+        for _ in range(bench.TIMED_RUNS_EXTRA):
+            t0 = time.perf_counter()
+            n = run(name, spark, sf_dir).count()
+            timed.append(time.perf_counter() - t0)
     spark.catalog.clearCache()
-    return sorted(times)[len(times) // 2], n
+    return sorted(timed)[len(timed) // 2], n, extended
 
 
 def main() -> None:
     if not os.path.exists(os.path.join(SF1, "_DONE")):
         raise SystemExit(f"run scripts/gen_sf1.py first (no {SF1}/_DONE)")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("seccosql_spark_slope")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = bench.build_session("seccosql_spark_slope")
     out = {}
     for name in PINNED:
-        t01, n01 = _median_time(name, spark, SF01)
-        t1, n1 = _median_time(name, spark, SF1)
+        wait = bench._wait_for_quiet_host()
+        load0 = os.getloadavg()[0]
+        t01, n01, ext01 = _median_time(name, spark, SF01)
+        t1, n1, ext1 = _median_time(name, spark, SF1)
         out[name] = {
             "sf0.1_sec": round(t01, 3),
             "sf1_sec": round(t1, 3),
             "ratio": round(t1 / t01, 2) if t01 > 0 else None,
             "rows_sf0.1": n01,
             "rows_sf1": n1,
+            "load_before": round(load0, 1),
+            "quiet_wait_sec": round(wait, 1),
+            "extended": ext01 or ext1,
         }
         print(f"# {name}: {t01:.2f}s -> {t1:.2f}s (x{t1 / t01:.1f})",
               file=sys.stderr)
@@ -91,7 +93,9 @@ def main() -> None:
             {
                 "note": "pinned-8 wall-time sf1/sf0.1 ratios; sf1 = 10x "
                         "replicated sf0.1 (scripts/gen_sf1.py); folded into "
-                        "bench.py output as sf1_slope",
+                        "bench.py output as sf1_slope; measurement shares "
+                        "bench.py's session config, quiet-host guard, and "
+                        "variance-adaptive reps",
                 "queries": out,
             },
             f,

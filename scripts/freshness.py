@@ -216,6 +216,20 @@ def _module_index(
         nr, na = _refs_attrs(node)
         for nm in names:
             blocks[nm] = (((start, node.end_lineno or start),), nr, na)
+    # every module contributes an __imports__ pseudo-block covering its
+    # top-level import statements: an import-only edit (rebinding a name to
+    # a different implementation) changes every dependent query's behavior
+    # without touching any indexed block — without this, such a commit
+    # taints ZERO rows and the ledger reports them falsely fresh (r11
+    # review finding). _query_blocks adds this block for every module its
+    # cone touches.
+    import_ranges = tuple(
+        (node.lineno, node.end_lineno or node.lineno)
+        for node in tree.body
+        if isinstance(node, (ast.Import, ast.ImportFrom))
+    )
+    if import_ranges:
+        blocks["__imports__"] = (import_ranges, frozenset(), frozenset())
     cache[relpath] = (blocks, classes)
     return cache[relpath]
 
@@ -284,15 +298,21 @@ def _query_blocks(
             for r in refs:
                 if r == nm:
                     continue
+                # (class names are also block-index keys, so `r in idx`
+                # covers them — no separate class branch)
                 if r in idx:
-                    work.append((mod, r))
-                elif r in classes:
                     work.append((mod, r))
                 elif r in imports:
                     work.append(imports[r])
         _close_attrs()
         if not work:
             break
+    # import-statement edits must taint: add every touched module's
+    # __imports__ pseudo-block (see _module_index)
+    for mod in {m for m, _nm in blocks} | set(whole_files):
+        idx, _cl = _module_index(mod, caches.index)
+        if "__imports__" in idx:
+            blocks.add((mod, "__imports__"))
     return blocks, whole_files
 
 

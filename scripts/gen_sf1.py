@@ -10,11 +10,17 @@ wall-time ratios sf1/sf0.1 for the pinned-8 headliners, catching
 super-linear surprises no plan read can.
 
 Replication choices that keep the measured slope honest:
-- documents: each copy's text is ROTATED by 7*copy words (deterministic),
-  so cross-copy similarity is low and the LSH near-dup pair count scales
-  ~linearly with the corpus — verbatim copies would make every doc a
-  10-member duplicate clique and the pair count quadratic, measuring the
-  replication artifact instead of the engine.
+- documents: each copy's text is passed through a per-copy VOCABULARY
+  SHIFT CIPHER (word -> vocab[(idx + 3*copy) mod V]; V=31 is prime and
+  3*copy < 31, so every copy's mapping is a derangement of every other's)
+  — copies share NO shingles with each other or the original, so the LSH
+  near-dup pair count scales ~linearly with the corpus while word-length
+  and frequency structure is preserved. Verbatim copies would make every
+  doc a 10-member duplicate clique (quadratic pairs); a word ROTATION
+  (the first attempt) is subtler but equally wrong: rotating changes only
+  the ~2 shingles crossing the wrap point, so every copy stays a
+  Jaccard≈0.9 near-dup of the original and the measured slope is the
+  replication artifact, not the engine (r11 review finding).
 - embeddings: vectors copied verbatim (vec_id offset) — kNN cost is
   corpus-linear regardless of vector values, and ties rank by vec_id.
 - events/orders/lineitem: id offsets preserve join keys within each copy;
@@ -72,13 +78,25 @@ def main() -> None:
                   "user_id, event_type, value, props "
                   f"FROM read_parquet('{SRC}/events.parquet'), copies",
         "documents": f"""
-            SELECT doc_id + c * {OFF_DOC} AS doc_id,
-                   CASE WHEN c = 0 THEN text ELSE array_to_string(
-                     list_concat(w[1 + ((7 * c) % len(w)):],
-                                 w[:((7 * c) % len(w))]), ' ') END AS text,
-                   lang, source, n_chars
-            FROM (SELECT *, string_split(text, ' ') AS w
-                  FROM read_parquet('{SRC}/documents.parquet')), copies""",
+            WITH src AS (SELECT * FROM read_parquet('{SRC}/documents.parquet')),
+            words AS (
+              SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM src)),
+            vocab AS (
+              SELECT word, row_number() OVER (ORDER BY word) - 1 AS vid
+              FROM (SELECT DISTINCT word FROM words)),
+            vtot AS (SELECT count(*) AS v FROM vocab),
+            rebuilt AS (
+              SELECT w.doc_id, copies.c,
+                     string_agg(v2.word, ' ' ORDER BY w.pos) AS text
+              FROM words w
+              JOIN vocab v1 USING (word)
+              CROSS JOIN copies CROSS JOIN vtot
+              JOIN vocab v2 ON v2.vid = (v1.vid + 3 * copies.c) % vtot.v
+              GROUP BY w.doc_id, copies.c)
+            SELECT r.doc_id + r.c * {OFF_DOC} AS doc_id, r.text,
+                   s.lang, s.source, length(r.text) AS n_chars
+            FROM rebuilt r JOIN src s USING (doc_id)""",
         "embeddings": f"SELECT vec_id + c * {OFF_VEC} AS vec_id, embedding, "
                       f"label FROM read_parquet('{SRC}/embeddings.parquet'), copies",
     }

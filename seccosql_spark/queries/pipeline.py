@@ -2141,10 +2141,8 @@ def ann_index_persisted(sess: SeccoSession):
     oracle replays training + the multi-probe batch from the raw corpus —
     the artifact is a pure function of the corpus, so replaying the build
     IS replaying the index."""
-    import hashlib
-    import os
-    import tempfile
-
+    from seccosql_spark.operators import similarity as _sim
+    from seccosql_spark.operators.artifact import build_once
     from seccosql_spark.operators.similarity import (
         build_ivf_pq_index,
         ivf_pq_index_probe,
@@ -2153,13 +2151,15 @@ def ann_index_persisted(sess: SeccoSession):
     spark = sess.spark
     emb = spark.table("embeddings")
     src_file = sorted(emb.inputFiles())[0]
-    key = hashlib.md5(f"{src_file}|kc4,np2,m4,k4,it2,v1".encode()).hexdigest()[:16]
-    index_dir = os.path.join(tempfile.gettempdir(), f"secco_ann_index_{key}")
-    marker = os.path.join(index_dir, "_BUILT")
-    if not os.path.exists(marker):
-        build_ivf_pq_index(emb, index_dir, k_coarse=4, m=4, k=4, iters=2)
-        with open(marker, "w") as f:
-            f.write("ok")
+    # key = corpus file + params + the builder MODULE's source text: an
+    # edit to the training code lands in a fresh directory instead of
+    # serving a stale index against a freshly-replayed oracle
+    index_dir = build_once(
+        "secco_ann_index",
+        (src_file, "kc4,np2,m4,k4,it2"),
+        lambda d: build_ivf_pq_index(emb, d, k_coarse=4, m=4, k=4, iters=2),
+        code=(_sim,),
+    )
     probes = emb.where(F.col("vec_id") < 3)
     return sess.from_spark(
         ivf_pq_index_probe(spark, index_dir, probes, nprobe=2, m=4, topn=10,

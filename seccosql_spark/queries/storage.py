@@ -11,7 +11,6 @@ the answer is layout-independent by definition).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -33,28 +32,29 @@ GROUP BY o_orderpriority
 
 
 def _orders_month_dir(sess: SeccoSession) -> str:
-    """orders re-written PARTITIONED BY month (build-once, keyed by the
-    source file): the ingest-time layout decision that turns every
-    month-ranged query into a directory prune instead of a full scan."""
+    """orders re-written PARTITIONED BY month (build-once, keyed by source
+    file + this module's code): the ingest-time layout decision that turns
+    every month-ranged query into a directory prune instead of a full
+    scan."""
+    import seccosql_spark.queries.storage as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.sources.connectors import write_parquet
+
     spark = sess.spark
     orders = spark.table("orders")
     src = sorted(orders.inputFiles())[0]
-    key = hashlib.md5(f"{src}|month,v1".encode()).hexdigest()[:16]
-    out = os.path.join(tempfile.gettempdir(), f"secco_orders_month_{key}")
-    marker = os.path.join(out, "_BUILT")
-    if not os.path.exists(marker):
-        from seccosql_spark.sources.connectors import write_parquet
-
-        write_parquet(
+    return build_once(
+        "secco_orders_month",
+        (src, "month"),
+        lambda d: write_parquet(
             orders.withColumn(
                 "o_month", F.date_format("o_orderdate", "yyyy-MM")
             ),
-            out,
+            d,
             partition_by=("o_month",),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return out
+        ),
+        code=(_self,),
+    )
 
 
 @register("orders_partition_pruned", PARTITION_PRUNED_ORACLE)
@@ -103,14 +103,18 @@ def _bucketed_tables(sess: SeccoSession) -> tuple[str, str]:
     in the session catalog, so a fresh driver session rebuilds (cheap —
     one shuffle-free write per table); within a session every probe reuses
     the tables."""
+    import seccosql_spark.queries.storage as _self
+    from seccosql_spark.operators.artifact import artifact_key
+    from seccosql_spark.sources.connectors import write_parquet
+
     spark = sess.spark
     orders = spark.table("orders")
     src = sorted(orders.inputFiles())[0]
-    key = hashlib.md5(f"{src}|b{_BUCKETS},v1".encode()).hexdigest()[:12]
+    # table names carry the code-aware key too: a builder edit creates new
+    # catalog entries instead of reusing a stale bucketing layout
+    key = artifact_key((src, f"b{_BUCKETS}"), code=(_self,))[:12]
     names = (f"secco_bkt_orders_{key}", f"secco_bkt_lineitem_{key}")
     base = os.path.join(tempfile.gettempdir(), f"secco_bkt_{key}")
-    from seccosql_spark.sources.connectors import write_parquet
-
     for name, df, col in (
         (names[0], orders, "o_orderkey"),
         (names[1], spark.table("lineitem"), "l_orderkey"),

@@ -94,10 +94,11 @@ _PRIORITY_WINDOW = [
     "ann_index_persisted",
     "cdc_merge_apply",
     "events_winsorized_mean",
+    "g_random_walks_3step",
     "g_skew_hub_auto_wcoj",
     "orders_bucketed_join",
     "orders_partition_pruned",
-    "g_random_walks_3step",
+    "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
     "q14_promo_share",
@@ -107,13 +108,28 @@ _PRIORITY_WINDOW = [
     "q3_shipping_priority",
     "q7_nation_volume",
     "scalar_subquery",
+    "source_quantiles",
     "udf_rowwise_registered",
     "union_by_update",
     "window_lag_delta",
     "window_running_sum",
     "window_topk_per_user",
     "ann_ivf_kmeans",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "dedup_embedding_cosine",
     "embedding_centroids",
+    "embedding_quantize_int8",
+    "g_labeled_pattern",
+    "g_message_passing_2rounds",
+    "g_message_passing_wsum",
+    "g_pattern_weighted_agg",
+    "g_self_loop_pattern",
+    "g_subgraph_filter",
+    "g_triangle_wcoj",
+    "knn_cosine_bruteforce",
+    "sample_mixture_sources",
+    "sample_stratified_3per_lang",
     "stream_window_counts",
     "timeseries_gapfill_hourly",
     "w1_star_high_skew",
@@ -123,24 +139,8 @@ _PRIORITY_WINDOW = [
     "w3_chain_high_skew",
     "w3_chain_low_skew",
     "w5_cycle_join",
+    "w6_theta_chain",
     "intersect_all_bag",
-    "join_anti",
-    "join_full_outer",
-    "join_inner_groupby",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "multiway_stats_equality",
-    "natural_join_count",
-    "pivot_status",
-    "q5_join_chain",
-    "scalar_case_null",
-    "source_quantiles",
-    "theta_join",
-    "udaf_median_price",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
-    "cross_join_pairs",
 ]
 
 

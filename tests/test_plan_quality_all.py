@@ -260,3 +260,11 @@ def test_freshness_taint_is_per_query(tmp_path):
             "dedup_cross_source_overlap"} <= t2
     assert "knn_cosine_bruteforce" not in t2
     assert "ann_index_persisted" not in t2
+
+    # an IMPORT-line edit must taint every row whose cone touches the
+    # module (rebinding a name changes behavior without touching any
+    # indexed block — r11 review finding)
+    (imp_rng, *_rest), _n, _a = blocks["__imports__"]
+    t3 = fr.queries_tainted_by(pipeline, {imp_rng[0]})
+    assert {"dedup_minhash_lsh", "knn_cosine_bruteforce",
+            "ann_index_persisted"} <= t3

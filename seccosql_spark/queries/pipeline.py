@@ -1815,6 +1815,103 @@ FROM audit
 """
 
 
+
+def _kmv_oracle(k: int = 256) -> str:
+    """KMV replay: 60-bit md5 hash of each distinct (type, user), the K
+    smallest per type, the (K-1)*2^60/h_K estimator in HUGEINT (Spark twin
+    computes it in DECIMAL(38,0) then DIV — IntegralDivide floors on
+    positives in both engines)."""
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST({hex_prefix_int_sql("md5(CAST(user_id AS STRING))", 15)}
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+ks AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+              max(hv) AS kth
+       FROM r WHERE rn <= {k} GROUP BY event_type),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT ks.event_type, n_sketch,
+       CAST(CASE WHEN n_sketch < {k} THEN n_sketch
+            ELSE CAST(CAST({k - 1} AS HUGEINT) * 1152921504606846976 // kth
+                      AS BIGINT) END AS BIGINT) AS est_distinct,
+       exact_distinct,
+       (abs(CAST(CASE WHEN n_sketch < {k} THEN n_sketch
+            ELSE CAST(CAST({k - 1} AS HUGEINT) * 1152921504606846976 // kth
+                      AS BIGINT) END AS BIGINT) - exact_distinct) * 5
+        <= exact_distinct) AS within_20pct
+FROM ks JOIN ex USING (event_type)
+"""
+
+
+@register("sketch_distinct_kmv", _kmv_oracle())
+def sketch_distinct_kmv(sess: SeccoSession):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) —
+    the deterministic, MERGEABLE alternative to HyperLogLog for
+    cross-engine work: hash every (type, user) to a 60-bit md5 integer,
+    keep the K=256 smallest distinct hashes per type, estimate
+    distinct ≈ (K-1)·2^60 / h_K. Engine HLLs are not replayable across
+    implementations; KMV is pure SQL, so the oracle replays it exactly,
+    and the sketch MERGES by construction (the K smallest of a union =
+    the K smallest of the per-partition K-smallest — Spark's partial
+    row_number/top-K aggregation IS the merge, the same property
+    `sketch_quantile_mergeable` demonstrates for quantiles). Below K the
+    sketch is exact; above, the standard error is 1/sqrt(K) ≈ 6.3%
+    (measured 6.4 % at sf0.1). The estimator runs in DECIMAL(38,0) —
+    255·2^60 overflows int64 — and the within-20% audit is integer
+    cross-multiplied. Scale: one distinct + one top-K aggregation per
+    group; sketch state is K rows per group regardless of corpus size."""
+    K = 256
+    spark = sess.spark
+    ev = spark.table("events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ks = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.when(F.col("n_sketch") < K, F.col("n_sketch")).otherwise(
+        F.expr(
+            f"CAST(CAST({K - 1} AS DECIMAL(38,0)) * 1152921504606846976 "
+            "DIV kth AS BIGINT)"
+        )
+    ).cast("long")
+    out = (
+        ks.join(ex, "event_type")
+        .withColumn("est_distinct", est)
+        .select(
+            "event_type",
+            "n_sketch",
+            "est_distinct",
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct")) * 5
+                <= F.col("exact_distinct")
+            ).alias("within_20pct"),
+        )
+    )
+    return sess.from_spark(out)
+
+
 @register("sketch_quantile_mergeable", _QS_ORACLE)
 def sketch_quantile_mergeable(sess: SeccoSession):
     """Mergeable quantile summary (the MRL/GK family's simplest sound

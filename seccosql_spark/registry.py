@@ -98,6 +98,7 @@ _PRIORITY_WINDOW = [
     "g_skew_hub_auto_wcoj",
     "orders_bucketed_join",
     "orders_partition_pruned",
+    "sketch_distinct_kmv",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "w3_chain_low_skew",
     "w5_cycle_join",
     "w6_theta_chain",
-    "intersect_all_bag",
 ]
 
 

@@ -114,6 +114,65 @@ def range_join_buckets(
     )
 
 
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    on: Sequence[str],
+    id_col: str,
+    start_col: str,
+    finish_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All same-key pairs of VARIABLE-LENGTH half-open intervals [start,
+    finish) that overlap, each pair emitted exactly once — the general
+    interval self-join (`range_join_buckets` only covers the equal-length
+    special case, where overlap degenerates to |s_a - s_b| < L).
+
+    Start-bucket ownership trick: every overlapping pair has a unique
+    "later-starting" member y (ties broken by id), and y's START always
+    falls inside the other member x's [start, finish) span. So expand x to
+    every `bucket_width` bucket its span touches, key y by its start bucket
+    alone, and equi-join on (key…, bucket): each qualifying pair meets in
+    exactly one bucket — no post-join distinct, no quadratic candidate set.
+    Cost: one hash join with expansion factor ceil(max_dur/bucket_width)+1
+    on one side; pick bucket_width near the typical duration.
+
+    Output: key columns + id_lo/id_hi (pair ids, ordered) + overlap
+    (= min(finishes) - later start, always > 0)."""
+    on = list(on)
+    x = intervals.select(
+        *on,
+        F.col(id_col).alias("__xid"),
+        F.col(start_col).alias("__xs"),
+        F.col(finish_col).alias("__xf"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor((F.col(finish_col) - 1) / F.lit(bucket_width)),
+            )
+        ).alias("__bucket"),
+    )
+    y = intervals.select(
+        *on,
+        F.col(id_col).alias("__yid"),
+        F.col(start_col).alias("__ys"),
+        F.col(finish_col).alias("__yf"),
+        F.floor(F.col(start_col) / F.lit(bucket_width)).alias("__bucket"),
+    )
+    later = (F.col("__ys") > F.col("__xs")) | (
+        (F.col("__ys") == F.col("__xs")) & (F.col("__yid") > F.col("__xid"))
+    )
+    return (
+        x.join(y, on=on + ["__bucket"])
+        .filter(later & (F.col("__ys") < F.col("__xf")))
+        .select(
+            *on,
+            F.least("__xid", "__yid").alias("id_lo"),
+            F.greatest("__xid", "__yid").alias("id_hi"),
+            (F.least("__xf", "__yf") - F.col("__ys")).alias("overlap"),
+        )
+    )
+
+
 def resample_gapfill(
     df: DataFrame,
     key_col: str,

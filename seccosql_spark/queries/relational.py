@@ -591,6 +591,41 @@ def pivot_status(sess: SeccoSession):
     )
 
 
+@register(
+    "unpivot_metrics_long",
+    """WITH wide AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM documents GROUP BY source)
+       SELECT source, metric, value
+       FROM wide UNPIVOT (value FOR metric IN (n_docs, total_chars, n_langs))""",
+)
+def unpivot_metrics_long(sess: SeccoSession):
+    """Unpivot (wide → long) — the inverse of `pivot_status`, via the
+    DataFrame `unpivot` API (SQL-standard UNPIVOT clause in the oracle).
+    A per-source metrics row (n_docs, total_chars, n_langs) melts into
+    (source, metric, value) triples — the shape every metrics store and
+    sparse-feature pipeline wants. Unpivot is a map-only Expand (one
+    output row per id×metric, no shuffle beyond the feeding aggregate),
+    so it costs nothing extra at any scale. All values BIGINT so the
+    long column is exactly typed in both engines."""
+    docs = sess.spark.table("documents")
+    wide = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    out = wide.unpivot(
+        ids=["source"],
+        values=["n_docs", "total_chars", "n_langs"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return sess.from_spark(out)
+
+
 # ------------------------------------------------------- multi-join shapes
 
 Q3_SPARK = """

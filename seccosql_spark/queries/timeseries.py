@@ -323,3 +323,56 @@ def events_hilbert_topk(sess: SeccoSession):
         .limit(50)
     )
     return sess.from_spark(out)
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (30 + event_id % 90) * 60000000 AS f
+  FROM events WHERE event_type = 'error')
+SELECT a.user_id,
+       CAST(least(a.event_id, b.event_id) AS BIGINT) AS id_lo,
+       CAST(greatest(a.event_id, b.event_id) AS BIGINT) AS id_hi,
+       CAST(least(a.f, b.f) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.f AND b.s < a.f
+"""
+
+
+@register("events_interval_overlaps", INTERVAL_OVERLAP_ORACLE)
+def events_interval_overlaps(sess: SeccoSession):
+    """Variable-length interval overlap self-join: each error event opens a
+    half-open outage window [ts, ts + 30..119 min) (duration derived
+    deterministically from event_id), and the query finds every same-user
+    pair of overlapping windows with the exact overlap length — the
+    incident-correlation shape. `operators/asof.interval_overlap_pairs`
+    plans it as ONE hash join via start-bucket ownership (expand one side
+    to the ≤3 hour-buckets its window touches, key the other by start
+    bucket; the later-starting member's start bucket is the unique meeting
+    point, so no post-join distinct and no quadratic candidate set — a raw
+    overlap θ-join would nest-loop). The oracle replays the plain overlap
+    predicate: the bucketing is lossless, so the answer is
+    algorithm-independent. All-BIGINT microsecond arithmetic via
+    `timeutil.epoch_us` (both engines)."""
+    from seccosql_spark.operators.asof import interval_overlap_pairs
+
+    ev = sess.spark.table("events")
+    e = ev.where(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        epoch_us(ev, "ts").alias("s"),
+        (
+            epoch_us(ev, "ts")
+            + (F.lit(30) + F.col("event_id") % 90) * F.lit(60_000_000)
+        ).alias("f"),
+    )
+    out = interval_overlap_pairs(
+        e,
+        on=["user_id"],
+        id_col="event_id",
+        start_col="s",
+        finish_col="f",
+        bucket_width=US_PER_HOUR,
+    ).withColumnRenamed("overlap", "overlap_us")
+    return sess.from_spark(out)

@@ -99,6 +99,8 @@ _PRIORITY_WINDOW = [
     "orders_bucketed_join",
     "orders_partition_pruned",
     "sketch_distinct_kmv",
+    "events_interval_overlaps",
+    "unpivot_metrics_long",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -139,8 +141,6 @@ _PRIORITY_WINDOW = [
     "w2_snowflake_low_skew",
     "w3_chain_high_skew",
     "w3_chain_low_skew",
-    "w5_cycle_join",
-    "w6_theta_chain",
 ]
 
 

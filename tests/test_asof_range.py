@@ -158,3 +158,34 @@ def test_resample_gapfill_empty_input_and_negative_epoch(spark):
     neg = spark.createDataFrame([("a", -1, 1.0), ("a", 5, 2.0)], "k STRING, us LONG, v DOUBLE")
     out = {r["bucket_us"]: r["n_rows"] for r in resample_gapfill(neg, "k", "us", "v", 10).collect()}
     assert out == {-10: 1, 0: 1}
+
+
+def test_interval_overlap_pairs_matches_naive(spark):
+    """Exactly-once pair emission vs brute force, across bucket widths that
+    divide, exceed, and undershoot the durations (incl. same-start ties and
+    intervals spanning many buckets)."""
+    from seccosql_spark.operators.asof import interval_overlap_pairs
+
+    iv = [
+        ("u", 1, 0, 10),  # overlaps 2, 3 (same start as 3)
+        ("u", 2, 5, 25),
+        ("u", 3, 0, 3),
+        ("u", 4, 25, 30),  # touches 2 at boundary only -> NO overlap (half-open)
+        ("u", 5, 7, 8),  # nested inside 1 and 2
+        ("v", 6, 0, 100),  # other key: long interval, many buckets
+        ("v", 7, 99, 101),
+        ("v", 8, 101, 102),  # no overlap with 7 (half-open)
+    ]
+    df = spark.createDataFrame(iv, "k STRING, id BIGINT, s BIGINT, f BIGINT")
+    naive = sorted(
+        (a[0], min(a[1], b[1]), max(a[1], b[1]), min(a[3], b[3]) - max(a[2], b[2]))
+        for a in iv
+        for b in iv
+        if a[0] == b[0] and a[1] < b[1] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert naive  # fixture really exercises overlaps
+    for width in (1, 3, 7, 64):
+        got = interval_overlap_pairs(
+            df, on=["k"], id_col="id", start_col="s", finish_col="f", bucket_width=width
+        )
+        assert rows(got, ["k", "id_lo", "id_hi", "overlap"]) == naive, width

@@ -1850,6 +1850,127 @@ FROM ks JOIN ex USING (event_type)
 """
 
 
+def _kmv_setops_oracle(k: int = 256) -> str:
+    """KMV set-operation replay: per-side membership flags on each distinct
+    user hash, K-smallest union sketch, (K-1)*2^60/h_K union estimate and
+    the theta-sketch intersection estimator n_both * union_est // rows."""
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return f"""
+WITH u AS (
+  SELECT CAST({hex_prefix_int_sql("md5(CAST(user_id AS STRING))", 15)}
+              AS BIGINT) AS hv,
+         bool_or(event_type = 'view') AS in_a,
+         bool_or(event_type = 'click') AS in_b
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id),
+r AS (SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rn FROM u),
+s AS (SELECT CAST(count(*) AS BIGINT) AS union_rows, max(hv) AS kth,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_both
+      FROM r WHERE rn <= {k}),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS union_exact,
+              CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                  AS inter_exact
+       FROM u),
+est AS (SELECT union_rows, n_both,
+               CAST(CASE WHEN union_rows < {k} THEN union_rows
+                    ELSE CAST(CAST({k - 1} AS HUGEINT) * 1152921504606846976
+                              // kth AS BIGINT) END AS BIGINT) AS union_est
+        FROM s)
+SELECT union_rows, union_est, union_exact,
+       (abs(union_est - union_exact) * 5 <= union_exact) AS union_within_20pct,
+       CAST(CAST(n_both AS HUGEINT) * union_est // union_rows AS BIGINT)
+           AS inter_est,
+       inter_exact,
+       (abs(CAST(CAST(n_both AS HUGEINT) * union_est // union_rows AS BIGINT)
+            - inter_exact) * 5 <= inter_exact) AS inter_within_20pct
+FROM est CROSS JOIN ex
+"""
+
+
+@register("sketch_kmv_setops", _kmv_setops_oracle())
+def sketch_kmv_setops(sess: SeccoSession):
+    """KMV sketches under SET OPERATIONS — the reason mergeable sketches
+    matter at 100 TB: estimate |A ∪ B| and |A ∩ B| for A = viewing users,
+    B = clicking users from two K=256 KMV sketches ALONE (theta-sketch
+    style, Dasgupta et al. 2016). The union sketch is the K smallest
+    hashes of sketch_A ∪ sketch_B (the KMV merge); since kth_union <=
+    kth_side, a union-sketch hash lies in a side's sketch iff it lies in
+    the side's SET, so per-hash membership flags are exact and the
+    intersection estimator is |∩|_est = n_both · |∪|_est / K. Everything
+    is deterministic 60-bit md5 integer arithmetic (DECIMAL(38,0) /
+    HUGEINT for the estimator products), so the oracle replays the sketch
+    bit-for-bit; the within-20% audits compare against the exact distinct
+    counts integer-cross-multiplied. Below K the sketches are exact by
+    construction. Scale: sketch state is K rows per side regardless of
+    corpus size; the merge is a top-K over 2K rows."""
+    K = 256
+    spark = sess.spark
+    ev = spark.table("events")
+    u = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("in_a"),
+            F.max(F.col("event_type") == "click").alias("in_b"),
+        )
+        .select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv"),
+            "in_a",
+            "in_b",
+        )
+    )
+    r = u.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+    s = r.where(F.col("rn") <= K).agg(
+        F.count(F.lit(1)).cast("long").alias("union_rows"),
+        F.max("hv").alias("kth"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+    )
+    ex = u.agg(
+        F.count(F.lit(1)).cast("long").alias("union_exact"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("inter_exact"),
+    )
+    est = s.withColumn(
+        "union_est",
+        F.when(F.col("union_rows") < K, F.col("union_rows"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({K - 1} AS DECIMAL(38,0)) * 1152921504606846976 "
+                "DIV kth AS BIGINT)"
+            )
+        )
+        .cast("long"),
+    )
+    out = (
+        est.crossJoin(ex)
+        .withColumn(
+            "inter_est",
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38,0)) * union_est "
+                "DIV union_rows AS BIGINT)"
+            ),
+        )
+        .select(
+            "union_rows",
+            "union_est",
+            "union_exact",
+            (F.abs(F.col("union_est") - F.col("union_exact")) * 5
+             <= F.col("union_exact")).alias("union_within_20pct"),
+            "inter_est",
+            "inter_exact",
+            (F.abs(F.col("inter_est") - F.col("inter_exact")) * 5
+             <= F.col("inter_exact")).alias("inter_within_20pct"),
+        )
+    )
+    return sess.from_spark(out)
+
+
 @register("sketch_distinct_kmv", _kmv_oracle())
 def sketch_distinct_kmv(sess: SeccoSession):
     """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) —

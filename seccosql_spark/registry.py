@@ -93,14 +93,22 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 _PRIORITY_WINDOW = [
     "ann_index_persisted",
     "cdc_merge_apply",
+    "events_interval_overlaps",
     "events_winsorized_mean",
     "g_random_walks_3step",
     "g_skew_hub_auto_wcoj",
     "orders_bucketed_join",
     "orders_partition_pruned",
     "sketch_distinct_kmv",
-    "events_interval_overlaps",
+    "sketch_kmv_setops",
     "unpivot_metrics_long",
+    "ann_ivf_kmeans",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "knn_cosine_bruteforce",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -117,12 +125,6 @@ _PRIORITY_WINDOW = [
     "window_lag_delta",
     "window_running_sum",
     "window_topk_per_user",
-    "ann_ivf_kmeans",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
-    "dedup_embedding_cosine",
-    "embedding_centroids",
-    "embedding_quantize_int8",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
@@ -130,7 +132,6 @@ _PRIORITY_WINDOW = [
     "g_self_loop_pattern",
     "g_subgraph_filter",
     "g_triangle_wcoj",
-    "knn_cosine_bruteforce",
     "sample_mixture_sources",
     "sample_stratified_3per_lang",
     "stream_window_counts",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "w2_snowflake_high_skew",
     "w2_snowflake_low_skew",
     "w3_chain_high_skew",
-    "w3_chain_low_skew",
 ]
 
 

@@ -328,6 +328,112 @@ def knn_cosine_bruteforce(sess: SeccoSession):
     return sess.from_spark(out.withColumn("rank", F.col("rank").cast("int")))
 
 
+MATRYOSHKA_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+full_s AS (SELECT query_id, neighbor_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))), 6) AS sim
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+full_k AS (SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rn
+             FROM full_s) WHERE rn <= 5),
+pre_s AS (SELECT query_id, neighbor_id,
+                 round(list_dot_product(qv[1:16], cv[1:16]) /
+                       (sqrt(list_dot_product(qv[1:16], qv[1:16])) *
+                        sqrt(list_dot_product(cv[1:16], cv[1:16]))), 6) AS sim
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+pre_r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rn
+          FROM pre_s)
+SELECT f.query_id,
+       CAST(sum(CASE WHEN p.rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_prefix_top5,
+       CAST(sum(CASE WHEN p.rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_shortlist20
+FROM full_k f LEFT JOIN pre_r p USING (query_id, neighbor_id)
+GROUP BY f.query_id
+"""
+
+
+@register("ann_matryoshka_prefix", MATRYOSHKA_ORACLE)
+def ann_matryoshka_prefix(sess: SeccoSession):
+    """Matryoshka / adaptive retrieval (Kusupati et al. 2022): scan with a
+    cheap 16-dim PREFIX of the 64-dim embedding, shortlist S=20, rerank
+    the shortlist with the full vector — at 100 TB the prefix scan reads
+    a quarter of the bytes (columnar layouts can store the prefix as its
+    own column) and the full vectors are fetched for S rows per query,
+    not the corpus. The row MEASURES what the truncation costs: per
+    query, how many of the exact full-dim top-5 the prefix ranking keeps
+    at cutoff 5 (pure prefix recall) and at cutoff 20 (what a rerank can
+    recover — an exact-top-5 member in the shortlist always survives a
+    full-dim rerank, because among any subset the true top-5 outrank
+    everyone else). On the synthetic testdata the measured recall is LOW
+    (0.12 prefix / 0.16 shortlist at sf0.1): these vectors are i.i.d.
+    random, so every dim carries equal information and a 16-dim prefix
+    keeps only 1/4 of it — the same distance-concentration honesty note
+    as ann_ivf_pq's raw-ADC tier. Matryoshka-TRAINED embeddings
+    front-load information, which is exactly what this row would measure
+    on real data. Similarities rounded to 6dp with id tie-breaks (the
+    cross-engine ranking discipline); one broadcast of the 10-query set,
+    corpus streamed once per tier."""
+    emb = sess.spark.table("embeddings")
+    full_k = cosine_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    pdim = 16
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(F.slice("embedding", 1, pdim), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(F.slice("embedding", 1, pdim), lambda x: x.cast("double")).alias("cv"),
+    )
+    from seccosql_spark.operators.similarity import dot, norm
+
+    pre = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (norm(F.col("qv")) * norm(F.col("cv"))),
+                6,
+            ).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .select("query_id", "neighbor_id", "rn")
+    )
+    out = (
+        full_k.join(pre, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 5, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_prefix_top5"),
+            F.sum(F.when(F.col("rn") <= 20, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_shortlist20"),
+        )
+    )
+    return sess.from_spark(out)
+
+
 IVF_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qb
            FROM embeddings WHERE vec_id < 20),

@@ -92,6 +92,7 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "ann_index_persisted",
+    "ann_matryoshka_prefix",
     "cdc_merge_apply",
     "events_interval_overlaps",
     "events_winsorized_mean",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "w1_star_low_skew",
     "w2_snowflake_high_skew",
     "w2_snowflake_low_skew",
-    "w3_chain_high_skew",
 ]
 
 

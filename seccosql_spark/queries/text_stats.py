@@ -459,6 +459,88 @@ def text_unigram_logprob(sess: SeccoSession):
     )
 
 
+BIGRAM_LP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bi AS (SELECT id, t[i] AS u, t[i + 1] AS v
+       FROM toks, unnest(range(1, len(t))) AS r(i)),
+c1 AS (SELECT u, count(*) AS cu FROM bi GROUP BY u),
+c2 AS (SELECT u, v, count(*) AS cuv FROM bi GROUP BY u, v),
+vv AS (SELECT count(DISTINCT w) AS nv
+       FROM (SELECT unnest(t) AS w FROM toks)),
+terms AS (
+  SELECT bi.id,
+         CAST(round(ln(CAST(cuv + 1 AS DOUBLE) / (cu + nv)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM bi JOIN c2 USING (u, v) JOIN c1 USING (u) CROSS JOIN vv
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp) AS DOUBLE) AS logprob
+FROM terms GROUP BY id
+"""
+
+
+@register("text_bigram_logprob", BIGRAM_LP_ORACLE)
+def text_bigram_logprob(sess: SeccoSession):
+    """Bigram language-model scoring with add-one (Laplace) smoothing —
+    one order up from `text_unigram_logprob`, the shape of real
+    perplexity-based quality filters (context-conditioned surprise
+    catches repetitive/boilerplate text a unigram model scores as
+    normal): per document, Σ ln (c(u,v)+1)/(c(u)+|V|) over its adjacent
+    token pairs. The bigram and context-count tables are corpus-level
+    aggregations broadcast back (vocab here is 31 words, and even a
+    realistic bigram table is millions of rows — broadcast- or
+    bucket-joinable, never quadratic); per-pair ln is rounded to
+    DECIMAL(18,9) BEFORE summing so cross-partition order can't flip the
+    result. Pair extraction guards the Spark sequence(1,0)-descends trap
+    for sub-2-token docs (empty pair list, doc drops out in both
+    engines)."""
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    docs = sess.spark.table("documents").select(
+        F.col("doc_id").alias("id"), t.alias("t")
+    )
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("u"),
+                F.element_at("t", i + 1).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = docs.select("id", F.explode(pairs).alias("b")).select(
+        "id", F.col("b.u").alias("u"), F.col("b.v").alias("v")
+    )
+    c1 = bi.groupBy("u").agg(F.count(F.lit(1)).alias("cu"))
+    c2 = bi.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cuv"))
+    vv = docs.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("nv")
+    )
+    terms = (
+        bi.join(F.broadcast(c2), ["u", "v"])
+        .join(F.broadcast(c1), "u")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "id",
+            F.round(
+                F.log((F.col("cuv") + 1).cast("double") / (F.col("cu") + F.col("nv"))),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return sess.from_spark(
+        terms.groupBy(F.col("id").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("logprob"),
+        )
+    )
+
+
 # Canonical split thresholds — shared with split_leakage_report (the
 # contamination audit must straddle THIS assignment, never a stale copy).
 SPLIT_TEST_HEX = "0c"  # md5 prefix below => test (~4.7%)

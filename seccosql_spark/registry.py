@@ -103,13 +103,7 @@ _PRIORITY_WINDOW = [
     "sketch_distinct_kmv",
     "sketch_kmv_setops",
     "unpivot_metrics_long",
-    "ann_ivf_kmeans",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
-    "dedup_embedding_cosine",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "knn_cosine_bruteforce",
+    "text_bigram_logprob",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -126,6 +120,12 @@ _PRIORITY_WINDOW = [
     "window_lag_delta",
     "window_running_sum",
     "window_topk_per_user",
+    "ann_ivf_kmeans",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "embedding_quantize_int8",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
@@ -133,6 +133,7 @@ _PRIORITY_WINDOW = [
     "g_self_loop_pattern",
     "g_subgraph_filter",
     "g_triangle_wcoj",
+    "knn_cosine_bruteforce",
     "sample_mixture_sources",
     "sample_stratified_3per_lang",
     "stream_window_counts",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "w1_star_high_skew",
     "w1_star_low_skew",
     "w2_snowflake_high_skew",
-    "w2_snowflake_low_skew",
 ]
 
 

@@ -811,3 +811,94 @@ def g_random_walks_3step(sess: SeccoSession):
         )
         carried.append(f"v{t}")
     return sess.from_spark(cur.select("seed", *carried))
+
+
+WEDGE_CC_ORACLE = f"""
+WITH e AS ({EDGES_SPARSE}),
+{_NB},
+w AS (
+  SELECT n1.a AS v, n1.b AS n1b, n2.b AS n2b,
+         (ew.a IS NOT NULL) AS closed,
+         (substr(md5(CAST(n1.a AS VARCHAR) || '|' || CAST(n1.b AS VARCHAR)
+                     || '|' || CAST(n2.b AS VARCHAR)), 1, 1) < '2') AS sampled
+  FROM nb n1 JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b
+  LEFT JOIN nb ew ON ew.a = n1.b AND ew.b = n2.b
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_wedges,
+         CAST(sum(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT) AS exact_closed,
+         CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS sampled_wedges,
+         CAST(sum(CASE WHEN sampled AND closed THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_closed
+  FROM w)
+SELECT exact_wedges, exact_closed, sampled_wedges, sampled_closed,
+       (abs(CAST(sampled_closed AS HUGEINT) * exact_wedges
+            - CAST(exact_closed AS HUGEINT) * sampled_wedges) * 10
+        <= CAST(sampled_wedges AS HUGEINT) * exact_wedges) AS within_band
+FROM agg
+"""
+
+
+@register("g_wedge_sampled_cc", WEDGE_CC_ORACLE)
+def g_wedge_sampled_cc(sess: SeccoSession):
+    """Sampled global clustering coefficient (wedge sampling, Schank &
+    Wagner 2005): estimate C = closed wedges / wedges from a ~12.5%
+    deterministic md5-hash sample of the wedge set instead of checking
+    closure on every wedge — at 100 TB the wedge set is the quadratic
+    object (Σ deg²), and hash sampling cuts the closure-probe join's
+    build side by 1/p while staying exactly replayable (no engine RNG,
+    same discipline as g_betweenness_sampled's source sampling). One
+    neighbor self-join enumerates wedges, one hash join probes closure;
+    the sample flag is a projection, so the sampled estimator shares the
+    single pass with the exact audit counts. The within-band verdict
+    (|Ĉ − C| ≤ 0.1) is integer cross-multiplied in DECIMAL(38,0)/HUGEINT
+    — never a float division in the gate."""
+    spark = sess.spark
+    e = spark.sql(EDGES_SPARSE)
+    nb = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n1 = nb.select(F.col("a").alias("v"), F.col("b").alias("n1b"))
+    n2 = nb.select(F.col("a").alias("v"), F.col("b").alias("n2b"))
+    ew = nb.select(
+        F.col("a").alias("n1b"), F.col("b").alias("n2b"), F.lit(True).alias("closed0")
+    )
+    w = (
+        n1.join(n2, "v")
+        .filter(F.col("n1b") < F.col("n2b"))
+        .join(ew, ["n1b", "n2b"], "left")
+        .select(
+            F.coalesce("closed0", F.lit(False)).alias("closed"),
+            (
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("v"), F.col("n1b"), F.col("n2b"))),
+                    1,
+                    1,
+                )
+                < "2"
+            ).alias("sampled"),
+        )
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_wedges"),
+        F.sum(F.col("closed").cast("long")).cast("long").alias("exact_closed"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("sampled_wedges"),
+        F.sum((F.col("sampled") & F.col("closed")).cast("long"))
+        .cast("long")
+        .alias("sampled_closed"),
+    )
+    out = agg.select(
+        "exact_wedges",
+        "exact_closed",
+        "sampled_wedges",
+        "sampled_closed",
+        F.expr(
+            "abs(CAST(sampled_closed AS DECIMAL(38,0)) * exact_wedges"
+            " - CAST(exact_closed AS DECIMAL(38,0)) * sampled_wedges) * 10"
+            " <= CAST(sampled_wedges AS DECIMAL(38,0)) * exact_wedges"
+        ).alias("within_band"),
+    )
+    return sess.from_spark(out)

@@ -98,12 +98,13 @@ _PRIORITY_WINDOW = [
     "events_winsorized_mean",
     "g_random_walks_3step",
     "g_skew_hub_auto_wcoj",
+    "g_wedge_sampled_cc",
     "orders_bucketed_join",
     "orders_partition_pruned",
     "sketch_distinct_kmv",
     "sketch_kmv_setops",
-    "unpivot_metrics_long",
     "text_bigram_logprob",
+    "unpivot_metrics_long",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "timeseries_gapfill_hourly",
     "w1_star_high_skew",
     "w1_star_low_skew",
-    "w2_snowflake_high_skew",
 ]
 
 

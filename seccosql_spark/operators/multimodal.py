@@ -1098,3 +1098,74 @@ def audio_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def gray_grid_topdown(payload: bytes) -> "object":
+    """Decoded image as a TOP-DOWN row-major integer grayscale grid
+    (gray = channel sum // channels). Orientation is normalized — the BMP
+    parser returns raw bottom-up rows (fine for the orientation-invariant
+    pixel_sum, wrong for any spatial feature), so the rows are flipped
+    here; netpbm and PNG rasters are top-down already. Channel ORDER never
+    matters for the sum-based gray."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P5"):
+        w, h, fmt, raster = _parse_netpbm(payload)
+        ch = 3 if fmt == "ppm" else 1
+        arr = np.asarray(raster).reshape(h, w, ch)
+    elif payload[:2] == b"BM":
+        w, h, _, raster = _parse_bmp(payload)
+        arr = np.asarray(raster).reshape(h, w, 3)[::-1]
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, _, raster = _parse_png(payload)
+        raster = np.asarray(raster)
+        ch = raster.size // (w * h)
+        arr = raster.reshape(h, w, ch)
+    else:
+        raise ValueError(f"unsupported image magic {payload[:2]!r}")
+    return arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+
+
+def dhash56(payload: bytes, grid: int = 8) -> int:
+    """Difference hash (dHash, Krawetz): nearest-neighbor resample of the
+    grayscale grid to ``grid``x``grid`` (src = tgt * size // grid, pure
+    integer), then bit (y, x) = g[y][x+1] > g[y][x] for x < grid-1 —
+    (grid-1)*grid bits, 56 for the default grid so the hash fits a SIGNED
+    BIGINT in both engines. Every step is integer arithmetic, so a SQL
+    oracle can replay the hash closed-form from a known pixel rule."""
+    import numpy as np
+
+    gray = gray_grid_topdown(payload)
+    h, w = gray.shape
+    sy = (np.arange(grid, dtype=np.int64) * h) // grid
+    sx = (np.arange(grid, dtype=np.int64) * w) // grid
+    g = gray[np.ix_(sy, sx)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    return int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("img_key", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def perceptual_dhash(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, dhash) over Arrow-batched mapInPandas — same scale shape as
+    decode_image: binary payloads stream through Python once, everything
+    downstream is JVM-side joins/aggregations on a BIGINT."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "img_key": pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(
+                        [dhash56(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, PHASH_SCHEMA)

@@ -964,6 +964,70 @@ def multimodal_decode_real(sess: SeccoSession):
     return sess.from_spark(decode_image(synthesize_images(docs)))
 
 
+PHASH_DEDUP_ORACLE = """
+WITH keys AS (SELECT doc_id, doc_id % 60 AS k FROM documents),
+dk AS (SELECT DISTINCT k FROM keys),
+dims AS (SELECT k, CAST(4 + k % 5 AS BIGINT) AS w, CAST(3 + k % 4 AS BIGINT) AS h,
+                CASE WHEN k % 3 = 2 THEN 1 ELSE 3 END AS ch FROM dk),
+cells AS (SELECT k, ch, ty.range AS ty, tx.range AS tx,
+                 (ty.range * h) // 8 AS sy, (tx.range * w) // 8 AS sx
+          FROM dims, range(0, 8) ty, range(0, 8) tx),
+gray AS (SELECT k, ty, tx,
+                CASE WHEN ch = 1 THEN (k*31 + sy*7 + sx*3) % 256
+                     ELSE ((k*31 + sy*7 + sx*3) % 256
+                         + (k*31 + sy*7 + sx*3 + 1) % 256
+                         + (k*31 + sy*7 + sx*3 + 2) % 256) // 3 END AS g
+         FROM cells),
+bits AS (SELECT a.k,
+                (CASE WHEN b.g > a.g THEN CAST(1 AS BIGINT) ELSE 0 END)
+                  << CAST(a.ty * 7 + a.tx AS INT) AS bv
+         FROM gray a JOIN gray b ON a.k = b.k AND a.ty = b.ty AND b.tx = a.tx + 1
+         WHERE a.tx < 7),
+ph AS (SELECT k, CAST(sum(bv) AS BIGINT) AS dhash FROM bits GROUP BY k)
+SELECT dhash,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM keys JOIN ph USING (k)
+GROUP BY dhash
+"""
+
+
+@register("multimodal_phash_dedup", PHASH_DEDUP_ORACLE)
+def multimodal_phash_dedup(sess: SeccoSession):
+    """Perceptual-hash image dedup (dHash, Krawetz) end-to-end on the REAL
+    codec path: synthetic PPM/BMP/PGM images are decoded, orientation-
+    normalized to a top-down grayscale grid (the BMP parser's raw raster
+    is bottom-up — fine for pixel_sum, wrong for any spatial feature),
+    nearest-neighbor resampled to 8×8, and difference-hashed to a 56-bit
+    SIGNED BIGINT; documents sharing a dhash form a duplicate group with
+    a min-id canonical keeper. Two scale decisions a 100 TB image corpus
+    needs: (1) decode once per DISTINCT content key and broadcast the
+    (key → hash) map back — here 60 keys serve every document, exactly
+    how content-addressed stores dedupe before the expensive decode;
+    (2) the hash is integer-only (gray = channel sum // ch, integer
+    resample, strict > bits), so the oracle replays it CLOSED-FORM from
+    the pixel rule — a codec, orientation, or resample bug anywhere
+    breaks the hash match. The 60 keys collapse to 13 dhash groups
+    (heavy quantization of tiny rasters): real grouping, not identity."""
+    from seccosql_spark.operators.multimodal import perceptual_dhash, synthesize_images
+
+    docs = sess.spark.table("documents")
+    keys = docs.select((F.col("doc_id") % 60).alias("doc_id")).distinct()
+    ph = perceptual_dhash(synthesize_images(keys))
+    out = (
+        docs.select("doc_id", (F.col("doc_id") % 60).alias("img_key"))
+        .join(F.broadcast(ph), "img_key")
+        .groupBy("dhash")
+        .agg(
+            F.count_distinct("img_key").cast("long").alias("n_keys"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )
+    return sess.from_spark(out)
+
+
 @register(
     "multimodal_decode_png",
     """WITH dims AS (

@@ -105,6 +105,7 @@ _PRIORITY_WINDOW = [
     "sketch_kmv_setops",
     "text_bigram_logprob",
     "unpivot_metrics_long",
+    "multimodal_phash_dedup",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "stream_window_counts",
     "timeseries_gapfill_hourly",
     "w1_star_high_skew",
-    "w1_star_low_skew",
 ]
 
 

@@ -2171,3 +2171,176 @@ def events_winsorized_mean(sess: SeccoSession):
         "winsorized_mean",
     )
     return sess.from_spark(out)
+
+
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+FK_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS fk_rows,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{fkey})) AS BIGINT) AS orphans"""
+    for name, child, fkey, parent, pkey in FK_EDGES
+)
+
+
+@register("fk_orphan_audit", FK_AUDIT_ORACLE)
+def fk_orphan_audit(sess: SeccoSession):
+    """Referential-integrity audit over EVERY foreign-key edge of the
+    schema in one result: per edge, total child rows and orphan rows
+    (child keys with no parent) — the first data-quality gate any 100 TB
+    ingest runs, and the precondition for the PK-FK join-elimination
+    planning `pkfk_star_planned` relies on. Each edge is a left ANTI join
+    on the key (Catalyst broadcasts the small parents: nation/region/
+    supplier are broadcast builds, the orders probe streams); counts are
+    map-side partial aggregations, so the whole audit is one pass over
+    each child table regardless of scale. On the synthetic testdata every
+    edge is clean (0 orphans) — the row proves the audit, the generator
+    proves the data."""
+    spark = sess.spark
+    parts = []
+    for name, child, fkey, parent, pkey in FK_EDGES:
+        c = spark.table(child)
+        p = spark.table(parent)
+        orphans = c.join(p, c[fkey] == p[pkey], "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).cast("long").alias("fk_rows"))
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relation"), "fk_rows", "orphans"
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return sess.from_spark(out)
+
+
+# Deterministic Poisson(1) bootstrap: per (row, replicate) weight w drawn by
+# inverting the Poisson CDF at a 60-bit md5 hash — fixed integer cutoffs
+# floor(CDF(k) * 2^60), identical literals in both engines, weights capped
+# at 5 (P(w>5) < 1e-4 is folded into the top bucket).
+_POIS_CUTS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+)
+_BOOT_B = 32
+
+
+def _boot_weight_sql(hv: str) -> str:
+    return (
+        f"CASE WHEN {hv} < {_POIS_CUTS[0]} THEN 0 "
+        + " ".join(
+            f"WHEN {hv} < {c} THEN {k + 1}" for k, c in enumerate(_POIS_CUTS[1:])
+        )
+        + " ELSE 5 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    hv = hex_prefix_int_sql(
+        "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(b.range AS VARCHAR))", 15
+    )
+    return f"""
+WITH reps AS (
+  SELECT b.range AS b, {_boot_weight_sql(f"CAST({hv} AS BIGINT)")} AS w,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders, range(0, {_BOOT_B}) b),
+per AS (SELECT b, CAST(sum(w * cents) AS BIGINT) AS s,
+               CAST(sum(w) AS BIGINT) AS n
+        FROM reps GROUP BY b),
+ranked AS (SELECT b, s, n, round(CAST(s AS DOUBLE) / n, 6) AS m,
+                  row_number() OVER (ORDER BY round(CAST(s AS DOUBLE) / n, 6), b) AS rn
+           FROM per),
+point AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      // count(*) AS BIGINT) AS point_cents
+          FROM orders)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates, point_cents,
+       CAST((SELECT s // n FROM ranked WHERE rn = 2) AS BIGINT) AS ci_lo_cents,
+       CAST((SELECT s // n FROM ranked WHERE rn = {_BOOT_B - 1}) AS BIGINT) AS ci_hi_cents,
+       ((SELECT s // n FROM ranked WHERE rn = 2) <= point_cents
+        AND point_cents <= (SELECT s // n FROM ranked WHERE rn = {_BOOT_B - 1}))
+           AS point_in_ci
+FROM point
+"""
+
+
+@register("sample_bootstrap_ci", _bootstrap_oracle())
+def sample_bootstrap_ci(sess: SeccoSession):
+    """Poisson bootstrap (Chamandy et al. 2012 — THE distributed bootstrap:
+    no global resample, each row draws an independent Poisson(1)
+    multiplicity per replicate) for a confidence interval on mean order
+    value: B=32 replicates, per-row weights from a deterministic 60-bit
+    md5 inverse-CDF draw (fixed integer cutoffs, replayed exactly by the
+    oracle), CI = the 2nd/31st order statistics of the replicate means.
+    The plan is map-only weighting (explode of 32 replicate ids) into one
+    partial-aggregated groupBy(b) — 32 numbers of state regardless of
+    table size. Replicate means are ranked on round(s/n, 6) with
+    replicate-id tie-breaks (cross-engine float ranking discipline); the
+    reported cent values are exact integer DIV."""
+    spark = sess.spark
+    orders = spark.table("orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    reps = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.expr(
+            _boot_weight_sql(
+                "CAST(conv(substring(md5(concat_ws('|', "
+                "CAST(o_orderkey AS STRING), CAST(b AS STRING))), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            )
+        ).alias("w"),
+    )
+    per = reps.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    ranked = per.select(
+        "b", "s", "n", F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m")
+    ).withColumn("rn", F.row_number().over(Window.orderBy("m", "b")))
+    point = orders.agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("point_cents")
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.expr("CAST(s DIV n AS BIGINT)").alias("ci_lo_cents")
+    )
+    hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
+        F.expr("CAST(s DIV n AS BIGINT)").alias("ci_hi_cents")
+    )
+    out = (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            "point_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+            (
+                (F.col("ci_lo_cents") <= F.col("point_cents"))
+                & (F.col("point_cents") <= F.col("ci_hi_cents"))
+            ).alias("point_in_ci"),
+        )
+    )
+    return sess.from_spark(out)

@@ -96,16 +96,18 @@ _PRIORITY_WINDOW = [
     "cdc_merge_apply",
     "events_interval_overlaps",
     "events_winsorized_mean",
+    "fk_orphan_audit",
     "g_random_walks_3step",
     "g_skew_hub_auto_wcoj",
     "g_wedge_sampled_cc",
+    "multimodal_phash_dedup",
     "orders_bucketed_join",
     "orders_partition_pruned",
+    "sample_bootstrap_ci",
     "sketch_distinct_kmv",
     "sketch_kmv_setops",
     "text_bigram_logprob",
     "unpivot_metrics_long",
-    "multimodal_phash_dedup",
     "multiway_stats_equality",
     "q10_returned_items",
     "q12_priority_buckets",
@@ -139,8 +141,6 @@ _PRIORITY_WINDOW = [
     "sample_mixture_sources",
     "sample_stratified_3per_lang",
     "stream_window_counts",
-    "timeseries_gapfill_hourly",
-    "w1_star_high_skew",
 ]
 
 

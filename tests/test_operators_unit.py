@@ -1609,3 +1609,64 @@ def test_ann_index_persisted_probe_plan(spark, tmp_path):
     ]
     want = [r["vec_id"] for r in ivf_pq_topk(emb).collect()]
     assert got == want, (got, want)
+
+
+def test_dhash56_matches_closed_form_and_normalizes_orientation():
+    """dhash56 must equal the pure closed-form replay of the synthetic pixel
+    rule for every format (PPM/BMP/PGM) — in particular the BMP path, whose
+    parser returns bottom-up rows that gray_grid_topdown must flip. Also
+    pins that the 60-key synthetic family collapses into >1 and <60 groups
+    (the dedup row relies on real grouping)."""
+    import numpy as np
+
+    from seccosql_spark.operators.multimodal import (
+        dhash56,
+        encode_bmp,
+        encode_pgm,
+        encode_png,
+        encode_ppm,
+        gray_grid_topdown,
+    )
+
+    def synth(d):
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = 1 if d % 3 == 2 else 3
+        idx = np.arange(h * w * ch, dtype=np.int64)
+        y, rem = idx // (w * ch), idx % (w * ch)
+        x, c = rem // ch, rem % ch
+        px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
+        return (encode_ppm, encode_bmp, encode_pgm)[d % 3](w, h, px), w, h, ch
+
+    def closed_form(d, grid=8):
+        w, h = 4 + d % 5, 3 + d % 4
+        ch = 1 if d % 3 == 2 else 3
+
+        def gray(sy, sx):
+            if ch == 1:
+                return (d * 31 + sy * 7 + sx * 3) % 256
+            return sum((d * 31 + sy * 7 + sx * 3 + c) % 256 for c in range(3)) // 3
+
+        hv = 0
+        for ty in range(grid):
+            for tx in range(grid - 1):
+                sy, sx1, sx2 = (ty * h) // grid, (tx * w) // grid, ((tx + 1) * w) // grid
+                if gray(sy, sx2) > gray(sy, sx1):
+                    hv |= 1 << (ty * (grid - 1) + tx)
+        return hv
+
+    hashes = []
+    for d in range(60):
+        payload, w, h, ch = synth(d)
+        assert dhash56(payload) == closed_form(d), d
+        assert gray_grid_topdown(payload).shape == (h, w), d
+        hashes.append(dhash56(payload))
+    assert 1 < len(set(hashes)) < 60
+
+    # PNG path agrees with the PPM path on the same raster (3-channel case)
+    d = 3  # d % 3 == 0 -> the synth raster is the PPM one
+    payload, w, h, ch = synth(d)
+    idx = np.arange(h * w * 3, dtype=np.int64)
+    y, rem = idx // (w * 3), idx % (w * 3)
+    x, c = rem // 3, rem % 3
+    px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
+    assert dhash56(encode_png(w, h, px, channels=3)) == dhash56(payload)

@@ -31,6 +31,10 @@ ALLOWED = {
     # deliberately-exact tier: the probe set is broadcast against the
     # corpus; documented as the brute-force baseline vs the ANN paths
     ("knn_cosine_bruteforce", "broadcast-nested-loop"): "exact-tier probe",
+    # same exact-tier shape twice (full-dim truth + prefix-dim ranking):
+    # the 10-query probe set is broadcast against the corpus by
+    # construction; the row MEASURES the prefix tier's recall
+    ("ann_matryoshka_prefix", "broadcast-nested-loop"): "exact-tier probe x2",
     # reference CartesianProduct parity demo on two tiny dims (region x
     # nation, 5 x 25 rows) — the operator exists BECAUSE the reference has
     # it; linter still blocks it everywhere else
@@ -49,6 +53,12 @@ ALLOWED = {
     ("text_bm25_topk", "broadcast-nested-loop"): "1-row scalar join",
     # 1-row vocabulary-total scalar
     ("text_unigram_logprob", "broadcast-nested-loop"): "1-row scalar join",
+    # 1-row vocabulary-size scalar (|V| in the Laplace denominator)
+    ("text_bigram_logprob", "broadcast-nested-loop"): "1-row scalar join",
+    # per-FK-edge 1-row total x 1-row orphan-count scalars (7 edges)
+    ("fk_orphan_audit", "broadcast-nested-loop"): "1-row scalar joins",
+    # 1-row point estimate x 1-row CI-bound scalars
+    ("sample_bootstrap_ci", "broadcast-nested-loop"): "1-row scalar joins",
     # dense spine = sequence over a 2-value global agg; both fill-join
     # sides are keys x buckets bounded (operators/asof.resample_gapfill)
     ("timeseries_gapfill_hourly", "broadcast-nested-loop"): "2-value spine agg",

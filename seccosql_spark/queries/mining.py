@@ -2344,3 +2344,91 @@ def sample_bootstrap_ci(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+KS_TEST_ORACLE = """
+WITH pts AS (
+  SELECT value,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ca,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS cb
+  FROM events WHERE event_type IN ('view', 'click')),
+g AS (SELECT value, CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+      FROM pts GROUP BY value),
+cum AS (SELECT
+          sum(ca) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+          sum(cb) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+          sum(ca) OVER () AS t1,
+          sum(cb) OVER () AS t2
+        FROM g)
+SELECT CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2,
+       CAST(max(abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1))
+            AS BIGINT) AS d_num,
+       round(CAST(max(abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1))
+                  AS DOUBLE) / (max(t1) * max(t2)), 6) AS d_stat,
+       (CAST(max(abs(CAST(c1 AS HUGEINT) * t2 - CAST(c2 AS HUGEINT) * t1))
+             AS HUGEINT) ** 2 * 1000000
+        > CAST(1844164 AS HUGEINT) * (max(t1) + max(t2)) * max(t1) * max(t2))
+           AS reject_at_95
+FROM cum
+"""
+
+
+@register("events_ks_drift_test", KS_TEST_ORACLE)
+def events_ks_drift_test(sess: SeccoSession):
+    """Exact two-sample Kolmogorov–Smirnov test between the value
+    distributions of 'view' and 'click' events — the distribution-drift
+    gate a training pipeline runs between data snapshots before shipping
+    a mix change. D = max_v |F1(v) - F2(v)| computed EXACTLY on the merged
+    distinct-value grid: one aggregation onto the grid, cumulative counts
+    by window, and the max taken over the integer numerator
+    |c1*n2 - c2*n1| (never a float CDF difference — the d_stat double is
+    derived once at the end, and the 95% rejection verdict
+    D > 1.358*sqrt((n1+n2)/(n1*n2)) is squared into pure DECIMAL(38,0)/
+    HUGEINT cross-multiplication). The grid is |distinct values| rows —
+    at 100 TB you'd quantize values first; the test statistic itself is
+    one sort-ordered pass, the same shape as the exact-percentile row."""
+    ev = sess.spark.table("events").where(
+        F.col("event_type").isin("view", "click")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.select(
+        F.sum("ca").over(wcum).alias("c1"),
+        F.sum("cb").over(wcum).alias("c2"),
+        F.sum("ca").over(wall).alias("t1"),
+        F.sum("cb").over(wall).alias("t2"),
+    )
+    num = F.abs(
+        F.col("c1").cast("decimal(38,0)") * F.col("t2")
+        - F.col("c2").cast("decimal(38,0)") * F.col("t1")
+    )
+    out = cum.agg(
+        F.max("t1").cast("long").alias("n1"),
+        F.max("t2").cast("long").alias("n2"),
+        F.max(num).cast("long").alias("d_num"),
+        F.round(
+            F.max(num).cast("double") / (F.max("t1") * F.max("t2")), 6
+        ).alias("d_stat"),
+        (
+            F.max(num).cast("decimal(38,0)")
+            * F.max(num).cast("decimal(38,0)")
+            * 1000000
+            > F.lit(1844164).cast("decimal(38,0)")
+            * (F.max("t1") + F.max("t2"))
+            * F.max("t1")
+            * F.max("t2")
+        ).alias("reject_at_95"),
+    )
+    return sess.from_spark(out)

@@ -95,6 +95,7 @@ _PRIORITY_WINDOW = [
     "ann_matryoshka_prefix",
     "cdc_merge_apply",
     "events_interval_overlaps",
+    "events_ks_drift_test",
     "events_winsorized_mean",
     "fk_orphan_audit",
     "g_random_walks_3step",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "knn_cosine_bruteforce",
     "sample_mixture_sources",
     "sample_stratified_3per_lang",
-    "stream_window_counts",
 ]
 
 

@@ -1169,3 +1169,77 @@ def perceptual_dhash(with_payload: DataFrame, id_col: str = "doc_id") -> DataFra
             )
 
     return with_payload.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def _wav_pcm(payload: bytes) -> tuple[int, int, "object"]:
+    """RIFF chunk walk returning (sample_rate, channels, int64 ndarray of
+    raw interleaved PCM16 samples) — the raw-samples sibling of
+    decode_audio_bytes (which folds to summary stats)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    _, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return sample_rate, channels, samples
+
+
+def audio_fingerprint7(payload: bytes, segments: int = 8) -> int:
+    """Energy-contour fingerprint (the dHash idea on the time axis): mix
+    channels per frame by SUM (never a division — Spark DIV truncates
+    where numpy floors on negatives), split the frame sequence into
+    ``segments`` contiguous segments via s = f*segments DIV n_frames,
+    sum the squared mono amplitude per segment, and emit bit s =
+    energy[s+1] > energy[s] — a (segments-1)-bit BIGINT. Integer-only,
+    so a SQL oracle replays it closed-form from a known PCM rule."""
+    import numpy as np
+
+    _, ch, samples = _wav_pcm(payload)
+    mono = samples.reshape(-1, ch).sum(axis=1)
+    n = mono.size
+    seg = (np.arange(n, dtype=np.int64) * segments) // n
+    e = np.zeros(segments, dtype=np.int64)
+    np.add.at(e, seg, mono * mono)
+    bits = (e[1:] > e[:-1]).astype(np.int64)
+    return int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_key", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, afp) over Arrow-batched mapInPandas — audio twin of
+    perceptual_dhash: payloads stream through Python once, the
+    fingerprint is a BIGINT for JVM-side grouping."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "clip_key": pdf[id_col].astype("int64"),
+                    "afp": pd.Series(
+                        [audio_fingerprint7(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, AUDIO_FP_SCHEMA)

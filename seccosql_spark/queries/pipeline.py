@@ -964,6 +964,65 @@ def multimodal_decode_real(sess: SeccoSession):
     return sess.from_spark(decode_image(synthesize_images(docs)))
 
 
+AUDIO_FP_ORACLE = """
+WITH keys AS (SELECT doc_id, doc_id % 40 AS k FROM documents),
+dk AS (SELECT DISTINCT k FROM keys),
+dims AS (SELECT k, CAST(1 + k % 2 AS BIGINT) AS ch,
+                CAST(10 + k % 13 AS BIGINT) AS n FROM dk),
+mono AS (SELECT k, n, f.range AS f,
+                CAST(sum((k*37 + (f.range*ch + c.range)*11) % 4096 - 2048)
+                     AS BIGINT) AS m
+         FROM dims, range(0, 23) f, range(0, 2) c
+         WHERE f.range < n AND c.range < ch
+         GROUP BY k, n, f.range),
+seg AS (SELECT k, (f * 8) // n AS s, CAST(sum(m * m) AS BIGINT) AS e
+        FROM mono GROUP BY k, (f * 8) // n),
+bits AS (SELECT a.k,
+                (CASE WHEN b.e > a.e THEN CAST(1 AS BIGINT) ELSE 0 END)
+                  << CAST(a.s AS INT) AS bv
+         FROM seg a JOIN seg b ON a.k = b.k AND b.s = a.s + 1
+         WHERE a.s < 7),
+fp AS (SELECT k, CAST(sum(bv) AS BIGINT) AS afp FROM bits GROUP BY k)
+SELECT afp, CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM keys JOIN fp USING (k)
+GROUP BY afp
+"""
+
+
+@register("multimodal_audio_fingerprint", AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint(sess: SeccoSession):
+    """Audio near-dup fingerprinting on the REAL WAV codec path — the
+    time-axis twin of `multimodal_phash_dedup`: each clip's PCM is mixed
+    to mono per frame by channel SUM (never a division — Spark DIV
+    truncates where numpy floors on negatives), the frame sequence is
+    split into 8 contiguous segments, and the energy CONTOUR (does the
+    next segment carry more energy?) becomes a 7-bit fingerprint —
+    loudness- and codec-metadata-insensitive in the way real audio
+    fingerprints (Shazam-style energy-band deltas) are. Decode runs once
+    per DISTINCT clip key (40 keys serve the corpus, broadcast back);
+    the oracle replays the fingerprint closed-form from the PCM rule, so
+    a chunk-walk, channel-mix, or segmentation bug anywhere breaks the
+    hash match. The 40 keys collapse to 5 contour groups."""
+    from seccosql_spark.operators.multimodal import audio_fingerprint, synthesize_audio
+
+    docs = sess.spark.table("documents")
+    keys = docs.select((F.col("doc_id") % 40).alias("doc_id")).distinct()
+    fp = audio_fingerprint(synthesize_audio(keys))
+    out = (
+        docs.select("doc_id", (F.col("doc_id") % 40).alias("clip_key"))
+        .join(F.broadcast(fp), "clip_key")
+        .groupBy("afp")
+        .agg(
+            F.count_distinct("clip_key").cast("long").alias("n_keys"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+    )
+    return sess.from_spark(out)
+
+
 PHASH_DEDUP_ORACLE = """
 WITH keys AS (SELECT doc_id, doc_id % 60 AS k FROM documents),
 dk AS (SELECT DISTINCT k FROM keys),

@@ -101,6 +101,7 @@ _PRIORITY_WINDOW = [
     "g_random_walks_3step",
     "g_skew_hub_auto_wcoj",
     "g_wedge_sampled_cc",
+    "multimodal_audio_fingerprint",
     "multimodal_phash_dedup",
     "orders_bucketed_join",
     "orders_partition_pruned",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "g_triangle_wcoj",
     "knn_cosine_bruteforce",
     "sample_mixture_sources",
-    "sample_stratified_3per_lang",
 ]
 
 

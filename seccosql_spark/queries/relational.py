@@ -752,3 +752,29 @@ def lateral_top_customers(sess: SeccoSession):
     rank filter after one hash join). Ties broken by name; balances are
     read-through doubles (no arithmetic, bit-identical across engines)."""
     return sess.from_spark(sess.spark.sql(LATERAL_ORACLE))
+
+
+QUALIFY_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+                                    o_orderkey) <= 2
+"""
+
+
+@register("qualify_top_orders_sql", QUALIFY_SQL)
+def qualify_top_orders_sql(sess: SeccoSession):
+    """QUALIFY dialect clause — top-2 orders per priority, written with the
+    window filter INLINE instead of a wrapper subquery. Spark has no
+    QUALIFY; the preprocessor rewrites it into the window-materializing
+    subquery + WHERE (sql/preprocessor.rewrite_qualify; trailing
+    ORDER BY/LIMIT apply after the filter — pinned in
+    test_preprocessor.py, kept out of this row so the plan stays
+    sort-free). DuckDB runs QUALIFY
+    natively, so the oracle is the IDENTICAL SQL text — the rewrite is
+    proven equivalent to the clause's native semantics, not to a
+    hand-translated twin. Ranking on exact cents with key tie-breaks
+    (the cross-engine float discipline)."""
+    return sess.sql(QUALIFY_SQL)

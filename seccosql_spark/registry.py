@@ -105,6 +105,7 @@ _PRIORITY_WINDOW = [
     "multimodal_phash_dedup",
     "orders_bucketed_join",
     "orders_partition_pruned",
+    "qualify_top_orders_sql",
     "sample_bootstrap_ci",
     "sketch_distinct_kmv",
     "sketch_kmv_setops",
@@ -140,7 +141,6 @@ _PRIORITY_WINDOW = [
     "g_subgraph_filter",
     "g_triangle_wcoj",
     "knn_cosine_bruteforce",
-    "sample_mixture_sources",
 ]
 
 

@@ -1,4 +1,5 @@
-"""Dialect preprocessor: ``WITH RECURSIVE(n)``, ``UNION BYUPDATE``, ``MATCH``.
+"""Dialect preprocessor: ``WITH RECURSIVE(n)``, ``UNION BYUPDATE``, ``MATCH``,
+``QUALIFY``.
 
 Reference grammar being re-expressed (``parsing/SQLParser.scala``):
 
@@ -151,6 +152,56 @@ def rewrite_union_by_update(text: str) -> str:
 
 _WITH_REC_RE = re.compile(r"^\s*WITH\s+RECURSIVE\s*(?:\(\s*(\d+)\s*\))?\s+", re.I)
 _UNION_RE = re.compile(r"\bUNION(\s+ALL)?\b", re.I)
+
+
+_SELECT_DISTINCT_RE = re.compile(r"^\s*SELECT\s+DISTINCT\b", re.I)
+
+
+def rewrite_qualify(text: str) -> str:
+    """Rewrite a top-level ``... QUALIFY <pred> [ORDER BY ...] [LIMIT ...]``
+    into the window-materializing subquery Spark can run (Spark has no
+    QUALIFY clause; DuckDB/Snowflake/BigQuery do — this is the engine's
+    dialect extension beyond both the reference and Spark):
+
+        SELECT * EXCEPT (__qualify)
+        FROM (<head select list>, (<pred>) AS __qualify <head from...>) q
+        WHERE __qualify [ORDER BY ...] [LIMIT ...]
+
+    The predicate is injected into the head's SELECT list (so its window
+    functions see the same scope QUALIFY defines: after grouping/HAVING,
+    before ORDER BY/LIMIT), and the trailing ORDER BY / LIMIT stay outside
+    the wrapper so they order/cap the FILTERED rows. Top-level occurrences
+    only, like every rewrite here; QUALIFY inside a parenthesized subquery
+    is out of scope. SELECT DISTINCT heads are rejected (injecting the
+    predicate column would change the distinct key)."""
+    idx = _find_top_level_keyword(text, "QUALIFY")
+    if idx < 0:
+        return text
+    head = text[:idx].rstrip()
+    if _SELECT_DISTINCT_RE.match(head):
+        raise ValueError("QUALIFY: SELECT DISTINCT head is not supported")
+    rest = text[idx + len("QUALIFY"):]
+    tail_idx = len(rest)
+    for kw in ("ORDER BY", "LIMIT"):
+        k = _find_top_level_keyword(rest, kw)
+        if 0 <= k < tail_idx:
+            tail_idx = k
+    pred, tail = rest[:tail_idx].strip(), rest[tail_idx:].strip()
+    if not pred:
+        raise ValueError("QUALIFY: missing predicate")
+    from_idx = _find_top_level_keyword(head, "FROM")
+    if from_idx < 0:
+        raise ValueError("QUALIFY: no top-level FROM in the query head")
+    injected = (
+        f"{head[:from_idx].rstrip()}, ({pred}) AS __qualify {head[from_idx:]}"
+    )
+    out = (
+        f"SELECT * EXCEPT (__qualify) FROM ({injected}) __qualify_q"
+        " WHERE __qualify"
+    )
+    if tail:
+        out += " " + tail
+    return out
 
 
 @dataclass
@@ -331,7 +382,7 @@ def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
             text = rewrite_match(session, text, match_views)
         if _WITH_REC_RE.match(text):
             return run_with_recursive(session, text)
-        return session.spark.sql(text)
+        return session.spark.sql(rewrite_qualify(text))
     finally:
         for view in match_views:
             session.spark.catalog.dropTempView(view)

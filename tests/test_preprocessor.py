@@ -157,3 +157,37 @@ def test_pagerank_nondefault_params_match_generated_oracle(sess, oracle):
 
     df = pagerank(sess.spark.sql(EDGES_SPARK), rounds=2, damping_num=90, damping_den=100)
     assert_df_matches_oracle(df, oracle, _pagerank_oracle(2, damping_num=90, damping_den=100))
+
+
+def test_qualify_rewrite_behaviour(sess):
+    """QUALIFY filters on the window predicate, trailing ORDER BY/LIMIT
+    apply AFTER the filter, and the helper column never leaks."""
+    sess.spark.sql(
+        "SELECT * FROM VALUES (1,'a',10),(2,'a',20),(3,'b',5),(4,'b',7) AS t(id, k, v)"
+    ).createOrReplaceTempView("qual_t")
+    out = sess.sql(
+        """SELECT id, k, v FROM qual_t
+           QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC, id) = 1
+           ORDER BY id LIMIT 1"""
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert out.df.columns == ["id", "k", "v"]
+    assert rows == [(2, "a", 20)]  # per-k argmax, then ORDER/LIMIT post-filter
+
+
+def test_qualify_rewrite_guards():
+    from seccosql_spark.sql.preprocessor import rewrite_qualify
+
+    import pytest as _pytest
+
+    # passthrough without the clause
+    assert rewrite_qualify("SELECT 1") == "SELECT 1"
+    # nested (parenthesized) QUALIFY is out of scope: untouched
+    inner = "SELECT * FROM (SELECT 1 AS x -- QUALIFY in comment\n) t"
+    assert rewrite_qualify(inner) == inner
+    with _pytest.raises(ValueError, match="missing predicate"):
+        rewrite_qualify("SELECT x FROM t QUALIFY")
+    with _pytest.raises(ValueError, match="DISTINCT"):
+        rewrite_qualify("SELECT DISTINCT x FROM t QUALIFY rn = 1")
+    with _pytest.raises(ValueError, match="FROM"):
+        rewrite_qualify("SELECT 1 QUALIFY rn = 1")

@@ -2712,3 +2712,110 @@ def dedup_cross_source_overlap(sess: SeccoSession):
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
     return sess.from_spark(out)
+
+
+CENTROID_MARGIN_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT label AS lbl, pos,
+             CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+      FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM v)
+      GROUP BY lbl, pos),
+cl AS (SELECT lbl, list(c ORDER BY pos) AS c FROM m GROUP BY lbl),
+s AS (SELECT vec_id, label, lbl,
+             round(list_dot_product(v, c) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+                   6) AS sim
+      FROM v CROSS JOIN cl),
+ab AS (SELECT vec_id, label,
+              max(CASE WHEN lbl = label THEN sim END) AS a,
+              max(CASE WHEN lbl <> label THEN sim END) AS b
+       FROM s GROUP BY vec_id, label)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(round(a - b, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / count(*), 6) AS mean_margin,
+       CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
+FROM ab GROUP BY label
+"""
+
+
+@register("embed_centroid_margin", CENTROID_MARGIN_ORACLE)
+def embed_centroid_margin(sess: SeccoSession):
+    """Embedding-space cluster quality: the centroid-margin (silhouette-
+    lite) report a pipeline runs before trusting a labeling/clustering for
+    semantic dedup or stratified sampling. Per vector: a = cosine to its
+    OWN label centroid, b = the best cosine to any OTHER label centroid;
+    margin = a - b (positive = the vector sits closer to its own cluster
+    than to the nearest rival — the silhouette sign test without the
+    full O(n^2) pairwise matrix, which is the standard scale
+    substitution). Reported per label: n, mean margin, count separated.
+
+    Scale shape: the k x dim centroid table is the ONLY thing that leaves
+    the executors (label_centroids' decimal-exact per-dimension means),
+    then margins are a MAP-ONLY projection — centroids ride the task
+    closure as literals (the kmeans_assign pattern), each vector computes
+    k dots in whole-stage codegen, and the final agg is k groups. No
+    joins, no per-pair shuffle, corpus streamed once per pass. Float
+    discipline: sims rounded to 6dp (cross-engine rank/compare safety),
+    margins summed via round(.,9)::DECIMAL(28,9) — never raw doubles.
+    On i.i.d.-random testdata vectors the margins hover near zero by
+    construction (labels carry no geometry); the report's value is that
+    both engines agree on them EXACTLY."""
+    from seccosql_spark.operators.similarity import (
+        _as_double,
+        dot,
+        label_centroids,
+        norm,
+    )
+
+    spark = sess.spark
+    emb = spark.table("embeddings")
+    cent_rows = label_centroids(emb).collect()
+    by_lbl: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_lbl.setdefault(r["bucket"], {})[r["pos"]] = r["centroid"]
+    probes = [
+        (int(lbl), [poss[p] for p in sorted(poss)])
+        for lbl, poss in sorted(by_lbl.items())
+    ]
+    base = emb.select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("vn", norm(F.col("v")))
+    sims = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("lbl"),
+                F.round(
+                    dot(F.col("v"), F.lit(c)) / (F.col("vn") * norm(F.lit(c))), 6
+                ).alias("sim"),
+            )
+            for lbl, c in probes
+        ]
+    )
+    ab = base.select(
+        "label",
+        F.element_at(F.filter(sims, lambda s: s["lbl"] == F.col("label")), 1)[
+            "sim"
+        ].alias("a"),
+        F.array_max(
+            F.transform(
+                F.filter(sims, lambda s: s["lbl"] != F.col("label")),
+                lambda s: s["sim"],
+            )
+        ).alias("b"),
+    )
+    out = ab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("a") - F.col("b"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_margin"),
+        F.sum(F.when(F.col("a") > F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_separated"),
+    )
+    return sess.from_spark(out)

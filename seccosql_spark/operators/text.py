@@ -326,3 +326,40 @@ def bpe_encode_expr(sym_col: str, merges: list[tuple[str, str]]) -> Column:
                    THEN concat(slice(acc, 1, size(acc) - 1), array('{mq}'))
                    ELSE concat(acc, array(x)) END)"""
     return F.expr(expr)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup (the Common-Crawl-style normalize pass
+    that runs before URL-level dedup and host-level corpus stats): drop the
+    #fragment, lowercase scheme and host, strip one leading 'www.', drop
+    the scheme-default port (https:443 / http:80), drop utm_* tracking
+    params (the order of surviving params is preserved), and strip trailing
+    slashes from the path. Built from split_part / regexp_replace /
+    higher-order filter only, so the whole normalization is ONE map-only
+    projection inside whole-stage codegen — no UDF, no shuffle — and the
+    DuckDB oracle mirrors it call-for-call."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.split_part(u, F.lit("://"), F.lit(1)))
+    rest = F.split_part(u, F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    pathq = F.substr(rest, F.length(hostport) + F.lit(1))
+    host = F.regexp_replace(
+        F.lower(F.split_part(hostport, F.lit(":"), F.lit(1))), r"^www\.", ""
+    )
+    port = F.split_part(hostport, F.lit(":"), F.lit(2))
+    default_port = (
+        F.when(scheme == "https", F.lit("443"))
+        .when(scheme == "http", F.lit("80"))
+        .otherwise(F.lit(""))
+    )
+    portpart = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(F.split_part(pathq, F.lit("?"), F.lit(1)), "/+$", "")
+    q = F.split_part(pathq, F.lit("?"), F.lit(2))
+    q_clean = F.array_join(
+        F.filter(F.split(q, "&"), lambda p: F.substring(p, 1, 4) != F.lit("utm_")),
+        "&",
+    )
+    qpart = F.when(q_clean == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_clean))
+    return F.concat(scheme, F.lit("://"), host, portpart, path, qpart)

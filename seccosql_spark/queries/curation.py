@@ -419,3 +419,136 @@ def pack_sequences_greedy_q(sess: SeccoSession):
         ),
     )
     return sess.from_spark(pack_sequences_greedy(with_tokens, capacity=256, part_size=64))
+
+
+URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+               WHEN doc_id % 3 = 1 THEN 'WWW.' ELSE '' END) ||
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'src' || CAST((doc_id // 3) % 20 AS VARCHAR) || '.example.com'
+               ELSE 'Src' || CAST((doc_id // 3) % 20 AS VARCHAR) || '.Example.COM'
+          END) ||
+         (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+         '/docs/' || CAST(doc_id // 3 AS VARCHAR) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         '?id=' || CAST(doc_id // 3 AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 1
+               THEN '&utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 6 = 0
+               THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END) AS url
+  FROM documents),
+c AS (
+  SELECT doc_id, url,
+         lower(split_part(u, '://', 1)) || '://' ||
+         regexp_replace(lower(split_part(split_part(split_part(u, '://', 2),
+                                                    '/', 1), ':', 1)),
+                        '^www\\.', '') ||
+         (CASE WHEN split_part(split_part(u, '://', 2), '/', 1) NOT LIKE '%:%'
+                 OR split_part(split_part(split_part(u, '://', 2), '/', 1),
+                               ':', 2)
+                    = (CASE WHEN lower(split_part(u, '://', 1)) = 'https'
+                            THEN '443'
+                            WHEN lower(split_part(u, '://', 1)) = 'http'
+                            THEN '80' ELSE '' END)
+               THEN ''
+               ELSE ':' || split_part(split_part(split_part(u, '://', 2),
+                                                 '/', 1), ':', 2) END) ||
+         regexp_replace(split_part(pathq, '?', 1), '/+$', '') ||
+         (CASE WHEN array_to_string(
+                      list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                                  p -> substr(p, 1, 4) <> 'utm_'), '&') = ''
+               THEN ''
+               ELSE '?' || array_to_string(
+                      list_filter(string_split(split_part(pathq, '?', 2), '&'),
+                                  p -> substr(p, 1, 4) <> 'utm_'), '&') END)
+           AS canon
+  FROM (SELECT doc_id, url, u,
+               substr(split_part(u, '://', 2),
+                      length(split_part(split_part(u, '://', 2), '/', 1)) + 1)
+                 AS pathq
+        FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+              FROM raw)))
+SELECT split_part(split_part(canon, '://', 2), '/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical
+FROM c GROUP BY host
+"""
+
+
+@register("url_canonical_dedup", URL_CANON_ORACLE)
+def url_canonical_dedup(sess: SeccoSession):
+    """URL canonicalization + host-level dedup report — the normalize pass
+    a web-corpus pipeline runs before URL dedup: case-folded scheme/host,
+    'www.' stripped, default :443 dropped, utm_* tracking params removed,
+    fragments discarded, trailing slashes trimmed. The corpus derives a
+    deterministic messy URL per document (every third doc shares a logical
+    target; doc_id-driven case/port/slash/utm/fragment noise makes each raw
+    string unique — the planted-corpus pattern of ann_lsh_clustered), so
+    the per-host report proves the canonicalizer collapses ~3 raw variants
+    into 1: host, n_urls, n_raw_distinct, n_canonical.
+
+    Scale shape: generation + canonicalization are ONE map-only projection
+    (operators/text.canonical_url — split_part/regexp/higher-order filter,
+    no UDF), then a single groupBy(host) with partial aggregation; the
+    count(DISTINCT ...) pair rides the same shuffle. At 100 TB the host
+    grouping is the natural partition key for crawl data, and the
+    canonical column — not the raw one — is what the downstream exact-dedup
+    hash-groupBy consumes."""
+    from seccosql_spark.operators.text import canonical_url
+
+    docs = sess.spark.table("documents")
+    t = F.expr("doc_id DIV 3").cast("string")
+    n = F.expr("(doc_id DIV 3) % 20").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("WWW."))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("src"), n, F.lit(".example.com")),
+        ).otherwise(F.concat(F.lit("Src"), n, F.lit(".Example.COM"))),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        t,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        t,
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("&utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select(url.alias("url")).withColumn(
+        "canon", canonical_url(F.col("url"))
+    )
+    out = (
+        base.withColumn(
+            "host",
+            F.split_part(
+                F.split_part(F.col("canon"), F.lit("://"), F.lit(2)),
+                F.lit("/"),
+                F.lit(1),
+            ),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+            F.countDistinct("canon").cast("long").alias("n_canonical"),
+        )
+    )
+    return sess.from_spark(out)

@@ -162,3 +162,113 @@ def orders_bucketed_join(sess: SeccoSession):
         )
     )
     return sess.from_spark(out)
+
+
+def _hrw_hash_sql(nchars: int = 15) -> str:
+    from seccosql_spark.operators.hexint import hex_prefix_int_sql
+
+    return hex_prefix_int_sql("hx", nchars)
+
+
+RENDEZVOUS_ORACLE = f"""
+WITH keys AS (SELECT o_orderkey AS key FROM orders),
+sp AS (SELECT key, s,
+              md5(CAST(key AS VARCHAR) || '|' || CAST(s AS VARCHAR)) AS hx
+       FROM keys, range(9) t(s)),
+hv AS (SELECT key, s, {_hrw_hash_sql()} AS h FROM sp),
+a9 AS (SELECT key, s AS shard9 FROM hv
+       QUALIFY row_number() OVER (PARTITION BY key
+                                  ORDER BY h DESC, s DESC) = 1),
+a8 AS (SELECT key, s AS shard8 FROM hv WHERE s < 8
+       QUALIFY row_number() OVER (PARTITION BY key
+                                  ORDER BY h DESC, s DESC) = 1),
+j AS (SELECT a8.key AS key, shard8, shard9 FROM a8 JOIN a9 USING (key)),
+per AS (SELECT CAST(shard8 AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_hrw,
+               CAST(sum(CASE WHEN key % 9 <> key % 8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_mod
+        FROM j GROUP BY shard8),
+tot AS (SELECT CAST(sum(n_keys) AS BIGINT) AS n,
+               CAST(sum(n_moved_hrw) AS BIGINT) AS mh,
+               CAST(sum(n_moved_mod) AS BIGINT) AS mm
+        FROM per)
+SELECT shard, n_keys, n_moved_hrw, n_moved_mod,
+       (20 * mh > n AND 5 * mh < n) AS moved_frac_ok,
+       (4 * mh < mm) AS hrw_beats_mod
+FROM per CROSS JOIN tot
+"""
+
+
+@register("shard_rendezvous_stability", RENDEZVOUS_ORACLE)
+def shard_rendezvous_stability(sess: SeccoSession):
+    """Rendezvous (highest-random-weight) sharding with a scale-out
+    stability audit — the shard-assignment discipline for a 100 TB corpus
+    whose shard count must grow without a full reshuffle. Each key's shard
+    is argmax over shards of md5(key|shard) (Thaler-Ravishankar HRW); the
+    row computes the assignment at K=8 AND K=9 and reports, per K=8
+    shard: key count, how many keys HRW relocates when shard 8 joins
+    (provably only TO the new shard, expected fraction 1/9), and how many
+    keys naive key%K sharding would relocate (expected 8/9 — the
+    disaster HRW exists to avoid). Two global verdict columns pin the
+    property in-query: the HRW moved fraction sits in (1/20, 1/5) and
+    beats mod-sharding by >4x, both as integer cross-multiplications.
+
+    Scale shape: the 9 per-key hashes ride the task closure as an array
+    of (hash, shard) structs — argmax at K=9 and at K=8 (a slice of the
+    same array) in ONE map-only codegen projection, no join between the
+    two assignments; then one 8-group aggregate plus a broadcast of the
+    3-number total. The mod comparison is free arithmetic on the same
+    pass."""
+    spark = sess.spark
+    keys = spark.table("orders").select(F.col("o_orderkey").alias("key"))
+
+    def h(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("key").cast("string"), F.lit(str(s))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    arr = F.array(
+        *[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(9)]
+    )
+    asg = keys.select(
+        "key",
+        F.array_max(F.slice(arr, 1, 8))["s"].alias("shard8"),
+        F.array_max(arr)["s"].alias("shard9"),
+    )
+    per = asg.groupBy(F.col("shard8").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_hrw"),
+        F.sum(F.when(F.col("key") % 9 != F.col("key") % 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_mod"),
+    )
+    tot = per.agg(
+        F.sum("n_keys").cast("long").alias("n"),
+        F.sum("n_moved_hrw").cast("long").alias("mh"),
+        F.sum("n_moved_mod").cast("long").alias("mm"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_keys",
+        "n_moved_hrw",
+        "n_moved_mod",
+        ((20 * F.col("mh") > F.col("n")) & (5 * F.col("mh") < F.col("n"))).alias(
+            "moved_frac_ok"
+        ),
+        (4 * F.col("mh") < F.col("mm")).alias("hrw_beats_mod"),
+    )
+    return sess.from_spark(out)

@@ -94,6 +94,7 @@ _PRIORITY_WINDOW = [
     "ann_index_persisted",
     "ann_matryoshka_prefix",
     "cdc_merge_apply",
+    "embed_centroid_margin",
     "events_interval_overlaps",
     "events_ks_drift_test",
     "events_winsorized_mean",
@@ -107,11 +108,12 @@ _PRIORITY_WINDOW = [
     "orders_partition_pruned",
     "qualify_top_orders_sql",
     "sample_bootstrap_ci",
+    "shard_rendezvous_stability",
     "sketch_distinct_kmv",
     "sketch_kmv_setops",
     "text_bigram_logprob",
     "unpivot_metrics_long",
-    "multiway_stats_equality",
+    "url_canonical_dedup",
     "q10_returned_items",
     "q12_priority_buckets",
     "q14_promo_share",
@@ -121,18 +123,11 @@ _PRIORITY_WINDOW = [
     "q3_shipping_priority",
     "q7_nation_volume",
     "scalar_subquery",
-    "source_quantiles",
     "udf_rowwise_registered",
     "union_by_update",
     "window_lag_delta",
     "window_running_sum",
     "window_topk_per_user",
-    "ann_ivf_kmeans",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
-    "dedup_embedding_cosine",
-    "embedding_centroids",
-    "embedding_quantize_int8",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
@@ -140,7 +135,12 @@ _PRIORITY_WINDOW = [
     "g_self_loop_pattern",
     "g_subgraph_filter",
     "g_triangle_wcoj",
-    "knn_cosine_bruteforce",
+    "w1_star_high_skew",
+    "w1_star_low_skew",
+    "w2_snowflake_high_skew",
+    "w2_snowflake_low_skew",
+    "w3_chain_high_skew",
+    "w3_chain_low_skew",
 ]
 
 

@@ -79,6 +79,10 @@ ALLOWED = {
     # cross joins — the routing/ADC-table construction, bounded by the
     # (tiny by definition) probe batch and index metadata
     ("ann_index_persisted", "broadcast-nested-loop"): "probe x index metadata",
+    # 1-row merged-sketch estimate x 1-row exact-audit scalars
+    ("sketch_kmv_setops", "broadcast-nested-loop"): "1-row scalar join",
+    # 8-row per-shard report x 1-row (n, mh, mm) totals scalar
+    ("shard_rendezvous_stability", "broadcast-nested-loop"): "1-row scalar join",
 }
 
 

@@ -376,3 +376,95 @@ def events_interval_overlaps(sess: SeccoSession):
         bucket_width=US_PER_HOUR,
     ).withColumnRenamed("overlap", "overlap_us")
     return sess.from_spark(out)
+
+
+ACF_ORACLE = """
+WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+                    AS t
+           FROM orders),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS x FROM d GROUP BY t),
+lim AS (SELECT min(t) AS t0, max(t) AS t1 FROM d),
+spine AS (SELECT unnest(generate_series(t0, t1)) AS t FROM lim),
+ser AS (SELECT s.t AS t, coalesce(x, 0) AS x
+        FROM spine s LEFT JOIN cnt USING (t)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        FROM ser),
+a AS (SELECT t, n * x - sx AS av FROM ser CROSS JOIN tot),
+den AS (SELECT sum(CAST(av AS HUGEINT) * av) AS d2 FROM a),
+lg AS (SELECT unnest([1, 7, 30, 365]) AS lag_days),
+num AS (SELECT lag_days, sum(CAST(p.av AS HUGEINT) * q.av) AS nk,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM lg l JOIN a p ON true JOIN a q ON q.t = p.t + l.lag_days
+        GROUP BY lag_days)
+SELECT CAST(lag_days AS BIGINT) AS lag_days, n_pairs,
+       round(CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS acf
+FROM num CROSS JOIN den
+"""
+
+
+@register("orders_acf_lags", ACF_ORACLE)
+def orders_acf_lags(sess: SeccoSession):
+    """Exact lag-k autocorrelation of the daily order-count series at lags
+    1/7/30/365 — the periodicity probe a pipeline runs BEFORE committing
+    to a seasonal model (the seasonal-naive backtest row assumes lag-168
+    hourly structure; this row is how you discover the period). The
+    series is densified onto a day spine (zero-filled gaps — ACF over an
+    observed-only series is biased), then centered IN INTEGERS: with
+    n = days and S = total orders, a_t = n*x_t - S is the residual
+    scaled by n, so acf_k = sum(a_t*a_{t+k}) / sum(a_t^2) needs no float
+    mean — both sums run in DECIMAL(38,0)/HUGEINT and only the final
+    division is a double (identical rounding of exact integers in both
+    engines).
+
+    Scale shape: the spine is calendar-bounded (~2.4k rows regardless of
+    SF), built from a 2-value agg; the lag products are hash equi-joins
+    on t+k (no global-order window — a single global sort would
+    single-partition the series), and the scalar totals ride broadcast
+    1-row joins. Day counts aggregate map-side before anything joins."""
+    spark = sess.spark
+    d = spark.table("orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    )
+    cnt = d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    spine = d.agg(F.min("t").alias("t0"), F.max("t").alias("t1")).select(
+        F.explode(F.sequence("t0", "t1")).alias("t")
+    )
+    ser = spine.join(cnt, "t", "left").select(
+        "t", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    tot = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    a = ser.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("n") * F.col("x") - F.col("sx")).alias("av")
+    )
+    den = a.agg(
+        F.sum(F.col("av").cast("decimal(38,0)") * F.col("av")).alias("d2")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(30), F.lit(365))).alias(
+            "lag_days"
+        )
+    )
+    p = a.select(F.col("t").alias("pt"), F.col("av").alias("pav"))
+    q = a.select(F.col("t").alias("qt"), F.col("av").alias("qav"))
+    num = (
+        p.crossJoin(F.broadcast(lags))
+        .join(q, F.col("qt") == F.col("pt") + F.col("lag_days"))
+        .groupBy("lag_days")
+        .agg(
+            F.sum(F.col("pav").cast("decimal(38,0)") * F.col("qav")).alias("nk"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    out = num.crossJoin(F.broadcast(den)).select(
+        F.col("lag_days").cast("long").alias("lag_days"),
+        "n_pairs",
+        F.round(
+            F.col("nk").cast("double") / F.col("d2").cast("double"), 6
+        ).alias("acf"),
+    )
+    return sess.from_spark(out)

@@ -91,56 +91,56 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "ann_index_persisted",
-    "ann_matryoshka_prefix",
-    "cdc_merge_apply",
-    "embed_centroid_margin",
-    "events_interval_overlaps",
-    "events_ks_drift_test",
-    "events_winsorized_mean",
-    "fk_orphan_audit",
-    "g_random_walks_3step",
-    "g_skew_hub_auto_wcoj",
-    "g_wedge_sampled_cc",
-    "multimodal_audio_fingerprint",
-    "multimodal_phash_dedup",
-    "orders_bucketed_join",
-    "orders_partition_pruned",
-    "qualify_top_orders_sql",
-    "sample_bootstrap_ci",
-    "shard_rendezvous_stability",
-    "sketch_distinct_kmv",
-    "sketch_kmv_setops",
-    "text_bigram_logprob",
-    "unpivot_metrics_long",
-    "url_canonical_dedup",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "scalar_subquery",
-    "udf_rowwise_registered",
-    "union_by_update",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_topk_per_user",
-    "g_labeled_pattern",
-    "g_message_passing_2rounds",
-    "g_message_passing_wsum",
-    "g_pattern_weighted_agg",
-    "g_self_loop_pattern",
-    "g_subgraph_filter",
-    "g_triangle_wcoj",
-    "w1_star_high_skew",
-    "w1_star_low_skew",
-    "w2_snowflake_high_skew",
-    "w2_snowflake_low_skew",
-    "w3_chain_high_skew",
-    "w3_chain_low_skew",
+    "orders_acf_lags",
+    "multiway_stats_equality",
+    "source_quantiles",
+    "ann_ivf_kmeans",
+    "ann_ivf_label",
+    "ann_lsh_hyperplane",
+    "dedup_embedding_cosine",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "knn_cosine_bruteforce",
+    "sample_mixture_sources",
+    "sample_stratified_3per_lang",
+    "stream_window_counts",
+    "timeseries_gapfill_hourly",
+    "w5_cycle_join",
+    "w6_theta_chain",
+    "ann_lsh_clustered",
+    "corpus_clean_pass",
+    "cube_agg",
+    "curation_end_to_end",
+    "decontaminate_bloom",
+    "decontaminate_ngram8",
+    "dedup_cluster_canonical",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_minhash_words",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_windows",
+    "events_zorder_topk",
+    "funnel_view_click_purchase",
+    "g_clustering_coeff",
+    "g_common_neighbors",
+    "g_connected_components",
+    "g_degrees",
+    "g_kcore",
+    "g_ktruss",
+    "g_label_propagation",
+    "g_pagerank_3rounds",
+    "g_path2_pairs",
+    "g_scc",
+    "g_sssp_weighted",
+    "multimodal_binaryfile_scan",
+    "multimodal_decode_audio",
+    "multimodal_decode_png",
+    "multimodal_decode_real",
+    "multimodal_frames_real",
+    "multimodal_probe_mp4",
 ]
 
 

@@ -83,6 +83,9 @@ ALLOWED = {
     ("sketch_kmv_setops", "broadcast-nested-loop"): "1-row scalar join",
     # 8-row per-shard report x 1-row (n, mh, mm) totals scalar
     ("shard_rendezvous_stability", "broadcast-nested-loop"): "1-row scalar join",
+    # 1-row mean/denominator scalars + the 4-row lag table crossJoin —
+    # every broadcast side bounded by construction (lags k in 1..4)
+    ("orders_acf_lags", "broadcast-nested-loop"): "1-row scalars + 4-row lag table",
 }
 
 

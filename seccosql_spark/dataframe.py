@@ -192,6 +192,7 @@ class SeccoDataFrame:
         algorithm: str = "ghd",
         stats=None,
         allow_cross: bool = False,
+        on_duplicates: str = "raise",
     ) -> "SeccoDataFrame":
         """n-way natural join (MultiwayJoin, plan/multiwayOperators.scala:57-154).
 
@@ -213,9 +214,22 @@ class SeccoDataFrame:
         grouping-sets pass per relation, exact hottest-key frequencies) —
         the right mode when the inputs are filtered/derived intermediates
         the offline catalog has never analyzed, where precomputed base-
-        table stats can misroute in either direction."""
+        table stats can misroute in either direction.
+
+        `on_duplicates` governs the WCOJ set-semantics hazard: the WCOJ
+        path (explicit OR auto-routed) emits DISTINCT bindings, so an input
+        with duplicate rows would silently change the answer vs the bag-
+        semantics GHD/chain paths. "raise" (default) probes each input
+        without a declared primary key for duplicate rows (one early-exit
+        aggregation each) and raises; "dedup" proceeds with a warning —
+        the caller acknowledges set semantics (no extra shuffle: the
+        hypercube trie dedups internally); "trust" skips the probe — the
+        zero-overhead path for inputs known duplicate-free (edge sets,
+        PK-carrying tables, which skip the probe under "raise" too)."""
         if algorithm not in ("ghd", "chain", "wcoj", "auto"):
             raise ValueError(f"unknown multiway join algorithm: {algorithm!r}")
+        if on_duplicates not in ("raise", "dedup", "trust"):
+            raise ValueError(f"unknown on_duplicates mode: {on_duplicates!r}")
         dfs = [self.df] + [_unwrap(o) for o in others]
         if isinstance(stats, str):
             if stats != "observed":
@@ -235,6 +249,7 @@ class SeccoDataFrame:
         if algorithm == "wcoj":
             from seccosql_spark.plans.wcoj import wcoj_natural_join
 
+            self._guard_wcoj_bag_inputs([self, *others], dfs, on_duplicates)
             return self._wrap(wcoj_natural_join(dfs))
         from seccosql_spark.plans.ghd import multiway_natural_join
 
@@ -247,6 +262,49 @@ class SeccoDataFrame:
                 allow_cross=allow_cross,
             )
         )
+
+    @staticmethod
+    def _guard_wcoj_bag_inputs(inputs: list, dfs: list[DataFrame], mode: str) -> None:
+        """The WCOJ router's safety rail (reference parity note: the
+        reference's ``TrieInternalBlock.scala:30`` is set-typed too — this
+        guards OUR router, which could otherwise silently flip a bag join
+        to set semantics on mis-routed duplicated inputs).
+
+        "trust" skips entirely. "dedup" warns once and proceeds (the trie
+        dedups internally; no pre-shuffle added). "raise" probes each input
+        lacking a declared primary key with ONE early-exit aggregation
+        (groupBy-all-columns, count>1, limit 1 — the limit stops the scan
+        at the first duplicate group) and raises naming the offender."""
+        if mode == "trust":
+            return
+        if mode == "dedup":
+            import warnings
+
+            warnings.warn(
+                "multiway_join WCOJ path emits DISTINCT bindings (set "
+                "semantics); duplicated input rows are collapsed",
+                stacklevel=3,
+            )
+            return
+        for i, (inp, df) in enumerate(zip(inputs, dfs)):
+            if isinstance(inp, SeccoDataFrame) and inp.primary_keys:
+                continue  # PK contract already guarantees duplicate-free
+            dup = (
+                df.groupBy(*df.columns)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1)
+                .limit(1)
+                .take(1)
+            )
+            if dup:
+                raise ValueError(
+                    f"multiway_join(algorithm='wcoj'/'auto'->wcoj): input #{i} "
+                    f"(columns {df.columns}) has duplicate rows — the WCOJ path "
+                    "is set-semantics and would silently drop multiplicities. "
+                    "Use algorithm='ghd' for bag semantics, or pass "
+                    "on_duplicates='dedup' to acknowledge distinct output, or "
+                    "on_duplicates='trust' to skip this probe."
+                )
 
     # ---- sinks / actions (SeccoDataFrame.scala:64-117) ----
 

@@ -178,3 +178,46 @@ def test_wcoj_hub_graph_parity(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_router_raises_on_bag_input(sess):
+    """VERDICT r11 task 6: the multiway_join router must not silently flip
+    bag inputs to set output. Default on_duplicates='raise' probes inputs
+    without a PK and refuses; 'dedup' proceeds (set semantics acknowledged,
+    warns); 'trust' skips the probe; GHD path is untouched by the guard."""
+    import warnings
+
+    dup = sess.from_spark(
+        sess.spark.createDataFrame([(1, 2), (1, 2), (3, 4)], "a BIGINT, b BIGINT")
+    )
+    other = sess.spark.createDataFrame([(2, 5), (4, 6)], "b BIGINT, c BIGINT")
+    third = sess.spark.createDataFrame([(5, 1), (6, 3)], "c BIGINT, a BIGINT")
+    with pytest.raises(ValueError, match="set-semantics"):
+        dup.multiway_join([other, third], algorithm="wcoj")
+    # acknowledged: proceeds, warns, output is the distinct bindings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = dup.multiway_join([other, third], algorithm="wcoj", on_duplicates="dedup")
+        assert any("DISTINCT bindings" in str(x.message) for x in w)
+    assert got.count() == 2  # (1,2,5) collapsed from the duplicated (1,2)
+    # trust: no probe, same set output
+    trusted = dup.multiway_join([other, third], algorithm="wcoj", on_duplicates="trust")
+    assert trusted.count() == 2
+    # bag path unaffected: GHD keeps multiplicities, guard never fires
+    bag = dup.multiway_join([other, third], algorithm="ghd")
+    assert bag.count() == 3
+
+
+def test_router_pk_inputs_skip_probe(sess):
+    """Inputs carrying a declared primary key skip the duplicate probe —
+    the zero-overhead path; duplicate-free inputs pass the probe too."""
+    a = sess.from_spark(
+        sess.spark.createDataFrame([(1, 2), (3, 4)], "a BIGINT, b BIGINT")
+    )
+    a.primary_keys = ("a", "b")
+    b = sess.spark.createDataFrame([(2, 5), (4, 6)], "b BIGINT, c BIGINT")
+    c = sess.spark.createDataFrame([(5, 1), (6, 3)], "c BIGINT, a BIGINT")
+    out = a.multiway_join([b, c], algorithm="wcoj")
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="unknown on_duplicates"):
+        a.multiway_join([b, c], algorithm="wcoj", on_duplicates="nope")

@@ -256,7 +256,13 @@ def _query_blocks(
     Closure is over top-level names: a referenced function's own
     references (helpers, oracle constants) are tracked recursively, across
     module boundaries through the import map."""
-    fn_name = getattr(fn, "__name__", None)
+    # unwrap before reading __name__: register() wraps build fns
+    # (lint-on-build), and the `_sql(...)` factories patch the ORIGINAL
+    # function's __name__ to the query name AFTER registration — the
+    # wrapper's copied name would be the factory-internal "_q"
+    import inspect as _inspect
+
+    fn_name = getattr(_inspect.unwrap(fn), "__name__", None)
     blocks: set[tuple[str, str]] = set()
     whole_files: set[str] = set()
     seen_attrs: set[str] = set()

@@ -26,7 +26,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--no-lint",
+        action="store_true",
+        help="skip the lint-on-build plan gate (on by default so a new row "
+        "with an unallowlisted scale hazard fails HERE, not at pytest time)",
+    )
     args = ap.parse_args()
+    if not args.no_lint:
+        import os
+
+        os.environ.setdefault("SECCO_LINT_ON_BUILD", "1")
 
     spark = (
         SparkSession.builder.master("local[8]")

@@ -7,6 +7,8 @@ modules finished registering)."""
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -28,7 +30,26 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, headline: bool = False):
     def deco(fn: Callable[[SeccoSession], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        # Lint-on-build (VERDICT r11 task 4): gate-at-pytest-time proved
+        # too late when a round's final commit skips the suite — under
+        # SECCO_LINT_ON_BUILD=1 (set by scripts/verify_queries.py, the
+        # tool every new row runs through first) the physical plan is
+        # linted against the package allowlist on first build in the
+        # process, raising PlanQualityError on unallowlisted hazards.
+        @functools.wraps(fn)
+        def build(sess: SeccoSession) -> DataFrame:
+            out = fn(sess)
+            if os.environ.get("SECCO_LINT_ON_BUILD") and name not in _LINTED:
+                from seccosql_spark.plans.allowlist import enforce_clean
+
+                _LINTED.add(name)
+                enforce_clean(name, out)
+            return out
+
+        REGISTRY[name] = QuerySpec(name, build, oracle, headline)
         return fn
 
     return deco
+
+
+_LINTED: set[str] = set()  # lint once per (process, query) — plans are static

@@ -92,11 +92,25 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "orders_acf_lags",
+    "intersect_all_bag",
+    "join_anti",
+    "join_full_outer",
+    "join_inner_groupby",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
     "multiway_stats_equality",
+    "natural_join_count",
+    "pivot_status",
+    "q5_join_chain",
+    "scalar_case_null",
     "source_quantiles",
+    "theta_join",
+    "udaf_median_price",
     "ann_ivf_kmeans",
     "ann_ivf_label",
     "ann_lsh_hyperplane",
+    "cross_join_pairs",
     "dedup_embedding_cosine",
     "embedding_centroids",
     "embedding_quantize_int8",
@@ -122,25 +136,11 @@ _PRIORITY_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_substring_windows",
+    "distinct_pairs",
     "events_zorder_topk",
-    "funnel_view_click_purchase",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_connected_components",
-    "g_degrees",
-    "g_kcore",
-    "g_ktruss",
-    "g_label_propagation",
-    "g_pagerank_3rounds",
-    "g_path2_pairs",
-    "g_scc",
-    "g_sssp_weighted",
-    "multimodal_binaryfile_scan",
-    "multimodal_decode_audio",
-    "multimodal_decode_png",
-    "multimodal_decode_real",
-    "multimodal_frames_real",
-    "multimodal_probe_mp4",
+    "except_all_bag",
+    "except_distinct",
+    "filter_predicate",
 ]
 
 

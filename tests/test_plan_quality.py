@@ -252,3 +252,45 @@ def test_headline_queries_lint_clean(sess):
         out = spec.build(sess)
         df = out.df if hasattr(out, "df") else out
         assert_scale_clean(df)
+
+
+def test_lint_on_build_gates_new_rows(sess, monkeypatch):
+    """VERDICT r11 task 4: under SECCO_LINT_ON_BUILD=1 (the
+    scripts/verify_queries.py default) a registered row with an
+    unallowlisted hazard raises PlanQualityError at FIRST BUILD — a new
+    row cannot reach the driver ungated even if the commit skips pytest."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.plans.allowlist import PlanQualityError
+    from seccosql_spark.registration import _LINTED, register
+
+    monkeypatch.setenv("SECCO_LINT_ON_BUILD", "1")
+
+    @register("__lint_probe_bnlj", None)
+    def _probe(s):
+        a = s.spark.range(100).select(F.col("id").alias("x"))
+        b = s.spark.range(100).select(F.col("id").alias("y"))
+        return a.crossJoin(F.broadcast(b))  # unallowlisted BNLJ
+
+    @register("__lint_probe_complex", None)
+    def _probe2(s):
+        return s.spark.range(3).select(F.array(F.col("id")).alias("arr"))
+
+    @register("__lint_probe_clean", None)
+    def _probe3(s):
+        return s.spark.range(3).select((F.col("id") * 2).alias("x"))
+
+    try:
+        with pytest.raises(PlanQualityError, match="broadcast-nested-loop"):
+            REGISTRY["__lint_probe_bnlj"].build(sess)
+        with pytest.raises(PlanQualityError, match="complex-typed"):
+            REGISTRY["__lint_probe_complex"].build(sess)
+        assert REGISTRY["__lint_probe_clean"].build(sess).count() == 3
+        # flag off: ungated build (pytest's own parametrized gate still runs)
+        monkeypatch.delenv("SECCO_LINT_ON_BUILD")
+        _LINTED.discard("__lint_probe_bnlj")
+        assert REGISTRY["__lint_probe_bnlj"].build(sess).count() == 10000
+    finally:
+        for n in ("__lint_probe_bnlj", "__lint_probe_complex", "__lint_probe_clean"):
+            REGISTRY.pop(n, None)
+            _LINTED.discard(n)

@@ -495,6 +495,83 @@ def spillover_violations(window: list[str], rows: list[dict] | None = None) -> l
     return [n for n in required if n not in win]
 
 
+def edited_window_violations(
+    window: list[str], rows: list[dict] | None = None
+) -> list[str]:
+    """VERDICT r11 task 3: every EDITED row must enter the next driver
+    window. A row whose dependency blocks changed after the latest driver
+    run ("hot") carries a green row that proves superseded code; it must be
+    re-verified next round unless outranked by never-verified/overdue rows
+    filling every slot. The check: the window must contain the generator-
+    order top-`len(window)` of the never+overdue+hot tiers. Unlike
+    spillover_violations this depends on COMMIT timestamps, so it can go
+    red mid-round after an edit — by design: the fix is regenerating the
+    window (scripts/freshness.py --window) in the same commit as the
+    edit."""
+    rows = ledger() if rows is None else rows
+    must = [
+        r["name"] for r in rows if r["round"] == 0 or r["overdue"] or r["hot"]
+    ]
+    required = must[: len(window)]
+    win = set(window)
+    return [n for n in required if n not in win]
+
+
+def staleness_histogram(rows: list[dict] | None = None) -> list[tuple[str, int]]:
+    """Rows bucketed by rounds-since-green (VERDICT r11 task 3): how long
+    each registry row has gone without a driver re-verification. "never" =
+    no green driver row yet. Depends only on committed CORRECTNESS files,
+    so the table is stable within a round."""
+    rows = ledger() if rows is None else rows
+    max_round = max((r["round"] for r in rows), default=0)
+    buckets: dict[str, int] = {}
+    for r in rows:
+        key = "never" if r["round"] == 0 else str(max_round - r["round"])
+        buckets[key] = buckets.get(key, 0) + 1
+    def _order(k: str):
+        return (1, 0) if k == "never" else (0, int(k))
+    return [(k, buckets[k]) for k in sorted(buckets, key=_order)]
+
+
+HISTOGRAM_START = "<!-- freshness-histogram:start -->"
+HISTOGRAM_END = "<!-- freshness-histogram:end -->"
+
+
+def histogram_markdown(rows: list[dict] | None = None) -> str:
+    """The COVERAGE.md freshness section, regenerated each round so the
+    50-slot window rotation is auditable from the judged documents."""
+    rows = ledger() if rows is None else rows
+    hist = staleness_histogram(rows)
+    max_round = max((r["round"] for r in rows), default=0)
+    lines = [
+        HISTOGRAM_START,
+        f"Rows by rounds-since-green (driver round r{max_round:02d} = age 0; "
+        f"{len(rows)} rows; regenerate: `python scripts/freshness.py "
+        "--write-histogram`):",
+        "",
+        "| rounds since green | rows |",
+        "|---|---|",
+    ]
+    for k, v in hist:
+        lines.append(f"| {k} | {v} |")
+    lines.append(HISTOGRAM_END)
+    return "\n".join(lines)
+
+
+def write_histogram(rows: list[dict] | None = None) -> None:
+    cov = os.path.join(REPO, "COVERAGE.md")
+    text = open(cov).read()
+    section = histogram_markdown(rows)
+    if HISTOGRAM_START in text:
+        import re as _re
+
+        pat = _re.escape(HISTOGRAM_START) + r".*?" + _re.escape(HISTOGRAM_END)
+        text = _re.sub(pat, section, text, count=1, flags=_re.S)
+    else:
+        text = text.rstrip() + "\n\n## Freshness\n\n" + section + "\n"
+    open(cov, "w").write(text)
+
+
 def main() -> None:
     rows = ledger()
     if "--check" in sys.argv:
@@ -511,6 +588,10 @@ def main() -> None:
     if "--window" in sys.argv:
         for r in rows[:50]:
             print(r["name"])
+        return
+    if "--write-histogram" in sys.argv:
+        write_histogram(rows)
+        print("COVERAGE.md freshness histogram refreshed")
         return
     n_stale = sum(r["stale"] for r in rows)
     print(f"# {len(rows)} queries, {n_stale} stale "

@@ -220,3 +220,52 @@ def test_freshness_taint_is_per_query(tmp_path):
     t3 = fr.queries_tainted_by(pipeline, {imp_rng[0]})
     assert {"dedup_minhash_lsh", "knn_cosine_bruteforce",
             "ann_index_persisted"} <= t3
+
+
+def _load_freshness():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "freshness",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "freshness.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_coverage_histogram_is_current():
+    """VERDICT r11 task 3: the COVERAGE.md staleness histogram (rows by
+    rounds-since-green) must match the ledger — regenerated each round so
+    the 50-slot window rotation stays auditable from the judged documents.
+    Red here = run `python scripts/freshness.py --write-histogram`."""
+    import os
+
+    fr = _load_freshness()
+    cov = open(os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")).read()
+    assert fr.HISTOGRAM_START in cov, "COVERAGE.md lacks the freshness histogram section"
+    start = cov.index(fr.HISTOGRAM_START)
+    end = cov.index(fr.HISTOGRAM_END) + len(fr.HISTOGRAM_END)
+    assert cov[start:end] == fr.histogram_markdown(), (
+        "COVERAGE.md freshness histogram is stale — run "
+        "`python scripts/freshness.py --write-histogram`"
+    )
+
+
+def test_edited_rows_enter_next_window():
+    """VERDICT r11 task 3: every row edited since the latest driver run
+    ("hot" in the ledger) must be in _PRIORITY_WINDOW unless outranked by
+    never-verified/overdue/hotter rows filling all 50 slots. Red here =
+    regenerate the window (`python scripts/freshness.py --window`) in the
+    same commit as the edit."""
+    fr = _load_freshness()
+
+    from seccosql_spark.registry import _PRIORITY_WINDOW
+
+    bad = fr.edited_window_violations(list(_PRIORITY_WINDOW))
+    assert not bad, (
+        "edited-this-round rows missing from _PRIORITY_WINDOW (their green "
+        f"driver rows prove superseded code): {bad} — run "
+        "scripts/freshness.py --window and paste into registry._PRIORITY_WINDOW"
+    )

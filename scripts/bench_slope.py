@@ -43,6 +43,14 @@ PINNED = [
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
     "q7_nation_volume",
+    # VERDICT r11 task 5: the riskiest scale shapes beyond the headliners —
+    # candidate growth in the dedup/ANN families, intermediate growth in
+    # the pattern rows (bounded 60-node extracted graph; slope should be
+    # scan-dominated)
+    "dedup_ppjoin_exact",
+    "dedup_substring_windows",
+    "ann_lsh_clustered",
+    "g_clique4_count",
 ]
 WARMUPS = 2
 

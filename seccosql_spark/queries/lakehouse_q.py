@@ -1,0 +1,204 @@
+"""Lakehouse copy-on-write MERGE rows (VERDICT r11 task 7): the
+architectural gap these close is the STORAGE side of the reference's
+``UnionByUpdate`` (binaryOperators.scala:155-171). The engine verb upserts a
+dataset; a 100 TB pipeline upserts a TABLE, and what makes that affordable
+is copy-on-write over partitioned immutable files: rewrite only the touched
+partitions, carry the rest by reference, commit an atomic manifest, keep
+old versions readable (time travel). ``operators/lakehouse.py`` implements
+the mechanics; these rows prove them against a DuckDB oracle that replays
+the merges logically from the raw table.
+
+Build-once discipline: the versioned table (v0 create + v1 upsert/delete
+merge + v2 second merge) is built per corpus file through
+``operators.artifact.build_once`` — sweeps and repeat verifications pay one
+build, then every probe is pure manifest-pinned reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from seccosql_spark.operators.lakehouse import (
+    DELETE_COL,
+    create_table,
+    merge_cow,
+    read_manifest,
+    read_table,
+)
+from seccosql_spark.registration import register
+from seccosql_spark.session import SeccoSession
+
+# Deterministic, engine-portable batch predicates (same text runs in Spark
+# and DuckDB). Batch 1 touches 1-URGENT + 3-MEDIUM; batch 2 touches 2-HIGH
+# + 5-LOW; 4-NOT SPECIFIED is never touched. Delete keys exclude upsert
+# keys so each batch is key-unique.
+U1 = "o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')"
+D1 = (
+    "o_orderkey % 997 = 0 AND o_orderkey % 97 <> 0 "
+    "AND o_orderpriority = '1-URGENT'"
+)
+U2 = "o_orderkey % 203 = 0 AND o_orderpriority = '2-HIGH'"
+D2 = "o_orderkey % 501 = 0 AND o_orderpriority = '5-LOW'"
+
+_CENTS_SPARK = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _flag(df: DataFrame, deleted: bool) -> DataFrame:
+    return df.withColumn(DELETE_COL, F.lit(deleted))
+
+
+def _batches(spark) -> tuple[DataFrame, DataFrame]:
+    ords = spark.table("orders")
+    upd1 = ords.where(U1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    ins1 = ords.where(U1).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    ).withColumn("o_orderstatus", F.lit("N"))
+    del1 = ords.where(D1)
+    batch1 = _flag(upd1, False).unionByName(_flag(ins1, False)).unionByName(
+        _flag(del1, True)
+    )
+    upd2 = ords.where(U2).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+    )
+    del2 = ords.where(D2)
+    batch2 = _flag(upd2, False).unionByName(_flag(del2, True))
+    return batch1, batch2
+
+
+def _versioned_table(sess: SeccoSession) -> str:
+    """The v0..v2 table directory for this corpus (built once per source
+    file + module code)."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(ords, table, "o_orderpriority")
+        b1, b2 = _batches(spark)
+        merge_cow(spark, table, b1, ["o_orderkey"])
+        merge_cow(spark, table, b2, ["o_orderkey"])
+
+    return os.path.join(
+        build_once("secco_lakehouse", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+def _version_report(sess: SeccoSession, versions: list[int]) -> DataFrame:
+    """One output row per manifest version: row count + exact cents sum of
+    the snapshot, plus the commit's copy-on-write audit (how many
+    partitions the commit rewrote vs carried by reference). Pure
+    manifest-pinned file reads + one aggregation each — no joins."""
+    table = _versioned_table(sess)
+    spark = sess.spark
+    out = None
+    for v in versions:
+        m = read_manifest(table, v)
+        rewritten = m.get("partitions_rewritten", len(m["files"]))
+        carried = m.get("partitions_carried", 0)
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn("parts_rewritten", F.lit(rewritten).cast("int"))
+            .withColumn("parts_carried", F.lit(carried).cast("int"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+_CENTS_P = "CAST(floor(p * 100 + 0.5) AS BIGINT)"
+
+_REPLAY = f"""
+u1 AS (SELECT o_orderkey, o_totalprice + 1000.0 AS p, o_orderpriority
+       FROM orders WHERE {U1}),
+i1 AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS p,
+              o_orderpriority
+       FROM orders WHERE {U1}),
+f1 AS (
+  SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders
+  WHERE NOT ({U1}) AND NOT ({D1})
+  UNION ALL SELECT * FROM u1
+  UNION ALL SELECT * FROM i1
+),
+f2 AS (
+  SELECT o_orderkey, p, o_orderpriority FROM f1
+  WHERE NOT ({U2}) AND NOT ({D2})
+  UNION ALL
+  SELECT o_orderkey, p + 500.0, o_orderpriority FROM f1 WHERE {U2}
+)
+"""
+
+MERGE_COW_ORACLE = f"""
+WITH {_REPLAY}
+SELECT CAST(0 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
+       CAST(5 AS INTEGER) AS parts_rewritten,
+       CAST(0 AS INTEGER) AS parts_carried
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INTEGER),
+       CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT),
+       CAST(2 AS INTEGER), CAST(3 AS INTEGER)
+FROM f1
+"""
+
+
+@register("lakehouse_merge_cow", MERGE_COW_ORACLE)
+def lakehouse_merge_cow(sess: SeccoSession):
+    """Copy-on-write MERGE commit audit: v0 (5 partitions written) and v1
+    (upsert + CDC-delete batch touching 2 of 5 partitions — the manifest
+    must show exactly 2 rewritten / 3 carried, and the snapshot contents
+    must equal the oracle's logical replay)."""
+    return _version_report(sess, [0, 1])
+
+
+TIME_TRAVEL_ORACLE = f"""
+WITH {_REPLAY}
+SELECT CAST(0 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f1
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f2
+"""
+
+
+@register("lakehouse_time_travel", TIME_TRAVEL_ORACLE)
+def lakehouse_time_travel(sess: SeccoSession):
+    """Snapshot isolation: AFTER two commits, manifest-pinned reads of v0,
+    v1, and v2 must each still return that version's exact contents —
+    immutable data files + versioned manifests are what make concurrent
+    readers safe under writers at 100 TB."""
+    table = _versioned_table(sess)
+    spark = sess.spark
+    out = None
+    for v in (0, 1, 2):
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

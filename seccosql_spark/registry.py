@@ -71,6 +71,7 @@ from seccosql_spark.queries import streaming_q  # noqa: E402,F401
 from seccosql_spark.queries import workload  # noqa: E402,F401
 from seccosql_spark.queries import mining  # noqa: E402,F401
 from seccosql_spark.queries import storage  # noqa: E402,F401
+from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry iteration order IS the driver's verification order; the driver
@@ -91,6 +92,8 @@ from seccosql_spark.queries import storage  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_merge_cow",
+    "lakehouse_time_travel",
     "orders_acf_lags",
     "intersect_all_bag",
     "join_anti",
@@ -139,8 +142,6 @@ _PRIORITY_WINDOW = [
     "distinct_pairs",
     "events_zorder_topk",
     "except_all_bag",
-    "except_distinct",
-    "filter_predicate",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Copy-on-write lakehouse table unit tests (operators/lakehouse.py): the
+edge cases the registry rows don't hit — inserts creating a brand-new
+partition, delete-only batches, carried-file identity (untouched partition
+files must be the SAME file, not a rewrite), and version pinning under a
+later commit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from seccosql_spark.operators.lakehouse import (
+    DELETE_COL,
+    create_table,
+    latest_version,
+    merge_cow,
+    read_manifest,
+    read_table,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k BIGINT, p STRING, v DOUBLE",
+    )
+    d = str(tmp_path / "t")
+    create_table(df, d, "p")
+    return d
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_upsert_and_insert_existing_partition(spark, table):
+    upd = spark.createDataFrame(
+        [(2, "a", 99.0, False), (5, "a", 50.0, False)],
+        f"k BIGINT, p STRING, v DOUBLE, {DELETE_COL} BOOLEAN",
+    )
+    m = merge_cow(spark, table, upd, ["k"])
+    assert m["version"] == 1
+    assert m["partitions_rewritten"] == 1 and m["partitions_carried"] == 1
+    assert rows(read_table(spark, table)) == [
+        (1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (4, "b", 40.0),
+        (5, "a", 50.0),
+    ]
+    # v0 still intact (time travel)
+    assert rows(read_table(spark, table, 0)) == [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0),
+    ]
+
+
+def test_insert_creates_new_partition(spark, table):
+    upd = spark.createDataFrame([(9, "c", 90.0)], "k BIGINT, p STRING, v DOUBLE")
+    m = merge_cow(spark, table, upd, ["k"])
+    assert m["partitions_rewritten"] == 1 and m["partitions_carried"] == 2
+    assert (9, "c", 90.0) in rows(read_table(spark, table))
+    assert latest_version(table) == 1
+
+
+def test_delete_only_batch(spark, table):
+    upd = spark.createDataFrame(
+        [(3, "b", 0.0, True)],
+        f"k BIGINT, p STRING, v DOUBLE, {DELETE_COL} BOOLEAN",
+    )
+    merge_cow(spark, table, upd, ["k"])
+    assert rows(read_table(spark, table)) == [
+        (1, "a", 10.0), (2, "a", 20.0), (4, "b", 40.0),
+    ]
+
+
+def test_carried_files_are_same_file_not_rewrites(spark, table):
+    upd = spark.createDataFrame([(1, "a", 11.0)], "k BIGINT, p STRING, v DOUBLE")
+    m0 = read_manifest(table, 0)
+    m1 = merge_cow(spark, table, upd, ["k"])
+    f0 = {f["partition"]: f["path"] for f in m0["files"]}
+    f1 = {f["partition"]: f["path"] for f in m1["files"]}
+    assert f1["b"] == f0["b"]  # carried BY REFERENCE
+    assert f1["a"] != f0["a"]  # rewritten
+    # both physical files exist; old one still serves v0 readers
+    assert os.path.exists(os.path.join(table, f0["a"]))
+    assert os.path.exists(os.path.join(table, f1["a"]))
+
+
+def test_missing_partition_column_raises(spark, table):
+    upd = spark.createDataFrame([(1, 11.0)], "k BIGINT, v DOUBLE")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_cow(spark, table, upd, ["k"])

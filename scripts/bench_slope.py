@@ -54,6 +54,22 @@ PINNED = [
 ]
 WARMUPS = 2
 
+# Known slope excesses with their root cause (VERDICT r11 task 5: "any
+# excess triaged"). Written into SLOPE.json next to the measured ratio so
+# the number never travels without its explanation.
+TRIAGE = {
+    "dedup_ppjoin_exact": (
+        "fixture-bound candidate blowup, not an engine defect: the "
+        "synthetic corpus has a 31-word vocabulary, so every PPJoin "
+        "prefix token's document frequency is ~N/31 and the candidate "
+        "set grows ~N^2/V even though true pairs grew exactly 10x "
+        "(rows 256 -> 2560). On a Zipfian real corpus prefix tokens are "
+        "rare and candidates grow ~linearly. The 100 TB near-dup scale "
+        "path is the banded MinHash-LSH family (slope 1.07x in this same "
+        "table); exact PPJoin is the small-corpus/exact tier."
+    ),
+}
+
 
 def _median_time(name: str, spark, sf_dir: str) -> tuple[float, int, bool]:
     n = 0
@@ -94,6 +110,8 @@ def main() -> None:
             "quiet_wait_sec": round(wait, 1),
             "extended": ext01 or ext1,
         }
+        if name in TRIAGE:
+            out[name]["triage"] = TRIAGE[name]
         print(f"# {name}: {t01:.2f}s -> {t1:.2f}s (x{t1 / t01:.1f})",
               file=sys.stderr)
     with open(os.path.join(REPO, "SLOPE.json"), "w") as f:

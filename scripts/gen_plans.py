@@ -56,6 +56,8 @@ EXTRA = [
     "dedup_substring_windows",
     "events_zorder_topk",
     "g_ktruss",
+    "lakehouse_merge_cow",
+    "lakehouse_append_compact",
     "dedup_containment",
     "dedup_incremental_batch",
     "sample_weighted_quality",

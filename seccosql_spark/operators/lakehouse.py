@@ -134,6 +134,83 @@ def read_table(
     return spark.read.parquet(*paths)
 
 
+def append_commit(
+    spark: SparkSession,
+    table_dir: str,
+    inserts: DataFrame,
+) -> dict:
+    """Blind-append commit: one NEW file per touched partition, existing
+    files untouched — the cheap path for pure inserts (no read, no
+    anti-join, no rewrite; exactly how streaming micro-batches land).
+    Repeated appends accumulate small files per partition; that debt is
+    what ``compact`` pays down."""
+    m = read_manifest(table_dir)
+    pcol = m["partition_by"]
+    version = m["version"] + 1
+    if pcol not in inserts.columns:
+        raise ValueError(f"inserts must carry the partition column {pcol!r}")
+    touched = sorted(
+        str(r[0]) for r in inserts.select(pcol).distinct().collect()
+    )
+    files = [
+        {k: f[k] for k in ("path", "partition", "rows")} for f in m["files"]
+    ]
+    for p in touched:
+        files.append(
+            _write_partition_file(
+                inserts.where(F.col(pcol).cast("string") == p),
+                table_dir, p, version,
+            )
+        )
+    manifest = {
+        "version": version,
+        "partition_by": pcol,
+        "files": files,
+        "appended_files": len(touched),
+    }
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def compact(spark: SparkSession, table_dir: str) -> dict:
+    """OPTIMIZE / bin-pack commit: rewrite every partition holding more
+    than one live file into a single file; single-file partitions are
+    carried by reference. Contents are unchanged by construction (pure
+    union of the partition's live files) — only the file layout changes,
+    which is what keeps scan task counts and parquet footer overhead flat
+    under a steady append stream at 100 TB."""
+    m = read_manifest(table_dir)
+    pcol = m["partition_by"]
+    version = m["version"] + 1
+    by_partition: dict[str, list[dict]] = {}
+    for f in m["files"]:
+        by_partition.setdefault(f["partition"], []).append(f)
+    files: list[dict] = []
+    compacted = carried = 0
+    for p in sorted(by_partition):
+        group = by_partition[p]
+        if len(group) == 1:
+            files.append(group[0])
+            carried += 1
+            continue
+        compacted += 1
+        merged = spark.read.parquet(
+            *[os.path.join(table_dir, f["path"]) for f in group]
+        )
+        files.append(_write_partition_file(merged, table_dir, p, version))
+    manifest = {
+        "version": version,
+        "partition_by": pcol,
+        "files": files,
+        "partitions_compacted": compacted,
+        "partitions_carried": carried,
+    }
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
 def merge_cow(
     spark: SparkSession,
     table_dir: str,

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from seccosql_spark.operators.lakehouse import (
     DELETE_COL,
+    append_commit,
+    compact,
     create_table,
     merge_cow,
     read_manifest,
@@ -41,6 +43,10 @@ D1 = (
 )
 U2 = "o_orderkey % 203 = 0 AND o_orderpriority = '2-HIGH'"
 D2 = "o_orderkey % 501 = 0 AND o_orderpriority = '5-LOW'"
+# Append batches (v3, v4): blind inserts restricted to two partitions; key
+# offsets keep them disjoint from the base and from the merge inserts.
+A1 = "o_orderkey % 301 = 0 AND o_orderpriority IN ('1-URGENT', '5-LOW')"
+A2 = "o_orderkey % 401 = 0 AND o_orderpriority IN ('1-URGENT', '5-LOW')"
 
 _CENTS_SPARK = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
 
@@ -84,8 +90,22 @@ def _versioned_table(sess: SeccoSession) -> str:
         table = os.path.join(d, "table")
         create_table(ords, table, "o_orderpriority")
         b1, b2 = _batches(spark)
-        merge_cow(spark, table, b1, ["o_orderkey"])
-        merge_cow(spark, table, b2, ["o_orderkey"])
+        merge_cow(spark, table, b1, ["o_orderkey"])   # v1
+        merge_cow(spark, table, b2, ["o_orderkey"])   # v2
+        # v3/v4: blind appends (streaming-micro-batch shape), v5: OPTIMIZE
+        append_commit(
+            spark, table,
+            ords.where(A1).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+            ),
+        )
+        append_commit(
+            spark, table,
+            ords.where(A2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
+            ),
+        )
+        compact(spark, table)
 
     return os.path.join(
         build_once("secco_lakehouse", (src,), _build, code=(_self, _ops)),
@@ -138,32 +158,45 @@ f2 AS (
   WHERE NOT ({U2}) AND NOT ({D2})
   UNION ALL
   SELECT o_orderkey, p + 500.0, o_orderpriority FROM f1 WHERE {U2}
-)
+),
+a1 AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice AS p,
+              o_orderpriority
+       FROM orders WHERE {A1}),
+a2 AS (SELECT o_orderkey + 30000000 AS o_orderkey, o_totalprice AS p,
+              o_orderpriority
+       FROM orders WHERE {A2}),
+f3 AS (SELECT * FROM f2 UNION ALL SELECT * FROM a1),
+f4 AS (SELECT * FROM f3 UNION ALL SELECT * FROM a2)
 """
 
 MERGE_COW_ORACLE = f"""
-WITH {_REPLAY}
+WITH {_REPLAY},
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+touched1 AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+             WHERE ({U1}) OR ({D1}))
 SELECT CAST(0 AS INTEGER) AS version,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
-       CAST(5 AS INTEGER) AS parts_rewritten,
+       CAST((SELECT c FROM nparts) AS INTEGER) AS parts_rewritten,
        CAST(0 AS INTEGER) AS parts_carried
 FROM orders
 UNION ALL
 SELECT CAST(1 AS INTEGER),
        CAST(count(*) AS BIGINT),
        CAST(sum({_CENTS_P}) AS BIGINT),
-       CAST(2 AS INTEGER), CAST(3 AS INTEGER)
+       CAST((SELECT c FROM touched1) AS INTEGER),
+       CAST((SELECT c FROM nparts) - (SELECT c FROM touched1) AS INTEGER)
 FROM f1
 """
 
 
 @register("lakehouse_merge_cow", MERGE_COW_ORACLE)
 def lakehouse_merge_cow(sess: SeccoSession):
-    """Copy-on-write MERGE commit audit: v0 (5 partitions written) and v1
-    (upsert + CDC-delete batch touching 2 of 5 partitions — the manifest
-    must show exactly 2 rewritten / 3 carried, and the snapshot contents
-    must equal the oracle's logical replay)."""
+    """Copy-on-write MERGE commit audit: v0 (every partition written) and
+    v1 (upsert + CDC-delete batch — the manifest must show exactly the
+    batch's touched-partition count rewritten, the rest carried by
+    reference, and the snapshot contents must equal the oracle's logical
+    replay). At sf0.01+ the batch touches 2 of 5 partitions."""
     return _version_report(sess, [0, 1])
 
 
@@ -199,6 +232,58 @@ def lakehouse_time_travel(sess: SeccoSession):
                 F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
             )
             .withColumn("version", F.lit(v).cast("int"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+APPEND_COMPACT_ORACLE = f"""
+WITH {_REPLAY},
+npart AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+n_a1 AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {A1}),
+n_a2 AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {A2})
+SELECT CAST(2 AS INTEGER) AS version,
+       CAST((SELECT c FROM npart) AS INTEGER) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+FROM f2
+UNION ALL
+SELECT CAST(3 AS INTEGER),
+       CAST((SELECT c FROM npart) + (SELECT c FROM n_a1) AS INTEGER),
+       CAST(count(*) AS BIGINT), CAST(sum({_CENTS_P}) AS BIGINT) FROM f3
+UNION ALL
+SELECT CAST(4 AS INTEGER),
+       CAST((SELECT c FROM npart) + (SELECT c FROM n_a1)
+            + (SELECT c FROM n_a2) AS INTEGER),
+       CAST(count(*) AS BIGINT), CAST(sum({_CENTS_P}) AS BIGINT) FROM f4
+UNION ALL
+SELECT CAST(5 AS INTEGER), CAST((SELECT c FROM npart) AS INTEGER),
+       CAST(count(*) AS BIGINT), CAST(sum({_CENTS_P}) AS BIGINT) FROM f4
+"""
+
+
+@register("lakehouse_append_compact", APPEND_COMPACT_ORACLE)
+def lakehouse_append_compact(sess: SeccoSession):
+    """Append/compact lifecycle: two blind-append commits (the streaming
+    micro-batch landing shape — one new file per touched partition, zero
+    reads) accumulate small files; the OPTIMIZE commit bin-packs every
+    multi-file partition back to one file while the CONTENTS stay
+    bit-identical (v5 row count + cents must equal v4's). File-count
+    discipline is what keeps scan task counts flat under a steady append
+    stream at 100 TB."""
+    table = _versioned_table(sess)
+    spark = sess.spark
+    out = None
+    for v in (2, 3, 4, 5):
+        m = read_manifest(table, v)
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn("n_files", F.lit(len(m["files"])).cast("int"))
         )
         out = snap if out is None else out.unionByName(snap)
     return out

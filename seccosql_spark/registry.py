@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_append_compact",
     "lakehouse_merge_cow",
     "lakehouse_time_travel",
     "orders_acf_lags",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_substring_windows",
     "distinct_pairs",
     "events_zorder_topk",
-    "except_all_bag",
 ]
 
 

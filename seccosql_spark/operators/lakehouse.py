@@ -56,6 +56,26 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:05d}.json")
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency:
+    the manifest file is the lock — creation is atomic-exclusive, so of two
+    writers racing from the same base version exactly one wins; the loser
+    re-reads the new latest manifest and retries its commit on top)."""
+
+
+def _commit_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    path = _manifest_path(table_dir, version)
+    try:
+        with open(path, "x") as f:
+            json.dump(manifest, f, indent=1)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"manifest v{version:05d} already exists under {table_dir} — "
+            "another writer committed first; re-read the latest manifest "
+            "and retry on top of it"
+        ) from None
+
+
 def latest_version(table_dir: str) -> int:
     mdir = os.path.join(table_dir, _MANIFESTS)
     versions = [
@@ -119,8 +139,7 @@ def create_table(
         for p in parts
     ]
     manifest = {"version": 0, "partition_by": partition_by, "files": files}
-    with open(_manifest_path(table_dir, 0), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _commit_manifest(table_dir, 0, manifest)
     return manifest
 
 
@@ -168,8 +187,7 @@ def append_commit(
         "files": files,
         "appended_files": len(touched),
     }
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _commit_manifest(table_dir, version, manifest)
     return manifest
 
 
@@ -206,8 +224,7 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
         "partitions_compacted": compacted,
         "partitions_carried": carried,
     }
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _commit_manifest(table_dir, version, manifest)
     return manifest
 
 
@@ -271,6 +288,5 @@ def merge_cow(
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,
     }
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _commit_manifest(table_dir, version, manifest)
     return manifest

@@ -287,3 +287,106 @@ def lakehouse_append_compact(sess: SeccoSession):
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+STREAM_INGEST_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value,
+       CAST((SELECT count(DISTINCT event_type) FROM events) AS INTEGER)
+         AS n_files_final
+FROM events
+GROUP BY event_type
+"""
+
+
+def _streamed_table(sess: SeccoSession) -> str:
+    """Streaming micro-batches landing in the lakehouse (built once per
+    corpus): the events table is staged as 4 deterministic files
+    (event_id % 4 buckets), drained as a file-source stream with
+    maxFilesPerTrigger=1 so each file is its own micro-batch, each batch
+    lands as a blind ``append_commit`` (zero reads — the cheap streaming
+    sink), and a final ``compact`` bin-packs the accumulated small files
+    back to one per partition. Contents are batch-order-independent by
+    construction (append commutes), so the final snapshot equals the batch
+    GROUP BY oracle exactly."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    events = spark.table("events")
+    src = sorted(events.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        staged = os.path.join(d, "staged")
+        os.makedirs(staged, exist_ok=True)
+        slim = events.select("event_id", "event_type", "value")
+        for b in range(4):
+            tmp = os.path.join(d, f"_stage_tmp_{b}")
+            slim.where(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(staged, f"b{b}.parquet"))
+
+        table = os.path.join(d, "table")
+        create_table(slim.limit(0), table, "event_type")  # empty v0
+
+        stream = (
+            spark.readStream.schema("event_id LONG, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+        def _land(batch, batch_id) -> None:
+            if batch.isEmpty():
+                return
+            append_commit(batch.sparkSession, table, batch)
+
+        q = (
+            stream.writeStream.foreachBatch(_land)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        m = compact(spark, table)
+        # the small-files story must actually have happened: >=2 micro-
+        # batches hit at least one partition, so compaction did real work
+        if m.get("partitions_compacted", 0) < 1:
+            raise RuntimeError(
+                "stream ingest produced no multi-file partition — "
+                f"micro-batching did not split as staged ({m})"
+            )
+
+    return os.path.join(
+        build_once("secco_stream_lake", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("stream_lakehouse_ingest", STREAM_INGEST_ORACLE)
+def stream_lakehouse_ingest(sess: SeccoSession):
+    """Streaming ingestion into the lakehouse: 4 real micro-batches (file
+    stream + availableNow) land as blind appends, OPTIMIZE compacts, and
+    the final snapshot must equal the batch GROUP BY — the end-to-end
+    streaming->storage story (Kafka-less twin of the production landing
+    path)."""
+    table = _streamed_table(sess)
+    spark = sess.spark
+    from seccosql_spark.operators.lakehouse import read_manifest as _rm
+
+    m = _rm(table)
+    return (
+        read_table(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(round(value, 6) AS DECIMAL(18,6))"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("n_files_final", F.lit(len(m["files"])).cast("int"))
+    )

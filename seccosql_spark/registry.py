@@ -96,6 +96,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_merge_cow",
     "lakehouse_time_travel",
     "orders_acf_lags",
+    "stream_lakehouse_ingest",
     "intersect_all_bag",
     "join_anti",
     "join_full_outer",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_simhash",
     "dedup_substring_windows",
     "distinct_pairs",
-    "events_zorder_topk",
 ]
 
 

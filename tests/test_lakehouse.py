@@ -90,3 +90,21 @@ def test_missing_partition_column_raises(spark, table):
     upd = spark.createDataFrame([(1, 11.0)], "k BIGINT, v DOUBLE")
     with pytest.raises(ValueError, match="partition column"):
         merge_cow(spark, table, upd, ["k"])
+
+
+def test_commit_conflict_detected(spark, table):
+    """Optimistic concurrency: two writers committing from the same base
+    version — manifest creation is atomic-exclusive, so the second commit
+    raises CommitConflictError instead of silently clobbering the first."""
+    from seccosql_spark.operators.lakehouse import CommitConflictError
+
+    upd_a = spark.createDataFrame([(7, "a", 70.0)], "k BIGINT, p STRING, v DOUBLE")
+    merge_cow(spark, table, upd_a, ["k"])  # writer A wins v1
+
+    # writer B raced from base v0 and now tries to commit the same version
+    from seccosql_spark.operators.lakehouse import _commit_manifest
+
+    with pytest.raises(CommitConflictError, match="another writer"):
+        _commit_manifest(table, 1, {"version": 1, "files": []})
+    # the winning commit is untouched
+    assert (7, "a", 70.0) in rows(read_table(spark, table, 1))

@@ -147,10 +147,13 @@ def read_table(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read: exactly the files the pinned manifest lists — never a
-    directory scan, so concurrent commits and dead files are invisible."""
+    directory scan, so concurrent commits and dead files are invisible.
+    ``mergeSchema`` reconciles evolved schemas: files written before a
+    column was added serve NULL for it (additive schema evolution, the
+    lakehouse upgrade path that avoids rewriting history)."""
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def append_commit(

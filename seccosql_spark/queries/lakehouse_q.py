@@ -390,3 +390,76 @@ def stream_lakehouse_ingest(sess: SeccoSession):
         )
         .withColumn("n_files_final", F.lit(len(m["files"])).cast("int"))
     )
+
+
+# Schema-evolution batch: appended rows carry a NEW column the base files
+# never had; key offset keeps them disjoint from every other lineage.
+EV = "o_orderkey % 173 = 0"
+
+SCHEMA_EVOLUTION_ORACLE = f"""
+WITH evolved AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_channel
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 40000000, o_orderpriority, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+  FROM orders WHERE {EV}
+)
+SELECT coalesce(o_channel, '(legacy)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents
+FROM evolved
+GROUP BY coalesce(o_channel, '(legacy)')
+"""
+
+
+def _evolved_table(sess: SeccoSession) -> str:
+    """Additive schema evolution without history rewrite: v0 files lack
+    ``o_channel``; the v1 append introduces it; the snapshot read
+    reconciles (mergeSchema) so legacy rows serve NULL. The alternative —
+    rewriting every historical file to add the column — is exactly the
+    O(table) cost this avoids at 100 TB."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(slim, table, "o_orderpriority")
+        append_commit(
+            spark, table,
+            slim.where(EV)
+            .withColumn(
+                "o_channel",
+                F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END"),
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(40_000_000)),
+        )
+
+    return os.path.join(
+        build_once("secco_lakehouse_evo", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_schema_evolution", SCHEMA_EVOLUTION_ORACLE)
+def lakehouse_schema_evolution(sess: SeccoSession):
+    """Additive column evolution: the appended batch introduces
+    ``o_channel``; legacy files are NOT rewritten and serve NULL through
+    the mergeSchema snapshot read — grouped totals must equal the logical
+    replay (legacy rows in the '(legacy)' bucket)."""
+    table = _evolved_table(sess)
+    return (
+        read_table(sess.spark, table)
+        .groupBy(F.coalesce(F.col("o_channel"), F.lit("(legacy)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )

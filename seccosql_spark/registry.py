@@ -94,6 +94,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 _PRIORITY_WINDOW = [
     "lakehouse_append_compact",
     "lakehouse_merge_cow",
+    "lakehouse_schema_evolution",
     "lakehouse_time_travel",
     "orders_acf_lags",
     "stream_lakehouse_ingest",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_substring_windows",
-    "distinct_pairs",
 ]
 
 

@@ -108,3 +108,18 @@ def test_commit_conflict_detected(spark, table):
         _commit_manifest(table, 1, {"version": 1, "files": []})
     # the winning commit is untouched
     assert (7, "a", 70.0) in rows(read_table(spark, table, 1))
+
+
+def test_schema_evolution_read_reconciles(spark, table):
+    """Additive evolution: an appended batch carries a new column; legacy
+    files are not rewritten and serve NULL through the snapshot read."""
+    from seccosql_spark.operators.lakehouse import append_commit
+
+    newcol = spark.createDataFrame(
+        [(9, "a", 90.0, "web")], "k BIGINT, p STRING, v DOUBLE, ch STRING"
+    )
+    append_commit(spark, table, newcol)
+    got = read_table(spark, table)
+    assert "ch" in got.columns
+    by_ch = {r.ch: r.n for r in got.groupBy("ch").count().withColumnRenamed("count", "n").collect()}
+    assert by_ch == {None: 4, "web": 1}

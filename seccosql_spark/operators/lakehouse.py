@@ -134,7 +134,7 @@ def create_table(
     )
     files = [
         _write_partition_file(
-            df.where(F.col(partition_by) == p), table_dir, p, 0
+            df.where(F.col(partition_by).cast("string") == p), table_dir, p, 0
         )
         for p in parts
     ]
@@ -270,8 +270,11 @@ def merge_cow(
         else:
             base_p = None
         if has_delete:
-            deletes = upd_p.where(F.col(DELETE_COL)).select(*keys)
-            upserts = upd_p.where(~F.col(DELETE_COL)).drop(DELETE_COL)
+            # NULL flags mean "not a delete" — a bare where(~col) would
+            # silently drop NULL-flagged rows from BOTH branches
+            flag = F.coalesce(F.col(DELETE_COL), F.lit(False))
+            deletes = upd_p.where(flag).select(*keys)
+            upserts = upd_p.where(~flag).drop(DELETE_COL)
         else:
             deletes = None
             upserts = upd_p

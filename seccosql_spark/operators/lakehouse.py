@@ -43,17 +43,58 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
 DELETE_COL = "__deleted"
+# shuffle key for the single-job partitioned writes; never lands in files
+_PCOL = "__lake_p"
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:05d}.json")
+
+
+def _escape_partition(p: str) -> str:
+    """Partition value -> filesystem-safe path segment (Hive-style percent
+    escaping, ADVICE r12: a raw '/', '=', or '..' in a partition VALUE must
+    not break the layout or escape the data directory). The manifest keeps
+    the RAW value; only paths carry the escaped form."""
+    return quote(p, safe="")
+
+
+def _file_rows(path: str) -> int:
+    """Row count from the parquet footer — metadata-only, no Spark job (the
+    old per-file ``df.count()`` re-executed each partition's merge plan a
+    second time just to fill the manifest)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _evolved_schema_json(base: dict | None, *dfs: DataFrame) -> str:
+    """Manifest-tracked table schema: the previous manifest's schema plus
+    any new columns this commit's batches introduce (additive evolution —
+    matching what the mergeSchema snapshot read reconciles). Metadata only;
+    lets ``read_table`` serve an EMPTY manifest (stream-initialized v0)
+    without a parquet file to infer from."""
+    fields: list = []
+    names: set[str] = set()
+    if base is not None and base.get("schema"):
+        for f in StructType.fromJson(json.loads(base["schema"])).fields:
+            fields.append(f)
+            names.add(f.name)
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in names and f.name != DELETE_COL:
+                fields.append(f)
+                names.add(f.name)
+    return json.dumps(StructType(fields).jsonValue())
 
 
 class CommitConflictError(RuntimeError):
@@ -102,7 +143,7 @@ def _write_partition_file(
     output would stay multi-file; one file keeps the demo manifests exact
     while the plan shape (anti-join + union, shuffle on keys) is the same.
     """
-    part_dir = os.path.join(table_dir, _DATA, f"p={partition}")
+    part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
     tmp = os.path.join(part_dir, f"_tmp_v{version:05d}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_file = next(
@@ -114,31 +155,76 @@ def _write_partition_file(
     for leftover in os.listdir(tmp):
         os.remove(os.path.join(tmp, leftover))
     os.rmdir(tmp)
-    n = df.count()
     return {
         "path": os.path.relpath(final, table_dir),
         "partition": partition,
-        "rows": n,
+        "rows": _file_rows(final),
     }
+
+
+def _write_partitioned(
+    df: DataFrame, table_dir: str, partition_by: str, version: int
+) -> list[dict]:
+    """ONE distributed job writing every partition's v{N} file: shuffle on
+    the partition value (each distinct value lands wholly in one task, so
+    each partition directory gets exactly one file), then a single
+    ``partitionBy`` write — one source scan regardless of partition count.
+    The old shape (one filter-scan-write job per distinct value) re-read
+    the source P times (VERDICT r12 task 6). The partition column is
+    duplicated into ``__lake_p`` because partitionBy consumes its column,
+    and manifest-pinned reads don't do directory-based partition discovery.
+    Row counts come from the parquet footers — no second scan."""
+    tmp = os.path.join(table_dir, f"_tmp_v{version:05d}")
+    (
+        df.withColumn(_PCOL, F.col(partition_by).cast("string"))
+        .repartition(F.col(_PCOL))
+        .write.partitionBy(_PCOL)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    files: list[dict] = []
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith(f"{_PCOL}="):
+            continue
+        # Spark hive-escapes partition dir values with %XX — unquote
+        # recovers the raw value; our own layout re-escapes it
+        raw = unquote(d[len(_PCOL) + 1:])
+        part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(raw)}")
+        os.makedirs(part_dir, exist_ok=True)
+        parts = sorted(
+            f for f in os.listdir(os.path.join(tmp, d)) if f.endswith(".parquet")
+        )
+        for i, name in enumerate(parts):
+            suffix = "" if len(parts) == 1 else f"-{i}"
+            final = os.path.join(part_dir, f"v{version:05d}{suffix}.parquet")
+            os.replace(os.path.join(tmp, d, name), final)
+            files.append(
+                {
+                    "path": os.path.relpath(final, table_dir),
+                    "partition": raw,
+                    "rows": _file_rows(final),
+                }
+            )
+    import shutil
+
+    shutil.rmtree(tmp)
+    return files
 
 
 def create_table(
     df: DataFrame, table_dir: str, partition_by: str
 ) -> dict:
-    """Write version 0: one data file per distinct ``partition_by`` value
-    (values come from one distinct-collect — O(partitions) driver state)."""
+    """Write version 0 as ONE partitioned-write job (single source scan; one
+    data file per distinct ``partition_by`` value). The manifest records the
+    table schema so an empty v0 (stream-initialized tables) stays readable."""
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
-    parts = sorted(
-        str(r[0])
-        for r in df.select(partition_by).distinct().collect()
-    )
-    files = [
-        _write_partition_file(
-            df.where(F.col(partition_by).cast("string") == p), table_dir, p, 0
-        )
-        for p in parts
-    ]
-    manifest = {"version": 0, "partition_by": partition_by, "files": files}
+    files = _write_partitioned(df, table_dir, partition_by, 0)
+    manifest = {
+        "version": 0,
+        "partition_by": partition_by,
+        "schema": _evolved_schema_json(None, df),
+        "files": files,
+    }
     _commit_manifest(table_dir, 0, manifest)
     return manifest
 
@@ -153,6 +239,18 @@ def read_table(
     lakehouse upgrade path that avoids rewriting history)."""
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
+    if not paths:
+        # stream-initialized tables commit an EMPTY v0 before the first
+        # micro-batch lands; time travel to it must return an empty frame,
+        # not a zero-path read error (ADVICE r12)
+        if not m.get("schema"):
+            raise ValueError(
+                f"manifest v{m['version']} of {table_dir} lists no files and "
+                "records no schema — cannot construct the empty snapshot"
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
@@ -171,24 +269,18 @@ def append_commit(
     version = m["version"] + 1
     if pcol not in inserts.columns:
         raise ValueError(f"inserts must carry the partition column {pcol!r}")
-    touched = sorted(
-        str(r[0]) for r in inserts.select(pcol).distinct().collect()
-    )
     files = [
         {k: f[k] for k in ("path", "partition", "rows")} for f in m["files"]
     ]
-    for p in touched:
-        files.append(
-            _write_partition_file(
-                inserts.where(F.col(pcol).cast("string") == p),
-                table_dir, p, version,
-            )
-        )
+    # one job, one scan of the batch, regardless of touched-partition count
+    new_files = _write_partitioned(inserts, table_dir, pcol, version)
+    files.extend(new_files)
     manifest = {
         "version": version,
         "partition_by": pcol,
+        "schema": _evolved_schema_json(m, inserts),
         "files": files,
-        "appended_files": len(touched),
+        "appended_files": len(new_files),
     }
     _commit_manifest(table_dir, version, manifest)
     return manifest
@@ -216,13 +308,16 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
             carried += 1
             continue
         compacted += 1
-        merged = spark.read.parquet(
+        # mergeSchema: a partition's live files may straddle a schema
+        # evolution; the compacted file carries the reconciled schema
+        merged = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table_dir, f["path"]) for f in group]
         )
         files.append(_write_partition_file(merged, table_dir, p, version))
     manifest = {
         "version": version,
         "partition_by": pcol,
+        "schema": m.get("schema"),
         "files": files,
         "partitions_compacted": compacted,
         "partitions_carried": carried,
@@ -251,21 +346,29 @@ def merge_cow(
     touched = sorted(
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     )
-    by_partition = {f["partition"]: f for f in m["files"]}
+    # ALL live files per partition: append_commit creates multi-file
+    # partitions, and keeping only one entry per partition silently dropped
+    # every earlier file's rows from the merge AND from carried manifests
+    # (ADVICE r12, high)
+    by_partition: dict[str, list[dict]] = {}
+    for f in m["files"]:
+        by_partition.setdefault(f["partition"], []).append(f)
     has_delete = DELETE_COL in updates.columns
 
     files: list[dict] = []
     carried = rewritten = 0
     for p in sorted(set(by_partition) | set(touched)):
         if p not in touched:
-            files.append(by_partition[p])  # carried by reference: zero IO
+            files.extend(by_partition[p])  # carried by reference: zero IO
             carried += 1
             continue
         rewritten += 1
         upd_p = updates.where(F.col(pcol).cast("string") == p)
         if p in by_partition:
-            base_p = spark.read.parquet(
-                os.path.join(table_dir, by_partition[p]["path"])
+            # mergeSchema: the partition's live files may straddle an
+            # additive schema evolution
+            base_p = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_dir, f["path"]) for f in by_partition[p]]
             )
         else:
             base_p = None
@@ -282,7 +385,12 @@ def merge_cow(
             merged = base_p.join(upserts.select(*keys), keys, "left_anti")
             if deletes is not None:
                 merged = merged.join(deletes, keys, "left_anti")
-            merged = merged.unionByName(upserts)
+            # allowMissingColumns both directions (VERDICT r12 task 5): an
+            # evolved batch merging into legacy partitions NULL-fills the
+            # new column on base rows; a legacy batch merging into an
+            # evolved base NULL-fills it on the upserts — matching what the
+            # mergeSchema snapshot read serves
+            merged = merged.unionByName(upserts, allowMissingColumns=True)
         else:
             merged = upserts
         files.append(_write_partition_file(merged, table_dir, p, version))
@@ -290,6 +398,7 @@ def merge_cow(
     manifest = {
         "version": version,
         "partition_by": pcol,
+        "schema": _evolved_schema_json(m, updates),
         "files": files,
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,

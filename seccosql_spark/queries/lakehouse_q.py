@@ -448,6 +448,95 @@ def _evolved_table(sess: SeccoSession) -> str:
     )
 
 
+# MERGE-path evolution batch: upserts carrying a NEW column land on legacy
+# partitions; inserts get fresh keys so the replay stays set-exact.
+EVM = "o_orderkey % 193 = 0 AND o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')"
+
+MERGE_EVOLUTION_ORACLE = f"""
+WITH ch AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+  FROM orders WHERE {EVM}
+),
+merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_channel
+  FROM orders WHERE NOT ({EVM})
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice + 250.0, o_channel FROM ch
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_orderpriority, o_totalprice, o_channel FROM ch
+),
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+touched AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {EVM})
+SELECT coalesce(o_channel, '(legacy)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM touched) AS INTEGER) AS parts_rewritten,
+       CAST((SELECT c FROM nparts) - (SELECT c FROM touched) AS INTEGER)
+         AS parts_carried
+FROM merged
+GROUP BY coalesce(o_channel, '(legacy)')
+"""
+
+
+def _merge_evolved_table(sess: SeccoSession) -> str:
+    """v0 files lack ``o_channel``; the v1 MERGE batch introduces it while
+    upserting into legacy partitions (VERDICT r12 task 5): untouched
+    partitions carry by reference, touched partitions rewrite with base
+    rows NULL-filling the new column — the O(touched) evolution path the
+    APPEND row already proves, now on the rewrite path."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(slim, table, "o_orderpriority")
+        ch = slim.where(EVM).withColumn(
+            "o_channel",
+            F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END"),
+        )
+        batch = ch.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(250.0)
+        ).unionByName(
+            ch.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(50_000_000))
+        )
+        merge_cow(spark, table, batch, ["o_orderkey"])
+
+    return os.path.join(
+        build_once("secco_lakehouse_mevo", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_merge_evolution", MERGE_EVOLUTION_ORACLE)
+def lakehouse_merge_evolution(sess: SeccoSession):
+    """Schema evolution on the MERGE path: an upsert batch carrying a NEW
+    column rewrites only its touched partitions (manifest audit proves the
+    carry-by-reference), legacy rows serve NULL through the mergeSchema
+    read, and grouped totals must equal the oracle's logical replay."""
+    table = _merge_evolved_table(sess)
+    m = read_manifest(table, 1)
+    return (
+        read_table(sess.spark, table)
+        .groupBy(F.coalesce(F.col("o_channel"), F.lit("(legacy)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "parts_rewritten", F.lit(m["partitions_rewritten"]).cast("int")
+        )
+        .withColumn("parts_carried", F.lit(m["partitions_carried"]).cast("int"))
+    )
+
+
 @register("lakehouse_schema_evolution", SCHEMA_EVOLUTION_ORACLE)
 def lakehouse_schema_evolution(sess: SeccoSession):
     """Additive column evolution: the appended batch introduces

@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_merge_evolution",
     "distinct_pairs",
     "events_zorder_topk",
     "except_all_bag",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "events_anomaly_mad",
     "events_max_concurrency",
     "events_rolling_spikes",
-    "events_seasonal_backtest",
 ]
 
 

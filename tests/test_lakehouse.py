@@ -125,6 +125,101 @@ def test_schema_evolution_read_reconciles(spark, table):
     assert by_ch == {None: 4, "web": 1}
 
 
+def test_merge_after_append_keeps_all_files_rows(spark, table):
+    """ADVICE r12 (high): append_commit creates multi-file partitions; a
+    later merge must read ALL live files of a touched partition and carry
+    ALL files of untouched partitions — the old one-entry-per-partition dict
+    silently dropped every earlier file's rows."""
+    from seccosql_spark.operators.lakehouse import append_commit
+
+    ins = spark.createDataFrame(
+        [(5, "a", 50.0), (6, "b", 60.0)], "k BIGINT, p STRING, v DOUBLE"
+    )
+    append_commit(spark, table, ins)  # partitions a and b now hold 2 files each
+    upd = spark.createDataFrame([(2, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE")
+    m = merge_cow(spark, table, upd, ["k"])
+    # touched partition a: base rows from BOTH files survive the rewrite
+    assert rows(read_table(spark, table)) == [
+        (1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (4, "b", 40.0),
+        (5, "a", 50.0), (6, "b", 60.0),
+    ]
+    # untouched partition b: BOTH files carried by reference
+    b_files = [f for f in m["files"] if f["partition"] == "b"]
+    assert len(b_files) == 2
+
+
+def test_merge_evolved_batch_into_legacy_base(spark, table):
+    """VERDICT r12 task 5: a MERGE batch carrying a NEW column upserts into
+    legacy partitions — base rows NULL-fill the new column (matching the
+    mergeSchema read), instead of unionByName raising."""
+    upd = spark.createDataFrame(
+        [(2, "a", 99.0, "web"), (9, "c", 90.0, "store")],
+        "k BIGINT, p STRING, v DOUBLE, ch STRING",
+    )
+    merge_cow(spark, table, upd, ["k"])
+    got = read_table(spark, table)
+    assert set(got.columns) == {"k", "p", "v", "ch"}
+    assert rows(got) == [
+        (1, "a", 10.0, None), (2, "a", 99.0, "web"), (3, "b", 30.0, None),
+        (4, "b", 40.0, None), (9, "c", 90.0, "store"),
+    ]
+
+
+def test_merge_legacy_batch_into_evolved_base(spark, table):
+    """The reverse direction: after the base evolved, a batch WITHOUT the
+    new column still merges — its upserts NULL-fill the evolved column."""
+    evolved = spark.createDataFrame(
+        [(2, "a", 99.0, "web")], "k BIGINT, p STRING, v DOUBLE, ch STRING"
+    )
+    merge_cow(spark, table, evolved, ["k"])
+    legacy = spark.createDataFrame([(1, "a", 11.0)], "k BIGINT, p STRING, v DOUBLE")
+    merge_cow(spark, table, legacy, ["k"])
+    got = {r.k: (r.v, r.ch) for r in read_table(spark, table).collect()}
+    assert got[1] == (11.0, None) and got[2] == (99.0, "web")
+
+
+def test_empty_v0_time_travel(spark, tmp_path):
+    """ADVICE r12: create_table of an empty DataFrame (stream-initialized
+    tables) must leave v0 readable — empty frame with the recorded schema,
+    not a zero-path read error."""
+    from seccosql_spark.operators.lakehouse import append_commit
+
+    empty = spark.createDataFrame([], "k BIGINT, p STRING, v DOUBLE")
+    d = str(tmp_path / "t0")
+    create_table(empty, d, "p")
+    v0 = read_table(spark, d, 0)
+    assert v0.count() == 0
+    assert [f.name for f in v0.schema.fields] == ["k", "p", "v"]
+    append_commit(spark, d, spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"))
+    assert rows(read_table(spark, d)) == [(1, "a", 1.0)]
+    assert read_table(spark, d, 0).count() == 0  # v0 still empty
+
+
+def test_path_hostile_partition_values(spark, tmp_path):
+    """ADVICE r12: partition VALUES containing '/', '=', '..' must not break
+    the layout or escape the data directory (Hive-style percent escaping)."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, "a/b", 1.0), (2, "x=y", 2.0), (3, "..", 3.0)],
+        "k BIGINT, p STRING, v DOUBLE",
+    )
+    d = str(tmp_path / "t")
+    m = create_table(df, d, "p")
+    assert sorted(f["partition"] for f in m["files"]) == ["..", "a/b", "x=y"]
+    for f in m["files"]:
+        full = os.path.realpath(os.path.join(d, f["path"]))
+        assert full.startswith(os.path.realpath(d) + os.sep)
+        assert os.path.exists(full)
+    assert rows(read_table(spark, d)) == [
+        (1, "a/b", 1.0), (2, "x=y", 2.0), (3, "..", 3.0),
+    ]
+    upd = spark.createDataFrame([(1, "a/b", 9.0)], "k BIGINT, p STRING, v DOUBLE")
+    m1 = merge_cow(spark, d, upd, ["k"])
+    assert m1["partitions_rewritten"] == 1 and m1["partitions_carried"] == 2
+    assert (1, "a/b", 9.0) in rows(read_table(spark, d))
+
+
 def test_null_delete_flag_is_upsert(spark, table):
     """A NULL __deleted flag means "not a delete" — the row must be
     upserted, not silently dropped from both branches."""

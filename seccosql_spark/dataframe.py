@@ -31,6 +31,11 @@ if TYPE_CHECKING:
     from seccosql_spark.session import SeccoSession
 
 
+# plan lineages (semanticHash) whose WCOJ duplicate probe came back clean —
+# probe once per process, not once per multiway_join call (ADVICE r12)
+_WCOJ_PROBED_CLEAN: set[int] = set()
+
+
 def _unwrap(other: "SeccoDataFrame | DataFrame") -> DataFrame:
     return other.df if isinstance(other, SeccoDataFrame) else other
 
@@ -274,7 +279,14 @@ class SeccoDataFrame:
         dedups internally; no pre-shuffle added). "raise" probes each input
         lacking a declared primary key with ONE early-exit aggregation
         (groupBy-all-columns, count>1, limit 1 — the limit stops the scan
-        at the first duplicate group) and raises naming the offender."""
+        at the first duplicate group) and raises naming the offender.
+
+        Clean verdicts are memoized per plan lineage (``semanticHash``) for
+        the process lifetime, so repeated wcoj/auto calls over the same
+        inputs — warmup+timed bench reps, iterative callers — pay the probe
+        once, not per build (ADVICE r12). Sources mutated in-place under an
+        identical plan would be missed by the cache; declare primary_keys
+        or pass on_duplicates='trust'/'dedup' on such hot paths."""
         if mode == "trust":
             return
         if mode == "dedup":
@@ -289,6 +301,12 @@ class SeccoDataFrame:
         for i, (inp, df) in enumerate(zip(inputs, dfs)):
             if isinstance(inp, SeccoDataFrame) and inp.primary_keys:
                 continue  # PK contract already guarantees duplicate-free
+            try:
+                key = df.semanticHash()
+            except Exception:
+                key = None
+            if key is not None and key in _WCOJ_PROBED_CLEAN:
+                continue
             dup = (
                 df.groupBy(*df.columns)
                 .agg(F.count(F.lit(1)).alias("__c"))
@@ -296,6 +314,8 @@ class SeccoDataFrame:
                 .limit(1)
                 .take(1)
             )
+            if not dup and key is not None:
+                _WCOJ_PROBED_CLEAN.add(key)
             if dup:
                 raise ValueError(
                     f"multiway_join(algorithm='wcoj'/'auto'->wcoj): input #{i} "
@@ -316,6 +336,33 @@ class SeccoDataFrame:
         )
 
     createOrReplaceTable = create_or_replace_table
+
+    def to_graph(
+        self,
+        src_col: str = "src",
+        dst_col: str = "dst",
+        label_col: str = "label",
+    ) -> "SeccoGraphFrame":
+        """Dataset -> edge-only graph (reference ``SeccoDataFrame.scala:
+        311-313`` ``toGraph(edgeMetaData)``): this frame's rows become the
+        edge relation; vertices are derived on demand (src ∪ dst) by the
+        graph accessors. Column names stand in for the reference's
+        edgeMetaData. The one API-table verb without a named counterpart
+        until r13 (functionality existed via ``SeccoGraphFrame(session,
+        None, edges)``)."""
+        from seccosql_spark.graph.graphframe import SeccoGraphFrame
+
+        for c in (src_col, dst_col):
+            if c not in self.df.columns:
+                raise ValueError(
+                    f"to_graph: edge column {c!r} not in {self.df.columns}"
+                )
+        return SeccoGraphFrame(
+            self.session, None, self.df,
+            src_col=src_col, dst_col=dst_col, label_col=label_col,
+        )
+
+    toGraph = to_graph
 
     def cache(self) -> "SeccoDataFrame":
         self.df.persist()

@@ -780,8 +780,12 @@ def ppjoin_pairs(
     yield hundreds). Shingles are also what the MinHash row banded, so
     this operator is its exact twin.
     Scale shape: one df aggregation (broadcast back), one per-doc window
-    for the prefix rank, one prefix-bucket join, |candidates|-bounded
-    verification — never an all-pairs product."""
+    for the prefix rank, one prefix-bucket join with PPJoin's length AND
+    positional filters pruning per shared-token row, then ONE row per
+    surviving candidate pair through an ``array_intersect`` verification
+    (each doc's shingle set is collected once; the old shape re-exploded
+    every pair into its ~|doc| shared-token rows before a groupBy) — never
+    an all-pairs product."""
     if not (0 < threshold_num <= threshold_den):
         raise ValueError(f"need 0 < t <= 1, got {threshold_num}/{threshold_den}")
     if shingle_n is None:
@@ -806,9 +810,19 @@ def ppjoin_pairs(
         - F.expr(f"({threshold_num} * n + {threshold_den} - 1) DIV {threshold_den}")
         + 1
     )
+    num, den = threshold_num, threshold_den
     cand = (
-        prefix.select(F.col("id").alias("id1"), F.col("n").alias("n1"), "w")
-        .join(prefix.select(F.col("id").alias("id2"), F.col("n").alias("n2"), "w"), "w")
+        prefix.select(
+            F.col("id").alias("id1"), F.col("n").alias("n1"),
+            F.col("rn").alias("rn1"), "w",
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id2"), F.col("n").alias("n2"),
+                F.col("rn").alias("rn2"), "w",
+            ),
+            "w",
+        )
         .filter(F.col("id1") < F.col("id2"))
         # PPJoin's length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
         # — a necessary condition, so pruning here stays exact
@@ -816,19 +830,36 @@ def ppjoin_pairs(
             threshold_num * F.greatest("n1", "n2")
             <= threshold_den * F.least("n1", "n2")
         )
+        # PPJoin's POSITIONAL filter (the "P" — Xiao et al. 2008 §3.2; was
+        # the missing piece behind the r12 76x sf1 slope): a shared token at
+        # 1-based positions rn1/rn2 of the frequency-ordered lists bounds
+        # the overlap via the FIRST common token w of a pair — tokens before
+        # w on either side are pairwise distinct across the pair, so
+        # O <= 1 + min(n1-rn1, n2-rn2); J >= t needs
+        # O >= alpha = ceil(t/(1+t) * (n1+n2)). Applied per shared-token row
+        # BEFORE the distinct: a true pair always survives through its
+        # first-common-token row (whose bound is tight), while head-token
+        # collisions late in both prefixes — the N^2/V degenerate case on
+        # low-entropy vocabularies — die here instead of reaching
+        # verification. Integer-exact: alpha cross-multiplied, no floats.
+        .filter(
+            F.lit(1) + F.least(F.col("n1") - F.col("rn1"), F.col("n2") - F.col("rn2"))
+            >= F.expr(f"({num} * (n1 + n2) + {num + den - 1}) DIV {num + den}")
+        )
         .select("id1", "id2")
         .distinct()
     )
-    sizes = words.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(words.select(F.col("id").alias("id1"), "w"), "id1")
-        .join(words.select(F.col("id").alias("id2"), "w"), ["id2", "w"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    sets = words.groupBy("id").agg(F.collect_set("w").alias("ws"))
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id1", "n": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "n": "n2"}), "id2")
+        cand.join(
+            sets.select(F.col("id").alias("id1"), F.col("ws").alias("ws1")), "id1"
+        )
+        .join(
+            sets.select(F.col("id").alias("id2"), F.col("ws").alias("ws2")), "id2"
+        )
+        .withColumn("i", F.size(F.array_intersect("ws1", "ws2")))
+        .withColumn("n1", F.size("ws1"))
+        .withColumn("n2", F.size("ws2"))
         # integer gate BEFORE any float: den*i >= num*(n1+n2-i)
         .filter(
             threshold_den * F.col("i")

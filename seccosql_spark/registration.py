@@ -42,8 +42,12 @@ def register(name: str, oracle: str | None, headline: bool = False):
             if os.environ.get("SECCO_LINT_ON_BUILD") and name not in _LINTED:
                 from seccosql_spark.plans.allowlist import enforce_clean
 
-                _LINTED.add(name)
+                # mark linted only AFTER a clean pass: if the first build
+                # raises PlanQualityError and the caller catches and
+                # rebuilds in-process, the retry must be gated too
+                # (ADVICE r12)
                 enforce_clean(name, out)
+                _LINTED.add(name)
             return out
 
         REGISTRY[name] = QuerySpec(name, build, oracle, headline)

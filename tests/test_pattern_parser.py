@@ -166,3 +166,28 @@ def test_disconnected_pattern_is_cross_product(sess):
     out = g.pattern("(a)-[]->(b); (c)-[]->(d)")
     rows = {tuple(r) for r in out.df.select("a", "b", "c", "d").collect()}
     assert rows == {(1, 2, 1, 2), (1, 2, 3, 4), (3, 4, 1, 2), (3, 4, 3, 4)}
+
+
+def test_to_graph_verb_runs_pattern(spark, sess):
+    """`SeccoDataFrame.to_graph()` (reference SeccoDataFrame.scala:311-313
+    `toGraph`, VERDICT r12 task 7): a dataset becomes an edge-only graph in
+    one call; pattern() and the derived node() accessor work through it."""
+    e = sess.from_spark(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3)], "src BIGINT, dst BIGINT"
+        )
+    )
+    g = e.to_graph()
+    tri = g.pattern("(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)").df.count()
+    assert tri == 3  # the 0->1->2->0 triangle under 3 rotations
+    assert {r[0] for r in g.node().select(g.id_col).collect()} == {0, 1, 2, 3}
+    # custom column names route through; missing columns raise
+    e2 = sess.from_spark(
+        spark.createDataFrame([(10, 11)], "u BIGINT, v BIGINT")
+    )
+    g2 = e2.to_graph(src_col="u", dst_col="v")
+    assert g2.pattern("(a)-[]->(b)").df.count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="to_graph"):
+        e2.to_graph(src_col="nope")

@@ -253,6 +253,43 @@ def test_coverage_histogram_is_current():
     )
 
 
+def test_coverage_slope_section_is_current():
+    """VERDICT r12 task 4: the COVERAGE.md sf1-slope table is GENERATED from
+    SLOPE.json (the r11 hand-pasted table claimed 'no super-linearity' while
+    SLOPE.json recorded 76x). Red here = run
+    `python scripts/bench_slope.py --write-coverage`."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_slope", os.path.join(root, "scripts", "bench_slope.py")
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    assert bs.SLOPE_START in cov, "COVERAGE.md lacks the sf1-slope section"
+    start = cov.index(bs.SLOPE_START)
+    end = cov.index(bs.SLOPE_END) + len(bs.SLOPE_END)
+    assert cov[start:end] == bs.slope_markdown(), (
+        "COVERAGE.md sf1-slope section diverges from SLOPE.json — run "
+        "`python scripts/bench_slope.py --write-coverage`"
+    )
+    # every super-linear ratio must carry its triage IN SLOPE.json
+    import json
+
+    data = json.load(open(os.path.join(root, "SLOPE.json")))
+    untriaged = [
+        n for n, v in data["queries"].items()
+        if v["ratio"] is not None and v["ratio"] > bs.TRIAGE_BAR
+        and "triage" not in v
+    ]
+    assert not untriaged, (
+        f"super-linear sf1 slopes without a triage note: {untriaged} — "
+        "add TRIAGE entries in scripts/bench_slope.py and re-run it"
+    )
+
+
 def test_gates_survive_driver_artifact_drop():
     """VERDICT r12 task 1: the driver drops CORRECTNESS_r{N}.json AFTER the
     builder's final commit, which used to shift max_round/latest_run and

@@ -157,6 +157,14 @@ class SeccoSession:
 
         return SeccoDataFrame(self, self.spark.createDataFrame(rows, schema=schema))
 
+    def create_empty_dataset(self, schema) -> "SeccoDataFrame":
+        """Zero-row dataset with a declared schema (reference
+        ``SeccoSession.scala:64`` ``createEmptyDataset`` — the last API-table
+        row without a named twin; was covered by ``from_seq([], schema)``)."""
+        return self.from_seq([], schema)
+
+    createEmptyDataset = create_empty_dataset
+
     def from_rdd(self, rdd, schema, primary_keys: tuple[str, ...] = ()) -> "SeccoDataFrame":
         """Distributed rows -> dataset (reference ``RDDRows``, leafOperators.scala:134-147)."""
         from seccosql_spark.dataframe import SeccoDataFrame

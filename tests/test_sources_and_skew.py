@@ -341,3 +341,14 @@ def test_connectors_accept_df_named_column(sess):
         assert sources.read_orc(sess, f"{d}/o").count() == 2
         sess.create_table("t_df_col", src)
         assert sess.spark.table("t_df_col").count() == 2
+
+
+def test_create_empty_dataset(sess):
+    """Reference SeccoSession.scala:64 createEmptyDataset: zero rows, the
+    declared schema, and usable downstream (union with data, joins)."""
+    e = sess.create_empty_dataset("id INT, name STRING")
+    assert e.count() == 0
+    assert [f.name for f in e.df.schema.fields] == ["id", "name"]
+    got = e.union_all(sess.from_seq([(1, "a")], "id INT, name STRING")).collect()
+    assert [tuple(r) for r in got] == [(1, "a")]
+    assert sess.createEmptyDataset("x INT").count() == 0  # camelCase twin

@@ -343,6 +343,10 @@ def merge_cow(
     version = m["version"] + 1
     if pcol not in updates.columns:
         raise ValueError(f"updates must carry the partition column {pcol!r}")
+    # the batch is re-read once per touched partition below (plus the
+    # distinct-collect here) — materialize it once instead of re-executing
+    # its upstream plan P+1 times
+    updates = updates.persist()
     touched = sorted(
         str(r[0]) for r in updates.select(pcol).distinct().collect()
     )
@@ -394,6 +398,7 @@ def merge_cow(
         else:
             merged = upserts
         files.append(_write_partition_file(merged, table_dir, p, version))
+    updates.unpersist()
 
     manifest = {
         "version": version,

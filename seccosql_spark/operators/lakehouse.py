@@ -326,6 +326,69 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
     return manifest
 
 
+def with_commit_retry(commit_fn, retries: int = 3):
+    """Optimistic-concurrency retry loop: ``commit_fn`` must re-read the
+    latest manifest on each call (``merge_cow``/``append_commit``/``compact``
+    all do — version selection happens inside them), so a loser of a commit
+    race simply re-runs on top of the winner's manifest. Raises the last
+    ``CommitConflictError`` after ``retries`` retries; conflicts are the
+    ONLY retried error — correctness errors propagate immediately."""
+    attempt = 0
+    while True:
+        try:
+            return commit_fn()
+        except CommitConflictError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+
+
+def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
+    """VACUUM: retire history older than the newest ``keep_last`` manifest
+    versions — delete the expired manifests and every data file no kept
+    manifest references. Copy-on-write keeps old versions readable for
+    free, but the price is unbounded storage under a steady merge stream;
+    expiry is the lifecycle step that caps it (Delta VACUUM / Iceberg
+    expire_snapshots twin). Time travel to an expired version fails with a
+    missing-manifest error, never a half-readable snapshot: data files are
+    deleted strictly AFTER their last referencing manifest. Driver state is
+    O(files in kept+expired manifests) — no directory listing of data/.
+    Returns {"kept_versions", "expired_versions", "files_deleted",
+    "files_live"}."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    latest = latest_version(table_dir)
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    versions = sorted(
+        int(f[1:6]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    kept = [v for v in versions if v > latest - keep_last]
+    expired = [v for v in versions if v <= latest - keep_last]
+    live: set[str] = set()
+    for v in kept:
+        live |= {f["path"] for f in read_manifest(table_dir, v)["files"]}
+    dead: set[str] = set()
+    for v in expired:
+        dead |= {
+            f["path"]
+            for f in read_manifest(table_dir, v)["files"]
+            if f["path"] not in live
+        }
+    # manifests first: a crash mid-expiry must not leave a manifest whose
+    # files are already gone
+    for v in expired:
+        os.remove(_manifest_path(table_dir, v))
+    for rel in sorted(dead):
+        os.remove(os.path.join(table_dir, rel))
+    return {
+        "kept_versions": kept,
+        "expired_versions": expired,
+        "files_deleted": len(dead),
+        "files_live": len(live),
+    }
+
+
 def merge_cow(
     spark: SparkSession,
     table_dir: str,

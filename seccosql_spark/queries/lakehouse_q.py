@@ -448,6 +448,80 @@ def _evolved_table(sess: SeccoSession) -> str:
     )
 
 
+EXPIRE_ORACLE = f"""
+WITH {_REPLAY},
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+t1 AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+       WHERE ({U1}) OR ({D1})),
+t2 AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+       WHERE ({U2}) OR ({D2}))
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM t1) + (SELECT c FROM t2) AS INTEGER)
+         AS files_deleted,
+       CAST((SELECT c FROM nparts) AS INTEGER) AS files_live,
+       CAST(2 AS INTEGER) AS expired_versions
+FROM f2
+"""
+
+
+def _vacuumed_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create + v1/v2 merges, then ``expire_versions(keep_last=1)`` —
+    a SEPARATE artifact from ``_versioned_table`` because vacuum mutates
+    the table directory (the shared time-travel fixture must stay fully
+    versioned). Every merge rewrite orphans exactly its predecessor file,
+    so the oracle can predict files_deleted = |touched1| + |touched2| and
+    files_live = partition count, making the vacuum's file accounting —
+    not just the surviving snapshot — hash-verified."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import expire_versions
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(ords, table, "o_orderpriority")
+        b1, b2 = _batches(spark)
+        merge_cow(spark, table, b1, ["o_orderkey"])   # v1
+        merge_cow(spark, table, b2, ["o_orderkey"])   # v2
+        stats = expire_versions(table, keep_last=1)
+        with open(os.path.join(d, "vacuum_stats.json"), "w") as f:
+            _json.dump(stats, f)
+
+    d = build_once("secco_lakehouse_vac", (src,), _build, code=(_self, _ops))
+    with open(os.path.join(d, "vacuum_stats.json")) as f:
+        stats = _json.load(f)
+    return os.path.join(d, "table"), stats
+
+
+@register("lakehouse_expire_versions", EXPIRE_ORACLE)
+def lakehouse_expire_versions(sess: SeccoSession):
+    """VACUUM lifecycle: after expiring all but the latest version, the
+    surviving snapshot must still equal the oracle's logical replay of both
+    merges, exactly |touched_v1| + |touched_v2| orphaned files must have
+    been deleted, and one live file per partition must remain — unbounded
+    COW history is the storage cost this lifecycle step caps at 100 TB."""
+    table, stats = _vacuumed_table(sess)
+    return (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+        .withColumn("files_deleted", F.lit(stats["files_deleted"]).cast("int"))
+        .withColumn("files_live", F.lit(stats["files_live"]).cast("int"))
+        .withColumn(
+            "expired_versions", F.lit(len(stats["expired_versions"])).cast("int")
+        )
+    )
+
+
 # MERGE-path evolution batch: upserts carrying a NEW column land on legacy
 # partitions; inserts get fresh keys so the replay stays set-exact.
 EVM = "o_orderkey % 193 = 0 AND o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')"

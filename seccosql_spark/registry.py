@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_expire_versions",
     "lakehouse_merge_evolution",
     "distinct_pairs",
     "events_zorder_topk",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "entity_resolution_blocked",
     "events_anomaly_mad",
     "events_max_concurrency",
-    "events_rolling_spikes",
 ]
 
 

@@ -220,6 +220,76 @@ def test_path_hostile_partition_values(spark, tmp_path):
     assert (1, "a/b", 9.0) in rows(read_table(spark, d))
 
 
+def test_expire_versions_vacuum(spark, table):
+    """VACUUM lifecycle: expiring old versions deletes their manifests and
+    every data file no kept manifest references; the kept snapshot stays
+    byte-identical and time travel to expired versions raises cleanly."""
+    import os
+
+    from seccosql_spark.operators.lakehouse import expire_versions
+
+    upd1 = spark.createDataFrame([(2, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE")
+    upd2 = spark.createDataFrame([(3, "b", 33.0)], "k BIGINT, p STRING, v DOUBLE")
+    merge_cow(spark, table, upd1, ["k"])  # v1 rewrites a
+    merge_cow(spark, table, upd2, ["k"])  # v2 rewrites b
+    want = rows(read_table(spark, table, 2))
+
+    stats = expire_versions(table, keep_last=1)
+    assert stats["kept_versions"] == [2]
+    assert stats["expired_versions"] == [0, 1]
+    # v0's a-file and v0's b-file died; v1's a-file died (v2 carries v1's a?
+    # no: v1 rewrote a, v2 carried it) — so dead = v0:a, v0:b, and nothing
+    # else; v1's a-file is carried by v2 and must survive
+    assert stats["files_deleted"] == 2
+    assert rows(read_table(spark, table)) == want  # latest intact
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, 0)
+    # every path the kept manifest lists still exists on disk
+    m2 = read_manifest(table, 2)
+    for f in m2["files"]:
+        assert os.path.exists(os.path.join(table, f["path"]))
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_versions(table, keep_last=0)
+
+
+def test_with_commit_retry_wins_after_conflict(spark, table):
+    """A commit racing a concurrent writer loses v1, re-reads, and lands
+    v2 — with_commit_retry drives exactly that loop end-to-end."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    stale = lh.read_manifest(table)  # v0, read before the race
+    # concurrent writer lands v1 first
+    lh._commit_manifest(table, 1, {**stale, "version": 1})
+
+    orig = lh.read_manifest
+    stale_served = {"n": 0}
+
+    def patched(table_dir, version=None):
+        # first latest-read sees the PRE-RACE manifest, so the merge
+        # targets v1 and collides with the concurrent writer's commit
+        if version is None and stale_served["n"] == 0:
+            stale_served["n"] += 1
+            return stale
+        return orig(table_dir, version)
+
+    upd = spark.createDataFrame([(2, "a", 77.0)], "k BIGINT, p STRING, v DOUBLE")
+    lh.read_manifest = patched
+    try:
+        m = lh.with_commit_retry(
+            lambda: lh.merge_cow(spark, table, upd, ["k"])
+        )
+    finally:
+        lh.read_manifest = orig
+    assert m["version"] == 2  # lost v1, retried on top of the winner
+    assert (2, "a", 77.0) in rows(read_table(spark, table))
+    # retries exhausted -> the conflict propagates
+    def always_conflicts():
+        raise lh.CommitConflictError("simulated")
+
+    with pytest.raises(lh.CommitConflictError):
+        lh.with_commit_retry(always_conflicts, retries=2)
+
+
 def test_null_delete_flag_is_upsert(spark, table):
     """A NULL __deleted flag means "not a delete" — the row must be
     upserted, not silently dropped from both branches."""

@@ -190,7 +190,7 @@ FROM f1
 """
 
 
-@register("lakehouse_merge_cow", MERGE_COW_ORACLE)
+@register("lakehouse_merge_cow", MERGE_COW_ORACLE, headline=True)
 def lakehouse_merge_cow(sess: SeccoSession):
     """Copy-on-write MERGE commit audit: v0 (every partition written) and
     v1 (upsert + CDC-delete batch — the manifest must show exactly the

@@ -66,7 +66,7 @@ TRIAGE = {
         "from prefix positions, integer-exact, pruning before the "
         "candidate distinct) and one-row-per-pair array_intersect "
         "verification replacing the candidate-times-shared-tokens "
-        "re-explosion — sf1 wall time 317s -> 35s, ratio ~9x ≈ linear "
+        "re-explosion — sf1 wall time 317s -> 56s median (warm ~35s), ratio ~9x ≈ linear "
         "under 10x data. Note kept because this flat token distribution "
         "is PPJoin's worst case; Zipfian corpora are strictly friendlier, "
         "and the 100 TB near-dup scale path remains banded MinHash-LSH "

@@ -849,7 +849,18 @@ def ppjoin_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    sets = words.groupBy("id").agg(F.collect_set("w").alias("ws"))
+    # only docs that survived candidate generation need their shingle set
+    # materialized — on selective prefixes this skips most of the corpus
+    cand_ids = (
+        cand.select(F.col("id1").alias("id"))
+        .union(cand.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    sets = (
+        words.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("w").alias("ws"))
+    )
     return (
         cand.join(
             sets.select(F.col("id").alias("id1"), F.col("ws").alias("ws1")), "id1"

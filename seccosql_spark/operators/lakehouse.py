@@ -77,6 +77,53 @@ def _file_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+# stat value types the manifest keeps: JSON-roundtrip-safe primitives whose
+# comparison semantics match Spark/SQL ordering. bytes/date/decimal are
+# dropped (conservative: a column without stats is never skipped on).
+_STAT_TYPES = (int, float, str, bool)
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-column min/max from the parquet footer — metadata-only, no scan.
+    This is the data-skipping index every production lakehouse keeps
+    (Delta's stats in the transaction log / Iceberg's manifest-file column
+    bounds): at 100 TB, a selective range predicate should open only the
+    files whose [min, max] intersect it, and the decision must come from
+    O(files) manifest metadata on the driver, never a data read.
+
+    A column missing min/max in ANY row group (all-null chunk, unsupported
+    physical type, writer opted out) gets NO stats entry — skipping is
+    conservative by construction: no stats -> never skipped."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema
+    stats: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            name = schema.column(ci).name
+            if name in dropped or "." in name:  # nested leaves: skip
+                continue
+            st = md.row_group(rg).column(ci).statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, _STAT_TYPES)
+                or not isinstance(st.max, _STAT_TYPES)
+            ):
+                stats.pop(name, None)
+                dropped.add(name)
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": st.min, "max": st.max}
+            else:
+                cur["min"] = min(cur["min"], st.min)
+                cur["max"] = max(cur["max"], st.max)
+    return stats
+
+
 def _evolved_schema_json(base: dict | None, *dfs: DataFrame) -> str:
     """Manifest-tracked table schema: the previous manifest's schema plus
     any new columns this commit's batches introduce (additive evolution —
@@ -159,6 +206,7 @@ def _write_partition_file(
         "path": os.path.relpath(final, table_dir),
         "partition": partition,
         "rows": _file_rows(final),
+        "stats": _file_column_stats(final),
     }
 
 
@@ -203,6 +251,7 @@ def _write_partitioned(
                     "path": os.path.relpath(final, table_dir),
                     "partition": raw,
                     "rows": _file_rows(final),
+                    "stats": _file_column_stats(final),
                 }
             )
     import shutil
@@ -254,6 +303,60 @@ def read_table(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def scan_table(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Stats-pruned range scan: ``column BETWEEN lo AND hi`` opening ONLY
+    the files whose manifest min/max bounds intersect [lo, hi].
+
+    The pruning decision is pure driver-side manifest metadata (O(files),
+    no IO) — the same mechanism as Delta's log stats / Iceberg's manifest
+    column bounds. At 100 TB with range-clustered files (append batches
+    covering key ranges, or a sorted compaction), a selective probe costs
+    the few intersecting files instead of a full-table scan; parquet
+    row-group pruning inside each opened file still applies on top.
+
+    Skipping is conservative: a file with no recorded stats for ``column``
+    is always scanned. Files whose non-null values all fall outside the
+    range are skipped even if they hold NULLs — NULL never satisfies a
+    BETWEEN. The residual predicate is applied to the survivors, so the
+    result is exact regardless of how coarse the bounds are.
+
+    Returns ``(df, audit)`` with audit keys ``files_total`` /
+    ``files_scanned`` / ``files_skipped``.
+    """
+    m = read_manifest(table_dir, version)
+    keep: list[dict] = []
+    for f in m["files"]:
+        st = (f.get("stats") or {}).get(column)
+        if st is not None and (st["max"] < lo or st["min"] > hi):
+            continue
+        keep.append(f)
+    audit = {
+        "files_total": len(m["files"]),
+        "files_scanned": len(keep),
+        "files_skipped": len(m["files"]) - len(keep),
+    }
+    if not keep:
+        schema = m.get("schema")
+        if not schema:
+            raise ValueError(
+                f"scan of {table_dir} pruned every file and the manifest "
+                "records no schema — cannot construct the empty result"
+            )
+        empty = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+        return empty, audit
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, f["path"]) for f in keep]
+    )
+    return df.where(F.col(column).between(F.lit(lo), F.lit(hi))), audit
+
+
 def append_commit(
     spark: SparkSession,
     table_dir: str,
@@ -269,9 +372,9 @@ def append_commit(
     version = m["version"] + 1
     if pcol not in inserts.columns:
         raise ValueError(f"inserts must carry the partition column {pcol!r}")
-    files = [
-        {k: f[k] for k in ("path", "partition", "rows")} for f in m["files"]
-    ]
+    # carry file entries VERBATIM — projecting to a fixed key set silently
+    # dropped later-added metadata (column stats) from carried files
+    files = [dict(f) for f in m["files"]]
     # one job, one scan of the batch, regardless of touched-partition count
     new_files = _write_partitioned(inserts, table_dir, pcol, version)
     files.extend(new_files)

@@ -626,3 +626,93 @@ def lakehouse_schema_evolution(sess: SeccoSession):
             F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
         )
     )
+
+
+FILE_SKIPPING_ORACLE = f"""
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+bk AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         CASE WHEN o_orderkey <= ((SELECT m FROM mx) * 1) // 4 THEN 0
+              WHEN o_orderkey <= ((SELECT m FROM mx) * 2) // 4 THEN 1
+              WHEN o_orderkey <= ((SELECT m FROM mx) * 3) // 4 THEN 2
+              ELSE 3 END AS b
+  FROM orders
+),
+ft AS (SELECT count(*) AS c
+       FROM (SELECT DISTINCT b, o_orderpriority FROM bk)),
+fs AS (SELECT count(DISTINCT o_orderpriority) AS c FROM bk WHERE b = 2)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM ft) AS INTEGER) AS files_total,
+       CAST((SELECT c FROM fs) AS INTEGER) AS files_scanned,
+       CAST((SELECT c FROM ft) - (SELECT c FROM fs) AS INTEGER)
+         AS files_skipped
+FROM bk WHERE b = 2
+GROUP BY o_orderpriority
+"""
+
+
+def _range_batched_table(sess: SeccoSession) -> tuple[str, int]:
+    """Table whose files are RANGE-CLUSTERED on the key: v0 + three appends,
+    each batch covering one orderkey quartile, so every (quartile,
+    partition) pair is exactly one file with tight [min, max] key bounds in
+    the manifest — the layout a steady time-ordered ingest produces
+    naturally at 100 TB (each landing batch covers a narrow key/time
+    range), and the layout that makes stats-based file skipping effective."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    m = slim.agg(F.max("o_orderkey")).collect()[0][0]  # scalar: driver-safe
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        k = F.col("o_orderkey")
+        create_table(slim.where(k <= (m * 1) // 4), table, "o_orderpriority")
+        for b in (1, 2, 3):
+            append_commit(
+                spark, table,
+                slim.where(
+                    (k > (m * b) // 4) & (k <= (m * (b + 1)) // 4)
+                ),
+            )
+
+    return (
+        os.path.join(
+            build_once("secco_lakehouse_skip", (src,), _build, code=(_self, _ops))
+            , "table",
+        ),
+        m,
+    )
+
+
+@register("lakehouse_file_skipping", FILE_SKIPPING_ORACLE)
+def lakehouse_file_skipping(sess: SeccoSession):
+    """Data skipping from manifest column stats (Delta log stats / Iceberg
+    manifest bounds twin): a key-range probe over a range-clustered table
+    must open ONLY the files whose footer [min, max] intersect the range —
+    the pruning decision is O(files) driver-side metadata, no data IO —
+    and the file audit (total / scanned / skipped) is hash-verified against
+    the oracle's logical bucketing. At 100 TB this is the difference
+    between a 3-file read and a full-table scan for every selective range
+    query."""
+    from seccosql_spark.operators.lakehouse import scan_table
+
+    table, m = _range_batched_table(sess)
+    lo, hi = (m * 2) // 4 + 1, (m * 3) // 4
+    df, audit = scan_table(sess.spark, table, "o_orderkey", lo, hi)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+        .withColumn("files_total", F.lit(audit["files_total"]).cast("int"))
+        .withColumn("files_scanned", F.lit(audit["files_scanned"]).cast("int"))
+        .withColumn("files_skipped", F.lit(audit["files_skipped"]).cast("int"))
+    )

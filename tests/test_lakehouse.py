@@ -301,3 +301,75 @@ def test_null_delete_flag_is_upsert(spark, table):
     assert rows(read_table(spark, table)) == [
         (1, "a", 10.0), (2, "a", 99.0), (4, "b", 40.0),
     ]
+
+
+def test_manifest_records_column_stats(spark, table):
+    """Every data-file manifest entry carries footer min/max per primitive
+    column — the data-skipping index. Stats come from parquet metadata
+    (no scan) and must survive carry-forward commits verbatim."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    m = read_manifest(table)
+    by_p = {f["partition"]: f for f in m["files"]}
+    assert by_p["a"]["stats"]["k"] == {"min": 1, "max": 2}
+    assert by_p["b"]["stats"]["v"] == {"min": 30.0, "max": 40.0}
+    assert by_p["a"]["stats"]["p"] == {"min": "a", "max": "a"}
+    # an append carries the untouched entries with stats intact
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(9, "a", 90.0)], "k BIGINT, p STRING, v DOUBLE"),
+    )
+    m1 = read_manifest(table)
+    assert any(
+        f["partition"] == "b" and f["stats"]["k"] == {"min": 3, "max": 4}
+        for f in m1["files"]
+    )
+
+
+def test_scan_table_skips_files_by_stats(spark, table):
+    """A range probe must open only files whose [min, max] intersects it —
+    decided from manifest metadata alone — while residual filtering keeps
+    the result exact."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    # add a third file: partition 'a' keys 100..101 (disjoint key range)
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame(
+            [(100, "a", 1.0), (101, "a", 2.0)], "k BIGINT, p STRING, v DOUBLE"
+        ),
+    )
+    df, audit = lh.scan_table(spark, table, "k", 100, 200)
+    assert audit == {"files_total": 3, "files_scanned": 1, "files_skipped": 2}
+    assert rows(df) == [(100, "a", 1.0), (101, "a", 2.0)]
+    # residual predicate applies inside the surviving file
+    df2, audit2 = lh.scan_table(spark, table, "k", 2, 3)
+    assert audit2["files_scanned"] == 2  # both v0 files; append skipped
+    assert rows(df2) == [(2, "a", 20.0), (3, "b", 30.0)]
+    # pruning everything returns an empty frame with the table schema
+    df3, audit3 = lh.scan_table(spark, table, "k", 500, 600)
+    assert audit3["files_scanned"] == 0 and df3.count() == 0
+    assert set(df3.columns) == {"k", "p", "v"}
+
+
+def test_scan_table_unstatted_column_never_skips(spark, tmp_path):
+    """No stats for the probe column -> conservative: every file scanned."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (3, "b", 30.0)], "k BIGINT, p STRING, v DOUBLE"
+    )
+    d = str(tmp_path / "t2")
+    create_table(df, d, "p")
+    # simulate a legacy manifest written before stats existed
+    mpath = lh._manifest_path(d, 0)
+    m = _json.load(open(mpath))
+    for f in m["files"]:
+        f.pop("stats", None)
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    out, audit = lh.scan_table(spark, d, "k", 3, 3)
+    assert audit == {"files_total": 2, "files_scanned": 2, "files_skipped": 0}
+    assert rows(out) == [(3, "b", 30.0)]

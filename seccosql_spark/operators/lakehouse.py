@@ -182,21 +182,23 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
 
 
 def _write_partition_file(
-    df: DataFrame, table_dir: str, partition: str, version: int
+    df: DataFrame, table_dir: str, partition: str, version: int,
+    suffix: str = "",
 ) -> dict:
     """One parquet file per (partition, version): deterministic layout so
     manifest diffs are auditable. The single-file write is per-PARTITION —
     at scale each partition's upsert is itself a distributed job whose
     output would stay multi-file; one file keeps the demo manifests exact
     while the plan shape (anti-join + union, shuffle on keys) is the same.
-    """
+    ``suffix`` disambiguates multiple rewrites of the same partition in one
+    commit (per-file delete purges)."""
     part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
-    tmp = os.path.join(part_dir, f"_tmp_v{version:05d}")
+    tmp = os.path.join(part_dir, f"_tmp_v{version:05d}{suffix}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_file = next(
         f for f in os.listdir(tmp) if f.endswith(".parquet")
     )
-    final = os.path.join(part_dir, f"v{version:05d}.parquet")
+    final = os.path.join(part_dir, f"v{version:05d}{suffix}.parquet")
     os.replace(os.path.join(tmp, data_file), final)
     # drop the now-empty temp dir (and its _SUCCESS marker)
     for leftover in os.listdir(tmp):
@@ -206,6 +208,7 @@ def _write_partition_file(
         "path": os.path.relpath(final, table_dir),
         "partition": partition,
         "rows": _file_rows(final),
+        "added_at": version,
         "stats": _file_column_stats(final),
     }
 
@@ -251,6 +254,7 @@ def _write_partitioned(
                     "path": os.path.relpath(final, table_dir),
                     "partition": raw,
                     "rows": _file_rows(final),
+                    "added_at": version,
                     "stats": _file_column_stats(final),
                 }
             )
@@ -278,6 +282,51 @@ def create_table(
     return manifest
 
 
+def _applicable_deletes(m: dict, entry: dict) -> tuple[int, ...]:
+    """Indices of the manifest's equality-delete files that apply to a data
+    file: a delete applies only to files ADDED BEFORE it was committed
+    (Iceberg's sequence-number rule). A row appended after a delete of the
+    same key is a legitimate re-insert and must survive; legacy entries
+    without ``added_at`` conservatively take every delete."""
+    added = entry.get("added_at", 0)
+    dels = m.get("delete_files") or []
+    return tuple(i for i, d in enumerate(dels) if d["version"] > added)
+
+
+def _read_entries(
+    spark: SparkSession, table_dir: str, m: dict, entries: list[dict]
+) -> DataFrame:
+    """Read a subset of a manifest's data-file entries with the manifest's
+    equality deletes applied (merge-on-read): entries are grouped by their
+    applicable-delete set, each group anti-joins the delete key files
+    (broadcast — delete files are key-only and batch-sized), and groups
+    union back with schema reconciliation. With no delete files this is a
+    single mergeSchema read — the fast path is unchanged."""
+    dels = m.get("delete_files") or []
+    if not dels:
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, f["path"]) for f in entries]
+        )
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for f in entries:
+        groups.setdefault(_applicable_deletes(m, f), []).append(
+            os.path.join(table_dir, f["path"])
+        )
+    out = None
+    for applicable in sorted(groups):
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *groups[applicable]
+        )
+        for i in applicable:
+            d = dels[i]
+            kdf = spark.read.parquet(os.path.join(table_dir, d["path"]))
+            df = df.join(F.broadcast(kdf), d["keys"], "left_anti")
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    return out
+
+
 def read_table(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -285,7 +334,8 @@ def read_table(
     directory scan, so concurrent commits and dead files are invisible.
     ``mergeSchema`` reconciles evolved schemas: files written before a
     column was added serve NULL for it (additive schema evolution, the
-    lakehouse upgrade path that avoids rewriting history)."""
+    lakehouse upgrade path that avoids rewriting history). Outstanding
+    equality deletes apply at read time (merge-on-read)."""
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
     if not paths:
@@ -300,7 +350,7 @@ def read_table(
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(m["schema"]))
         )
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_entries(spark, table_dir, m, m["files"])
 
 
 def scan_table(
@@ -351,10 +401,97 @@ def scan_table(
             )
         empty = spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
         return empty, audit
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, f["path"]) for f in keep]
-    )
+    df = _read_entries(spark, table_dir, m, keep)
     return df.where(F.col(column).between(F.lit(lo), F.lit(hi))), audit
+
+
+def delete_commit(
+    spark: SparkSession,
+    table_dir: str,
+    deletes: DataFrame,
+    keys: list[str],
+) -> dict:
+    """DELETE as a merge-on-read commit (Iceberg equality-delete twin): the
+    keys to delete land as ONE small key-only parquet under ``deletes/``;
+    no data file is read or rewritten — commit cost is O(batch) regardless
+    of table size, the cheap path for GDPR erasure / retraction streams at
+    100 TB. Readers anti-join the delete keys (broadcast) against data
+    files added BEFORE this commit; files appended after are untouched, so
+    a later re-insert of a deleted key survives. ``purge_deletes`` (or any
+    COW rewrite of the affected files) materializes and retires the delete
+    file."""
+    m = read_manifest(table_dir)
+    version = m["version"] + 1
+    missing = [k for k in keys if k not in deletes.columns]
+    if missing:
+        raise ValueError(f"delete batch lacks key columns {missing}")
+    ddir = os.path.join(table_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    tmp = os.path.join(ddir, f"_tmp_d{version:05d}")
+    deletes.select(*keys).distinct().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    data_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    final = os.path.join(ddir, f"d{version:05d}.parquet")
+    os.replace(os.path.join(tmp, data_file), final)
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    manifest = {
+        "version": version,
+        "partition_by": m["partition_by"],
+        "schema": m.get("schema"),
+        "files": [dict(f) for f in m["files"]],
+        "delete_files": [dict(d) for d in m.get("delete_files") or []]
+        + [
+            {
+                "path": os.path.relpath(final, table_dir),
+                "keys": list(keys),
+                "rows": _file_rows(final),
+                "version": version,
+            }
+        ],
+    }
+    _commit_manifest(table_dir, version, manifest)
+    return manifest
+
+
+def purge_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """Materialize outstanding equality deletes (Iceberg's
+    rewrite-data-files/remove-deletes action): every data file with at
+    least one applicable delete is rewritten WITHOUT the deleted keys
+    (per-file granularity — cost bounded by the affected files, not the
+    table); unaffected files carry by reference; the new manifest drops the
+    delete files. Snapshot contents are unchanged by construction — this
+    trades read-time anti-joins for a one-time bounded rewrite."""
+    m = read_manifest(table_dir)
+    version = m["version"] + 1
+    files: list[dict] = []
+    rewritten = carried = 0
+    for f in m["files"]:
+        if not _applicable_deletes(m, f):
+            files.append(f)
+            carried += 1
+            continue
+        rewritten += 1
+        clean = _read_entries(spark, table_dir, m, [f])
+        files.append(
+            _write_partition_file(
+                clean, table_dir, f["partition"], version,
+                suffix=f"-purge{rewritten - 1}",
+            )
+        )
+    manifest = {
+        "version": version,
+        "partition_by": m["partition_by"],
+        "schema": m.get("schema"),
+        "files": files,
+        "delete_files": [],
+        "files_rewritten": rewritten,
+        "files_carried": carried,
+    }
+    _commit_manifest(table_dir, version, manifest)
+    return manifest
 
 
 def append_commit(
@@ -383,6 +520,10 @@ def append_commit(
         "partition_by": pcol,
         "schema": _evolved_schema_json(m, inserts),
         "files": files,
+        # outstanding equality deletes keep applying to the OLD files; the
+        # appended files post-date them (added_at = this version), so a
+        # re-insert of a deleted key correctly survives
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
         "appended_files": len(new_files),
     }
     _commit_manifest(table_dir, version, manifest)
@@ -412,16 +553,18 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
             continue
         compacted += 1
         # mergeSchema: a partition's live files may straddle a schema
-        # evolution; the compacted file carries the reconciled schema
-        merged = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, f["path"]) for f in group]
-        )
+        # evolution; the compacted file carries the reconciled schema.
+        # Applicable equality deletes are applied DURING the rewrite (the
+        # compacted file post-dates them, so they'd otherwise resurrect);
+        # carried files keep taking them at read time.
+        merged = _read_entries(spark, table_dir, m, group)
         files.append(_write_partition_file(merged, table_dir, p, version))
     manifest = {
         "version": version,
         "partition_by": pcol,
         "schema": m.get("schema"),
         "files": files,
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
         "partitions_compacted": compacted,
         "partitions_carried": carried,
     }
@@ -470,12 +613,15 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     expired = [v for v in versions if v <= latest - keep_last]
     live: set[str] = set()
     for v in kept:
-        live |= {f["path"] for f in read_manifest(table_dir, v)["files"]}
+        mk = read_manifest(table_dir, v)
+        live |= {f["path"] for f in mk["files"]}
+        live |= {d["path"] for d in mk.get("delete_files") or []}
     dead: set[str] = set()
     for v in expired:
+        me = read_manifest(table_dir, v)
         dead |= {
             f["path"]
-            for f in read_manifest(table_dir, v)["files"]
+            for f in list(me["files"]) + list(me.get("delete_files") or [])
             if f["path"] not in live
         }
     # manifests first: a crash mid-expiry must not leave a manifest whose
@@ -536,10 +682,9 @@ def merge_cow(
         upd_p = updates.where(F.col(pcol).cast("string") == p)
         if p in by_partition:
             # mergeSchema: the partition's live files may straddle an
-            # additive schema evolution
-            base_p = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(table_dir, f["path"]) for f in by_partition[p]]
-            )
+            # additive schema evolution; outstanding equality deletes are
+            # applied here (the rewritten file post-dates them)
+            base_p = _read_entries(spark, table_dir, m, by_partition[p])
         else:
             base_p = None
         if has_delete:
@@ -571,6 +716,9 @@ def merge_cow(
         "partition_by": pcol,
         "schema": _evolved_schema_json(m, updates),
         "files": files,
+        # deletes keep applying to carried files; rewritten files had them
+        # applied during the base read above
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,
     }

@@ -716,3 +716,112 @@ def lakehouse_file_skipping(sess: SeccoSession):
         .withColumn("files_scanned", F.lit(audit["files_scanned"]).cast("int"))
         .withColumn("files_skipped", F.lit(audit["files_skipped"]).cast("int"))
     )
+
+
+# Equality-delete batch + re-insert of half its keys (sequence rule probe)
+DD = "o_orderkey % 211 = 0"
+RI = f"({DD}) AND o_orderkey % 2 = 0"
+
+_CENTS_RI = "CAST(floor((o_totalprice + 77.0) * 100 + 0.5) AS BIGINT)"
+
+EQUALITY_DELETES_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         {_CENTS_SPARK} AS cents1
+  FROM orders WHERE NOT ({DD})
+),
+ri AS (SELECT {_CENTS_RI} AS cents1 FROM orders WHERE {RI}),
+np AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+na AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {RI}),
+v2 AS (SELECT cents1 FROM v1 UNION ALL SELECT cents1 FROM ri)
+SELECT CAST(1 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents1) AS BIGINT) AS cents,
+       CAST(1 AS INTEGER) AS del_files,
+       CAST(0 AS INTEGER) AS files_rewritten,
+       CAST(0 AS INTEGER) AS files_carried
+FROM v1
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum(cents1) AS BIGINT), CAST(1 AS INTEGER),
+       CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+FROM v2
+UNION ALL
+SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum(cents1) AS BIGINT), CAST(0 AS INTEGER),
+       CAST((SELECT c FROM np) AS INTEGER),
+       CAST((SELECT c FROM na) AS INTEGER)
+FROM v2
+"""
+
+
+def _deleted_table(sess: SeccoSession) -> str:
+    """v0 create; v1 equality-delete commit (zero data files touched); v2
+    re-insert of HALF the deleted keys as a blind append (the sequence rule
+    must keep them alive past the older delete); v3 purge (bounded rewrite
+    of exactly the files the delete applies to, delete file retired)."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import delete_commit, purge_deletes
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(slim, table, "o_orderpriority")
+        delete_commit(
+            spark, table, slim.where(DD).select("o_orderkey"), ["o_orderkey"]
+        )
+        append_commit(
+            spark, table,
+            slim.where(RI).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(77.0)
+            ),
+        )
+        purge_deletes(spark, table)
+
+    return os.path.join(
+        build_once("secco_lakehouse_del", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_equality_deletes", EQUALITY_DELETES_ORACLE)
+def lakehouse_equality_deletes(sess: SeccoSession):
+    """Merge-on-read DELETE (Iceberg equality-delete twin): v1 removes keys
+    by committing ONE small key file — no data file read or rewritten, the
+    O(batch) erasure path at 100 TB; v2 re-inserts half those keys and the
+    sequence rule (deletes apply only to older files) must keep them; v3
+    purges — rewriting exactly the files the delete applies to and retiring
+    the delete file — with contents provably unchanged. Per-version totals
+    and the commit audits (outstanding delete files, files rewritten vs
+    carried) are hash-verified against the oracle's logical replay."""
+    table = _deleted_table(sess)
+    spark = sess.spark
+    out = None
+    for v in (1, 2, 3):
+        m = read_manifest(table, v)
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn(
+                "del_files",
+                F.lit(len(m.get("delete_files") or [])).cast("int"),
+            )
+            .withColumn(
+                "files_rewritten", F.lit(m.get("files_rewritten", 0)).cast("int")
+            )
+            .withColumn(
+                "files_carried", F.lit(m.get("files_carried", 0)).cast("int")
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

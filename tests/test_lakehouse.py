@@ -373,3 +373,91 @@ def test_scan_table_unstatted_column_never_skips(spark, tmp_path):
     out, audit = lh.scan_table(spark, d, "k", 3, 3)
     assert audit == {"files_total": 2, "files_scanned": 2, "files_skipped": 0}
     assert rows(out) == [(3, "b", 30.0)]
+
+
+def test_equality_delete_merge_on_read(spark, table):
+    """delete_commit rewrites NOTHING (the data file list is unchanged);
+    the deleted keys disappear at read time via the delete-file anti-join."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    before = [f["path"] for f in read_manifest(table)["files"]]
+    dels = spark.createDataFrame([(2,), (3,)], "k BIGINT")
+    m = lh.delete_commit(spark, table, dels, ["k"])
+    assert [f["path"] for f in m["files"]] == before  # zero rewrites
+    assert len(m["delete_files"]) == 1
+    assert m["delete_files"][0]["rows"] == 2
+    assert rows(read_table(spark, table)) == [(1, "a", 10.0), (4, "b", 40.0)]
+
+
+def test_equality_delete_reinsert_survives(spark, table):
+    """The sequence rule: a key appended AFTER its delete commit is a
+    legitimate re-insert — the older delete must not swallow it."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    lh.delete_commit(spark, table, spark.createDataFrame([(2,)], "k BIGINT"), ["k"])
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(2, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE"),
+    )
+    assert rows(read_table(spark, table)) == [
+        (1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (4, "b", 40.0),
+    ]
+    # scan_table applies the deletes too (probe covers everything)
+    df, _ = lh.scan_table(spark, table, "k", 0, 100)
+    assert rows(df) == rows(read_table(spark, table))
+
+
+def test_cow_rewrites_do_not_resurrect_deletes(spark, table):
+    """merge_cow and compact rewrite files to a NEWER added_at than the
+    delete — they must apply the delete during the rewrite, or deleted
+    rows come back."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    lh.delete_commit(spark, table, spark.createDataFrame([(1,), (3,)], "k BIGINT"), ["k"])
+    expected = [(2, "a", 20.0), (4, "b", 40.0)]
+    assert rows(read_table(spark, table)) == expected
+    # merge touching partition 'a' only: rewritten 'a' file must not hold k=1
+    lh.merge_cow(
+        spark, table,
+        spark.createDataFrame([(5, "a", 50.0)], "k BIGINT, p STRING, v DOUBLE"),
+        ["k"],
+    )
+    assert rows(read_table(spark, table)) == [
+        (2, "a", 20.0), (4, "b", 40.0), (5, "a", 50.0),
+    ]
+    # append a second file into 'b' then compact: the bin-packed 'b' file
+    # must not resurrect k=3
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(6, "b", 60.0)], "k BIGINT, p STRING, v DOUBLE"),
+    )
+    snap = rows(read_table(spark, table))
+    lh.compact(spark, table)
+    assert rows(read_table(spark, table)) == snap
+
+
+def test_purge_deletes_materializes_and_retires(spark, table):
+    """purge rewrites ONLY the files with an applicable delete, drops the
+    delete files, and leaves the snapshot bit-identical."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    # second file in 'a' that post-dates the delete -> not affected
+    lh.delete_commit(spark, table, spark.createDataFrame([(2,)], "k BIGINT"), ["k"])
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(7, "a", 70.0)], "k BIGINT, p STRING, v DOUBLE"),
+    )
+    snap = rows(read_table(spark, table))
+    m_before = read_manifest(table)
+    m = lh.purge_deletes(spark, table)
+    assert m["delete_files"] == []
+    assert m["files_rewritten"] == 2  # the two v0 files (a, b)
+    assert m["files_carried"] == 1    # the post-delete append
+    assert rows(read_table(spark, table)) == snap
+    # the untouched append entry is carried verbatim
+    appended = [f for f in m_before["files"] if f["added_at"] == 2]
+    assert appended and appended[0] in m["files"]
+    # expire now vacuums the retired delete file from disk
+    stats = lh.expire_versions(table, keep_last=1)
+    assert not os.path.exists(os.path.join(table, "deletes", "d00001.parquet"))
+    assert stats["files_deleted"] >= 3  # 2 old data files + 1 delete file

@@ -638,6 +638,85 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     }
 
 
+CHANGE_TYPE_COL = "_change_type"
+
+
+def table_changes(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF / Iceberg
+    incremental-read twin): returns the NET row-level changes with a
+    ``_change_type`` column ('insert' | 'delete'; an update surfaces as a
+    delete of the old row plus an insert of the new one).
+
+    The diff is driven by the MANIFESTS, not the data: only files added or
+    removed between the two versions are read (plus carried files a new
+    equality delete applies to), so a merge that touched 3 of 1000
+    partitions costs ~6 partition files of IO to difference — never a
+    two-full-snapshot compare. Net semantics come from a multiset
+    ``exceptAll`` of the added vs removed file contents: rows a rewrite
+    carried through unchanged cancel out exactly."""
+    if v_from >= v_to:
+        raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
+    m0 = read_manifest(table_dir, v_from)
+    m1 = read_manifest(table_dir, v_to)
+    paths0 = {f["path"] for f in m0["files"]}
+    paths1 = {f["path"] for f in m1["files"]}
+    added = [f for f in m1["files"] if f["path"] not in paths0]
+    removed = [f for f in m0["files"] if f["path"] not in paths1]
+    ins = _read_entries(spark, table_dir, m1, added) if added else None
+    outs = _read_entries(spark, table_dir, m0, removed) if removed else None
+
+    # a delete-only commit changes the EFFECTIVE content of carried files:
+    # rows visible at v_from that a newly-added equality delete now hides
+    carried = [f for f in m0["files"] if f["path"] in paths1]
+    dpaths0 = {d["path"] for d in m0.get("delete_files") or []}
+    new_dels = [
+        d for d in (m1.get("delete_files") or []) if d["path"] not in dpaths0
+    ]
+    if carried and new_dels:
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for f in carried:
+            app = tuple(
+                i for i, d in enumerate(new_dels)
+                if d["version"] > f.get("added_at", 0)
+            )
+            if app:
+                groups.setdefault(app, []).append(f)
+        for app in sorted(groups):
+            visible = _read_entries(spark, table_dir, m0, groups[app])
+            survivors = visible
+            for i in app:
+                d = new_dels[i]
+                kdf = spark.read.parquet(os.path.join(table_dir, d["path"]))
+                survivors = survivors.join(
+                    F.broadcast(kdf), d["keys"], "left_anti"
+                )
+            hidden = visible.exceptAll(survivors)
+            outs = (
+                hidden if outs is None
+                else outs.unionByName(hidden, allowMissingColumns=True)
+            )
+
+    if ins is None and outs is None:
+        base = read_table(spark, table_dir, v_to).limit(0)
+        return base.withColumn(CHANGE_TYPE_COL, F.lit("insert")).limit(0)
+    # align schemas across an evolution boundary before the multiset diff
+    if ins is not None and outs is not None:
+        ins = ins.unionByName(outs.limit(0), allowMissingColumns=True)
+        outs = outs.unionByName(ins.limit(0), allowMissingColumns=True)
+        outs = outs.select(*ins.columns)
+        net_ins = ins.exceptAll(outs)
+        net_del = outs.exceptAll(ins)
+    elif ins is not None:
+        net_ins, net_del = ins, ins.limit(0)
+    else:
+        net_ins, net_del = outs.limit(0), outs
+    return net_ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")).unionByName(
+        net_del.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+    )
+
+
 def merge_cow(
     spark: SparkSession,
     table_dir: str,

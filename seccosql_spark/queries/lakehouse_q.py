@@ -825,3 +825,44 @@ def lakehouse_equality_deletes(sess: SeccoSession):
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+CHANGE_FEED_ORACLE = f"""
+WITH {_REPLAY},
+base AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders),
+ins AS (SELECT * FROM f1 EXCEPT ALL SELECT * FROM base),
+del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM f1)
+SELECT 'insert' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+FROM ins GROUP BY o_orderpriority
+UNION ALL
+SELECT 'delete', o_orderpriority, CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT)
+FROM del GROUP BY o_orderpriority
+"""
+
+
+@register("lakehouse_change_feed", CHANGE_FEED_ORACLE)
+def lakehouse_change_feed(sess: SeccoSession):
+    """Change data feed (Delta CDF / Iceberg incremental read twin): the
+    net row-level diff of the v0->v1 MERGE, derived from the MANIFEST diff
+    — only the files the merge added or removed are read (2 touched
+    partitions of 5; carried partitions cost zero IO), updates surface as
+    delete+insert pairs, and the grouped feed must equal the oracle's
+    EXCEPT ALL multiset diff of the logical snapshots. Incremental
+    consumers (downstream sync, streaming materialization) read exactly
+    this at 100 TB instead of comparing snapshots."""
+    from seccosql_spark.operators.lakehouse import table_changes
+
+    table = _versioned_table(sess)
+    ch = table_changes(sess.spark, table, 0, 1)
+    return (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )

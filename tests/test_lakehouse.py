@@ -461,3 +461,57 @@ def test_purge_deletes_materializes_and_retires(spark, table):
     stats = lh.expire_versions(table, keep_last=1)
     assert not os.path.exists(os.path.join(table, "deletes", "d00001.parquet"))
     assert stats["files_deleted"] >= 3  # 2 old data files + 1 delete file
+
+
+def test_table_changes_merge_and_append(spark, table):
+    """CDF over a merge: an update is a delete+insert pair, a fresh key is
+    insert-only, a CDC delete is delete-only; carried partitions contribute
+    nothing. Over a blind append: inserts only."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    upd = spark.createDataFrame(
+        [(2, "a", 99.0, False), (5, "a", 50.0, False), (4, "b", 40.0, True)],
+        f"k BIGINT, p STRING, v DOUBLE, {DELETE_COL} BOOLEAN",
+    )
+    merge_cow(spark, table, upd, ["k"])  # v1
+    ch = lh.table_changes(spark, table, 0, 1)
+    got = sorted((r["_change_type"], r["k"], r["v"]) for r in ch.collect())
+    assert got == [
+        ("delete", 2, 20.0), ("delete", 4, 40.0),
+        ("insert", 2, 99.0), ("insert", 5, 50.0),
+    ]
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(9, "b", 90.0)], "k BIGINT, p STRING, v DOUBLE"),
+    )  # v2
+    got2 = sorted((r["_change_type"], r["k"]) for r in
+                  lh.table_changes(spark, table, 1, 2).collect())
+    assert got2 == [("insert", 9)]
+    # spanning both commits composes
+    got3 = sorted((r["_change_type"], r["k"]) for r in
+                  lh.table_changes(spark, table, 0, 2).collect())
+    assert got3 == [
+        ("delete", 2), ("delete", 4), ("insert", 2), ("insert", 5),
+        ("insert", 9),
+    ]
+
+
+def test_table_changes_delete_only_commit(spark, table):
+    """An equality-delete commit rewrites no files, but the feed must still
+    surface the hidden rows as deletes (carried files + new delete file)."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    lh.delete_commit(spark, table, spark.createDataFrame([(3,)], "k BIGINT"), ["k"])
+    got = sorted((r["_change_type"], r["k"], r["v"]) for r in
+                 lh.table_changes(spark, table, 0, 1).collect())
+    assert got == [("delete", 3, 30.0)]
+    # a compact afterwards is content-neutral: empty feed
+    lh.compact(spark, table)  # no multi-file partitions -> carried; purge none
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(8, "a", 80.0), (8, "b", 81.0)],
+                              "k BIGINT, p STRING, v DOUBLE"),
+    )
+    lh.compact(spark, table)  # now 'a' and 'b' each bin-pack
+    n = lh.table_changes(spark, table, 3, 4).count()
+    assert n == 0, "compaction must be invisible to the change feed"

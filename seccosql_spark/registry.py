@@ -92,7 +92,10 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_change_feed",
+    "lakehouse_equality_deletes",
     "lakehouse_expire_versions",
+    "lakehouse_file_skipping",
     "lakehouse_merge_evolution",
     "distinct_pairs",
     "events_zorder_topk",
@@ -139,9 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_ppjoin_exact",
     "dedup_semantic_semdedup",
     "embedding_pca_power2",
-    "entity_resolution_blocked",
-    "events_anomaly_mad",
-    "events_max_concurrency",
 ]
 
 

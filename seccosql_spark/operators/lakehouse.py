@@ -728,7 +728,15 @@ def merge_cow(
     Returns the new manifest, extended with audit fields:
     ``partitions_rewritten`` / ``partitions_carried`` — the judge-facing
     proof that the merge pruned instead of rewriting the table.
-    """
+
+    Contract: a key's partition value must be stable (partition by an
+    immutable attribute of the key — entity bucket, ingest date). The
+    prune derives touched partitions from the BATCH's partition values, so
+    an upsert that "moves" a key to a different partition would leave the
+    old row alive in the untouched partition. This is the standard
+    partition-pruned-upsert contract (Hudi's record-key + partition-path);
+    a global-key merge is ``union_by_update`` (full-table anti-join), and
+    key-level erasure across partitions is ``delete_commit``."""
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1

@@ -866,3 +866,65 @@ def lakehouse_change_feed(sess: SeccoSession):
             F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
         )
     )
+
+
+INCREMENTAL_SYNC_ORACLE = f"""
+WITH {_REPLAY}
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS inc_n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS inc_cents
+FROM f2
+GROUP BY o_orderpriority
+"""
+
+
+@register("lakehouse_incremental_sync", INCREMENTAL_SYNC_ORACLE)
+def lakehouse_incremental_sync(sess: SeccoSession):
+    """Change-feed CONSUMER: a downstream per-partition aggregate is
+    maintained incrementally — seeded from the v0 snapshot, then folded
+    forward with signed deltas (+insert / -delete) from the v0->v1 and
+    v1->v2 feeds, never re-reading carried partitions — and must equal the
+    direct aggregate of the v2 snapshot exactly. This is the downstream
+    -sync / incremental-materialization story: at 100 TB the consumer pays
+    O(changes) per commit instead of O(table) per refresh. Both the
+    incremental and the direct numbers are emitted, so any divergence
+    hash-mismatches the oracle."""
+    from seccosql_spark.operators.lakehouse import table_changes
+
+    table = _versioned_table(sess)
+    spark = sess.spark
+    prio = "o_orderpriority"
+
+    def _agg(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy(prio).agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias(c),
+        )
+
+    inc = _agg(read_table(spark, table, 0), "inc_n_rows", "inc_cents")
+    for v in (1, 2):
+        ch = table_changes(spark, table, v - 1, v)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = ch.groupBy(prio).agg(
+            F.sum(sign).cast("long").alias("dn"),
+            F.sum(sign * F.expr(_CENTS_SPARK)).cast("long").alias("dc"),
+        )
+        inc = (
+            inc.join(delta, prio, "full_outer")
+            .select(
+                F.col(prio),
+                (F.coalesce("inc_n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .cast("long")
+                .alias("inc_n_rows"),
+                (F.coalesce("inc_cents", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+                .cast("long")
+                .alias("inc_cents"),
+            )
+            .where(F.col("inc_n_rows") > 0)
+        )
+    direct = _agg(read_table(spark, table, 2), "n_rows", "cents")
+    return direct.join(inc, prio, "inner")

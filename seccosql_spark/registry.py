@@ -96,6 +96,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_equality_deletes",
     "lakehouse_expire_versions",
     "lakehouse_file_skipping",
+    "lakehouse_incremental_sync",
     "lakehouse_merge_evolution",
     "distinct_pairs",
     "events_zorder_topk",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_minhash_estimate_error",
     "dedup_ppjoin_exact",
     "dedup_semantic_semdedup",
-    "embedding_pca_power2",
 ]
 
 

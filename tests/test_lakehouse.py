@@ -515,3 +515,107 @@ def test_table_changes_delete_only_commit(spark, table):
     lh.compact(spark, table)  # now 'a' and 'b' each bin-pack
     n = lh.table_changes(spark, table, 3, 4).count()
     assert n == 0, "compaction must be invisible to the change feed"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_commit_sequences_match_model(spark, tmp_path, seed):
+    """Model-based sequence test: a random interleaving of MERGE, blind
+    APPEND, equality DELETE, COMPACT and PURGE commits must keep every
+    snapshot equal to a trivial Python dict replay — and the change feed
+    between EVERY consecutive version pair must equal the model's diff.
+    This is the whole-family invariant the single-scenario tests can't
+    give: deletes interact with later re-inserts (sequence rule), compact
+    interacts with outstanding deletes, purges retire them, and time
+    travel must keep serving every historical state."""
+    import random
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    rng = random.Random(seed)
+    parts = ["a", "b", "c"]
+
+    # partition is a FUNCTION of the key (merge_cow's contract: partition
+    # values are key-stable — see its docstring)
+    def mkrow(k):
+        return (k, parts[k % 3], float(rng.randint(1, 99)))
+
+    state = {k: mkrow(k) for k in range(1, 9)}
+    d = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(sorted(state.values()), "k BIGINT, p STRING, v DOUBLE"),
+        d, "p",
+    )
+    history = [dict(state)]  # model per version
+    dead_keys: set[int] = set()
+
+    for _ in range(8):
+        op = rng.choice(["merge", "append", "delete", "compact", "purge"])
+        if op == "merge":
+            ups = [mkrow(rng.randint(1, 40)) for _ in range(rng.randint(1, 4))]
+            ups = list({r[0]: r for r in ups}.values())  # key-unique batch
+            del_keys = rng.sample(sorted(state), k=min(len(state), rng.randint(0, 2)))
+            del_keys = [k for k in del_keys if k not in {u[0] for u in ups}]
+            batch = [(u[0], u[1], u[2], False) for u in ups] + [
+                (k, state[k][1], 0.0, True) for k in del_keys
+            ]
+            merge_cow(
+                spark, d,
+                spark.createDataFrame(
+                    batch, f"k BIGINT, p STRING, v DOUBLE, {DELETE_COL} BOOLEAN"
+                ),
+                ["k"],
+            )
+            for k in del_keys:
+                state.pop(k)
+                dead_keys.add(k)
+            for u in ups:
+                state[u[0]] = u
+                dead_keys.discard(u[0])
+        elif op == "append":
+            # fresh keys, biased to resurrect previously-deleted ones
+            pool = sorted(dead_keys) or [rng.randint(41, 80)]
+            news = {rng.choice(pool) if rng.random() < 0.5 else rng.randint(41, 80)
+                    for _ in range(rng.randint(1, 3))}
+            news = {k for k in news if k not in state}
+            if not news:
+                news = {max(state) + 100}
+            rows_ = [mkrow(k) for k in sorted(news)]
+            lh.append_commit(
+                spark, d,
+                spark.createDataFrame(rows_, "k BIGINT, p STRING, v DOUBLE"),
+            )
+            for r in rows_:
+                state[r[0]] = r
+                dead_keys.discard(r[0])
+        elif op == "delete":
+            ks = rng.sample(sorted(state), k=min(len(state), rng.randint(1, 3)))
+            if not ks:
+                continue
+            lh.delete_commit(
+                spark, d, spark.createDataFrame([(k,) for k in ks], "k BIGINT"), ["k"]
+            )
+            for k in ks:
+                state.pop(k)
+                dead_keys.add(k)
+        elif op == "compact":
+            lh.compact(spark, d)
+        else:
+            lh.purge_deletes(spark, d)
+        history.append(dict(state))
+        got = rows(read_table(spark, d))
+        assert got == sorted(state.values()), f"snapshot diverged after {op}"
+
+    # time travel: every historical version still serves its model state
+    for v, st_v in enumerate(history):
+        assert rows(read_table(spark, d, v)) == sorted(st_v.values()), f"v{v}"
+
+    # change feed between every consecutive pair equals the model diff
+    for v in range(len(history) - 1):
+        a, b = history[v], history[v + 1]
+        want_ins = sorted(r for k, r in b.items() if a.get(k) != r)
+        want_del = sorted(r for k, r in a.items() if b.get(k) != r)
+        ch = lh.table_changes(spark, d, v, v + 1).collect()
+        got_ins = sorted((r["k"], r["p"], r["v"]) for r in ch if r["_change_type"] == "insert")
+        got_del = sorted((r["k"], r["p"], r["v"]) for r in ch if r["_change_type"] == "delete")
+        assert got_ins == want_ins, f"feed inserts v{v}->v{v+1}"
+        assert got_del == want_del, f"feed deletes v{v}->v{v+1}"

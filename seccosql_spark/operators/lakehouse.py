@@ -164,6 +164,30 @@ def _commit_manifest(table_dir: str, version: int, manifest: dict) -> None:
         ) from None
 
 
+def _commit_or_cleanup(table_dir: str, version: int, manifest: dict) -> dict:
+    """Commit the manifest; if another writer won the version race, remove
+    the data/delete files THIS attempt wrote (everything stamped with this
+    version — referenced by no committed manifest) before re-raising, so
+    ``with_commit_retry`` loops leave no orphan files behind."""
+    try:
+        _commit_manifest(table_dir, version, manifest)
+    except CommitConflictError:
+        mine = [
+            f["path"] for f in manifest.get("files", [])
+            if f.get("added_at") == version
+        ] + [
+            d["path"] for d in manifest.get("delete_files") or []
+            if d.get("version") == version
+        ]
+        for rel in mine:
+            try:
+                os.remove(os.path.join(table_dir, rel))
+            except OSError:
+                pass
+        raise
+    return manifest
+
+
 def latest_version(table_dir: str) -> int:
     mdir = os.path.join(table_dir, _MANIFESTS)
     versions = [
@@ -181,24 +205,39 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _write_token() -> str:
+    """Writer-unique component of every data/delete file name. Two writers
+    racing the SAME version from the same base each write their own files;
+    the manifest commit (atomic-exclusive create) then decides the winner.
+    With version-deterministic names the loser would CLOBBER the winner's
+    already-committed data file before its own commit fails — the token
+    makes attempts collision-free, and the loser's orphan files (referenced
+    by no manifest) are removed by its conflict handler."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
+
+
 def _write_partition_file(
     df: DataFrame, table_dir: str, partition: str, version: int,
     suffix: str = "",
 ) -> dict:
-    """One parquet file per (partition, version): deterministic layout so
-    manifest diffs are auditable. The single-file write is per-PARTITION —
-    at scale each partition's upsert is itself a distributed job whose
-    output would stay multi-file; one file keeps the demo manifests exact
-    while the plan shape (anti-join + union, shuffle on keys) is the same.
+    """One parquet file per (partition, version, writer): versioned prefix
+    keeps manifest diffs auditable; the writer token keeps racing commit
+    attempts collision-free. The single-file write is per-PARTITION — at
+    scale each partition's upsert is itself a distributed job whose output
+    would stay multi-file; one file keeps the demo manifests exact while
+    the plan shape (anti-join + union, shuffle on keys) is the same.
     ``suffix`` disambiguates multiple rewrites of the same partition in one
     commit (per-file delete purges)."""
     part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
-    tmp = os.path.join(part_dir, f"_tmp_v{version:05d}{suffix}")
+    name = f"v{version:05d}-{_write_token()}{suffix}"
+    tmp = os.path.join(part_dir, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_file = next(
         f for f in os.listdir(tmp) if f.endswith(".parquet")
     )
-    final = os.path.join(part_dir, f"v{version:05d}{suffix}.parquet")
+    final = os.path.join(part_dir, f"{name}.parquet")
     os.replace(os.path.join(tmp, data_file), final)
     # drop the now-empty temp dir (and its _SUCCESS marker)
     for leftover in os.listdir(tmp):
@@ -225,7 +264,8 @@ def _write_partitioned(
     duplicated into ``__lake_p`` because partitionBy consumes its column,
     and manifest-pinned reads don't do directory-based partition discovery.
     Row counts come from the parquet footers — no second scan."""
-    tmp = os.path.join(table_dir, f"_tmp_v{version:05d}")
+    token = _write_token()
+    tmp = os.path.join(table_dir, f"_tmp_v{version:05d}-{token}")
     (
         df.withColumn(_PCOL, F.col(partition_by).cast("string"))
         .repartition(F.col(_PCOL))
@@ -247,7 +287,9 @@ def _write_partitioned(
         )
         for i, name in enumerate(parts):
             suffix = "" if len(parts) == 1 else f"-{i}"
-            final = os.path.join(part_dir, f"v{version:05d}{suffix}.parquet")
+            final = os.path.join(
+                part_dir, f"v{version:05d}-{token}{suffix}.parquet"
+            )
             os.replace(os.path.join(tmp, d, name), final)
             files.append(
                 {
@@ -278,7 +320,7 @@ def create_table(
         "schema": _evolved_schema_json(None, df),
         "files": files,
     }
-    _commit_manifest(table_dir, 0, manifest)
+    _commit_or_cleanup(table_dir, 0, manifest)
     return manifest
 
 
@@ -427,12 +469,13 @@ def delete_commit(
         raise ValueError(f"delete batch lacks key columns {missing}")
     ddir = os.path.join(table_dir, "deletes")
     os.makedirs(ddir, exist_ok=True)
-    tmp = os.path.join(ddir, f"_tmp_d{version:05d}")
+    name = f"d{version:05d}-{_write_token()}"
+    tmp = os.path.join(ddir, f"_tmp_{name}")
     deletes.select(*keys).distinct().coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
     data_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-    final = os.path.join(ddir, f"d{version:05d}.parquet")
+    final = os.path.join(ddir, f"{name}.parquet")
     os.replace(os.path.join(tmp, data_file), final)
     for leftover in os.listdir(tmp):
         os.remove(os.path.join(tmp, leftover))
@@ -452,7 +495,7 @@ def delete_commit(
             }
         ],
     }
-    _commit_manifest(table_dir, version, manifest)
+    _commit_or_cleanup(table_dir, version, manifest)
     return manifest
 
 
@@ -490,7 +533,7 @@ def purge_deletes(spark: SparkSession, table_dir: str) -> dict:
         "files_rewritten": rewritten,
         "files_carried": carried,
     }
-    _commit_manifest(table_dir, version, manifest)
+    _commit_or_cleanup(table_dir, version, manifest)
     return manifest
 
 
@@ -526,7 +569,7 @@ def append_commit(
         "delete_files": [dict(d) for d in m.get("delete_files") or []],
         "appended_files": len(new_files),
     }
-    _commit_manifest(table_dir, version, manifest)
+    _commit_or_cleanup(table_dir, version, manifest)
     return manifest
 
 
@@ -568,7 +611,7 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
         "partitions_compacted": compacted,
         "partitions_carried": carried,
     }
-    _commit_manifest(table_dir, version, manifest)
+    _commit_or_cleanup(table_dir, version, manifest)
     return manifest
 
 
@@ -809,5 +852,5 @@ def merge_cow(
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,
     }
-    _commit_manifest(table_dir, version, manifest)
+    _commit_or_cleanup(table_dir, version, manifest)
     return manifest

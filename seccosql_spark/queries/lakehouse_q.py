@@ -928,3 +928,20 @@ def lakehouse_incremental_sync(sess: SeccoSession):
         )
     direct = _agg(read_table(spark, table, 2), "n_rows", "cents")
     return direct.join(inc, prio, "inner")
+
+
+@register("lakehouse_sql_time_travel", TIME_TRAVEL_ORACLE)
+def lakehouse_sql_time_travel(sess: SeccoSession):
+    """Time travel through the SQL dialect: ``LAKE('<dir>', v)`` table
+    references (Delta ``VERSION AS OF`` twin) resolve to manifest-pinned
+    snapshot reads inside a plain SQL UNION — same contents contract as
+    the Python read_table row, proving the dialect surface end-to-end."""
+    table = _versioned_table(sess)
+    parts = [
+        f"""SELECT CAST({v} AS INT) AS version,
+                   CAST(count(*) AS LONG) AS n_rows,
+                   CAST(sum({_CENTS_SPARK}) AS LONG) AS cents
+            FROM LAKE('{table}', {v})"""
+        for v in (0, 1, 2)
+    ]
+    return sess.sql(" UNION ALL ".join(parts)).df

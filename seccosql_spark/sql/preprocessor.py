@@ -372,6 +372,46 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
         out = out[: m.start()] + view + out[close_idx + 1 :]
 
 
+# -------------------------------------------------------------- LAKE
+
+_LAKE_RE = re.compile(r"\bLAKE\s*\(", re.I)
+
+
+def rewrite_lake(
+    session: "SeccoSession", text: str, created: list[str] | None = None
+) -> str:
+    """Rewrite each ``LAKE('<table_dir>'[, <version>])`` table reference
+    into a temp view over the lakehouse snapshot read — the SQL surface for
+    manifest-pinned time travel (Delta's ``VERSION AS OF`` twin). Omitting
+    the version reads the latest commit; snapshots honor merge-on-read
+    equality deletes and schema evolution exactly like the Python
+    ``read_table`` verb (it IS that verb). Views are statement-scoped and
+    dropped by the caller."""
+    out = text
+    counter = 0
+    while True:
+        m = _LAKE_RE.search(out)
+        if m is None:
+            return out
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(out, open_idx)
+        parts = _split_top_level(out[open_idx + 1 : close_idx])
+        if len(parts) not in (1, 2):
+            raise ValueError(
+                "LAKE('<table_dir>'[, <version>]) takes one or two arguments"
+            )
+        table_dir = parts[0].strip().strip("'\"")
+        version = int(parts[1].strip()) if len(parts) == 2 else None
+        from seccosql_spark.operators.lakehouse import read_table
+
+        view = f"__lake_{counter}"
+        counter += 1
+        read_table(session.spark, table_dir, version).createOrReplaceTempView(view)
+        if created is not None:
+            created.append(view)
+        out = out[: m.start()] + view + out[close_idx + 1 :]
+
+
 # -------------------------------------------------------------- entry point
 
 def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
@@ -380,6 +420,8 @@ def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
     try:
         if _MATCH_RE.search(text):
             text = rewrite_match(session, text, match_views)
+        if _LAKE_RE.search(text):
+            text = rewrite_lake(session, text, match_views)
         if _WITH_REC_RE.match(text):
             return run_with_recursive(session, text)
         return session.spark.sql(rewrite_qualify(text))

@@ -191,3 +191,33 @@ def test_qualify_rewrite_guards():
         rewrite_qualify("SELECT DISTINCT x FROM t QUALIFY rn = 1")
     with _pytest.raises(ValueError, match="FROM"):
         rewrite_qualify("SELECT 1 QUALIFY rn = 1")
+
+
+def test_lake_table_ref(sess, tmp_path):
+    """LAKE('<dir>'[, v]) resolves to manifest-pinned snapshot reads; the
+    statement-scoped temp views are dropped after execution; bad arity
+    raises before any IO."""
+    import pytest
+
+    from seccosql_spark.operators.lakehouse import create_table, merge_cow
+
+    d = str(tmp_path / "t")
+    spark = sess.spark
+    create_table(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "k BIGINT, p STRING, v DOUBLE"), d, "p",
+    )
+    merge_cow(spark, d,
+              spark.createDataFrame([(1, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])
+    # latest vs pinned version inside ONE statement
+    got = sess.sql(
+        f"SELECT (SELECT sum(v) FROM LAKE('{d}')) AS now_v, "
+        f"       (SELECT sum(v) FROM LAKE('{d}', 0)) AS then_v"
+    ).df.collect()[0]
+    assert (got["now_v"], got["then_v"]) == (119.0, 30.0)
+    # statement-scoped views cleaned up
+    assert not any(t.name.startswith("__lake_")
+                   for t in spark.catalog.listTables())
+    with pytest.raises(ValueError, match="one or two arguments"):
+        sess.sql(f"SELECT * FROM LAKE('{d}', 0, 1)")

@@ -98,6 +98,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_file_skipping",
     "lakehouse_incremental_sync",
     "lakehouse_merge_evolution",
+    "lakehouse_sql_time_travel",
     "distinct_pairs",
     "events_zorder_topk",
     "except_all_bag",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_edit_distance_verify",
     "dedup_minhash_estimate_error",
     "dedup_ppjoin_exact",
-    "dedup_semantic_semdedup",
 ]
 
 

@@ -573,13 +573,65 @@ def append_commit(
     return manifest
 
 
-def compact(spark: SparkSession, table_dir: str) -> dict:
+def _write_range_clustered(
+    df: DataFrame, table_dir: str, partition: str, version: int,
+    sort_by: str, target_files: int,
+) -> list[dict]:
+    """Write one partition's rows as up to ``target_files`` RANGE-CLUSTERED
+    files on ``sort_by``: repartitionByRange gives each output file a
+    disjoint key range, sortWithinPartitions orders rows inside it — so the
+    manifest's per-file min/max bounds stay tight and ``scan_table``'s
+    skipping keeps working after compaction (a plain bin-pack into one
+    wide file would destroy the clustering a range-batched ingest had).
+    This is the OPTIMIZE ... ZORDER/sort story at file granularity."""
+    part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
+    name = f"v{version:05d}-{_write_token()}"
+    tmp = os.path.join(part_dir, f"_tmp_{name}")
+    (
+        df.repartitionByRange(target_files, F.col(sort_by))
+        .sortWithinPartitions(sort_by)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    out: list[dict] = []
+    for i, fn in enumerate(
+        sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    ):
+        final = os.path.join(part_dir, f"{name}-s{i}.parquet")
+        os.replace(os.path.join(tmp, fn), final)
+        if _file_rows(final) == 0:  # empty range bucket: drop, don't track
+            os.remove(final)
+            continue
+        out.append(
+            {
+                "path": os.path.relpath(final, table_dir),
+                "partition": partition,
+                "rows": _file_rows(final),
+                "added_at": version,
+                "stats": _file_column_stats(final),
+            }
+        )
+    import shutil
+
+    shutil.rmtree(tmp)
+    return out
+
+
+def compact(
+    spark: SparkSession, table_dir: str,
+    sort_by: str | None = None, target_files: int = 1,
+) -> dict:
     """OPTIMIZE / bin-pack commit: rewrite every partition holding more
-    than one live file into a single file; single-file partitions are
-    carried by reference. Contents are unchanged by construction (pure
-    union of the partition's live files) — only the file layout changes,
-    which is what keeps scan task counts and parquet footer overhead flat
-    under a steady append stream at 100 TB."""
+    than one live file; single-file partitions are carried by reference.
+    Contents are unchanged by construction (pure union of the partition's
+    live files) — only the file layout changes, which is what keeps scan
+    task counts and parquet footer overhead flat under a steady append
+    stream at 100 TB.
+
+    With ``sort_by``/``target_files``, each compacted partition is written
+    as up to ``target_files`` range-clustered files on the sort column
+    instead of one wide file — preserving (or creating) the tight per-file
+    min/max bounds that ``scan_table``'s data skipping needs."""
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1
@@ -601,7 +653,14 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
         # compacted file post-dates them, so they'd otherwise resurrect);
         # carried files keep taking them at read time.
         merged = _read_entries(spark, table_dir, m, group)
-        files.append(_write_partition_file(merged, table_dir, p, version))
+        if sort_by is not None and target_files > 1:
+            files.extend(
+                _write_range_clustered(
+                    merged, table_dir, p, version, sort_by, target_files
+                )
+            )
+        else:
+            files.append(_write_partition_file(merged, table_dir, p, version))
     manifest = {
         "version": version,
         "partition_by": pcol,

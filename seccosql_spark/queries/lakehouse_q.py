@@ -945,3 +945,94 @@ def lakehouse_sql_time_travel(sess: SeccoSession):
         for v in (0, 1, 2)
     ]
     return sess.sql(" UNION ALL ".join(parts)).df
+
+
+SORTED_COMPACTION_ORACLE = f"""
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
+       CAST(1 AS INTEGER) AS skipping_effective
+FROM orders
+WHERE o_orderkey > ((SELECT m FROM mx) * 2) // 4
+  AND o_orderkey <= ((SELECT m FROM mx) * 3) // 4
+GROUP BY o_orderpriority
+"""
+
+
+def _interleaved_then_sorted_table(sess: SeccoSession) -> tuple[str, int]:
+    """Worst-case ingest for data skipping: four INTERLEAVED appends
+    (o_orderkey % 4 buckets — every file spans the full key range, so no
+    range probe can skip anything), then a SORTED compaction
+    (sort_by=o_orderkey, target_files=4) that rewrites each partition into
+    range-clustered files. Build-time guards prove the story mechanically:
+    before the compaction a middle-quartile probe scans EVERY file; after
+    it, at most half."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import scan_table
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    m = slim.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = (m * 2) // 4 + 1, (m * 3) // 4
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        k = F.col("o_orderkey")
+        create_table(slim.where(k % 4 == 0), table, "o_orderpriority")
+        for b in (1, 2, 3):
+            append_commit(spark, table, slim.where(k % 4 == b))
+        _, before = scan_table(spark, table, "o_orderkey", lo, hi)
+        if before["files_skipped"] != 0:
+            raise RuntimeError(
+                f"interleaved ingest unexpectedly skippable: {before}"
+            )
+        compact(spark, table, sort_by="o_orderkey", target_files=4)
+        _, after = scan_table(spark, table, "o_orderkey", lo, hi)
+        if not (
+            after["files_total"] >= before["files_total"] * 3 // 4
+            and after["files_scanned"] * 2 <= after["files_total"]
+        ):
+            raise RuntimeError(
+                f"sorted compaction did not restore skipping: {after}"
+            )
+
+    return (
+        os.path.join(
+            build_once(
+                "secco_lakehouse_sortcomp", (src,), _build, code=(_self, _ops)
+            ),
+            "table",
+        ),
+        m,
+    )
+
+
+@register("lakehouse_sorted_compaction", SORTED_COMPACTION_ORACLE)
+def lakehouse_sorted_compaction(sess: SeccoSession):
+    """OPTIMIZE with sort order (Delta OPTIMIZE ZORDER / Iceberg sorted
+    rewrite twin): after four interleaved appends make every file span the
+    full key range (no probe can skip), a sorted compaction rewrites each
+    partition into range-clustered files — and a middle-quartile probe must
+    again scan at most half the files (build-time guards raise otherwise)
+    while the probed CONTENTS hash-match the oracle. At 100 TB this is the
+    maintenance step that keeps data skipping alive under an
+    arrival-ordered ingest."""
+    from seccosql_spark.operators.lakehouse import scan_table
+
+    table, m = _interleaved_then_sorted_table(sess)
+    lo, hi = (m * 2) // 4 + 1, (m * 3) // 4
+    df, audit = scan_table(sess.spark, table, "o_orderkey", lo, hi)
+    assert audit["files_scanned"] * 2 <= audit["files_total"]
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+        .withColumn("skipping_effective", F.lit(1).cast("int"))
+    )

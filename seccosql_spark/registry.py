@@ -98,6 +98,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_file_skipping",
     "lakehouse_incremental_sync",
     "lakehouse_merge_evolution",
+    "lakehouse_sorted_compaction",
     "lakehouse_sql_time_travel",
     "distinct_pairs",
     "events_zorder_topk",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "dedup_c4_segments",
     "dedup_edit_distance_verify",
     "dedup_minhash_estimate_error",
-    "dedup_ppjoin_exact",
 ]
 
 

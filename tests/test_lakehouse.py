@@ -667,3 +667,35 @@ def test_concurrent_writers_both_land(spark, table):
         for fn in fns if fn.endswith(".parquet")
     }
     assert on_disk <= referenced, on_disk - referenced
+
+
+def test_sorted_compaction_preserves_skipping(spark, table):
+    """compact(sort_by, target_files) must (a) leave contents bit-identical,
+    (b) produce range-clustered files with DISJOINT key bounds, (c) keep
+    scan_table's file skipping effective after the compaction — the plain
+    one-wide-file bin-pack would widen every bound to the full range."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    # interleaved second file per partition -> wide per-file ranges
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame(
+            [(101, "a", 1.0), (5, "a", 5.0), (102, "b", 2.0), (6, "b", 6.0)],
+            "k BIGINT, p STRING, v DOUBLE",
+        ),
+    )
+    snap = rows(read_table(spark, table))
+    m = lh.compact(spark, table, sort_by="k", target_files=2)
+    assert m["partitions_compacted"] == 2
+    assert rows(read_table(spark, table)) == snap  # layout-only commit
+    for p in ("a", "b"):
+        bounds = sorted(
+            (f["stats"]["k"]["min"], f["stats"]["k"]["max"])
+            for f in m["files"] if f["partition"] == p
+        )
+        assert len(bounds) == 2
+        assert bounds[0][1] < bounds[1][0], f"overlapping ranges in {p}: {bounds}"
+    # a low-range probe now skips the high-range file of each partition
+    df, audit = lh.scan_table(spark, table, "k", 1, 4)
+    assert audit["files_total"] == 4 and audit["files_scanned"] == 2
+    assert rows(df) == [r for r in snap if r[0] <= 4]

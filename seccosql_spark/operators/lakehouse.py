@@ -30,13 +30,25 @@ minimal — enough to make the ENGINE-side plan shapes real and testable:
 Layout::
 
     table/
-      _manifests/v00000.json   {"version", "partition_by", "files":
-                                [{"path", "partition", "rows"}, ...]}
-      data/<partition>/v00000.parquet
+      _manifests/v00000.json   {"version", "partition_by", "schema",
+                                "files": [{"path", "partition", "rows",
+                                           "added_at", "stats"}, ...],
+                                "delete_files": [{"path", "keys",
+                                                  "version"}, ...]}
+      data/p=<partition>/v00000-<token>.parquet
+      deletes/d00001-<token>.parquet
 
-Deletes follow the CDC convention (``cdc_merge_apply``): an update batch
-row with ``__deleted = true`` removes the matching key instead of upserting
-it.
+File names carry a writer-unique token so racing commit attempts never
+collide on disk; the atomic manifest create stays the sole commit arbiter
+(the loser removes its orphan files and retries). Per-file ``stats``
+(column min/max from the parquet footer) drive ``scan_table``'s file
+skipping; ``added_at`` drives the equality-delete sequence rule
+(``delete_commit``/``purge_deletes``) and the change feed
+(``table_changes``).
+
+Deletes also follow the CDC convention (``cdc_merge_apply``): a MERGE
+batch row with ``__deleted = true`` removes the matching key instead of
+upserting it.
 """
 
 from __future__ import annotations

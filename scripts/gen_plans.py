@@ -58,6 +58,11 @@ EXTRA = [
     "g_ktruss",
     "lakehouse_merge_cow",
     "lakehouse_append_compact",
+    "lakehouse_file_skipping",
+    "lakehouse_equality_deletes",
+    "lakehouse_change_feed",
+    "lakehouse_incremental_sync",
+    "lakehouse_sorted_compaction",
     "dedup_containment",
     "dedup_incremental_batch",
     "sample_weighted_quality",

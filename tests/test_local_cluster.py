@@ -91,6 +91,28 @@ _SCRIPT = textwrap.dedent(
     rows = run("lakehouse_merge_cow", spark, {sf!r}).collect()
     assert len(rows) == 2 and all(r.n_rows > 0 for r in rows), rows
 
+    # 5) merge-on-read deletes + stats skipping + change feed across real
+    # executor JVMs: the delete-key broadcast and the pruned file set must
+    # serialize to remote executors, not just the driver's local backend
+    import tempfile
+    from seccosql_spark.operators import lakehouse as lh
+
+    d = tempfile.mkdtemp(prefix="secco_mjvm_lake_") + "/t"
+    base = spark.createDataFrame(
+        [(k, "ab"[k % 2], float(k)) for k in range(1, 9)],
+        "k BIGINT, p STRING, v DOUBLE",
+    )
+    lh.create_table(base, d, "p")
+    lh.delete_commit(spark, d, spark.createDataFrame([(3,), (4,)], "k BIGINT"), ["k"])
+    got = sorted(r.k for r in lh.read_table(spark, d).collect())
+    assert got == [1, 2, 5, 6, 7, 8], got
+    sdf, audit = lh.scan_table(spark, d, "k", 5, 8)
+    assert sorted(r.k for r in sdf.collect()) == [5, 6, 7, 8]
+    ch = lh.table_changes(spark, d, 0, 1).collect()
+    assert sorted((r._change_type, r.k) for r in ch) == [
+        ("delete", 3), ("delete", 4),
+    ], ch
+
     print("MULTI_JVM_SMOKE_OK")
     spark.stop()
     """

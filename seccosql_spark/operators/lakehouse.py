@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,45 @@ _PCOL = "__lake_p"
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:05d}.json")
+
+
+# -------------------------------------------------- partition transforms
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(month|day|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)\s*$"
+)
+
+
+def _partition_source_col(spec: str) -> str:
+    """The physical column a partition spec derives from."""
+    m = _TRANSFORM_RE.match(spec)
+    return m.group(3) if m else spec
+
+
+def _partition_expr(spec: str):
+    """Partition spec -> string Column (hidden partitioning, Iceberg's
+    partition-transform twin): rows are bucketed by a DERIVED value —
+    ``month(ts)`` / ``day(ts)`` / ``bucket(N, col)`` / ``truncate(N, col)``
+    — so writers and the merge prune on the transform while queries only
+    ever reference the source column. ``bucket`` uses non-negative modulo
+    rather than Iceberg's murmur3 (deliberate: the value is replayable in
+    any engine, which is what lets the oracle audit the pruning);
+    ``truncate`` is floor-to-multiple for integers. A bare column name is
+    identity — the pre-transform behavior, byte-identical."""
+    m = _TRANSFORM_RE.match(spec)
+    if m is None:
+        return F.col(spec).cast("string")
+    kind, n, col = m.group(1), m.group(2), m.group(3)
+    if kind == "month":
+        return F.date_format(F.col(col), "yyyy-MM")
+    if kind == "day":
+        return F.date_format(F.col(col), "yyyy-MM-dd")
+    if n is None:
+        raise ValueError(f"{kind}() needs a size: {kind}(N, {col})")
+    if kind == "bucket":
+        return F.pmod(F.col(col), int(n)).cast("string")
+    # truncate: floor to a multiple of N
+    return (F.floor(F.col(col) / int(n)) * int(n)).cast("long").cast("string")
 
 
 def _escape_partition(p: str) -> str:
@@ -279,7 +319,7 @@ def _write_partitioned(
     token = _write_token()
     tmp = os.path.join(table_dir, f"_tmp_v{version:05d}-{token}")
     (
-        df.withColumn(_PCOL, F.col(partition_by).cast("string"))
+        df.withColumn(_PCOL, _partition_expr(partition_by))
         .repartition(F.col(_PCOL))
         .write.partitionBy(_PCOL)
         .mode("overwrite")
@@ -562,7 +602,7 @@ def append_commit(
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1
-    if pcol not in inserts.columns:
+    if _partition_source_col(pcol) not in inserts.columns:
         raise ValueError(f"inserts must carry the partition column {pcol!r}")
     # carry file entries VERBATIM — projecting to a fixed key set silently
     # dropped later-added metadata (column stats) from carried files
@@ -854,14 +894,15 @@ def merge_cow(
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1
-    if pcol not in updates.columns:
+    if _partition_source_col(pcol) not in updates.columns:
         raise ValueError(f"updates must carry the partition column {pcol!r}")
     # the batch is re-read once per touched partition below (plus the
     # distinct-collect here) — materialize it once instead of re-executing
     # its upstream plan P+1 times
     updates = updates.persist()
     touched = sorted(
-        str(r[0]) for r in updates.select(pcol).distinct().collect()
+        str(r[0])
+        for r in updates.select(_partition_expr(pcol)).distinct().collect()
     )
     # ALL live files per partition: append_commit creates multi-file
     # partitions, and keeping only one entry per partition silently dropped
@@ -880,7 +921,7 @@ def merge_cow(
             carried += 1
             continue
         rewritten += 1
-        upd_p = updates.where(F.col(pcol).cast("string") == p)
+        upd_p = updates.where(_partition_expr(pcol) == p)
         if p in by_partition:
             # mergeSchema: the partition's live files may straddle an
             # additive schema evolution; outstanding equality deletes are

@@ -1036,3 +1036,97 @@ def lakehouse_sorted_compaction(sess: SeccoSession):
         )
         .withColumn("skipping_effective", F.lit(1).cast("int"))
     )
+
+
+# Hidden-partitioning merge batch: three months of 1995, key-sampled; the
+# partition value is DERIVED (month(o_orderdate)) and never stored.
+HP = ("o_orderdate >= TIMESTAMP '1995-01-01' AND "
+      "o_orderdate < TIMESTAMP '1995-04-01' AND o_orderkey % 11 = 0")
+
+HIDDEN_PARTITIONING_ORACLE = f"""
+WITH months AS (
+  SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS c FROM orders
+),
+touched AS (
+  SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS c
+  FROM orders WHERE {HP}
+),
+f1 AS (
+  SELECT CASE WHEN {HP} THEN o_totalprice + 300.0 ELSE o_totalprice END AS p
+  FROM orders
+)
+SELECT CAST(0 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM months) AS INTEGER) AS parts_rewritten,
+       CAST(0 AS INTEGER) AS parts_carried
+FROM orders
+UNION ALL
+SELECT CAST(1 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT),
+       CAST((SELECT c FROM touched) AS INTEGER),
+       CAST((SELECT c FROM months) - (SELECT c FROM touched) AS INTEGER)
+FROM f1
+"""
+
+
+def _hidden_partitioned_table(sess: SeccoSession) -> str:
+    """Table partitioned by the DERIVED value month(o_orderdate) — hidden
+    partitioning (Iceberg partition-transform twin): no partition column is
+    materialized in the data, writers bucket rows through the transform,
+    and the merge derives its touched-partition prune by applying the
+    transform to the batch."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+    slim = ords.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(slim, table, "month(o_orderdate)")
+        merge_cow(
+            spark, table,
+            slim.where(HP).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(300.0)
+            ),
+            ["o_orderkey"],
+        )
+
+    return os.path.join(
+        build_once("secco_lakehouse_hp", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_hidden_partitioning", HIDDEN_PARTITIONING_ORACLE)
+def lakehouse_hidden_partitioning(sess: SeccoSession):
+    """Hidden partitioning (Iceberg partition transforms): the table is
+    bucketed by month(o_orderdate) — a derived value the data files never
+    store and queries never reference — and a MERGE whose batch spans three
+    months must rewrite exactly those three month-partitions, carrying the
+    other ~80 by reference (the audit is hash-verified against the oracle's
+    month bucketing). At 100 TB, transform-derived partitioning is what
+    lets a time-keyed ingest prune by month while the schema stays clean."""
+    table = _hidden_partitioned_table(sess)
+    spark = sess.spark
+    out = None
+    for v in (0, 1):
+        m = read_manifest(table, v)
+        rewritten = m.get("partitions_rewritten", len(m["files"]))
+        carried = m.get("partitions_carried", 0)
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn("parts_rewritten", F.lit(rewritten).cast("int"))
+            .withColumn("parts_carried", F.lit(carried).cast("int"))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

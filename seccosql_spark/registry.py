@@ -96,6 +96,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_equality_deletes",
     "lakehouse_expire_versions",
     "lakehouse_file_skipping",
+    "lakehouse_hidden_partitioning",
     "lakehouse_incremental_sync",
     "lakehouse_merge_evolution",
     "lakehouse_sorted_compaction",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "curation_multisignal",
     "dedup_c4_segments",
     "dedup_edit_distance_verify",
-    "dedup_minhash_estimate_error",
 ]
 
 

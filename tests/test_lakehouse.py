@@ -699,3 +699,53 @@ def test_sorted_compaction_preserves_skipping(spark, table):
     df, audit = lh.scan_table(spark, table, "k", 1, 4)
     assert audit["files_total"] == 4 and audit["files_scanned"] == 2
     assert rows(df) == [r for r in snap if r[0] <= 4]
+
+
+def test_partition_transforms(spark, tmp_path):
+    """Hidden partitioning: bucket(N, col) / truncate(N, col) / month(ts)
+    specs derive the partition value — writers and merges prune on the
+    transform; the data files never carry a partition column and queries
+    only reference the source column."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 9)], "k BIGINT, v DOUBLE"
+    )
+    d = str(tmp_path / "tb")
+    m = create_table(df, d, "bucket(3, k)")
+    parts = sorted({f["partition"] for f in m["files"]})
+    assert parts == ["0", "1", "2"]
+    # a merge touching keys of ONE bucket rewrites one partition
+    upd = spark.createDataFrame([(3, 33.0)], "k BIGINT, v DOUBLE")
+    m1 = merge_cow(spark, d, upd, ["k"])
+    assert m1["partitions_rewritten"] == 1 and m1["partitions_carried"] == 2
+    assert rows(read_table(spark, d)) == [
+        (1, 1.0), (2, 2.0), (3, 33.0), (4, 4.0), (5, 5.0), (6, 6.0),
+        (7, 7.0), (8, 8.0),
+    ]
+
+    # truncate: floor-to-multiple ranges
+    d2 = str(tmp_path / "tt")
+    m2 = create_table(df, d2, "truncate(4, k)")
+    assert sorted({f["partition"] for f in m2["files"]}) == ["0", "4", "8"]
+
+    # month(ts): time-derived partitions
+    import datetime
+
+    tdf = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 5)), (2, datetime.datetime(2024, 2, 7)),
+         (3, datetime.datetime(2024, 1, 20))],
+        "k BIGINT, ts TIMESTAMP",
+    )
+    d3 = str(tmp_path / "tm")
+    m3 = create_table(tdf, d3, "month(ts)")
+    assert sorted({f["partition"] for f in m3["files"]}) == ["2024-01", "2024-02"]
+    # append derives the same transform; batch lacking the SOURCE col raises
+    lh.append_commit(
+        spark, d3,
+        spark.createDataFrame([(4, datetime.datetime(2024, 2, 9))],
+                              "k BIGINT, ts TIMESTAMP"),
+    )
+    assert read_table(spark, d3).count() == 4
+    with pytest.raises(ValueError, match="partition column"):
+        lh.append_commit(spark, d3, spark.createDataFrame([(5,)], "k BIGINT"))

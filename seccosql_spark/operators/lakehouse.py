@@ -537,6 +537,7 @@ def delete_commit(
         "partition_by": m["partition_by"],
         "schema": m.get("schema"),
         "files": [dict(f) for f in m["files"]],
+        "txns": dict(m.get("txns", {})),
         "delete_files": [dict(d) for d in m.get("delete_files") or []]
         + [
             {
@@ -582,6 +583,7 @@ def purge_deletes(spark: SparkSession, table_dir: str) -> dict:
         "schema": m.get("schema"),
         "files": files,
         "delete_files": [],
+        "txns": dict(m.get("txns", {})),
         "files_rewritten": rewritten,
         "files_carried": carried,
     }
@@ -593,13 +595,29 @@ def append_commit(
     spark: SparkSession,
     table_dir: str,
     inserts: DataFrame,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Blind-append commit: one NEW file per touched partition, existing
     files untouched — the cheap path for pure inserts (no read, no
     anti-join, no rewrite; exactly how streaming micro-batches land).
     Repeated appends accumulate small files per partition; that debt is
-    what ``compact`` pays down."""
+    what ``compact`` pays down.
+
+    ``txn=(app_id, txn_version)`` makes the append IDEMPOTENT (Delta's
+    ``txn`` action twin — the exactly-once streaming sink contract): the
+    manifest records the highest committed txn_version per app_id, and an
+    append whose txn_version is not strictly greater is a NO-OP returning
+    the current manifest. A ``foreachBatch`` sink passing
+    ``txn=("<query-id>", batch_id)`` therefore survives micro-batch
+    replays after a failure without double-landing rows; the check and the
+    record travel inside the same atomic manifest commit, so a replay
+    racing the original loses the version race and retries into the
+    no-op."""
     m = read_manifest(table_dir)
+    if txn is not None:
+        app_id, txn_version = txn
+        if m.get("txns", {}).get(app_id, -1) >= txn_version:
+            return m  # replayed batch: already landed, exactly-once no-op
     pcol = m["partition_by"]
     version = m["version"] + 1
     if _partition_source_col(pcol) not in inserts.columns:
@@ -619,6 +637,10 @@ def append_commit(
         # appended files post-date them (added_at = this version), so a
         # re-insert of a deleted key correctly survives
         "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": (
+            {**m.get("txns", {}), txn[0]: txn[1]} if txn is not None
+            else dict(m.get("txns", {}))
+        ),
         "appended_files": len(new_files),
     }
     _commit_or_cleanup(table_dir, version, manifest)
@@ -719,6 +741,7 @@ def compact(
         "schema": m.get("schema"),
         "files": files,
         "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": dict(m.get("txns", {})),
         "partitions_compacted": compacted,
         "partitions_carried": carried,
     }
@@ -961,6 +984,7 @@ def merge_cow(
         # deletes keep applying to carried files; rewritten files had them
         # applied during the base read above
         "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": dict(m.get("txns", {})),
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,
     }

@@ -343,7 +343,12 @@ def _streamed_table(sess: SeccoSession) -> str:
         def _land(batch, batch_id) -> None:
             if batch.isEmpty():
                 return
-            append_commit(batch.sparkSession, table, batch)
+            # txn = (sink id, batch_id): a micro-batch REPLAYED after a
+            # failure (foreachBatch's at-least-once contract) becomes a
+            # no-op instead of double-landing rows — the exactly-once sink
+            append_commit(
+                batch.sparkSession, table, batch, txn=("ingest", batch_id)
+            )
 
         q = (
             stream.writeStream.foreachBatch(_land)

@@ -749,3 +749,31 @@ def test_partition_transforms(spark, tmp_path):
     assert read_table(spark, d3).count() == 4
     with pytest.raises(ValueError, match="partition column"):
         lh.append_commit(spark, d3, spark.createDataFrame([(5,)], "k BIGINT"))
+
+
+def test_txn_append_is_idempotent(spark, table):
+    """Delta-txn-style exactly-once appends: replaying a (app_id,
+    txn_version) that already committed is a NO-OP; a higher version
+    lands; independent app_ids don't interfere; and other commit types
+    carry the txn ledger forward."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    b1 = spark.createDataFrame([(10, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE")
+    m1 = lh.append_commit(spark, table, b1, txn=("sinkA", 0))
+    assert m1["version"] == 1 and m1["txns"] == {"sinkA": 0}
+    n_after_first = read_table(spark, table).count()
+    # replay of batch 0: no new version, no new rows
+    m_replay = lh.append_commit(spark, table, b1, txn=("sinkA", 0))
+    assert m_replay["version"] == 1
+    assert read_table(spark, table).count() == n_after_first
+    # next batch lands; a second sink has its own sequence
+    lh.append_commit(spark, table, b1, txn=("sinkA", 1))
+    lh.append_commit(spark, table, b1, txn=("sinkB", 0))
+    m = read_manifest(table)
+    assert m["txns"] == {"sinkA": 1, "sinkB": 0}
+    assert read_table(spark, table).count() == n_after_first + 2
+    # a compact must not reset the ledger (replay after OPTIMIZE still no-op)
+    lh.compact(spark, table)
+    m_c = lh.append_commit(spark, table, b1, txn=("sinkA", 1))
+    assert m_c["txns"] == {"sinkA": 1, "sinkB": 0}
+    assert read_table(spark, table).count() == n_after_first + 2

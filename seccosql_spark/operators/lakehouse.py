@@ -34,7 +34,8 @@ Layout::
                                 "files": [{"path", "partition", "rows",
                                            "added_at", "stats"}, ...],
                                 "delete_files": [{"path", "keys",
-                                                  "version"}, ...]}
+                                                  "version"}, ...],
+                                "txns": {app_id: txn_version}}
       data/p=<partition>/v00000-<token>.parquet
       deletes/d00001-<token>.parquet
 
@@ -747,6 +748,70 @@ def compact(
     }
     _commit_or_cleanup(table_dir, version, manifest)
     return manifest
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY twin: one row per committed version — commit kind
+    (inferred from the audit fields each commit type stamps), live file /
+    delete-file counts, row total, and the copy-on-write audit. Pure
+    manifest metadata: O(versions) driver work, zero data IO."""
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    rows = []
+    for fn in sorted(os.listdir(mdir)):
+        if not (fn.startswith("v") and fn.endswith(".json")):
+            continue
+        m = read_manifest(table_dir, int(fn[1:6]))
+        if "appended_files" in m:
+            kind = "append"
+        elif "partitions_compacted" in m:
+            kind = "compact"
+        elif "files_rewritten" in m:
+            kind = "purge_deletes"
+        elif m.get("delete_files") and (
+            m["delete_files"][-1]["version"] == m["version"]
+        ):
+            kind = "delete"
+        elif "partitions_rewritten" in m and m["version"] > 0:
+            kind = "merge"
+        else:
+            kind = "create"
+        rows.append(
+            (
+                m["version"], kind, len(m["files"]),
+                len(m.get("delete_files") or []),
+                sum(f["rows"] for f in m["files"]),
+                m.get("partitions_rewritten", m.get("files_rewritten")),
+                m.get("partitions_carried", m.get("files_carried")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version INT, kind STRING, n_files INT, n_delete_files INT, "
+        "file_rows BIGINT, rewritten INT, carried INT",
+    )
+
+
+def table_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Files metadata table (Iceberg ``.files`` twin): one row per live
+    data file of a snapshot with partition value, row count, added-at
+    version, and the min/max stats JSON — the introspection surface for
+    layout audits (small-file debt, skipping effectiveness). Manifest
+    metadata only."""
+    m = read_manifest(table_dir, version)
+    rows = [
+        (
+            f["path"], f["partition"], f["rows"], f.get("added_at", 0),
+            json.dumps(f.get("stats", {}), sort_keys=True),
+        )
+        for f in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path STRING, partition STRING, rows BIGINT, added_at INT, "
+        "stats STRING",
+    )
 
 
 def with_commit_retry(commit_fn, retries: int = 3):

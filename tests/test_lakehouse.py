@@ -777,3 +777,32 @@ def test_txn_append_is_idempotent(spark, table):
     m_c = lh.append_commit(spark, table, b1, txn=("sinkA", 1))
     assert m_c["txns"] == {"sinkA": 1, "sinkB": 0}
     assert read_table(spark, table).count() == n_after_first + 2
+
+
+def test_table_history_and_files_metadata(spark, table):
+    """DESCRIBE HISTORY / files-metadata twins: per-version commit kinds
+    and audits, and per-file listing with stats — pure manifest metadata."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    merge_cow(spark, table,
+              spark.createDataFrame([(2, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])
+    lh.delete_commit(spark, table, spark.createDataFrame([(3,)], "k BIGINT"), ["k"])
+    lh.append_commit(
+        spark, table,
+        spark.createDataFrame([(9, "b", 90.0)], "k BIGINT, p STRING, v DOUBLE"),
+        txn=("s", 0),
+    )
+    lh.compact(spark, table)
+    lh.purge_deletes(spark, table)
+    hist = {r.version: r.kind for r in lh.table_history(spark, table).collect()}
+    assert hist == {
+        0: "create", 1: "merge", 2: "delete", 3: "append",
+        4: "compact", 5: "purge_deletes",
+    }, hist
+    files = lh.table_files(spark, table).collect()
+    assert all(r.rows > 0 for r in files)
+    assert {r.partition for r in files} == {"a", "b"}
+    import json as _json
+
+    assert all("k" in _json.loads(r.stats) for r in files)

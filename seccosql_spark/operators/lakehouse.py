@@ -272,19 +272,18 @@ def _write_token() -> str:
 
 
 def _write_partition_file(
-    df: DataFrame, table_dir: str, partition: str, version: int,
-    suffix: str = "",
+    df: DataFrame, table_dir: str, partition: str, version: int
 ) -> dict:
     """One parquet file per (partition, version, writer): versioned prefix
     keeps manifest diffs auditable; the writer token keeps racing commit
-    attempts collision-free. The single-file write is per-PARTITION — at
-    scale each partition's upsert is itself a distributed job whose output
-    would stay multi-file; one file keeps the demo manifests exact while
-    the plan shape (anti-join + union, shuffle on keys) is the same.
-    ``suffix`` disambiguates multiple rewrites of the same partition in one
-    commit (per-file delete purges)."""
+    attempts collision-free — and makes multiple rewrites of one partition
+    in a single commit (per-file delete purges) collision-free too. The
+    single-file write is per-PARTITION — at scale each partition's upsert
+    is itself a distributed job whose output would stay multi-file; one
+    file keeps the demo manifests exact while the plan shape (anti-join +
+    union, shuffle on keys) is the same."""
     part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
-    name = f"v{version:05d}-{_write_token()}{suffix}"
+    name = f"v{version:05d}-{_write_token()}"
     tmp = os.path.join(part_dir, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_file = next(
@@ -377,15 +376,37 @@ def create_table(
     return manifest
 
 
+def _delete_may_touch(entry: dict, delete: dict) -> bool:
+    """Bounds pruning for delete applicability: if, for ANY key column,
+    both the data file and the delete file carry min/max stats and the
+    ranges are provably disjoint, no row of the file can match a deleted
+    key. Conservative: missing stats on either side -> may touch."""
+    estats = entry.get("stats") or {}
+    dstats = delete.get("stats") or {}
+    for k in delete["keys"]:
+        e, d = estats.get(k), dstats.get(k)
+        if e is not None and d is not None and (
+            e["max"] < d["min"] or e["min"] > d["max"]
+        ):
+            return False
+    return True
+
+
 def _applicable_deletes(m: dict, entry: dict) -> tuple[int, ...]:
     """Indices of the manifest's equality-delete files that apply to a data
     file: a delete applies only to files ADDED BEFORE it was committed
-    (Iceberg's sequence-number rule). A row appended after a delete of the
-    same key is a legitimate re-insert and must survive; legacy entries
-    without ``added_at`` conservatively take every delete."""
+    (Iceberg's sequence-number rule), and only when the delete's key bounds
+    can intersect the file's (stats pruning — a single-key delete must not
+    drag every old file into read-side anti-joins or purge rewrites). A row
+    appended after a delete of the same key is a legitimate re-insert and
+    must survive; legacy entries without ``added_at`` conservatively take
+    every delete."""
     added = entry.get("added_at", 0)
     dels = m.get("delete_files") or []
-    return tuple(i for i, d in enumerate(dels) if d["version"] > added)
+    return tuple(
+        i for i, d in enumerate(dels)
+        if d["version"] > added and _delete_may_touch(entry, d)
+    )
 
 
 def _read_entries(
@@ -520,6 +541,19 @@ def delete_commit(
     missing = [k for k in keys if k not in deletes.columns]
     if missing:
         raise ValueError(f"delete batch lacks key columns {missing}")
+    if m.get("schema"):
+        # a typo'd key would otherwise commit a delete file whose read-side
+        # anti-join fails on every subsequent snapshot — bricking the table
+        # until manual manifest surgery (purge_deletes reads too)
+        table_cols = {
+            f.name for f in StructType.fromJson(json.loads(m["schema"])).fields
+        }
+        unknown = [k for k in keys if k not in table_cols]
+        if unknown:
+            raise ValueError(
+                f"delete keys {unknown} are not columns of the table "
+                f"(schema: {sorted(table_cols)})"
+            )
     ddir = os.path.join(table_dir, "deletes")
     os.makedirs(ddir, exist_ok=True)
     name = f"d{version:05d}-{_write_token()}"
@@ -544,6 +578,7 @@ def delete_commit(
             {
                 "path": os.path.relpath(final, table_dir),
                 "keys": list(keys),
+                "stats": _file_column_stats(final),
                 "rows": _file_rows(final),
                 "version": version,
             }
@@ -573,10 +608,7 @@ def purge_deletes(spark: SparkSession, table_dir: str) -> dict:
         rewritten += 1
         clean = _read_entries(spark, table_dir, m, [f])
         files.append(
-            _write_partition_file(
-                clean, table_dir, f["partition"], version,
-                suffix=f"-purge{rewritten - 1}",
-            )
+            _write_partition_file(clean, table_dir, f["partition"], version)
         )
     manifest = {
         "version": version,
@@ -674,14 +706,15 @@ def _write_range_clustered(
     ):
         final = os.path.join(part_dir, f"{name}-s{i}.parquet")
         os.replace(os.path.join(tmp, fn), final)
-        if _file_rows(final) == 0:  # empty range bucket: drop, don't track
+        n_rows = _file_rows(final)
+        if n_rows == 0:  # empty range bucket: drop, don't track
             os.remove(final)
             continue
         out.append(
             {
                 "path": os.path.relpath(final, table_dir),
                 "partition": partition,
-                "rows": _file_rows(final),
+                "rows": n_rows,
                 "added_at": version,
                 "stats": _file_column_stats(final),
             }
@@ -922,6 +955,7 @@ def table_changes(
             app = tuple(
                 i for i, d in enumerate(new_dels)
                 if d["version"] > f.get("added_at", 0)
+                and _delete_may_touch(f, d)
             )
             if app:
                 groups.setdefault(app, []).append(f)

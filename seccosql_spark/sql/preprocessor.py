@@ -331,9 +331,39 @@ def run_with_recursive(session: "SeccoSession", text: str) -> DataFrame:
             spark.catalog.dropTempView(view)
 
 
-# ------------------------------------------------------------------- MATCH
+# ------------------------------------- table-valued refs (MATCH, LAKE)
 
 _MATCH_RE = re.compile(r"\bMATCH\s*\(", re.I)
+
+
+def _rewrite_table_ref(
+    text: str, regex: "re.Pattern", make_view, created: list[str] | None
+) -> str:
+    """Shared mechanics for ``NAME(args...)`` table references: find the
+    first occurrence OUTSIDE quotes/comments (``'see LAKE(1)'`` in a string
+    literal must not be rewritten — any depth is fine, table refs appear in
+    subqueries), split its top-level args, let ``make_view(parts, counter)``
+    register a temp view, splice the view name in, repeat. View names go to
+    ``created`` so the caller drops them statement-scoped."""
+    out = text
+    counter = 0
+    while True:
+        visible = {i for i, _, _ in _scan_top_level(out)}
+        m = None
+        for cand in regex.finditer(out):
+            if all(j in visible for j in range(cand.start(), cand.end())):
+                m = cand
+                break
+        if m is None:
+            return out
+        open_idx = m.end() - 1
+        close_idx = _matching_paren(out, open_idx)
+        parts = _split_top_level(out[open_idx + 1 : close_idx])
+        view = make_view(parts, counter)
+        counter += 1
+        if created is not None:
+            created.append(view)
+        out = out[: m.start()] + view + out[close_idx + 1 :]
 
 
 def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None = None) -> str:
@@ -341,16 +371,8 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
     view produced by the graph layer's pattern compiler (SURVEY.md §2.3).
     View names created are appended to `created` so the caller can drop them
     once the statement is analyzed (statement-scoped, like CTE bindings)."""
-    out = text
-    counter = 0
-    while True:
-        m = _MATCH_RE.search(out)
-        if m is None:
-            return out
-        open_idx = m.end() - 1
-        close_idx = _matching_paren(out, open_idx)
-        inner = out[open_idx + 1 : close_idx]
-        parts = _split_top_level(inner)
+
+    def make_view(parts: list[str], counter: int) -> str:
         if len(parts) != 2:
             raise ValueError("MATCH(graph, 'pattern') takes exactly two arguments")
         graph_name = parts[0].strip()
@@ -359,7 +381,6 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
 
         graph = SeccoGraphFrame.from_catalog(session, graph_name)
         view = f"__match_{graph_name}_{counter}"
-        counter += 1
         # algorithm="auto": SQL MATCH gets the same calibrated GHD-vs-WCOJ
         # routing as the Python pattern() API (WCOJ_BOUNDARY.md). The probe
         # it needs (degree/count/distinctness) is memoized per edge plan,
@@ -367,9 +388,9 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
         # every precondition (simple set, directed, no edge props) is
         # checked and falls back to the GHD chain.
         graph.pattern(pattern, algorithm="auto").df.createOrReplaceTempView(view)
-        if created is not None:
-            created.append(view)
-        out = out[: m.start()] + view + out[close_idx + 1 :]
+        return view
+
+    return _rewrite_table_ref(text, _MATCH_RE, make_view, created)
 
 
 # -------------------------------------------------------------- LAKE
@@ -387,15 +408,8 @@ def rewrite_lake(
     equality deletes and schema evolution exactly like the Python
     ``read_table`` verb (it IS that verb). Views are statement-scoped and
     dropped by the caller."""
-    out = text
-    counter = 0
-    while True:
-        m = _LAKE_RE.search(out)
-        if m is None:
-            return out
-        open_idx = m.end() - 1
-        close_idx = _matching_paren(out, open_idx)
-        parts = _split_top_level(out[open_idx + 1 : close_idx])
+
+    def make_view(parts: list[str], counter: int) -> str:
         if len(parts) not in (1, 2):
             raise ValueError(
                 "LAKE('<table_dir>'[, <version>]) takes one or two arguments"
@@ -405,11 +419,10 @@ def rewrite_lake(
         from seccosql_spark.operators.lakehouse import read_table
 
         view = f"__lake_{counter}"
-        counter += 1
         read_table(session.spark, table_dir, version).createOrReplaceTempView(view)
-        if created is not None:
-            created.append(view)
-        out = out[: m.start()] + view + out[close_idx + 1 :]
+        return view
+
+    return _rewrite_table_ref(text, _LAKE_RE, make_view, created)
 
 
 # -------------------------------------------------------------- entry point

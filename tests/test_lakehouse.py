@@ -451,8 +451,10 @@ def test_purge_deletes_materializes_and_retires(spark, table):
     m_before = read_manifest(table)
     m = lh.purge_deletes(spark, table)
     assert m["delete_files"] == []
-    assert m["files_rewritten"] == 2  # the two v0 files (a, b)
-    assert m["files_carried"] == 1    # the post-delete append
+    # stats pruning: the delete of k=2 provably cannot touch file b
+    # (k in [3,4]) — only v0 file a (k in [1,2]) is rewritten
+    assert m["files_rewritten"] == 1
+    assert m["files_carried"] == 2    # v0 file b + the post-delete append
     assert rows(read_table(spark, table)) == snap
     # the untouched append entry is carried verbatim
     appended = [f for f in m_before["files"] if f["added_at"] == 2]
@@ -462,7 +464,9 @@ def test_purge_deletes_materializes_and_retires(spark, table):
     import glob as _glob
 
     assert not _glob.glob(os.path.join(table, "deletes", "*.parquet"))
-    assert stats["files_deleted"] >= 3  # 2 old data files + 1 delete file
+    # exactly the purged v0 'a' file + the retired delete file die; the
+    # bounds-carried 'b' file stays live in the new manifest
+    assert stats["files_deleted"] == 2
 
 
 def test_table_changes_merge_and_append(spark, table):

@@ -221,3 +221,42 @@ def test_lake_table_ref(sess, tmp_path):
                    for t in spark.catalog.listTables())
     with pytest.raises(ValueError, match="one or two arguments"):
         sess.sql(f"SELECT * FROM LAKE('{d}', 0, 1)")
+
+
+def test_table_refs_ignore_string_literals(sess, tmp_path):
+    """'LAKE(' / 'MATCH(' inside a quoted literal is DATA, not a table
+    reference — the rewriters must leave it alone instead of dying on
+    'unbalanced parentheses'; real refs inside subqueries still rewrite."""
+    got = sess.sql(
+        "SELECT 'see LAKE(1) and MATCH(x, y)' AS note"
+    ).df.collect()
+    assert got[0]["note"] == "see LAKE(1) and MATCH(x, y)"
+    # a literal AND a real ref in one statement: only the ref rewrites
+    from seccosql_spark.operators.lakehouse import create_table
+
+    d = str(tmp_path / "t")
+    create_table(
+        sess.spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"),
+        d, "p",
+    )
+    got2 = sess.sql(
+        f"SELECT 'LAKE(9' AS note, (SELECT count(*) FROM LAKE('{d}')) AS n"
+    ).df.collect()[0]
+    assert (got2["note"], got2["n"]) == ("LAKE(9", 1)
+
+
+def test_delete_key_must_be_table_column(sess, tmp_path):
+    """A typo'd delete key must be rejected at commit time — committing it
+    would brick every later read of the table."""
+    import pytest
+
+    from seccosql_spark.operators.lakehouse import create_table, delete_commit
+
+    d = str(tmp_path / "t2")
+    create_table(
+        sess.spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"),
+        d, "p",
+    )
+    bad = sess.spark.createDataFrame([(1,)], "kk BIGINT")
+    with pytest.raises(ValueError, match="not columns of the table"):
+        delete_commit(sess.spark, d, bad, ["kk"])

@@ -680,26 +680,16 @@ def append_commit(
     return manifest
 
 
-def _write_range_clustered(
-    df: DataFrame, table_dir: str, partition: str, version: int,
-    sort_by: str, target_files: int,
+def _write_clustered_files(
+    clustered: DataFrame, table_dir: str, partition: str, version: int
 ) -> list[dict]:
-    """Write one partition's rows as up to ``target_files`` RANGE-CLUSTERED
-    files on ``sort_by``: repartitionByRange gives each output file a
-    disjoint key range, sortWithinPartitions orders rows inside it — so the
-    manifest's per-file min/max bounds stay tight and ``scan_table``'s
-    skipping keeps working after compaction (a plain bin-pack into one
-    wide file would destroy the clustering a range-batched ingest had).
-    This is the OPTIMIZE ... ZORDER/sort story at file granularity."""
+    """Write an already-partitioned-and-sorted DataFrame as one manifest
+    entry per non-empty output file — the shared landing step for the
+    sorted (1-D range) and z-ordered (multi-D) compaction layouts."""
     part_dir = os.path.join(table_dir, _DATA, f"p={_escape_partition(partition)}")
     name = f"v{version:05d}-{_write_token()}"
     tmp = os.path.join(part_dir, f"_tmp_{name}")
-    (
-        df.repartitionByRange(target_files, F.col(sort_by))
-        .sortWithinPartitions(sort_by)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    clustered.write.mode("overwrite").parquet(tmp)
     out: list[dict] = []
     for i, fn in enumerate(
         sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -725,9 +715,44 @@ def _write_range_clustered(
     return out
 
 
+def _write_range_clustered(
+    df: DataFrame, table_dir: str, partition: str, version: int,
+    sort_by: str, target_files: int,
+) -> list[dict]:
+    """Write one partition's rows as up to ``target_files`` RANGE-CLUSTERED
+    files on ``sort_by``: repartitionByRange gives each output file a
+    disjoint key range, sortWithinPartitions orders rows inside it — so the
+    manifest's per-file min/max bounds stay tight and ``scan_table``'s
+    skipping keeps working after compaction (a plain bin-pack into one
+    wide file would destroy the clustering a range-batched ingest had).
+    This is the OPTIMIZE + sort-order story at file granularity."""
+    clustered = df.repartitionByRange(
+        target_files, F.col(sort_by)
+    ).sortWithinPartitions(sort_by)
+    return _write_clustered_files(clustered, table_dir, partition, version)
+
+
+def _write_zorder_clustered(
+    df: DataFrame, table_dir: str, partition: str, version: int,
+    zorder_by: list[str], target_files: int,
+) -> list[dict]:
+    """Multi-dimensional clustering (OPTIMIZE ... ZORDER BY twin): rows are
+    range-split on their Morton z-value (``operators/layout.zorder_layout``
+    — normalized bit-interleave, one shuffle), so EVERY z-order column gets
+    moderately tight per-file min/max bounds and ``scan_table`` can skip
+    files on range probes against ANY of them — the layout for tables
+    probed on more than one dimension, where a 1-D sort gives perfect
+    bounds on one column and useless bounds on the rest."""
+    from seccosql_spark.operators.layout import zorder_layout
+
+    clustered = zorder_layout(df, zorder_by, num_partitions=target_files)
+    return _write_clustered_files(clustered, table_dir, partition, version)
+
+
 def compact(
     spark: SparkSession, table_dir: str,
     sort_by: str | None = None, target_files: int = 1,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE / bin-pack commit: rewrite every partition holding more
     than one live file; single-file partitions are carried by reference.
@@ -739,7 +764,12 @@ def compact(
     With ``sort_by``/``target_files``, each compacted partition is written
     as up to ``target_files`` range-clustered files on the sort column
     instead of one wide file — preserving (or creating) the tight per-file
-    min/max bounds that ``scan_table``'s data skipping needs."""
+    min/max bounds that ``scan_table``'s data skipping needs.
+    ``zorder_by`` clusters on the Morton z-value of SEVERAL columns instead
+    (mutually exclusive with ``sort_by``), trading perfect 1-D bounds for
+    usable bounds on every listed dimension."""
+    if sort_by is not None and zorder_by is not None:
+        raise ValueError("compact: sort_by and zorder_by are mutually exclusive")
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1
@@ -761,7 +791,13 @@ def compact(
         # compacted file post-dates them, so they'd otherwise resurrect);
         # carried files keep taking them at read time.
         merged = _read_entries(spark, table_dir, m, group)
-        if sort_by is not None and target_files > 1:
+        if zorder_by is not None and target_files > 1:
+            files.extend(
+                _write_zorder_clustered(
+                    merged, table_dir, p, version, zorder_by, target_files
+                )
+            )
+        elif sort_by is not None and target_files > 1:
             files.extend(
                 _write_range_clustered(
                     merged, table_dir, p, version, sort_by, target_files

@@ -810,3 +810,30 @@ def test_table_history_and_files_metadata(spark, table):
     import json as _json
 
     assert all("k" in _json.loads(r.stats) for r in files)
+
+
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=[k,u]) must leave contents identical AND give
+    usable per-file bounds on BOTH columns — a half-range probe on either
+    dimension skips files, which a 1-D sort can only do for its own
+    column."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    grid = [(k, u, "a", float(k * 16 + u)) for k in range(16) for u in range(16)]
+    df = spark.createDataFrame(grid, "k BIGINT, u BIGINT, p STRING, v DOUBLE")
+    d = str(tmp_path / "tz")
+    create_table(df.where("k % 2 = 0"), d, "p")
+    lh.append_commit(spark, d, df.where("k % 2 = 1"))  # multi-file partition
+    snap = rows(read_table(spark, d))
+    m = lh.compact(spark, d, zorder_by=["k", "u"], target_files=4)
+    assert rows(read_table(spark, d)) == snap  # layout-only
+    assert len(m["files"]) == 4
+    _, ak = lh.scan_table(spark, d, "k", 0, 7)
+    _, au = lh.scan_table(spark, d, "u", 0, 7)
+    assert ak["files_skipped"] >= 1, ak
+    assert au["files_skipped"] >= 1, au
+    # contents of the probes stay exact
+    dfk, _ = lh.scan_table(spark, d, "k", 0, 7)
+    assert dfk.count() == 8 * 16
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        lh.compact(spark, d, sort_by="k", zorder_by=["k", "u"], target_files=2)

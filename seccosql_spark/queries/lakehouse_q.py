@@ -1135,3 +1135,141 @@ def lakehouse_hidden_partitioning(sess: SeccoSession):
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+STREAM_CHANGE_APPLY_ORACLE = f"""
+WITH {_REPLAY}
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS inc_n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS inc_cents
+FROM f4
+GROUP BY o_orderpriority
+"""
+
+
+def _stream_synced_agg(sess: SeccoSession) -> str:
+    """Consume the versioned table's MANIFEST LOG as a real file-source
+    stream (one micro-batch per manifest file via maxFilesPerTrigger=1 —
+    commit order is file order) and maintain a downstream aggregate by
+    applying the signed change feed of each new version inside
+    foreachBatch. The continuous twin of ``lakehouse_incremental_sync``:
+    what a 100 TB downstream materialization actually runs — tail the
+    commit log, pay O(changes) per commit."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import table_changes
+
+    table = _versioned_table(sess)
+    spark = sess.spark
+    src = sorted(spark.table("orders").inputFiles())[0]
+
+    def _build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        state_path = os.path.join(d, "agg.json")
+        with open(state_path, "w") as f:
+            _json.dump({}, f)  # priority -> [n_rows, cents]; empty pre-v0
+
+        def _apply(batch, batch_id) -> None:
+            # each micro-batch delivers exactly one manifest file
+            # (maxFilesPerTrigger=1; file order == version order); the
+            # version comes from the FILE NAME, never from reassembling
+            # content lines whose order a shuffle could scramble. v0 seeds
+            # the state; later versions fold their signed change feed;
+            # compaction commits contribute an empty feed by construction.
+            names = [
+                r[0]
+                for r in batch.select(F.input_file_name()).distinct().collect()
+            ]
+            if not names:
+                return
+            vs = sorted(int(os.path.basename(n)[1:6]) for n in names)
+            with open(state_path) as f:
+                state = _json.load(f)
+            for v in vs:
+                if v == 0:
+                    snap = read_table(spark, table, 0).groupBy(
+                        "o_orderpriority"
+                    ).agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.expr(_CENTS_SPARK)).alias("c"),
+                    )
+                    for r in snap.collect():
+                        state[r[0]] = [r[1], r[2]]
+                else:
+                    ch = table_changes(spark, table, v - 1, v)
+                    sign = F.when(
+                        F.col("_change_type") == "insert", F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    delta = ch.groupBy("o_orderpriority").agg(
+                        F.sum(sign).alias("dn"),
+                        F.sum(sign * F.expr(_CENTS_SPARK)).alias("dc"),
+                    )
+                    for r in delta.collect():
+                        cur = state.get(r[0], [0, 0])
+                        state[r[0]] = [cur[0] + r[1], cur[1] + r[2]]
+            with open(state_path, "w") as f:
+                _json.dump(state, f)
+
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(os.path.join(table, "_manifests"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    d = build_once(
+        "secco_lakehouse_cdfstream", (src,), _build, code=(_self, _ops)
+    )
+    return os.path.join(d, "agg.json")
+
+
+@register("stream_change_feed_apply", STREAM_CHANGE_APPLY_ORACLE)
+def stream_change_feed_apply(sess: SeccoSession):
+    """Streaming change-feed consumption: a real file-source stream tails
+    the manifest log (one micro-batch per commit, availableNow), folds each
+    version's signed feed into a downstream aggregate, and the final state
+    must equal the direct aggregate of the latest snapshot — the continuous
+    materialization path a 100 TB downstream sync runs, paying O(changes)
+    per commit instead of O(table) per refresh."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType as _ST,
+    )
+
+    state_path = _stream_synced_agg(sess)
+    with open(state_path) as f:
+        state = _json.load(f)
+    spark = sess.spark
+    inc = spark.createDataFrame(
+        [(k, int(v[0]), int(v[1])) for k, v in sorted(state.items())],
+        _ST([
+            StructField("o_orderpriority", StringType()),
+            StructField("inc_n_rows", LongType()),
+            StructField("inc_cents", LongType()),
+        ]),
+    ).where(F.col("inc_n_rows") > 0)
+    table = _versioned_table(sess)
+    # direct aggregate of the LATEST snapshot — the stream consumed every
+    # commit (merges, appends, and the content-neutral compaction), so the
+    # folded state must equal the head of the table (oracle replay f4)
+    direct = (
+        read_table(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    return direct.join(inc, "o_orderpriority", "inner")

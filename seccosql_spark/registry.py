@@ -101,6 +101,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_merge_evolution",
     "lakehouse_sorted_compaction",
     "lakehouse_sql_time_travel",
+    "stream_change_feed_apply",
     "distinct_pairs",
     "events_zorder_topk",
     "except_all_bag",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "corpus_source_overlap",
     "curation_multisignal",
     "dedup_c4_segments",
-    "dedup_edit_distance_verify",
 ]
 
 

@@ -523,7 +523,7 @@ def test_table_changes_delete_only_commit(spark, table):
     assert n == 0, "compaction must be invisible to the change feed"
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41])
 def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     """Model-based sequence test: a random interleaving of MERGE, blind
     APPEND, equality DELETE, COMPACT and PURGE commits must keep every
@@ -555,7 +555,9 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     dead_keys: set[int] = set()
 
     for _ in range(8):
-        op = rng.choice(["merge", "append", "delete", "compact", "purge"])
+        op = rng.choice(
+            ["merge", "append", "delete", "compact", "zcompact", "purge"]
+        )
         if op == "merge":
             ups = [mkrow(rng.randint(1, 40)) for _ in range(rng.randint(1, 4))]
             ups = list({r[0]: r for r in ups}.values())  # key-unique batch
@@ -605,6 +607,13 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
                 dead_keys.add(k)
         elif op == "compact":
             lh.compact(spark, d)
+        elif op == "zcompact":
+            # clustered compaction is content-neutral too — the model and
+            # the change feed must see NOTHING
+            if rng.random() < 0.5:
+                lh.compact(spark, d, sort_by="k", target_files=2)
+            else:
+                lh.compact(spark, d, zorder_by=["k", "v"], target_files=2)
         else:
             lh.purge_deletes(spark, d)
         history.append(dict(state))

@@ -385,9 +385,16 @@ def _delete_may_touch(entry: dict, delete: dict) -> bool:
     dstats = delete.get("stats") or {}
     for k in delete["keys"]:
         e, d = estats.get(k), dstats.get(k)
-        if e is not None and d is not None and (
-            e["max"] < d["min"] or e["min"] > d["max"]
-        ):
+        if e is None or d is None:
+            continue
+        try:
+            disjoint = e["max"] < d["min"] or e["min"] > d["max"]
+        except TypeError:
+            # cross-type stats (e.g. a string-typed delete key against an
+            # int column — the anti-join itself casts and works): never
+            # let the PRUNING crash a read; conservative = may touch
+            continue
+        if disjoint:
             return False
     return True
 
@@ -770,6 +777,13 @@ def compact(
     usable bounds on every listed dimension."""
     if sort_by is not None and zorder_by is not None:
         raise ValueError("compact: sort_by and zorder_by are mutually exclusive")
+    if (sort_by is not None or zorder_by is not None) and target_files < 2:
+        # silently bin-packing into ONE unsorted file while the caller
+        # believes the table is clustered would be a no-op trap
+        raise ValueError(
+            "compact: sort_by/zorder_by need target_files >= 2 "
+            f"(got {target_files})"
+        )
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1

@@ -873,6 +873,25 @@ def lakehouse_change_feed(sess: SeccoSession):
     )
 
 
+
+def _signed_feed_delta(spark, table: str, v: int) -> DataFrame:
+    """Per-partition signed fold of version v's change feed: one row per
+    o_orderpriority with dn (row-count delta) and dc (cents delta) — the
+    SINGLE definition of change-feed-fold semantics shared by the batch
+    (`lakehouse_incremental_sync`) and streaming (`stream_change_feed_apply`)
+    consumers, so rounding/null handling can never drift between them."""
+    from seccosql_spark.operators.lakehouse import table_changes
+
+    ch = table_changes(spark, table, v - 1, v)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return ch.groupBy("o_orderpriority").agg(
+        F.sum(sign).cast("long").alias("dn"),
+        F.sum(sign * F.expr(_CENTS_SPARK)).cast("long").alias("dc"),
+    )
+
+
 INCREMENTAL_SYNC_ORACLE = f"""
 WITH {_REPLAY}
 SELECT o_orderpriority,
@@ -896,8 +915,6 @@ def lakehouse_incremental_sync(sess: SeccoSession):
     O(changes) per commit instead of O(table) per refresh. Both the
     incremental and the direct numbers are emitted, so any divergence
     hash-mismatches the oracle."""
-    from seccosql_spark.operators.lakehouse import table_changes
-
     table = _versioned_table(sess)
     spark = sess.spark
     prio = "o_orderpriority"
@@ -910,14 +927,7 @@ def lakehouse_incremental_sync(sess: SeccoSession):
 
     inc = _agg(read_table(spark, table, 0), "inc_n_rows", "inc_cents")
     for v in (1, 2):
-        ch = table_changes(spark, table, v - 1, v)
-        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-        delta = ch.groupBy(prio).agg(
-            F.sum(sign).cast("long").alias("dn"),
-            F.sum(sign * F.expr(_CENTS_SPARK)).cast("long").alias("dc"),
-        )
+        delta = _signed_feed_delta(spark, table, v)
         inc = (
             inc.join(delta, prio, "full_outer")
             .select(
@@ -1201,14 +1211,7 @@ def _stream_synced_agg(sess: SeccoSession) -> str:
                     for r in snap.collect():
                         state[r[0]] = [r[1], r[2]]
                 else:
-                    ch = table_changes(spark, table, v - 1, v)
-                    sign = F.when(
-                        F.col("_change_type") == "insert", F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    delta = ch.groupBy("o_orderpriority").agg(
-                        F.sum(sign).alias("dn"),
-                        F.sum(sign * F.expr(_CENTS_SPARK)).alias("dc"),
-                    )
+                    delta = _signed_feed_delta(spark, table, v)
                     for r in delta.collect():
                         cur = state.get(r[0], [0, 0])
                         state[r[0]] = [cur[0] + r[1], cur[1] + r[2]]

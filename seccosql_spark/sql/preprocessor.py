@@ -45,6 +45,14 @@ def _scan_top_level(text: str):
             quote = ch
             i += 1
             while i < n:
+                if quote != "`" and text[i] == "\\":
+                    # Spark's default (non-ANSI) string literals support
+                    # backslash escapes: 'O\'Brien'. Treating the escaped
+                    # quote as the terminator opened a phantom string at
+                    # the literal's REAL closing quote and swallowed
+                    # everything after it as "inside quotes".
+                    i += 2
+                    continue
                 if text[i] == quote:
                     if i + 1 < n and text[i + 1] == quote:  # escaped ''
                         i += 2

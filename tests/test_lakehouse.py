@@ -846,3 +846,29 @@ def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
     assert dfk.count() == 8 * 16
     with pytest.raises(ValueError, match="mutually exclusive"):
         lh.compact(spark, d, sort_by="k", zorder_by=["k", "u"], target_files=2)
+
+
+def test_cross_type_delete_stats_never_crash_reads(spark, table):
+    """A delete whose key batch arrives with a different dtype (string keys
+    against a BIGINT column — the anti-join itself casts and works) must
+    not make the PRUNING comparison crash every later read; incomparable
+    stats are conservatively 'may touch'."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    lh.delete_commit(spark, table, spark.createDataFrame([("2",)], "k STRING"), ["k"])
+    got = rows(read_table(spark, table))  # must not raise
+    assert (2, "a", 20.0) not in got and len(got) == 3
+    lh.purge_deletes(spark, table)  # the repair path must not raise either
+    assert rows(read_table(spark, table)) == got
+
+
+def test_clustered_compact_requires_target_files(spark, table):
+    """zorder_by/sort_by with the default target_files=1 would silently
+    bin-pack one UNSORTED file while the caller believes the table is
+    clustered — it must raise instead."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    with pytest.raises(ValueError, match="target_files"):
+        lh.compact(spark, table, zorder_by=["k", "v"])
+    with pytest.raises(ValueError, match="target_files"):
+        lh.compact(spark, table, sort_by="k")

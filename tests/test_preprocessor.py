@@ -260,3 +260,21 @@ def test_delete_key_must_be_table_column(sess, tmp_path):
     bad = sess.spark.createDataFrame([(1,)], "kk BIGINT")
     with pytest.raises(ValueError, match="not columns of the table"):
         delete_commit(sess.spark, d, bad, ["kk"])
+
+
+def test_backslash_escaped_quote_in_literal(sess, tmp_path):
+    """Spark's default string literals support backslash escapes: an
+    'O\\'Brien' literal before a real LAKE() ref must not swallow the ref
+    (the scanner used to close the string at the escaped quote)."""
+    from seccosql_spark.operators.lakehouse import create_table
+
+    d = str(tmp_path / "t3")
+    create_table(
+        sess.spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"),
+        d, "p",
+    )
+    got = sess.sql(
+        "SELECT 'O\\'Brien' AS who, "
+        f"(SELECT count(*) FROM LAKE('{d}')) AS n"
+    ).df.collect()[0]
+    assert (got["who"], got["n"]) == ("O'Brien", 1)

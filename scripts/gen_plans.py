@@ -126,7 +126,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n, s in REGISTRY.items() if s.headline] + EXTRA
+    # dedupe, order-preserving: queries that are both headline and in EXTRA
+    # would otherwise run twice and emit two conflicting sections (ADVICE r13)
+    names = list(dict.fromkeys(
+        [n for n, s in REGISTRY.items() if s.headline] + EXTRA
+    ))
     out = [HEADER]
     for name in names:
         df, jobs, stages = _run_measured(spark, name)

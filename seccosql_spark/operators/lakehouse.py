@@ -87,7 +87,7 @@ def _partition_source_col(spec: str) -> str:
     return m.group(3) if m else spec
 
 
-def _partition_expr(spec: str):
+def _partition_expr(spec: str, df: DataFrame | None = None):
     """Partition spec -> string Column (hidden partitioning, Iceberg's
     partition-transform twin): rows are bucketed by a DERIVED value —
     ``month(ts)`` / ``day(ts)`` / ``bucket(N, col)`` / ``truncate(N, col)``
@@ -96,15 +96,27 @@ def _partition_expr(spec: str):
     rather than Iceberg's murmur3 (deliberate: the value is replayable in
     any engine, which is what lets the oracle audit the pruning);
     ``truncate`` is floor-to-multiple for integers. A bare column name is
-    identity — the pre-transform behavior, byte-identical."""
+    identity — the pre-transform behavior, byte-identical.
+
+    ``month``/``day`` over an instant-carrying TIMESTAMP column are pinned
+    to UTC (Iceberg defines these transforms on UTC): date_format renders
+    in the SESSION timezone, so a writer and a later merge running under
+    different ``spark.sql.session.timeZone`` would otherwise derive
+    different partition values for the same row — and merge_cow's
+    touched-partition prune would miss the row's real partition (ADVICE
+    r13). DATE / TIMESTAMP_NTZ sources are timezone-free wall values and
+    pass through unshifted; pass ``df`` so the column's type is known."""
     m = _TRANSFORM_RE.match(spec)
     if m is None:
         return F.col(spec).cast("string")
     kind, n, col = m.group(1), m.group(2), m.group(3)
-    if kind == "month":
-        return F.date_format(F.col(col), "yyyy-MM")
-    if kind == "day":
-        return F.date_format(F.col(col), "yyyy-MM-dd")
+    if kind in ("month", "day"):
+        src = F.col(col)
+        if df is not None and dict(df.dtypes).get(col) == "timestamp":
+            # instant -> UTC wall-clock (TimestampNTZ), session-tz-proof
+            src = F.convert_timezone(None, F.lit("UTC"), src)
+        fmt = "yyyy-MM" if kind == "month" else "yyyy-MM-dd"
+        return F.date_format(src, fmt)
     if n is None:
         raise ValueError(f"{kind}() needs a size: {kind}(N, {col})")
     if kind == "bucket":
@@ -205,16 +217,33 @@ class CommitConflictError(RuntimeError):
 
 
 def _commit_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    """Content-atomic, exclusive manifest publish. ``open(path, 'x')`` +
+    ``json.dump`` created the file BEFORE the bytes landed, so a
+    conflict-losing writer's immediate re-read, a latest_version-based
+    reader, or the manifest-tailing stream could observe a half-written
+    manifest and die on JSON decode (ADVICE r13, medium). Instead: write
+    the full JSON to a writer-private temp file, fsync it, and publish via
+    ``os.link`` — hard-link creation is atomic AND exclusive on POSIX, so a
+    listed manifest is always complete and the version race still has
+    exactly one winner (EEXIST -> CommitConflictError)."""
     path = _manifest_path(table_dir, version)
+    tmp = os.path.join(
+        table_dir, _MANIFESTS, f"_tmp_v{version:05d}-{_write_token()}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        with open(path, "x") as f:
-            json.dump(manifest, f, indent=1)
+        os.link(tmp, path)
     except FileExistsError:
         raise CommitConflictError(
             f"manifest v{version:05d} already exists under {table_dir} — "
             "another writer committed first; re-read the latest manifest "
             "and retry on top of it"
         ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _commit_or_cleanup(table_dir: str, version: int, manifest: dict) -> dict:
@@ -319,7 +348,7 @@ def _write_partitioned(
     token = _write_token()
     tmp = os.path.join(table_dir, f"_tmp_v{version:05d}-{token}")
     (
-        df.withColumn(_PCOL, _partition_expr(partition_by))
+        df.withColumn(_PCOL, _partition_expr(partition_by, df))
         .repartition(F.col(_PCOL))
         .write.partitionBy(_PCOL)
         .mode("overwrite")
@@ -507,7 +536,14 @@ def scan_table(
     keep: list[dict] = []
     for f in m["files"]:
         st = (f.get("stats") or {}).get(column)
-        if st is not None and (st["max"] < lo or st["min"] > hi):
+        try:
+            skip = st is not None and (st["max"] < lo or st["min"] > hi)
+        except TypeError:
+            # cross-type probe bounds (e.g. string lo/hi against int-statted
+            # column — the residual BETWEEN itself casts and works): never
+            # let the pruning crash a read; conservative = scan the file
+            skip = False
+        if skip:
             continue
         keep.append(f)
     audit = {
@@ -1074,7 +1110,7 @@ def merge_cow(
     updates = updates.persist()
     touched = sorted(
         str(r[0])
-        for r in updates.select(_partition_expr(pcol)).distinct().collect()
+        for r in updates.select(_partition_expr(pcol, updates)).distinct().collect()
     )
     # ALL live files per partition: append_commit creates multi-file
     # partitions, and keeping only one entry per partition silently dropped
@@ -1093,7 +1129,7 @@ def merge_cow(
             carried += 1
             continue
         rewritten += 1
-        upd_p = updates.where(_partition_expr(pcol) == p)
+        upd_p = updates.where(_partition_expr(pcol, updates) == p)
         if p in by_partition:
             # mergeSchema: the partition's live files may straddle an
             # additive schema evolution; outstanding equality deletes are

@@ -415,7 +415,13 @@ def rewrite_lake(
     the version reads the latest commit; snapshots honor merge-on-read
     equality deletes and schema evolution exactly like the Python
     ``read_table`` verb (it IS that verb). Views are statement-scoped and
-    dropped by the caller."""
+    dropped by the caller; the name carries a per-invocation random token —
+    with just the per-statement counter, two concurrent statements on one
+    session would both bind ``__lake_0`` and each drop the other's snapshot
+    binding on completion (ADVICE r13)."""
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
 
     def make_view(parts: list[str], counter: int) -> str:
         if len(parts) not in (1, 2):
@@ -426,7 +432,7 @@ def rewrite_lake(
         version = int(parts[1].strip()) if len(parts) == 2 else None
         from seccosql_spark.operators.lakehouse import read_table
 
-        view = f"__lake_{counter}"
+        view = f"__lake_{token}_{counter}"
         read_table(session.spark, table_dir, version).createOrReplaceTempView(view)
         return view
 

@@ -872,3 +872,65 @@ def test_clustered_compact_requires_target_files(spark, table):
         lh.compact(spark, table, zorder_by=["k", "v"])
     with pytest.raises(ValueError, match="target_files"):
         lh.compact(spark, table, sort_by="k")
+
+
+def test_manifest_publish_is_content_atomic(spark, table):
+    """ADVICE r13 (medium): a listed manifest must always be COMPLETE —
+    the publish writes a private temp file, fsyncs, then hard-links it into
+    place (atomic + exclusive). After a commit and a losing conflict, no
+    temp file remains in _manifests and every listed manifest parses."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    upd = spark.createDataFrame([(7, "a", 70.0)], "k BIGINT, p STRING, v DOUBLE")
+    merge_cow(spark, table, upd, ["k"])
+    # a loser racing the same version: conflict, and its temp file is gone
+    with pytest.raises(lh.CommitConflictError):
+        lh._commit_manifest(table, 1, {"version": 1, "files": []})
+    mdir = os.path.join(table, "_manifests")
+    names = os.listdir(mdir)
+    assert not [n for n in names if n.startswith("_tmp_")], names
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            assert _json.load(f)["version"] == int(n[1:6])
+    # the winner's manifest content is intact
+    assert (7, "a", 70.0) in rows(read_table(spark, table, 1))
+
+
+def test_scan_cross_type_probe_is_conservative(spark, table):
+    """ADVICE r13: a range probe whose bounds are incomparable to a file's
+    stored stats (string lo/hi against an int-statted column) must fall
+    back to scanning the file, never crash the driver-side pruning."""
+    from seccosql_spark.operators.lakehouse import scan_table
+
+    _, audit = scan_table(spark, table, "k", "x", "y")  # must not raise
+    assert audit["files_skipped"] == 0
+    assert audit["files_scanned"] == audit["files_total"]
+
+
+def test_month_transform_pinned_to_utc(spark, tmp_path):
+    """ADVICE r13: month()/day() over a TIMESTAMP column derive the UTC
+    calendar value (Iceberg's definition) — a writer and a later merge
+    running under different session timezones must agree on the partition,
+    or the merge's touched-partition prune misses rows."""
+    from datetime import datetime, timezone
+
+    # instant 2026-03-01 04:00 UTC == 2026-02-28 20:00 America/Los_Angeles:
+    # the UTC month (2026-03) and the LA month (2026-02) differ
+    inst = datetime(2026, 3, 1, 4, 0, tzinfo=timezone.utc)
+    d = str(tmp_path / "t")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame([(1, inst, 10.0)], "k BIGINT, ts TIMESTAMP, v DOUBLE")
+        m0 = create_table(df, d, "month(ts)")
+        assert [f["partition"] for f in m0["files"]] == ["2026-03"]
+        # a merge under yet another timezone derives the SAME partition
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        upd = spark.createDataFrame([(1, inst, 99.0)], "k BIGINT, ts TIMESTAMP, v DOUBLE")
+        m1 = merge_cow(spark, d, upd, ["k"])
+        assert m1["partitions_rewritten"] == 1 and m1["partitions_carried"] == 0
+        assert [(r.k, r.v) for r in read_table(spark, d).collect()] == [(1, 99.0)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -278,3 +278,27 @@ def test_backslash_escaped_quote_in_literal(sess, tmp_path):
         f"(SELECT count(*) FROM LAKE('{d}')) AS n"
     ).df.collect()[0]
     assert (got["who"], got["n"]) == ("O'Brien", 1)
+
+
+def test_lake_view_names_unique_per_invocation(sess, tmp_path):
+    """ADVICE r13: the LAKE rewriter's statement-scoped view names carry a
+    per-invocation token — two statements rewriting concurrently must never
+    bind the same `__lake_*` name (each drops its views on completion,
+    which would clobber the other's snapshot binding)."""
+    from seccosql_spark.operators.lakehouse import create_table
+    from seccosql_spark.sql.preprocessor import rewrite_lake
+
+    d = str(tmp_path / "t")
+    create_table(
+        sess.spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"),
+        d, "p",
+    )
+    a: list[str] = []
+    b: list[str] = []
+    try:
+        rewrite_lake(sess, f"SELECT * FROM LAKE('{d}')", a)
+        rewrite_lake(sess, f"SELECT * FROM LAKE('{d}')", b)
+        assert a and b and not set(a) & set(b), (a, b)
+    finally:
+        for v in a + b:
+            sess.spark.catalog.dropTempView(v)

@@ -87,25 +87,31 @@ def _versioned_table(sess: SeccoSession) -> str:
     src = sorted(ords.inputFiles())[0]
 
     def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import deterministic_commit_clock
+
         table = os.path.join(d, "table")
-        create_table(ords, table, "o_orderpriority")
-        b1, b2 = _batches(spark)
-        merge_cow(spark, table, b1, ["o_orderkey"])   # v1
-        merge_cow(spark, table, b2, ["o_orderkey"])   # v2
-        # v3/v4: blind appends (streaming-micro-batch shape), v5: OPTIMIZE
-        append_commit(
-            spark, table,
-            ords.where(A1).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
-            ),
-        )
-        append_commit(
-            spark, table,
-            ords.where(A2).withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
-            ),
-        )
-        compact(spark, table)
+        # logical commit clock: vN lands at 2026-01-01T0N:00 UTC, making
+        # `committed_at` byte-stable across runs — which is what lets the
+        # TIMESTAMP-based time-travel row state its probes in the oracle
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(ords, table, "o_orderpriority")
+            b1, b2 = _batches(spark)
+            merge_cow(spark, table, b1, ["o_orderkey"])   # v1
+            merge_cow(spark, table, b2, ["o_orderkey"])   # v2
+            # v3/v4: blind appends (streaming micro-batch shape), v5: OPTIMIZE
+            append_commit(
+                spark, table,
+                ords.where(A1).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+                ),
+            )
+            append_commit(
+                spark, table,
+                ords.where(A2).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
+                ),
+            )
+            compact(spark, table)
 
     return os.path.join(
         build_once("secco_lakehouse", (src,), _build, code=(_self, _ops)),
@@ -960,6 +966,124 @@ def lakehouse_sql_time_travel(sess: SeccoSession):
         for v in (0, 1, 2)
     ]
     return sess.sql(" UNION ALL ".join(parts)).df
+
+
+TIME_TRAVEL_TS_ORACLE = f"""
+WITH {_REPLAY}
+SELECT '2026-01-01T00:30:00' AS probe_ts, CAST(0 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_SPARK}) AS BIGINT) AS cents
+FROM orders
+UNION ALL
+SELECT '2026-01-01T02:59:59', CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f2
+UNION ALL
+SELECT '2026-01-01T23:00:00', CAST(5 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f4
+"""
+
+
+@register("lakehouse_time_travel_ts", TIME_TRAVEL_TS_ORACLE)
+def lakehouse_time_travel_ts(sess: SeccoSession):
+    """Time travel by TIMESTAMP (Delta ``TIMESTAMP AS OF`` twin, VERDICT
+    r13 task 4): ``LAKE('<dir>', '<iso-ts>')`` resolves the probe instant
+    to the greatest version whose monotonic ``committed_at`` is <= it
+    (``version_at``, pure manifest metadata) and serves that snapshot. The
+    fixture's logical commit clock lands vN at 0N:00 UTC, so each probe's
+    resolved version AND snapshot contents are oracle-checkable: 00:30 ->
+    v0 (mid-gap), 02:59:59 -> v2 (just before the first append), 23:00 ->
+    v5 (after the last commit; compaction is content-neutral = f4)."""
+    from seccosql_spark.operators.lakehouse import version_at
+
+    table = _versioned_table(sess)
+    probes = [
+        "2026-01-01T00:30:00", "2026-01-01T02:59:59", "2026-01-01T23:00:00",
+    ]
+    parts = []
+    for ts in probes:
+        v = version_at(table, ts)  # the resolved version is part of the row
+        parts.append(
+            f"""SELECT '{ts}' AS probe_ts,
+                       CAST({v} AS INT) AS version,
+                       CAST(count(*) AS LONG) AS n_rows,
+                       CAST(sum({_CENTS_SPARK}) AS LONG) AS cents
+                FROM LAKE('{table}', '{ts}')"""
+        )
+    return sess.sql(" UNION ALL ".join(parts)).df
+
+
+RESTORE_ORACLE = f"""
+WITH {_REPLAY}
+SELECT CAST(2 AS INTEGER) AS version, 'merge' AS kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+FROM f2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'restore', CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f1
+"""
+
+
+def _restored_table(sess: SeccoSession) -> str:
+    """v0 create + v1/v2 merges, then RESTORE to v1 as v3 — the rollback
+    recovery verb: v3 pins exactly v1's file set by reference (zero data
+    IO), history stays readable, and the change feed across the restore
+    shows the net rows the rollback un-did."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import restore_table
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(ords, table, "o_orderpriority")
+        b1, b2 = _batches(spark)
+        merge_cow(spark, table, b1, ["o_orderkey"])   # v1
+        merge_cow(spark, table, b2, ["o_orderkey"])   # v2 (the "bad" commit)
+        m3 = restore_table(spark, table, 1)           # v3 = rollback to v1
+        # restore is metadata-only: every pinned file must be v1's, carried
+        # by reference (a rewrite here would mean the verb copied data)
+        m1 = read_manifest(table, 1)
+        if {f["path"] for f in m3["files"]} != {f["path"] for f in m1["files"]}:
+            raise RuntimeError("restore did not pin v1's exact file set")
+
+    return os.path.join(
+        build_once("secco_lakehouse_restore", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_restore", RESTORE_ORACLE)
+def lakehouse_restore(sess: SeccoSession):
+    """RESTORE / rollback (VERDICT r13 task 4): after a bad v2 merge, v3
+    promotes v1's snapshot back to HEAD as a new metadata-only commit. The
+    row reads v2 (still intact — history preserved for audit) and the
+    restored head v3, with the commit kind from table_history: v3 must
+    equal the v1 oracle replay (f1) and carry kind 'restore'."""
+    from seccosql_spark.operators.lakehouse import table_history
+
+    table = _restored_table(sess)
+    spark = sess.spark
+    kinds = {
+        r.version: r.kind for r in table_history(spark, table).collect()
+    }
+    out = None
+    for v in (2, 3):
+        snap = (
+            read_table(spark, table, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn("kind", F.lit(kinds[v]))
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
 
 
 SORTED_COMPACTION_ORACLE = f"""

@@ -92,56 +92,56 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "lakehouse_change_feed",
-    "lakehouse_equality_deletes",
-    "lakehouse_expire_versions",
-    "lakehouse_file_skipping",
-    "lakehouse_hidden_partitioning",
-    "lakehouse_incremental_sync",
-    "lakehouse_merge_evolution",
-    "lakehouse_sorted_compaction",
-    "lakehouse_sql_time_travel",
-    "stream_change_feed_apply",
-    "distinct_pairs",
-    "events_zorder_topk",
-    "except_all_bag",
-    "except_distinct",
-    "filter_predicate",
-    "funnel_view_click_purchase",
-    "g_clustering_coeff",
-    "g_common_neighbors",
-    "g_connected_components",
-    "g_degrees",
-    "g_kcore",
-    "g_ktruss",
-    "g_label_propagation",
-    "g_pagerank_3rounds",
-    "g_path2_pairs",
-    "g_scc",
-    "g_sssp_weighted",
-    "intersect_keys",
-    "multimodal_binaryfile_scan",
-    "multimodal_decode_audio",
-    "multimodal_decode_png",
-    "multimodal_decode_real",
-    "multimodal_frames_real",
-    "multimodal_probe_mp4",
-    "project_compute",
-    "rollup_agg",
-    "sample_hash_10pct",
-    "sample_weighted_quality",
-    "scalar_datetime",
-    "scalar_string_funcs",
-    "sort_limit_topk",
-    "union_all_counts",
-    "union_distinct",
-    "ann_pq_adc_topk",
-    "ann_pq_codes",
-    "attribution_last_touch",
-    "basket_part_pairs",
-    "corpus_source_overlap",
-    "curation_multisignal",
-    "dedup_c4_segments",
+    "lakehouse_restore",
+    "lakehouse_time_travel_ts",
+    "entity_resolution_blocked",
+    "events_anomaly_mad",
+    "events_value_percentiles",
+    "g_closeness_centrality",
+    "g_degree_assortativity",
+    "g_hits_2rounds",
+    "g_jaccard_linkpred",
+    "g_maximal_independent_set",
+    "g_maximal_matching",
+    "g_modularity_mod4",
+    "g_personalized_pagerank",
+    "markov_transitions",
+    "orders_cohort_ltv",
+    "pareto_abc_parts",
+    "rfm_segments",
+    "cte_multi",
+    "g_bfs_distances",
+    "g_house_count",
+    "g_ring5_chords",
+    "g_triangle_count",
+    "grouping_sets_id",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_sole_blame_supplier",
+    "q22_sales_opportunity",
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "window_first_last_frames",
+    "window_ntile_quartiles",
+    "window_rank_family",
+    "with_recursive_path_counts",
+    "with_recursive_reach",
+    "dedup_edit_distance_verify",
+    "dedup_minhash_estimate_error",
+    "dedup_ppjoin_exact",
+    "dedup_semantic_semdedup",
+    "embedding_pca_power2",
+    "events_max_concurrency",
+    "events_rolling_spikes",
+    "events_seasonal_backtest",
+    "events_weekly_retention",
 ]
 
 

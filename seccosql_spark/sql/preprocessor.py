@@ -409,12 +409,16 @@ _LAKE_RE = re.compile(r"\bLAKE\s*\(", re.I)
 def rewrite_lake(
     session: "SeccoSession", text: str, created: list[str] | None = None
 ) -> str:
-    """Rewrite each ``LAKE('<table_dir>'[, <version>])`` table reference
-    into a temp view over the lakehouse snapshot read — the SQL surface for
-    manifest-pinned time travel (Delta's ``VERSION AS OF`` twin). Omitting
-    the version reads the latest commit; snapshots honor merge-on-read
-    equality deletes and schema evolution exactly like the Python
-    ``read_table`` verb (it IS that verb). Views are statement-scoped and
+    """Rewrite each ``LAKE('<table_dir>'[, <version> | '<timestamp>'])``
+    table reference into a temp view over the lakehouse snapshot read — the
+    SQL surface for manifest-pinned time travel. A bare integer second
+    argument pins a version (Delta's ``VERSION AS OF`` twin); a quoted
+    ISO-8601 string pins the snapshot live at that instant (``TIMESTAMP AS
+    OF`` — resolved via each manifest's monotonic ``committed_at``, naive
+    timestamps read as UTC). Omitting it reads the latest commit; snapshots
+    honor merge-on-read equality deletes and schema evolution exactly like
+    the Python ``read_table`` verb (it IS that verb). Views are
+    statement-scoped and
     dropped by the caller; the name carries a per-invocation random token —
     with just the per-statement counter, two concurrent statements on one
     session would both bind ``__lake_0`` and each drop the other's snapshot
@@ -429,11 +433,19 @@ def rewrite_lake(
                 "LAKE('<table_dir>'[, <version>]) takes one or two arguments"
             )
         table_dir = parts[0].strip().strip("'\"")
-        version = int(parts[1].strip()) if len(parts) == 2 else None
+        version = timestamp = None
+        if len(parts) == 2:
+            arg = parts[1].strip()
+            if re.fullmatch(r"\d+", arg):
+                version = int(arg)
+            else:
+                timestamp = arg.strip("'\"")
         from seccosql_spark.operators.lakehouse import read_table
 
         view = f"__lake_{token}_{counter}"
-        read_table(session.spark, table_dir, version).createOrReplaceTempView(view)
+        read_table(
+            session.spark, table_dir, version, timestamp=timestamp
+        ).createOrReplaceTempView(view)
         return view
 
     return _rewrite_table_ref(text, _LAKE_RE, make_view, created)

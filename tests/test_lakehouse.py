@@ -934,3 +934,110 @@ def test_month_transform_pinned_to_utc(spark, tmp_path):
         assert [(r.k, r.v) for r in read_table(spark, d).collect()] == [(1, 99.0)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_version_at_and_timestamp_read(spark, tmp_path):
+    """Timestamp time travel: version_at resolves an instant to the
+    greatest version committed at or before it; read_table(timestamp=...)
+    serves that snapshot; probes before the first commit raise."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    d = str(tmp_path / "t")
+    with lh.deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+        create_table(
+            spark.createDataFrame([(1, "a", 10.0)], "k BIGINT, p STRING, v DOUBLE"),
+            d, "p",
+        )  # v0 @ 00:00
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 20.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])  # v1 @ 01:00
+    assert lh.version_at(d, "2026-01-01T00:00:00") == 0  # inclusive
+    assert lh.version_at(d, "2026-01-01T00:59:59") == 0
+    assert lh.version_at(d, "2026-01-01T01:00:00") == 1
+    assert lh.version_at(d, "2026-06-01T00:00:00Z") == 1
+    got = read_table(spark, d, timestamp="2026-01-01T00:30:00").collect()
+    assert [(r.k, r.v) for r in got] == [(1, 10.0)]
+    with pytest.raises(ValueError, match="earliest kept commit"):
+        lh.version_at(d, "2025-12-31T23:59:59")
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, d, 0, timestamp="2026-01-01T00:30:00")
+
+
+def test_commit_times_monotonic_under_backwards_clock(spark, tmp_path):
+    """A wall clock stepping backwards between commits must not produce
+    out-of-order committed_at values (version_at would resolve versions
+    out of commit order): each commit clamps to prev + 1us."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    d = str(tmp_path / "t")
+    times = iter(["2026-01-01T05:00:00", "2026-01-01T04:00:00"])
+    saved = lh._COMMIT_CLOCK
+    lh._COMMIT_CLOCK = lambda: next(times)
+    try:
+        create_table(
+            spark.createDataFrame([(1, "a", 1.0)], "k BIGINT, p STRING, v DOUBLE"),
+            d, "p",
+        )
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 2.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])
+    finally:
+        lh._COMMIT_CLOCK = saved
+    t0 = lh.read_manifest(d, 0)["committed_at"]
+    t1 = lh.read_manifest(d, 1)["committed_at"]
+    assert lh._parse_commit_ts(t1) > lh._parse_commit_ts(t0)
+
+
+def test_restore_table(spark, table):
+    """RESTORE: promote an old version to head as a new metadata-only
+    commit — v1's files pinned BY REFERENCE, history preserved, txn ledger
+    carried from head (replay protection survives the rollback), change
+    feed across the restore shows the net un-done rows."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    upd = spark.createDataFrame([(2, "a", 99.0), (5, "b", 50.0)],
+                                "k BIGINT, p STRING, v DOUBLE")
+    lh.append_commit(spark, table, upd, txn=("sink", 7))  # v1
+    bad = spark.createDataFrame([(1, "a", -1.0)], "k BIGINT, p STRING, v DOUBLE")
+    merge_cow(spark, table, bad, ["k"])  # v2 (the bad commit)
+    m3 = lh.restore_table(spark, table, 1)
+    assert m3["version"] == 3 and m3["restored_from"] == 1
+    m1 = read_manifest(table, 1)
+    assert {f["path"] for f in m3["files"]} == {f["path"] for f in m1["files"]}
+    assert m3["txns"] == {"sink": 7}  # carried from HEAD, not v1
+    assert rows(read_table(spark, table)) == rows(read_table(spark, table, 1))
+    assert rows(read_table(spark, table, 2)) != rows(read_table(spark, table, 1))
+    hist = {r.version: r.kind for r in lh.table_history(spark, table).collect()}
+    assert hist[3] == "restore"
+    # CDF across the restore: net = un-apply of the bad merge
+    feed = lh.table_changes(spark, table, 2, 3)
+    byty = {r["_change_type"]: (r.k, r.v) for r in feed.collect()}
+    assert byty == {"insert": (1, 10.0), "delete": (1, -1.0)}
+    with pytest.raises(FileNotFoundError):
+        lh.restore_table(spark, table, 99)
+
+
+def test_merge_hot_partition_multi_file(spark, table):
+    """VERDICT r13 task 7: a hot partition's rewrite must not be forced
+    into one task — merge_cow(files_per_partition=N) spreads each
+    rewritten partition over up to N salted tasks/files, the manifest
+    carries them all, and readers union them (contents identical to the
+    single-file merge)."""
+    upd = spark.createDataFrame(
+        [(k, "a", float(k)) for k in range(10, 40)],
+        "k BIGINT, p STRING, v DOUBLE",
+    )
+    m = merge_cow(spark, table, upd, ["k"], files_per_partition=4)
+    a_files = [f for f in m["files"] if f["partition"] == "a"]
+    assert len(a_files) > 1, a_files  # hot partition spread over >1 file
+    assert sum(f["rows"] for f in a_files) == 32  # 2 base + 30 upserts
+    got = rows(read_table(spark, table))
+    assert len(got) == 34 and (15, "a", 15.0) in got and (3, "b", 30.0) in got
+    # a later single-file merge still reads ALL of the multi-file partition
+    m2 = merge_cow(
+        spark, table,
+        spark.createDataFrame([(10, "a", -1.0)], "k BIGINT, p STRING, v DOUBLE"),
+        ["k"],
+    )
+    assert len([f for f in m2["files"] if f["partition"] == "a"]) == 1
+    assert len(rows(read_table(spark, table))) == 34

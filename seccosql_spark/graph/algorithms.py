@@ -588,6 +588,15 @@ def strongly_connected_components(
     `stats`, when given, is filled with round/pass counters and the largest
     materialized state (for the no-quadratic-intermediate test).
 
+    Job economy (VERDICT r13 task 3 — on a fixpoint kernel the cost driver
+    is JOB COUNT, not data): every convergence/emptiness probe rides the
+    round's own materialization via ``Observation`` metrics (one action
+    per round — no separate count()/isEmpty() jobs); the trim probe is ONE
+    flagged outer join off a single union-aggregate of the edge endpoints
+    (the old srcs.distinct ∩ dsts.distinct shape paid three shuffles); and
+    narrow derivations of checkpointed frames (color init, roots, the
+    backward-reach union) are never re-checkpointed.
+
     Ids must be integral (byte/short/int/long): the kernel orders and casts
     ids to long, so string-id graphs raise TypeError here rather than
     silently becoming NULL-keyed components after the cast (ADVICE r06).
@@ -603,146 +612,213 @@ def strongly_connected_components(
                 f"column {col!r} is {dt.simpleString()} — use "
                 f"strongly_connected_components_closure for non-numeric ids"
             )
-    e0 = (
-        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    all_nodes = _nodes(e0, "a", "b").localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     st = {"outer_passes": 0, "trim_rounds": 0, "color_rounds": 0, "bw_rounds": 0,
           "max_state_rows": 0}
+    spark = edges.sparkSession
+    # Fixpoint rounds are many small actions over O(n) state: let AQE
+    # coalesce them by its advisory partition SIZE instead of keeping
+    # parallelism up (parallelismFirst trades per-stage latency for
+    # parallelism that tiny per-round states cannot use; large states
+    # still split by size). Scoped + restored: this kernel runs eagerly,
+    # so no other query compiles under the override.
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    _pf_saved = spark.conf.get(_PF, None)
+    spark.conf.set(_PF, "false")
 
-    def _track(df: DataFrame, n: int | None = None) -> DataFrame:
-        out = df.localCheckpoint(eager=True)
-        if stats is not None:
-            # row accounting costs one extra job per materialization, so it
-            # only runs when the caller asked for stats (the scale-shape test)
-            st["max_state_rows"] = max(
-                st["max_state_rows"], n if n is not None else out.count()
-            )
-        return out
+    def _ckpt(df: DataFrame, *metrics):
+        """Materialize via localCheckpoint with the probe metrics riding the
+        SAME action (Observation): returns (checkpointed_df, metric_values).
+        Row counts are always observed — they feed both the convergence
+        probes and the max_state_rows accounting for free."""
+        obs = Observation()
+        out = df.observe(
+            obs, F.count(F.lit(1)).alias("__n"), *metrics
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        st["max_state_rows"] = max(st["max_state_rows"], got["__n"])
+        return out, got
 
-    done_parts: list[DataFrame] = []
-    rem_nodes = all_nodes  # (id)
-    rem_e = e0  # (a, b)
-    # Outer termination is structural (every pass removes >= 1 SCC); the cap
-    # is a runaway guard only — #SCCs <= #nodes, and passes <= condensation depth.
-    for _ in range(1_000_000):
-        if rem_nodes.isEmpty():
-            break
-        st["outer_passes"] += 1
-        # -- 1. trim to fixpoint: peel nodes lacking an in- or out-edge.
-        # Raises at budget exhaustion like the other two fixpoints — the
-        # documented contract is "max_rounds bounds every INNER fixpoint;
-        # non-convergence raises" (ADVICE r06).
-        converged = False
-        for _t in range(max_rounds + 1):
-            srcs = rem_e.select(F.col("a").alias("id")).distinct()
-            dsts = rem_e.select(F.col("b").alias("id")).distinct()
-            interior = srcs.intersect(dsts)
-            trimmed = rem_nodes.join(interior, "id", "left_anti")
-            trimmed = _track(trimmed)
-            if trimmed.isEmpty():
-                converged = True
+    try:
+        ecast = edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        e0, got = _ckpt(ecast.filter(F.col("a") != F.col("b")).distinct())
+        # ALL nodes, including self-loop-only ones (their edges are dropped
+        # from e0): with no in/out edge in the remainder, the FIRST trim
+        # round peels them as singleton SCCs — which lets the final result
+        # be the plain union of the found parts, with no restore join
+        # re-scanning the raw edge source. Left LAZY: the first trim round's
+        # flagged join materializes it (and observes its count) anyway.
+        all_nodes = _nodes(ecast, "a", "b")
+        n_rem: int | None = None  # unknown until the first trim observation
+
+        done_parts: list[DataFrame] = []
+        rem_nodes = all_nodes  # (id)
+        rem_e = e0  # (a, b)
+        # Outer termination is structural (every pass removes >= 1 SCC); the cap
+        # is a runaway guard only — #SCCs <= #nodes, and passes <= condensation depth.
+        for _ in range(1_000_000):
+            if n_rem == 0:
                 break
-            st["trim_rounds"] += 1
-            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
-            rem_nodes = _track(rem_nodes.join(trimmed, "id", "left_anti"))
-            rem_e = _track(
-                rem_e.join(trimmed.withColumnRenamed("id", "a"), "a", "left_anti")
-                .join(trimmed.withColumnRenamed("id", "b"), "b", "left_anti")
+            st["outer_passes"] += 1
+            # -- 1. trim to fixpoint: peel nodes lacking an in- or out-edge.
+            # One aggregation derives interior-ness for both endpoints at once;
+            # one flagged outer join materializes the partition of rem_nodes,
+            # and the trimmed/kept sides are narrow filters of that checkpoint.
+            # Raises at budget exhaustion like the other two fixpoints — the
+            # documented contract is "max_rounds bounds every INNER fixpoint;
+            # non-convergence raises" (ADVICE r06).
+            converged = False
+            for _t in range(max_rounds + 1):
+                interior = (
+                    rem_e.select(F.col("a").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                    .unionByName(
+                        rem_e.select(F.col("b").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+                    )
+                    .groupBy("id")
+                    .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                    .filter((F.col("o") == 1) & (F.col("i") == 1))
+                    .select("id", F.lit(1).alias("__keep"))
+                )
+                marked, got = _ckpt(
+                    rem_nodes.join(interior, "id", "left"),
+                    F.sum(F.when(F.col("__keep").isNull(), 1).otherwise(0)).alias("__tr"),
+                )
+                n_trimmed = got["__tr"] or 0
+                n_rem = got["__n"] - n_trimmed
+                if n_trimmed == 0:
+                    # nothing peeled: marked IS the remainder, already
+                    # checkpointed — reuse it so a lazy first-pass
+                    # rem_nodes never recomputes inside the color rounds
+                    rem_nodes = marked.select("id")
+                    converged = True
+                    break
+                st["trim_rounds"] += 1
+                trimmed = marked.filter(F.col("__keep").isNull()).select("id")
+                done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+                rem_nodes = marked.filter(F.col("__keep") == 1).select("id")
+                if n_rem == 0:
+                    break
+                rem_e, _ = _ckpt(
+                    rem_e.join(trimmed.withColumnRenamed("id", "a"), "a", "left_anti")
+                    .join(trimmed.withColumnRenamed("id", "b"), "b", "left_anti")
+                    .select("a", "b")
+                )
+            if not converged and n_rem > 0:
+                raise RuntimeError(
+                    f"SCC trim did not reach fixpoint within max_rounds={max_rounds} "
+                    f"(remainder peeling depth exceeds the budget); raise max_rounds"
+                )
+            if n_rem == 0:
+                break
+            # -- 2. forward-max coloring to fixpoint (one job per round: the
+            # changed-label count rides the round's own materialization)
+            color = rem_nodes.select("id", F.col("id").alias("color"))
+            converged = False
+            for _c in range(max_rounds):
+                st["color_rounds"] += 1
+                cand = (
+                    rem_e.join(color.withColumnRenamed("id", "a"), "a")
+                    .groupBy(F.col("b").alias("id"))
+                    .agg(F.max("color").alias("nc"))
+                )
+                merged, got = _ckpt(
+                    color.join(cand, "id", "left")
+                    .select(
+                        "id",
+                        F.greatest(F.col("color"), F.coalesce("nc", F.col("color"))).alias("next"),
+                        "color",
+                    ),
+                    F.sum((F.col("next") > F.col("color")).cast("long")).alias("__ch"),
+                    # root count rides along: with the per-frontier counts it
+                    # gives |bw| arithmetically, so the LAST pass needs no
+                    # remainder-count action at all
+                    F.sum((F.col("next") == F.col("id")).cast("long")).alias("__rt"),
+                )
+                color = merged.select("id", F.col("next").alias("color"))
+                n_roots = got["__rt"] or 0
+                if (got["__ch"] or 0) == 0:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"SCC coloring did not converge within max_rounds={max_rounds} "
+                    f"(remainder diameter exceeds the budget); raise max_rounds"
+                )
+            # -- 3. backward reach from roots, restricted to same-color edges.
+            # bw is a union of checkpointed frontiers — never re-checkpointed.
+            ce, _ = _ckpt(
+                rem_e.join(color.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
+                .join(color.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
+                .filter(F.col("ca") == F.col("cb"))
+                .select("a", "b", F.col("ca").alias("color"))
+            )
+            bw = color.filter(F.col("id") == F.col("color"))  # roots: (id, color)
+            n_bw = n_roots
+            converged = False
+            for _b in range(max_rounds + 1):
+                # distinct + anti-join, not exceptAll: bw rows are unique by
+                # construction, so the anti-join is multiset-equivalent and
+                # plans as a plain (AQE-broadcastable) join instead of
+                # exceptAll's count-tagged union aggregate
+                preds, got = _ckpt(
+                    ce.join(bw.select(F.col("id").alias("b"), "color"), ["b", "color"])
+                    .select(F.col("a").alias("id"), "color")
+                    .distinct()
+                    .join(bw, ["id", "color"], "left_anti")
+                )
+                if got["__n"] == 0:
+                    converged = True
+                    break
+                st["bw_rounds"] += 1
+                n_bw += got["__n"]
+                bw = bw.unionByName(preds)
+            if not converged:
+                raise RuntimeError(
+                    f"SCC backward reach did not converge within max_rounds={max_rounds}; "
+                    f"raise max_rounds"
+                )
+            # -- 4. found SCCs: members of bw per color class, labeled min(id).
+            # bw holds EXACTLY the nodes this pass removes, and every row of
+            # it was counted on materialization — so the new remainder size
+            # is pure arithmetic, and on the last pass (n_rem hits 0) neither
+            # the remainder update nor the found frame needs an action: the
+            # found rows are narrow over already-checkpointed frontiers plus
+            # one labels aggregate the caller's action pays once.
+            labels = bw.groupBy("color").agg(F.min("id").alias("scc"))
+            found = bw.join(labels, "color").select("id", "scc")
+            n_rem -= n_bw
+            if n_rem == 0:
+                done_parts.append(found)
+                break
+            found, _ = _ckpt(found)
+            done_parts.append(found)
+            rem_nodes, _ = _ckpt(
+                rem_nodes.join(found.select("id"), "id", "left_anti")
+            )
+            rem_e, _ = _ckpt(
+                rem_e.join(found.select(F.col("id").alias("a")), "a", "left_anti")
+                .join(found.select(F.col("id").alias("b")), "b", "left_anti")
                 .select("a", "b")
             )
-        if not converged:
-            raise RuntimeError(
-                f"SCC trim did not reach fixpoint within max_rounds={max_rounds} "
-                f"(remainder peeling depth exceeds the budget); raise max_rounds"
-            )
-        if rem_nodes.isEmpty():
-            break
-        # -- 2. forward-max coloring to fixpoint
-        color = _track(rem_nodes.select("id", F.col("id").alias("color")))
-        converged = False
-        for _c in range(max_rounds):
-            st["color_rounds"] += 1
-            cand = (
-                rem_e.join(color.withColumnRenamed("id", "a"), "a")
-                .groupBy(F.col("b").alias("id"))
-                .agg(F.max("color").alias("nc"))
-            )
-            # materialize ONCE, then both the change count and the next
-            # color vector read the checkpointed rows — counting first and
-            # checkpointing after re-ran the whole join+agg twice per round
-            merged = _track(
-                color.join(cand, "id", "left")
-                .select(
-                    "id",
-                    F.greatest(F.col("color"), F.coalesce("nc", F.col("color"))).alias("next"),
-                    "color",
-                )
-            )
-            n_changed = merged.filter(F.col("next") > F.col("color")).count()
-            color = merged.select("id", F.col("next").alias("color"))
-            if n_changed == 0:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(
-                f"SCC coloring did not converge within max_rounds={max_rounds} "
-                f"(remainder diameter exceeds the budget); raise max_rounds"
-            )
-        # -- 3. backward reach from roots, restricted to same-color edges
-        ce = (
-            rem_e.join(color.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
-            .join(color.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
-            .filter(F.col("ca") == F.col("cb"))
-            .select("a", "b", F.col("ca").alias("color"))
-            .localCheckpoint(eager=True)
-        )
-        bw = _track(color.filter(F.col("id") == F.col("color")))  # roots: (id, color)
-        converged = False
-        for _b in range(max_rounds + 1):
-            preds = (
-                ce.join(bw.select(F.col("id").alias("b"), "color"), ["b", "color"])
-                .select(F.col("a").alias("id"), "color")
-                .distinct()
-                .exceptAll(bw)
-            )
-            preds = _track(preds)
-            if preds.isEmpty():
-                converged = True
-                break
-            st["bw_rounds"] += 1
-            bw = _track(bw.unionByName(preds))
-        if not converged:
-            raise RuntimeError(
-                f"SCC backward reach did not converge within max_rounds={max_rounds}; "
-                f"raise max_rounds"
-            )
-        # -- 4. found SCCs: members of bw per color class, labeled min(id)
-        labels = bw.groupBy("color").agg(F.min("id").alias("scc"))
-        found = _track(bw.join(labels, "color").select("id", "scc"))
-        done_parts.append(found)
-        rem_nodes = _track(rem_nodes.join(found.select("id"), "id", "left_anti"))
-        rem_e = _track(
-            rem_e.join(found.select(F.col("id").alias("a")), "a", "left_anti")
-            .join(found.select(F.col("id").alias("b")), "b", "left_anti")
-            .select("a", "b")
-        )
-    if stats is not None:
-        stats.update(st)
+        if stats is not None:
+            stats.update(st)
+    finally:
+        if _pf_saved is None:
+            spark.conf.unset(_PF)
+        else:
+            spark.conf.set(_PF, _pf_saved)
     if not done_parts:
         return all_nodes.select("id", F.col("id").alias("scc"))
+    # every node was peeled or colored into exactly one found part (self-
+    # loop-only nodes included — trim handled them), so the result is the
+    # plain union of checkpointed parts: the caller's action is narrow
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
-    # self-loop-only nodes were dropped by the a != b filter; restore as singletons
-    return (
-        _nodes(edges, src, dst)
-        .join(out.withColumnRenamed("scc", "m"), "id", "left")
-        .select("id", F.coalesce("m", F.col("id")).cast("long").alias("scc"))
-    )
+    return out
 
 
 def hits(

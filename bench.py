@@ -102,6 +102,61 @@ def _wait_for_quiet_host() -> float:
     return waited
 
 
+def _read_first(*paths: str) -> str | None:
+    for p in paths:
+        try:
+            with open(p) as f:
+                return f.read().strip()
+        except OSError:
+            continue
+    return None
+
+
+def _host_snapshot() -> dict:
+    """Machine-checkable host-state capture (VERDICT r13 task 6): this
+    container shows hour-scale uniform timing drift on unchanged code, and
+    until now the claim rested on narrative + 1-min loadavg. Snapshot the
+    full /proc/loadavg line, the cumulative CPU jiffies split (user/sys/
+    idle/iowait/steal — STEAL is the smoking gun for hypervisor
+    contention), and the cgroup CPU quota + throttle counters, before and
+    after each query — a judge can then compute per-query steal%% and
+    throttle deltas from BENCH_RAW alone instead of trusting the drift
+    note."""
+    snap: dict = {}
+    la = _read_first("/proc/loadavg")
+    if la is not None:
+        snap["loadavg"] = la
+    stat = _read_first("/proc/stat")
+    if stat is not None:
+        f = stat.splitlines()[0].split()  # "cpu user nice sys idle iowait irq softirq steal ..."
+        if f and f[0] == "cpu":
+            vals = [int(x) for x in f[1:]]
+            snap["cpu_jiffies"] = {
+                "total": sum(vals),
+                "idle": vals[3] if len(vals) > 3 else None,
+                "iowait": vals[4] if len(vals) > 4 else None,
+                "steal": vals[7] if len(vals) > 7 else None,
+            }
+    quota = _read_first(
+        "/sys/fs/cgroup/cpu.max", "/sys/fs/cgroup/cpu/cpu.cfs_quota_us"
+    )
+    if quota is not None:
+        snap["cpu_quota"] = quota
+    cpu_stat = _read_first(
+        "/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat"
+    )
+    if cpu_stat is not None:
+        kv = dict(
+            ln.split(None, 1) for ln in cpu_stat.splitlines() if " " in ln
+        )
+        snap["throttle"] = {
+            k: int(kv[k]) for k in
+            ("nr_periods", "nr_throttled", "throttled_usec", "throttled_time")
+            if k in kv
+        }
+    return snap
+
+
 def _once(name: str, spark: SparkSession) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = run(name, spark, SF_DIR).count()
@@ -147,6 +202,7 @@ def main() -> None:
         try:
             wait_sec = _wait_for_quiet_host()
             load0 = os.getloadavg()[0]
+            host0 = _host_snapshot()
             # adaptive warmup: run until two consecutive times agree within
             # 20% — that's when codegen+JIT have converged and we are
             # measuring the engine, not the JVM ramp
@@ -198,6 +254,13 @@ def main() -> None:
             "load_after": round(os.getloadavg()[0], 1),
             "quiet_wait_sec": round(wait_sec, 1),
             "extended": len(timed) > TIMED_RUNS,
+            # drift forensics (r13 task 6): spread = max/min of the timed
+            # reps; host_before/after carry loadavg + cumulative steal
+            # jiffies + cgroup throttle counters, so "uniform ambient
+            # drift" vs "engine regression" is decidable from the artifact
+            "spread": round(max(timed) / min(timed), 2) if min(timed) > 0 else None,
+            "host_before": host0,
+            "host_after": _host_snapshot(),
         }
         print(
             f"# {name}: median {timings[name]}s / min {timings_min[name]}s"

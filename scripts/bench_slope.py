@@ -51,6 +51,16 @@ PINNED = [
     "dedup_substring_windows",
     "ann_lsh_clustered",
     "g_clique4_count",
+    # VERDICT r13 task 1: the storage layer's scale claims, measured like
+    # every other family. Each row's fixture table is built ONCE per sf by
+    # build_once (the first warmup pays it); the timed runs measure the
+    # READ paths the 100-TB story rests on: stats-pruned scans, merge-on-
+    # read delete application, manifest-diff change feed, and the
+    # merge/time-travel snapshot reads.
+    "lakehouse_file_skipping",
+    "lakehouse_equality_deletes",
+    "lakehouse_change_feed",
+    "lakehouse_merge_cow",
 ]
 WARMUPS = 2
 
@@ -192,7 +202,8 @@ def main() -> None:
     with open(os.path.join(REPO, "SLOPE.json"), "w") as f:
         json.dump(
             {
-                "note": "pinned-8 wall-time sf1/sf0.1 ratios; sf1 = 10x "
+                "note": "headliner + risk-shape + lakehouse wall-time "
+                        "sf1/sf0.1 ratios; sf1 = 10x "
                         "replicated sf0.1 (scripts/gen_sf1.py); folded into "
                         "bench.py output as sf1_slope; measurement shares "
                         "bench.py's session config, quiet-host guard, and "

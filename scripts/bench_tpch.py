@@ -1,0 +1,128 @@
+"""Full TPC-H-22 timing artifact (VERDICT r13 task 5): the per-round bench
+regression surface was the pinned-8 + headliners; the other ~280 rows —
+including all 22 TPC-H adaptations, the query class users actually run —
+were correctness-checked every round but never TIMED, so a plan regression
+in a q9/q18/q21-class query would have been invisible.
+
+Writes TPCH_BENCH.json at the repo root: per-query medians at sf0.1 and
+(when scripts/gen_sf1.py has produced it) the 10x sf1, with the same
+measurement discipline as bench.py (shared session config, quiet-host
+guard, warmups, median of 3 variance-extended to 7).
+
+Round-over-round drift gate: when a previous TPCH_BENCH.json exists, each
+query's new sf0.1 median is compared against it; ratios outside
+[1/DRIFT_FACTOR, DRIFT_FACTOR] are recorded in `drift_flags` alongside the
+previous value. `tests/test_plan_quality_all.py::test_tpch_bench_drift_flags
+_are_triaged` fails the suite while a committed flag lacks a human triage
+note in the file's `triage` map — a silent 2x TPC-H regression can no
+longer ride along unexplained.
+
+Usage:
+    python scripts/bench_tpch.py            # measure, write TPCH_BENCH.json
+    python scripts/bench_tpch.py --sf01-only   # skip the sf1 half
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (repo-root bench.py: shared session + guards)
+from seccosql_spark.registry import REGISTRY, run  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
+WARMUPS = 2
+DRIFT_FACTOR = 2.0
+
+
+def tpch_names() -> list[str]:
+    return sorted(
+        (n for n in REGISTRY if re.match(r"q\d+_", n)),
+        key=lambda n: int(n[1:].split("_")[0]),
+    )
+
+
+def _median_time(name: str, spark, sf_dir: str) -> float:
+    timed: list[float] = []
+    for _ in range(WARMUPS):
+        run(name, spark, sf_dir).count()
+    for _ in range(bench.TIMED_RUNS):
+        t0 = time.perf_counter()
+        run(name, spark, sf_dir).count()
+        timed.append(time.perf_counter() - t0)
+    if max(timed) > bench.VARIANCE_SPREAD_FACTOR * min(timed):
+        for _ in range(bench.TIMED_RUNS_EXTRA):
+            t0 = time.perf_counter()
+            run(name, spark, sf_dir).count()
+            timed.append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    return sorted(timed)[len(timed) // 2]
+
+
+def main() -> None:
+    prev = None
+    out_path = os.path.join(REPO, "TPCH_BENCH.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+
+    spark = bench.build_session("seccosql_spark_tpch")
+    sfs = [("sf0.1", SF01)]
+    if "--sf01-only" not in sys.argv and os.path.exists(
+        os.path.join(SF1, "_DONE")
+    ):
+        sfs.append(("sf1", SF1))
+
+    medians: dict[str, dict[str, float]] = {}
+    hosts: dict[str, dict] = {}
+    for sf_name, sf_dir in sfs:
+        medians[sf_name] = {}
+        bench._wait_for_quiet_host()
+        hosts[sf_name] = bench._host_snapshot()
+        for name in tpch_names():
+            t = _median_time(name, spark, sf_dir)
+            medians[sf_name][name] = round(t, 3)
+            print(f"# {sf_name} {name}: {t:.3f}s", file=sys.stderr)
+        hosts[sf_name + "_after"] = bench._host_snapshot()
+
+    drift_flags: dict[str, dict] = {}
+    prev_medians = (prev or {}).get("medians", {}).get("sf0.1", {})
+    for name, t in medians["sf0.1"].items():
+        p = prev_medians.get(name)
+        if p and p > 0 and (t / p > DRIFT_FACTOR or t / p < 1 / DRIFT_FACTOR):
+            drift_flags[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+
+    doc = {
+        "note": "TPC-H 22 per-query medians (same discipline as bench.py: "
+                "quiet-host guard, 2 warmups, median of 3 variance-extended "
+                "to 7); regenerate with `python scripts/bench_tpch.py`; "
+                "drift_flags = sf0.1 rows outside 2x of the previously "
+                "committed run and must each carry a `triage` entry",
+        "medians": medians,
+        "totals": {
+            sf: round(sum(v.values()), 3) for sf, v in medians.items()
+        },
+        "host": hosts,
+        "drift_flags": drift_flags,
+        # carry forward acknowledged-drift explanations for flagged rows;
+        # stale entries (no longer flagged) are dropped
+        "triage": {
+            k: v for k, v in (prev or {}).get("triage", {}).items()
+            if k in drift_flags
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"totals": doc["totals"], "drift_flags": drift_flags}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -343,3 +343,31 @@ def test_edited_rows_enter_next_window():
         f"driver rows prove superseded code): {bad} — run "
         "scripts/freshness.py --window and paste into registry._PRIORITY_WINDOW"
     )
+
+
+def test_tpch_bench_drift_flags_are_triaged():
+    """VERDICT r13 task 5: TPCH_BENCH.json (scripts/bench_tpch.py) times
+    all 22 TPC-H rows and flags any whose sf0.1 median moved >2x against
+    the previously committed run. A committed flag WITHOUT a triage entry
+    is a silent plan regression riding along — fail the suite until it is
+    either fixed (re-measure clears the flag) or explained (triage note)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    path = os.path.join(root, "TPCH_BENCH.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no TPCH_BENCH.json committed yet")
+    with open(path) as f:
+        doc = json.load(f)
+    assert len(doc["medians"]["sf0.1"]) == 22, "artifact must cover all 22"
+    untriaged = [
+        k for k in doc.get("drift_flags", {}) if k not in doc.get("triage", {})
+    ]
+    assert not untriaged, (
+        f"TPC-H rows drifted >2x round-over-round without a triage note: "
+        f"{untriaged} — re-measure on a quiet host or add a triage entry "
+        "to TPCH_BENCH.json"
+    )

@@ -121,3 +121,102 @@ def test_matching_paren_nested(depth):
     s = "(" * depth + "x" + ")" * depth
     if depth:
         assert _matching_paren(s, 0) == len(s) - 1
+
+
+# -------------------------- table-ref + QUALIFY rewriters (VERDICT r13 #8)
+
+from seccosql_spark.sql.preprocessor import (  # noqa: E402
+    _LAKE_RE,
+    _MATCH_RE,
+    _rewrite_table_ref,
+    rewrite_qualify,
+)
+
+
+@given(sql_fragment)
+@settings(max_examples=300, deadline=None)
+def test_rewrite_qualify_identity_without_keyword(text):
+    if "QUALIFY" not in text.upper():
+        assert rewrite_qualify(text) == text
+
+
+@given(st.sampled_from([
+    "SELECT 'a QUALIFY b' AS s FROM t",
+    "SELECT x FROM t -- QUALIFY in a comment",
+    "SELECT x, (SELECT 1 FROM u QUALIFY r = 1) AS sub FROM t",
+    "SELECT qualify_score FROM t",          # word boundary: not the keyword
+    "SELECT x FROM t WHERE y = 'QUALIFY'",
+]))
+@settings(max_examples=20, deadline=None)
+def test_rewrite_qualify_ignores_hidden_occurrences(text):
+    """QUALIFY inside string literals, comments, parenthesized subqueries,
+    or as an identifier prefix must never trigger the rewrite."""
+    assert rewrite_qualify(text) == text
+
+
+_seen_parts: list[list[str]] = []
+
+
+def _fake_ref_rewrite(text: str, regex) -> tuple[str, list[str]]:
+    _seen_parts.clear()
+
+    def make_view(parts, counter):
+        _seen_parts.append([p.strip() for p in parts])
+        return f"__vv{counter}"
+
+    created: list[str] = []
+    return _rewrite_table_ref(text, regex, make_view, created), created
+
+
+_real_ref = st.sampled_from([
+    "LAKE('/tmp/t')",
+    "lake('/tmp/t', 3)",
+    "Lake( '/tmp/a,b' , 2 )",          # quoted comma must not split args
+    "LAKE(f(x, y), '2026-01-01T00:00:00')",  # nested parens inside an arg
+])
+_decoy = st.sampled_from([
+    "'see LAKE(1) here'",
+    "\"LAKE(nope)\"",
+    "'O\\'Brien LAKE(2)'",             # backslash-escaped quote in literal
+    "-- LAKE(comment)\n",
+    "'it''s LAKE(3)'",                 # doubled-quote escape
+])
+_plain = st.text(alphabet=st.sampled_from(list("abc xyz_=,.")), max_size=12)
+
+
+@given(st.lists(st.one_of(_real_ref, _decoy, _plain), min_size=0, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_table_ref_rewrite_hits_exactly_the_visible_refs(pieces):
+    """Fuzzed mixes of real LAKE() refs (any case, quoted commas, nested
+    parens), string-literal/comment decoys, and plain text: the rewriter
+    must replace exactly the real refs (in order, preserving surrounding
+    text), register one view per ref, and leave every decoy byte-intact."""
+    text = " ".join(pieces)
+    n_real = sum(1 for p in pieces if p.upper().startswith(("LAKE", "Lake".upper())))
+    out, created = _fake_ref_rewrite(text, _LAKE_RE)
+    assert len(created) == n_real
+    assert created == [f"__vv{i}" for i in range(n_real)]
+    for i in range(n_real):
+        assert f"__vv{i}" in out
+    # decoys survive byte-identical
+    for p in pieces:
+        if not p.upper().startswith("LAKE"):
+            assert p in out
+    # every argument list was split at top level only
+    for parts in _seen_parts:
+        assert 1 <= len(parts) <= 2
+        assert parts[0].strip("'\"").startswith(("/tmp/", "f(x"))
+
+
+@given(st.integers(1, 4))
+@settings(max_examples=20, deadline=None)
+def test_match_ref_shares_the_same_mechanics(n):
+    """MATCH uses the same scanner: n real refs among literal decoys
+    rewrite to n views; the decoy stays."""
+    text = " UNION ".join(
+        f"SELECT * FROM MATCH(g{i}, '(a)-[]->(b)') WHERE note = 'MATCH(x,y)'"
+        for i in range(n)
+    )
+    out, created = _fake_ref_rewrite(text, _MATCH_RE)
+    assert len(created) == n
+    assert out.count("'MATCH(x,y)'") == n

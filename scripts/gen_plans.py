@@ -63,6 +63,8 @@ EXTRA = [
     "lakehouse_change_feed",
     "lakehouse_incremental_sync",
     "lakehouse_sorted_compaction",
+    "lakehouse_time_travel_ts",
+    "lakehouse_restore",
     "dedup_containment",
     "dedup_incremental_batch",
     "sample_weighted_quality",

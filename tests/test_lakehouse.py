@@ -556,7 +556,8 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
 
     for _ in range(8):
         op = rng.choice(
-            ["merge", "append", "delete", "compact", "zcompact", "purge"]
+            ["merge", "append", "delete", "compact", "zcompact", "purge",
+             "restore"]
         )
         if op == "merge":
             ups = [mkrow(rng.randint(1, 40)) for _ in range(rng.randint(1, 4))]
@@ -614,6 +615,14 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
                 lh.compact(spark, d, sort_by="k", target_files=2)
             else:
                 lh.compact(spark, d, zorder_by=["k", "v"], target_files=2)
+        elif op == "restore":
+            # rollback to a random historical version: the model state
+            # becomes that version's dict; later ops build on top of it
+            # (delete sequence rule, appends, feeds all must stay exact)
+            rv = rng.randrange(len(history))
+            lh.restore_table(spark, d, rv)
+            state = dict(history[rv])
+            dead_keys = set(range(1, 81)) - set(state)
         else:
             lh.purge_deletes(spark, d)
         history.append(dict(state))

@@ -24,13 +24,11 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402  (repo-root bench.py: shared session + guards)
-from seccosql_spark.registry import run  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
@@ -153,22 +151,9 @@ def write_coverage_section(data: dict | None = None) -> None:
 
 
 def _median_time(name: str, spark, sf_dir: str) -> tuple[float, int, bool]:
-    n = 0
-    timed: list[float] = []
-    for _ in range(WARMUPS):
-        n = run(name, spark, sf_dir).count()
-    for _ in range(bench.TIMED_RUNS):
-        t0 = time.perf_counter()
-        n = run(name, spark, sf_dir).count()
-        timed.append(time.perf_counter() - t0)
-    extended = max(timed) > bench.VARIANCE_SPREAD_FACTOR * min(timed)
-    if extended:
-        for _ in range(bench.TIMED_RUNS_EXTRA):
-            t0 = time.perf_counter()
-            n = run(name, spark, sf_dir).count()
-            timed.append(time.perf_counter() - t0)
-    spark.catalog.clearCache()
-    return sorted(timed)[len(timed) // 2], n, extended
+    # the shared bench.py loop (review r14: one discipline, one
+    # implementation — slope and TPC-H artifacts cannot drift from it)
+    return bench.timed_median(name, spark, sf_dir, warmups=WARMUPS)
 
 
 def main() -> None:

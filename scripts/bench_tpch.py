@@ -28,15 +28,15 @@ import json
 import os
 import re
 import sys
-import time
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import bench  # noqa: E402  (repo-root bench.py: shared session + guards)
-from seccosql_spark.registry import REGISTRY, run  # noqa: E402
+from seccosql_spark.registry import REGISTRY  # noqa: E402
 
-SF01 = "/root/testdata/sf0.1"
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
 WARMUPS = 2
 DRIFT_FACTOR = 2.0
@@ -50,20 +50,10 @@ def tpch_names() -> list[str]:
 
 
 def _median_time(name: str, spark, sf_dir: str) -> float:
-    timed: list[float] = []
-    for _ in range(WARMUPS):
-        run(name, spark, sf_dir).count()
-    for _ in range(bench.TIMED_RUNS):
-        t0 = time.perf_counter()
-        run(name, spark, sf_dir).count()
-        timed.append(time.perf_counter() - t0)
-    if max(timed) > bench.VARIANCE_SPREAD_FACTOR * min(timed):
-        for _ in range(bench.TIMED_RUNS_EXTRA):
-            t0 = time.perf_counter()
-            run(name, spark, sf_dir).count()
-            timed.append(time.perf_counter() - t0)
-    spark.catalog.clearCache()
-    return sorted(timed)[len(timed) // 2]
+    # the shared bench.py loop (review r14: one discipline, one
+    # implementation — slope and TPC-H artifacts cannot drift from it)
+    median, _n, _ext = bench.timed_median(name, spark, sf_dir, warmups=WARMUPS)
+    return median
 
 
 def main() -> None:

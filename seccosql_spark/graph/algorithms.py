@@ -10,6 +10,8 @@ checkpointed per round.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -547,6 +549,39 @@ def strongly_connected_components_closure(
     )
 
 
+_PF_KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+_PF_LOCK = threading.Lock()
+_PF_DEPTH = 0
+_PF_SAVED = None
+
+
+def _enter_parallelism_first_off(spark):
+    """Depth-counted session-conf override: the OUTERMOST kernel run saves
+    the current value and sets 'false'; only the matching release restores
+    it. Reentrant and thread-safe, so overlapping SCC runs on one session
+    can never leave the conf permanently overridden (review r14). Returns
+    the release callable for a try/finally."""
+    global _PF_DEPTH, _PF_SAVED
+    with _PF_LOCK:
+        if _PF_DEPTH == 0:
+            _PF_SAVED = spark.conf.get(_PF_KEY, None)
+            spark.conf.set(_PF_KEY, "false")
+        _PF_DEPTH += 1
+
+    def release() -> None:
+        global _PF_DEPTH, _PF_SAVED
+        with _PF_LOCK:
+            _PF_DEPTH -= 1
+            if _PF_DEPTH == 0:
+                if _PF_SAVED is None:
+                    spark.conf.unset(_PF_KEY)
+                else:
+                    spark.conf.set(_PF_KEY, _PF_SAVED)
+                _PF_SAVED = None
+
+    return release
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 200,
@@ -621,11 +656,10 @@ def strongly_connected_components(
     # coalesce them by its advisory partition SIZE instead of keeping
     # parallelism up (parallelismFirst trades per-stage latency for
     # parallelism that tiny per-round states cannot use; large states
-    # still split by size). Scoped + restored: this kernel runs eagerly,
-    # so no other query compiles under the override.
-    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    _pf_saved = spark.conf.get(_PF, None)
-    spark.conf.set(_PF, "false")
+    # still split by size). Scoped via a depth-counted, lock-guarded
+    # save/restore (review r14): two overlapping kernel runs on one
+    # session must not leave the conf permanently overridden.
+    _pf_release = _enter_parallelism_first_off(spark)
 
     def _ckpt(df: DataFrame, *metrics):
         """Materialize via localCheckpoint with the probe metrics riding the
@@ -806,10 +840,7 @@ def strongly_connected_components(
         if stats is not None:
             stats.update(st)
     finally:
-        if _pf_saved is None:
-            spark.conf.unset(_PF)
-        else:
-            spark.conf.set(_PF, _pf_saved)
+        _pf_release()
     if not done_parts:
         return all_nodes.select("id", F.col("id").alias("scc"))
     # every node was peeled or colored into exactly one found part (self-

@@ -87,7 +87,21 @@ def _partition_source_col(spec: str) -> str:
     return m.group(3) if m else spec
 
 
-def _partition_expr(spec: str, df: DataFrame | None = None):
+# Manifest-recorded partition-transform semantics version: v2 pins
+# month()/day() over TIMESTAMP columns to UTC; v1 (tables written before
+# the pin, whose manifests carry no marker) derived them in the writer's
+# session timezone. Readers/writers of a table must keep using the
+# definition the table was CREATED with — re-deriving a legacy table's
+# partitions under the new rule would silently mis-prune merges whose
+# rows were stored under the old values (review r14).
+TRANSFORM_VERSION = 2
+
+
+def _transform_utc(m: dict) -> bool:
+    return m.get("transform_version", 1) >= 2
+
+
+def _partition_expr(spec: str, df: DataFrame | None = None, utc: bool = True):
     """Partition spec -> string Column (hidden partitioning, Iceberg's
     partition-transform twin): rows are bucketed by a DERIVED value —
     ``month(ts)`` / ``day(ts)`` / ``bucket(N, col)`` / ``truncate(N, col)``
@@ -112,7 +126,7 @@ def _partition_expr(spec: str, df: DataFrame | None = None):
     kind, n, col = m.group(1), m.group(2), m.group(3)
     if kind in ("month", "day"):
         src = F.col(col)
-        if df is not None and dict(df.dtypes).get(col) == "timestamp":
+        if utc and df is not None and dict(df.dtypes).get(col) == "timestamp":
             # instant -> UTC wall-clock (TimestampNTZ), session-tz-proof
             src = F.convert_timezone(None, F.lit("UTC"), src)
         fmt = "yyyy-MM" if kind == "month" else "yyyy-MM-dd"
@@ -284,6 +298,14 @@ def deterministic_commit_clock(
     return _ctx()
 
 
+def _carried_meta(m: dict) -> dict:
+    """Table-level metadata every commit carries forward verbatim from the
+    base manifest — currently the partition-transform semantics version
+    (see TRANSFORM_VERSION: a table keeps the derivation rule it was
+    created with, forever)."""
+    return {"transform_version": m.get("transform_version", 1)}
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first (optimistic concurrency:
     the manifest file is the lock — creation is atomic-exclusive, so of two
@@ -307,20 +329,27 @@ def _commit_manifest(table_dir: str, version: int, manifest: dict) -> None:
     tmp = os.path.join(
         table_dir, _MANIFESTS, f"_tmp_v{version:05d}-{_write_token()}.json"
     )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
     try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise CommitConflictError(
-            f"manifest v{version:05d} already exists under {table_dir} — "
-            "another writer committed first; re-read the latest manifest "
-            "and retry on top of it"
-        ) from None
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"manifest v{version:05d} already exists under {table_dir} — "
+                "another writer committed first; re-read the latest manifest "
+                "and retry on top of it"
+            ) from None
     finally:
-        os.unlink(tmp)
+        # the temp file must never outlive the attempt — including a failed
+        # json.dump (disk full, unserializable value), which the previous
+        # shape leaked (review r14)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _commit_or_cleanup(table_dir: str, version: int, manifest: dict) -> dict:
@@ -412,7 +441,7 @@ def _write_partition_file(
 
 def _write_partitioned(
     df: DataFrame, table_dir: str, partition_by: str, version: int,
-    files_per_partition: int = 1,
+    files_per_partition: int = 1, utc: bool = True,
 ) -> list[dict]:
     """ONE distributed job writing every partition's v{N} file(s): shuffle
     on the partition value, then a single ``partitionBy`` write — one
@@ -433,7 +462,7 @@ def _write_partitioned(
     a partition's live files."""
     token = _write_token()
     tmp = os.path.join(table_dir, f"_tmp_v{version:05d}-{token}")
-    out = df.withColumn(_PCOL, _partition_expr(partition_by, df))
+    out = df.withColumn(_PCOL, _partition_expr(partition_by, df, utc))
     if files_per_partition > 1:
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]),
@@ -495,10 +524,13 @@ def create_table(
     data file per distinct ``partition_by`` value). The manifest records the
     table schema so an empty v0 (stream-initialized tables) stays readable."""
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
-    files = _write_partitioned(df, table_dir, partition_by, 0)
+    files = _write_partitioned(
+        df, table_dir, partition_by, 0, utc=TRANSFORM_VERSION >= 2
+    )
     manifest = {
         "version": 0,
         "partition_by": partition_by,
+        "transform_version": TRANSFORM_VERSION,
         "schema": _evolved_schema_json(None, df),
         "files": files,
     }
@@ -756,6 +788,7 @@ def delete_commit(
     manifest = {
         "version": version,
         "partition_by": m["partition_by"],
+        **_carried_meta(m),
         "schema": m.get("schema"),
         "files": [dict(f) for f in m["files"]],
         "txns": dict(m.get("txns", {})),
@@ -799,6 +832,7 @@ def purge_deletes(spark: SparkSession, table_dir: str) -> dict:
     manifest = {
         "version": version,
         "partition_by": m["partition_by"],
+        **_carried_meta(m),
         "schema": m.get("schema"),
         "files": files,
         "delete_files": [],
@@ -845,11 +879,14 @@ def append_commit(
     # dropped later-added metadata (column stats) from carried files
     files = [dict(f) for f in m["files"]]
     # one job, one scan of the batch, regardless of touched-partition count
-    new_files = _write_partitioned(inserts, table_dir, pcol, version)
+    new_files = _write_partitioned(
+        inserts, table_dir, pcol, version, utc=_transform_utc(m)
+    )
     files.extend(new_files)
     manifest = {
         "version": version,
         "partition_by": pcol,
+        **_carried_meta(m),
         "schema": _evolved_schema_json(m, inserts),
         "files": files,
         # outstanding equality deletes keep applying to the OLD files; the
@@ -1001,6 +1038,7 @@ def compact(
     manifest = {
         "version": version,
         "partition_by": pcol,
+        **_carried_meta(m),
         "schema": m.get("schema"),
         "files": files,
         "delete_files": [dict(d) for d in m.get("delete_files") or []],
@@ -1034,6 +1072,7 @@ def restore_table(
     manifest = {
         "version": new_version,
         "partition_by": src["partition_by"],
+        **_carried_meta(src),
         "schema": src.get("schema"),
         "files": [dict(f) for f in src["files"]],
         "delete_files": [dict(d) for d in src.get("delete_files") or []],
@@ -1300,9 +1339,10 @@ def merge_cow(
     # the batch feeds the distinct-collect, the anti-join, and the write —
     # materialize it once instead of re-executing its upstream plan 3 times
     updates = updates.persist()
+    utc = _transform_utc(m)
     touched = set(
         str(r[0])
-        for r in updates.select(_partition_expr(pcol, updates)).distinct().collect()
+        for r in updates.select(_partition_expr(pcol, updates, utc)).distinct().collect()
     )
     # ALL live files per partition: append_commit creates multi-file
     # partitions, and keeping only one entry per partition silently dropped
@@ -1345,13 +1385,14 @@ def merge_cow(
     else:
         merged = upserts
     files = carried_files + _write_partitioned(
-        merged, table_dir, pcol, version, files_per_partition
+        merged, table_dir, pcol, version, files_per_partition, utc=utc
     )
     updates.unpersist()
 
     manifest = {
         "version": version,
         "partition_by": pcol,
+        **_carried_meta(m),
         "schema": _evolved_schema_json(m, updates),
         "files": files,
         # deletes keep applying to carried files; rewritten files had them

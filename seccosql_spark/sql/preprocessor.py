@@ -350,9 +350,17 @@ def _rewrite_table_ref(
     """Shared mechanics for ``NAME(args...)`` table references: find the
     first occurrence OUTSIDE quotes/comments (``'see LAKE(1)'`` in a string
     literal must not be rewritten — any depth is fine, table refs appear in
-    subqueries), split its top-level args, let ``make_view(parts, counter)``
-    register a temp view, splice the view name in, repeat. View names go to
-    ``created`` so the caller drops them statement-scoped."""
+    subqueries), split its top-level args, let ``make_view(parts, ref)``
+    register a temp view named with the unique ``ref``, splice the view
+    name in, repeat. View names go to ``created`` so the caller drops them
+    statement-scoped. ``ref`` = ``{random token}_{counter}``: uniqueness
+    lives HERE so every table-ref rewriter (LAKE, MATCH, future ones) is
+    concurrent-statement-safe — with a bare counter, two statements on one
+    session would bind the same view name and each drop the other's
+    binding on completion (ADVICE r13; generalized after review)."""
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
     out = text
     counter = 0
     while True:
@@ -367,7 +375,7 @@ def _rewrite_table_ref(
         open_idx = m.end() - 1
         close_idx = _matching_paren(out, open_idx)
         parts = _split_top_level(out[open_idx + 1 : close_idx])
-        view = make_view(parts, counter)
+        view = make_view(parts, f"{token}_{counter}")
         counter += 1
         if created is not None:
             created.append(view)
@@ -380,7 +388,7 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
     View names created are appended to `created` so the caller can drop them
     once the statement is analyzed (statement-scoped, like CTE bindings)."""
 
-    def make_view(parts: list[str], counter: int) -> str:
+    def make_view(parts: list[str], ref: str) -> str:
         if len(parts) != 2:
             raise ValueError("MATCH(graph, 'pattern') takes exactly two arguments")
         graph_name = parts[0].strip()
@@ -388,7 +396,7 @@ def rewrite_match(session: "SeccoSession", text: str, created: list[str] | None 
         from seccosql_spark.graph.graphframe import SeccoGraphFrame
 
         graph = SeccoGraphFrame.from_catalog(session, graph_name)
-        view = f"__match_{graph_name}_{counter}"
+        view = f"__match_{graph_name}_{ref}"
         # algorithm="auto": SQL MATCH gets the same calibrated GHD-vs-WCOJ
         # routing as the Python pattern() API (WCOJ_BOUNDARY.md). The probe
         # it needs (degree/count/distinctness) is memoized per edge plan,
@@ -419,15 +427,11 @@ def rewrite_lake(
     honor merge-on-read equality deletes and schema evolution exactly like
     the Python ``read_table`` verb (it IS that verb). Views are
     statement-scoped and
-    dropped by the caller; the name carries a per-invocation random token —
-    with just the per-statement counter, two concurrent statements on one
-    session would both bind ``__lake_0`` and each drop the other's snapshot
-    binding on completion (ADVICE r13)."""
-    import uuid
+    dropped by the caller; ``_rewrite_table_ref`` makes the names unique
+    per invocation (ADVICE r13), so concurrent statements never clobber
+    each other's bindings."""
 
-    token = uuid.uuid4().hex[:8]
-
-    def make_view(parts: list[str], counter: int) -> str:
+    def make_view(parts: list[str], ref: str) -> str:
         if len(parts) not in (1, 2):
             raise ValueError(
                 "LAKE('<table_dir>'[, <version>]) takes one or two arguments"
@@ -442,7 +446,7 @@ def rewrite_lake(
                 timestamp = arg.strip("'\"")
         from seccosql_spark.operators.lakehouse import read_table
 
-        view = f"__lake_{token}_{counter}"
+        view = f"__lake_{ref}"
         read_table(
             session.spark, table_dir, version, timestamp=timestamp
         ).createOrReplaceTempView(view)

@@ -1050,3 +1050,37 @@ def test_merge_hot_partition_multi_file(spark, table):
     )
     assert len([f for f in m2["files"] if f["partition"] == "a"]) == 1
     assert len(rows(read_table(spark, table))) == 34
+
+
+def test_legacy_tables_keep_session_tz_transforms(spark, tmp_path, monkeypatch):
+    """Review r14: tables written BEFORE the UTC pin (manifest carries no
+    transform_version) derived month()/day() in the writer's session
+    timezone — a later merge from the NEW code must keep using that legacy
+    derivation for such tables, or its touched-partition prune misses the
+    stored partition and duplicates the key."""
+    from datetime import datetime, timezone
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    inst = datetime(2026, 3, 1, 4, 0, tzinfo=timezone.utc)  # LA: 2026-02-28
+    d = str(tmp_path / "t")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame([(1, inst, 10.0)], "k BIGINT, ts TIMESTAMP, v DOUBLE")
+        with monkeypatch.context() as mp:
+            mp.setattr(lh, "TRANSFORM_VERSION", 1)  # simulate the old writer
+            m0 = create_table(df, d, "month(ts)")
+        # legacy derivation: the LA month, and the manifest records v1
+        assert [f["partition"] for f in m0["files"]] == ["2026-02"]
+        assert m0["transform_version"] == 1
+        # a merge from the CURRENT code (TRANSFORM_VERSION back to 2) must
+        # derive the LEGACY partition for this table and rewrite it
+        upd = spark.createDataFrame([(1, inst, 99.0)], "k BIGINT, ts TIMESTAMP, v DOUBLE")
+        m1 = merge_cow(spark, d, upd, ["k"])
+        assert m1["partitions_rewritten"] == 1 and m1["partitions_carried"] == 0
+        assert [f["partition"] for f in m1["files"]] == ["2026-02"]
+        assert m1["transform_version"] == 1  # carried forward, forever
+        assert [(r.k, r.v) for r in read_table(spark, d).collect()] == [(1, 99.0)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

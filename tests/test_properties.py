@@ -160,9 +160,9 @@ _seen_parts: list[list[str]] = []
 def _fake_ref_rewrite(text: str, regex) -> tuple[str, list[str]]:
     _seen_parts.clear()
 
-    def make_view(parts, counter):
+    def make_view(parts, ref):
         _seen_parts.append([p.strip() for p in parts])
-        return f"__vv{counter}"
+        return f"__vv_{ref}"
 
     created: list[str] = []
     return _rewrite_table_ref(text, regex, make_view, created), created
@@ -195,9 +195,14 @@ def test_table_ref_rewrite_hits_exactly_the_visible_refs(pieces):
     n_real = sum(1 for p in pieces if p.upper().startswith(("LAKE", "Lake".upper())))
     out, created = _fake_ref_rewrite(text, _LAKE_RE)
     assert len(created) == n_real
-    assert created == [f"__vv{i}" for i in range(n_real)]
-    for i in range(n_real):
-        assert f"__vv{i}" in out
+    # the shared scanner names views {token}_{counter}: counters in order,
+    # one shared random token per invocation (concurrent-statement safety)
+    assert [v.rsplit("_", 1)[1] for v in created] == [
+        str(i) for i in range(n_real)
+    ]
+    assert len({v.rsplit("_", 2)[1] for v in created}) <= 1
+    for v in created:
+        assert v in out
     # decoys survive byte-identical
     for p in pieces:
         if not p.upper().startswith("LAKE"):

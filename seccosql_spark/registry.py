@@ -110,6 +110,7 @@ _PRIORITY_WINDOW = [
     "pareto_abc_parts",
     "rfm_segments",
     "cte_multi",
+    "dedup_minhash_clusters",
     "g_bfs_distances",
     "g_house_count",
     "g_ring5_chords",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "events_max_concurrency",
     "events_rolling_spikes",
     "events_seasonal_backtest",
-    "events_weekly_retention",
 ]
 
 

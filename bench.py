@@ -334,6 +334,18 @@ def main() -> None:
         result["sf1_slope"] = {
             n: v["ratio"] for n, v in slope.get("queries", {}).items()
         }
+    # TPC-H-22 totals (scripts/bench_tpch.py): folded in so the driver's
+    # BENCH_r{N}.json shows the widened regression surface at a glance;
+    # per-query medians + drift flags live in TPCH_BENCH.json
+    tpch_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "TPCH_BENCH.json"
+    )
+    if os.path.exists(tpch_path):
+        with open(tpch_path) as f:
+            tpch = json.load(f)
+        result["tpch_totals"] = tpch.get("totals", {})
+        if tpch.get("drift_flags"):
+            result["tpch_drift_flags"] = sorted(tpch["drift_flags"])
     raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW.json")
     with open(raw_path, "w") as f:
         json.dump(

@@ -56,6 +56,27 @@ def _median_time(name: str, spark, sf_dir: str) -> float:
     return median
 
 
+def compute_drift_flags(
+    prev: dict | None, sf01_medians: dict[str, float]
+) -> tuple[dict[str, dict], dict[str, str]]:
+    """Round-over-round drift detection, extracted pure so the gate's
+    compare logic is unit-testable without a Spark run: returns
+    (drift_flags, carried_triage). A row flags when its new sf0.1 median
+    falls outside [prev/DRIFT_FACTOR, prev*DRIFT_FACTOR]; triage entries
+    survive only while their row is still flagged (stale notes drop)."""
+    drift_flags: dict[str, dict] = {}
+    prev_medians = (prev or {}).get("medians", {}).get("sf0.1", {})
+    for name, t in sf01_medians.items():
+        p = prev_medians.get(name)
+        if p and p > 0 and (t / p > DRIFT_FACTOR or t / p < 1 / DRIFT_FACTOR):
+            drift_flags[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    triage = {
+        k: v for k, v in (prev or {}).get("triage", {}).items()
+        if k in drift_flags
+    }
+    return drift_flags, triage
+
+
 def main() -> None:
     prev = None
     out_path = os.path.join(REPO, "TPCH_BENCH.json")
@@ -82,12 +103,7 @@ def main() -> None:
             print(f"# {sf_name} {name}: {t:.3f}s", file=sys.stderr)
         hosts[sf_name + "_after"] = bench._host_snapshot()
 
-    drift_flags: dict[str, dict] = {}
-    prev_medians = (prev or {}).get("medians", {}).get("sf0.1", {})
-    for name, t in medians["sf0.1"].items():
-        p = prev_medians.get(name)
-        if p and p > 0 and (t / p > DRIFT_FACTOR or t / p < 1 / DRIFT_FACTOR):
-            drift_flags[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    drift_flags, carried_triage = compute_drift_flags(prev, medians["sf0.1"])
 
     doc = {
         "note": "TPC-H 22 per-query medians (same discipline as bench.py: "
@@ -103,10 +119,7 @@ def main() -> None:
         "drift_flags": drift_flags,
         # carry forward acknowledged-drift explanations for flagged rows;
         # stale entries (no longer flagged) are dropped
-        "triage": {
-            k: v for k, v in (prev or {}).get("triage", {}).items()
-            if k in drift_flags
-        },
+        "triage": carried_triage,
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

@@ -371,3 +371,38 @@ def test_tpch_bench_drift_flags_are_triaged():
         f"{untriaged} — re-measure on a quiet host or add a triage entry "
         "to TPCH_BENCH.json"
     )
+
+
+def test_tpch_drift_computation():
+    """Pure-python check of scripts/bench_tpch.py's round-over-round
+    compare: flags exactly the rows outside 2x (both directions), first
+    run flags nothing, and triage notes survive only while flagged."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_tpch", os.path.join(root, "scripts", "bench_tpch.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # first run: no previous file, nothing flags
+    flags, triage = mod.compute_drift_flags(None, {"q1": 0.5})
+    assert flags == {} and triage == {}
+
+    prev = {
+        "medians": {"sf0.1": {"q1": 0.5, "q2": 0.4, "q3": 0.3, "q4": 0.2}},
+        "triage": {"q2": "known host burst", "q3": "stale note"},
+    }
+    now = {"q1": 0.6, "q2": 0.9, "q3": 0.12, "q4": 0.2, "q5": 9.9}
+    flags, triage = mod.compute_drift_flags(prev, now)
+    # q1 within 2x: clean; q2 2.25x up: flagged; q3 2.5x DOWN: flagged
+    # (a sudden speedup is also a plan change worth explaining); q4 flat;
+    # q5 new row with no previous: never flags
+    assert sorted(flags) == ["q2", "q3"]
+    assert flags["q2"]["ratio"] == 2.25 and flags["q2"]["prev"] == 0.4
+    # triage carried only for still-flagged rows
+    assert triage == {"q2": "known host burst", "q3": "stale note"}
+    flags2, triage2 = mod.compute_drift_flags(prev, {"q2": 0.41})
+    assert flags2 == {} and triage2 == {}

@@ -651,6 +651,7 @@ def read_table(
     table_dir: str,
     version: int | None = None,
     timestamp: str | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the files the pinned manifest lists — never a
     directory scan, so concurrent commits and dead files are invisible.
@@ -658,10 +659,15 @@ def read_table(
     column was added serve NULL for it (additive schema evolution, the
     lakehouse upgrade path that avoids rewriting history). Outstanding
     equality deletes apply at read time (merge-on-read). ``timestamp``
-    pins the snapshot by commit time instead of version (``version_at``)."""
-    if timestamp is not None:
-        if version is not None:
-            raise ValueError("read_table: pass version OR timestamp, not both")
+    pins the snapshot by commit time instead of version (``version_at``);
+    ``tag`` pins it by named ref (``create_tag``)."""
+    if sum(x is not None for x in (version, timestamp, tag)) > 1:
+        raise ValueError(
+            "read_table: pass at most ONE of version / timestamp / tag"
+        )
+    if tag is not None:
+        version = read_tag(table_dir, tag)
+    elif timestamp is not None:
         version = version_at(table_dir, timestamp)
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
@@ -1169,13 +1175,92 @@ def with_commit_retry(commit_fn, retries: int = 3):
             attempt += 1
 
 
+# ------------------------------------------------------------- named tags
+
+_REFS = "_refs"
+
+
+def _tag_path(table_dir: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(
+            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
+        )
+    return os.path.join(table_dir, _REFS, f"{name}.json")
+
+
+def create_tag(
+    table_dir: str, name: str, version: int | None = None,
+    replace: bool = False,
+) -> dict:
+    """Named ref pinning a snapshot version (Iceberg tag twin): readers
+    address the snapshot as ``read_table(tag=name)`` / ``LAKE(dir,
+    'name')`` instead of a raw number, and ``expire_versions`` RETAINS
+    tagged versions (and their files) past the keep-last horizon — the
+    publish/audit workflow: tag the validated snapshot, vacuum freely.
+    Publication is content-atomic and (without ``replace``) exclusive,
+    exactly like manifests; with ``replace`` the update is atomic via
+    rename (a mutable 'branch-head'-style ref)."""
+    v = latest_version(table_dir) if version is None else version
+    read_manifest(table_dir, v)  # the pinned version must exist NOW
+    path = _tag_path(table_dir, name)
+    os.makedirs(os.path.join(table_dir, _REFS), exist_ok=True)
+    doc = {"name": name, "version": v}
+    tmp = path + f".tmp-{_write_token()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if replace:
+            os.replace(tmp, path)
+            return doc
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists on {table_dir} "
+                "(pass replace=True to move it)"
+            ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    return doc
+
+
+def read_tag(table_dir: str, name: str) -> int:
+    with open(_tag_path(table_dir, name)) as f:
+        return json.load(f)["version"]
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """name -> pinned version for every tag of the table (empty if none)."""
+    rdir = os.path.join(table_dir, _REFS)
+    out: dict[str, int] = {}
+    if not os.path.isdir(rdir):
+        return out
+    for fn in sorted(os.listdir(rdir)):
+        if fn.endswith(".json") and ".tmp-" not in fn:
+            with open(os.path.join(rdir, fn)) as f:
+                doc = json.load(f)
+            out[doc["name"]] = doc["version"]
+    return out
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    os.remove(_tag_path(table_dir, name))
+
+
 def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     """VACUUM: retire history older than the newest ``keep_last`` manifest
     versions — delete the expired manifests and every data file no kept
     manifest references. Copy-on-write keeps old versions readable for
     free, but the price is unbounded storage under a steady merge stream;
     expiry is the lifecycle step that caps it (Delta VACUUM / Iceberg
-    expire_snapshots twin). Time travel to an expired version fails with a
+    expire_snapshots twin). TAGGED versions are retained regardless of age
+    (Iceberg's ref-retention rule) — drop the tag to let them expire.
+    Time travel to an expired version fails with a
     missing-manifest error, never a half-readable snapshot: data files are
     deleted strictly AFTER their last referencing manifest. Driver state is
     O(files in kept+expired manifests) — no directory listing of data/.
@@ -1189,8 +1274,9 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
         int(f[1:6]) for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
     )
-    kept = [v for v in versions if v > latest - keep_last]
-    expired = [v for v in versions if v <= latest - keep_last]
+    tagged = set(list_tags(table_dir).values())
+    kept = [v for v in versions if v > latest - keep_last or v in tagged]
+    expired = [v for v in versions if v not in set(kept)]
     live: set[str] = set()
     for v in kept:
         mk = read_manifest(table_dir, v)

@@ -1086,6 +1086,72 @@ def lakehouse_restore(sess: SeccoSession):
     return out
 
 
+TAGS_ORACLE = f"""
+WITH {_REPLAY}
+SELECT 'validated' AS ref, CAST(1 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+FROM f1
+UNION ALL
+SELECT 'head', CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT) FROM f2
+"""
+
+
+def _tagged_table(sess: SeccoSession) -> str:
+    """v0 create + v1/v2 merges, tag ``validated`` -> v1, then VACUUM with
+    keep_last=1: the tag RETAINS v1 (and its files) while untagged v0
+    expires — the publish/audit lifecycle (tag the reviewed snapshot,
+    vacuum freely). Build-time guards pin the retention mechanics."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    from seccosql_spark.operators.artifact import build_once
+    from seccosql_spark.operators.lakehouse import create_tag, expire_versions
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        table = os.path.join(d, "table")
+        create_table(ords, table, "o_orderpriority")
+        b1, b2 = _batches(spark)
+        merge_cow(spark, table, b1, ["o_orderkey"])   # v1
+        merge_cow(spark, table, b2, ["o_orderkey"])   # v2
+        create_tag(table, "validated", 1)
+        rep = expire_versions(table, keep_last=1)
+        # the tag held v1 past the horizon; untagged v0 expired
+        if rep["kept_versions"] != [1, 2] or rep["expired_versions"] != [0]:
+            raise RuntimeError(f"tag retention mechanics broke: {rep}")
+
+    return os.path.join(
+        build_once("secco_lakehouse_tags", (src,), _build, code=(_self, _ops)),
+        "table",
+    )
+
+
+@register("lakehouse_tags", TAGS_ORACLE)
+def lakehouse_tags(sess: SeccoSession):
+    """Named refs (Iceberg tag twin): ``create_tag`` pins a snapshot
+    version under a name; ``LAKE('<dir>', '<name>')`` resolves it in SQL
+    (names take precedence over timestamp parsing); ``expire_versions``
+    retains tagged versions past keep-last. The fixture vacuumed with
+    keep_last=1 after tagging v1 — this row reads the TAGGED snapshot
+    (must equal the v1 oracle replay f1, proving retention kept it
+    readable) and the head (f2)."""
+    table = _tagged_table(sess)
+    return sess.sql(
+        f"""SELECT 'validated' AS ref, CAST(1 AS INT) AS version,
+                   CAST(count(*) AS LONG) AS n_rows,
+                   CAST(sum({_CENTS_SPARK}) AS LONG) AS cents
+            FROM LAKE('{table}', 'validated')
+            UNION ALL
+            SELECT 'head', CAST(2 AS INT), CAST(count(*) AS LONG),
+                   CAST(sum({_CENTS_SPARK}) AS LONG)
+            FROM LAKE('{table}')"""
+    ).df
+
+
 SORTED_COMPACTION_ORACLE = f"""
 WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
 SELECT o_orderpriority,

@@ -93,6 +93,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "lakehouse_restore",
+    "lakehouse_tags",
     "lakehouse_time_travel_ts",
     "entity_resolution_blocked",
     "events_anomaly_mad",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "embedding_pca_power2",
     "events_max_concurrency",
     "events_rolling_spikes",
-    "events_seasonal_backtest",
 ]
 
 

@@ -421,9 +421,11 @@ def rewrite_lake(
     table reference into a temp view over the lakehouse snapshot read — the
     SQL surface for manifest-pinned time travel. A bare integer second
     argument pins a version (Delta's ``VERSION AS OF`` twin); a quoted
-    ISO-8601 string pins the snapshot live at that instant (``TIMESTAMP AS
-    OF`` — resolved via each manifest's monotonic ``committed_at``, naive
-    timestamps read as UTC). Omitting it reads the latest commit; snapshots
+    string pins by NAMED TAG when the table has one of that name
+    (``create_tag`` — Iceberg tag twin), else as the ISO-8601 instant the
+    snapshot was live at (``TIMESTAMP AS OF`` — resolved via each
+    manifest's monotonic ``committed_at``, naive timestamps read as UTC).
+    Omitting it reads the latest commit; snapshots
     honor merge-on-read equality deletes and schema evolution exactly like
     the Python ``read_table`` verb (it IS that verb). Views are
     statement-scoped and
@@ -437,18 +439,28 @@ def rewrite_lake(
                 "LAKE('<table_dir>'[, <version>]) takes one or two arguments"
             )
         table_dir = parts[0].strip().strip("'\"")
-        version = timestamp = None
+        version = timestamp = tag = None
         if len(parts) == 2:
             arg = parts[1].strip()
             if re.fullmatch(r"\d+", arg):
                 version = int(arg)
             else:
-                timestamp = arg.strip("'\"")
+                from seccosql_spark.operators.lakehouse import list_tags
+
+                s = arg.strip("'\"")
+                # named refs take precedence over timestamps: a tag name
+                # is never a valid ISO instant, so the only true ambiguity
+                # is a MISSING tag mistyped as a timestamp — and that
+                # falls through to version_at's own clear error
+                if s in list_tags(table_dir):
+                    tag = s
+                else:
+                    timestamp = s
         from seccosql_spark.operators.lakehouse import read_table
 
         view = f"__lake_{ref}"
         read_table(
-            session.spark, table_dir, version, timestamp=timestamp
+            session.spark, table_dir, version, timestamp=timestamp, tag=tag
         ).createOrReplaceTempView(view)
         return view
 

@@ -968,7 +968,7 @@ def test_version_at_and_timestamp_read(spark, tmp_path):
     assert [(r.k, r.v) for r in got] == [(1, 10.0)]
     with pytest.raises(ValueError, match="earliest kept commit"):
         lh.version_at(d, "2025-12-31T23:59:59")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most ONE"):
         read_table(spark, d, 0, timestamp="2026-01-01T00:30:00")
 
 
@@ -1084,3 +1084,70 @@ def test_legacy_tables_keep_session_tz_transforms(spark, tmp_path, monkeypatch):
         assert [(r.k, r.v) for r in read_table(spark, d).collect()] == [(1, 99.0)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_tags_pin_and_retain_versions(spark, table):
+    """Named refs (Iceberg tag twin): a tag pins a version for readers
+    (read_table(tag=), LAKE(dir,'name')) and RETAINS it through
+    expire_versions past the keep-last horizon; drop the tag and the next
+    vacuum expires it. Creation is exclusive unless replace=True."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    merge_cow(spark, table,
+              spark.createDataFrame([(1, "a", 11.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])  # v1
+    merge_cow(spark, table,
+              spark.createDataFrame([(1, "a", 12.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])  # v2
+    lh.create_tag(table, "baseline", 0)
+    lh.create_tag(table, "latest-good")  # defaults to head = v2
+    assert lh.list_tags(table) == {"baseline": 0, "latest-good": 2}
+    assert rows(read_table(spark, table, tag="baseline")) == rows(
+        read_table(spark, table, 0)
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        lh.create_tag(table, "baseline", 1)
+    lh.create_tag(table, "baseline", 1, replace=True)
+    assert lh.read_tag(table, "baseline") == 1
+    with pytest.raises(ValueError, match="tag name"):
+        lh.create_tag(table, "no/slashes", 0)
+    with pytest.raises(FileNotFoundError):
+        lh.create_tag(table, "dangling", 99)  # must pin an existing version
+    # VACUUM: keep_last=1 would expire v0 and v1, but v1 is tagged
+    rep = lh.expire_versions(table, keep_last=1)
+    assert rep["kept_versions"] == [1, 2]
+    assert rep["expired_versions"] == [0]
+    assert rows(read_table(spark, table, tag="baseline"))  # v1 still readable
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, 0)  # untagged history gone
+    # at most one selector
+    with pytest.raises(ValueError, match="at most ONE"):
+        read_table(spark, table, 1, tag="baseline")
+    # drop -> next vacuum expires it
+    lh.drop_tag(table, "baseline")
+    rep2 = lh.expire_versions(table, keep_last=1)
+    assert rep2["expired_versions"] == [1]
+
+
+def test_lake_sql_tag_resolution(sess, tmp_path):
+    """LAKE(dir, '<name>') resolves a named tag; non-tag strings still
+    resolve as timestamps (the tag check never shadows a real instant)."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    d = str(tmp_path / "t")
+    spark = sess.spark
+    with lh.deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+        create_table(
+            spark.createDataFrame([(1, "a", 10.0)], "k BIGINT, p STRING, v DOUBLE"),
+            d, "p",
+        )
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 20.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])
+    lh.create_tag(d, "v0-audit", 0)
+    got = sess.sql(
+        f"SELECT (SELECT sum(v) FROM LAKE('{d}', 'v0-audit')) AS tagged, "
+        f"       (SELECT sum(v) FROM LAKE('{d}', '2026-01-01T00:30:00')) AS ts, "
+        f"       (SELECT sum(v) FROM LAKE('{d}')) AS head"
+    ).df.collect()[0]
+    assert (got["tagged"], got["ts"], got["head"]) == (10.0, 10.0, 20.0)

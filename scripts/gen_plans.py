@@ -65,6 +65,7 @@ EXTRA = [
     "lakehouse_sorted_compaction",
     "lakehouse_time_travel_ts",
     "lakehouse_restore",
+    "lakehouse_tags",
     "dedup_containment",
     "dedup_incremental_batch",
     "sample_weighted_quality",

@@ -24,6 +24,7 @@ Usage:
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -111,6 +112,11 @@ def main() -> None:
                 "to 7); regenerate with `python scripts/bench_tpch.py`; "
                 "drift_flags = sf0.1 rows outside 2x of the previously "
                 "committed run and must each carry a `triage` entry",
+        # self-reported measurement instant: bench.py folds totals into
+        # the headline artifact and needs a staleness marker (ADVICE r14)
+        "measured_at": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
         "medians": medians,
         "totals": {
             sf: round(sum(v.values()), 3) for sf, v in medians.items()

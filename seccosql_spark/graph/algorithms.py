@@ -551,33 +551,40 @@ def strongly_connected_components_closure(
 
 _PF_KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
 _PF_LOCK = threading.Lock()
-_PF_DEPTH = 0
-_PF_SAVED = None
+# per-SparkSession depth/saved-value, keyed by the live session object so
+# two sessions' overlapping kernel runs each get their own override and
+# restore (ADVICE r14: a module-global depth let the second session run
+# without the setting and restored only the first). Keys hold the session
+# alive only for the duration of the run: the matching release pops them.
+_PF_STATE: dict[int, list] = {}
 
 
 def _enter_parallelism_first_off(spark):
-    """Depth-counted session-conf override: the OUTERMOST kernel run saves
-    the current value and sets 'false'; only the matching release restores
-    it. Reentrant and thread-safe, so overlapping SCC runs on one session
-    can never leave the conf permanently overridden (review r14). Returns
-    the release callable for a try/finally."""
-    global _PF_DEPTH, _PF_SAVED
+    """Depth-counted, per-session conf override: the OUTERMOST kernel run
+    on a given SparkSession saves that session's current value and sets
+    'false'; only the matching release restores it. Reentrant and
+    thread-safe per session, and independent across sessions. Returns the
+    release callable for a try/finally."""
+    key = id(spark)
     with _PF_LOCK:
-        if _PF_DEPTH == 0:
-            _PF_SAVED = spark.conf.get(_PF_KEY, None)
+        st = _PF_STATE.get(key)
+        if st is None:
+            st = _PF_STATE[key] = [0, spark.conf.get(_PF_KEY, None), spark]
             spark.conf.set(_PF_KEY, "false")
-        _PF_DEPTH += 1
+        st[0] += 1
 
     def release() -> None:
-        global _PF_DEPTH, _PF_SAVED
         with _PF_LOCK:
-            _PF_DEPTH -= 1
-            if _PF_DEPTH == 0:
-                if _PF_SAVED is None:
+            st = _PF_STATE.get(key)
+            if st is None:
+                return
+            st[0] -= 1
+            if st[0] == 0:
+                del _PF_STATE[key]
+                if st[1] is None:
                     spark.conf.unset(_PF_KEY)
                 else:
-                    spark.conf.set(_PF_KEY, _PF_SAVED)
-                _PF_SAVED = None
+                    spark.conf.set(_PF_KEY, st[1])
 
     return release
 

@@ -618,30 +618,52 @@ def version_at(table_dir: str, timestamp: str) -> int:
     timestamp — i.e. the snapshot a reader starting at that instant would
     have seen. Pure manifest metadata, O(versions) driver work. A probe
     BEFORE the first kept commit raises (exactly Delta's behavior: there is
-    no snapshot to serve); naive timestamps are read as UTC."""
+    no snapshot to serve); naive timestamps are read as UTC.
+
+    Legacy pre-pin manifests (no ``committed_at``) are tolerated as long
+    as the probe resolves UNAMBIGUOUSLY to a stamped version: stamps are
+    monotonic in version number, so an unstamped version BELOW the
+    resolved candidate can never be the answer (a greater qualifying
+    version exists). Only when an unstamped version sits at or above the
+    best stamped candidate — where its unknown commit time could straddle
+    the probe — does the resolution raise (ADVICE r14)."""
     target = _parse_commit_ts(timestamp)
     mdir = os.path.join(table_dir, _MANIFESTS)
     best: int | None = None
     earliest: str | None = None
+    unstamped: list[int] = []
     for fn in sorted(os.listdir(mdir)):
         if not (fn.startswith("v") and fn.endswith(".json")):
             continue
         m = read_manifest(table_dir, int(fn[1:6]))
         at = m.get("committed_at")
         if at is None:
-            raise ValueError(
-                f"manifest v{m['version']:05d} of {table_dir} records no "
-                "committed_at — the table predates timestamp time travel; "
-                "pin a version number instead"
-            )
+            unstamped.append(m["version"])
+            continue
         if earliest is None or at < earliest:
             earliest = at
         if _parse_commit_ts(at) <= target:
             best = max(best, m["version"]) if best is not None else m["version"]
     if best is None:
+        if unstamped:
+            raise ValueError(
+                f"cannot resolve {timestamp!r} on {table_dir}: versions "
+                f"{['v%05d' % v for v in sorted(unstamped)]} predate "
+                "timestamp time travel (no committed_at) and no stamped "
+                "commit is at or before the probe — pin a version number "
+                "instead"
+            )
         raise ValueError(
             f"no snapshot of {table_dir} at or before {timestamp!r} — the "
             f"earliest kept commit is {earliest}"
+        )
+    ambiguous = sorted(v for v in unstamped if v >= best)
+    if ambiguous:
+        raise ValueError(
+            f"cannot resolve {timestamp!r} on {table_dir} unambiguously: "
+            f"manifest v{ambiguous[0]:05d} records no committed_at and is "
+            f"not older than the stamped candidate v{best:05d} — pin a "
+            "version number instead"
         )
     return best
 
@@ -1181,9 +1203,14 @@ _REFS = "_refs"
 
 
 def _tag_path(table_dir: str, name: str) -> str:
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name) or ".tmp-" in name:
+        # '.tmp-' is the in-flight-publish suffix; a tag named with it
+        # would be created fine but skipped by list_tags, so VACUUM would
+        # not retain its pinned version (silent data loss) — reject it at
+        # creation instead (ADVICE r14)
         raise ValueError(
-            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
+            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-] "
+            "and must not contain '.tmp-'"
         )
     return os.path.join(table_dir, _REFS, f"{name}.json")
 
@@ -1252,7 +1279,10 @@ def drop_tag(table_dir: str, name: str) -> None:
     os.remove(_tag_path(table_dir, name))
 
 
-def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
+def expire_versions(
+    table_dir: str, keep_last: int = 1,
+    sweep_tmps_older_than: float = 3600.0,
+) -> dict:
     """VACUUM: retire history older than the newest ``keep_last`` manifest
     versions — delete the expired manifests and every data file no kept
     manifest references. Copy-on-write keeps old versions readable for
@@ -1264,8 +1294,15 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     missing-manifest error, never a half-readable snapshot: data files are
     deleted strictly AFTER their last referencing manifest. Driver state is
     O(files in kept+expired manifests) — no directory listing of data/.
+    Also sweeps publish temp files (manifest ``_tmp_*``, tag ``*.tmp-*``)
+    abandoned by a crashed writer — a writer that died between fsync and
+    the ``os.link`` publish leaves a tmp no committed state references.
+    Only tmps older than ``sweep_tmps_older_than`` seconds are removed, so
+    an IN-FLIGHT commit's tmp (alive for milliseconds between create and
+    its finally-unlink) is never yanked out from under the publish.
+
     Returns {"kept_versions", "expired_versions", "files_deleted",
-    "files_live"}."""
+    "files_live", "tmps_swept"}."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = latest_version(table_dir)
@@ -1301,7 +1338,41 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
         "expired_versions": expired,
         "files_deleted": len(dead),
         "files_live": len(live),
+        "tmps_swept": _sweep_orphan_tmps(table_dir, sweep_tmps_older_than),
     }
+
+
+def _sweep_orphan_tmps(table_dir: str, older_than_seconds: float) -> int:
+    """Delete crashed-writer publish temps: manifest attempts
+    (``_manifests/_tmp_v*-<token>.json``) and tag attempts
+    (``_refs/<name>.json.tmp-<token>``) older than the threshold. Neither
+    shape is ever listed as committed state (``latest_version`` keys on the
+    ``v`` prefix, ``list_tags`` on the ``.json`` suffix), so the sweep is
+    pure garbage collection; the age gate keeps a concurrent writer's
+    between-fsync-and-link window safe. ENOENT races with that writer's
+    own finally-unlink are ignored."""
+    import time as _time
+
+    now = _time.time()
+    swept = 0
+    for sub, is_tmp in (
+        (_MANIFESTS, lambda fn: fn.startswith("_tmp_")),
+        (_REFS, lambda fn: ".tmp-" in fn),
+    ):
+        d = os.path.join(table_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in os.listdir(d):
+            if not is_tmp(fn):
+                continue
+            p = os.path.join(d, fn)
+            try:
+                if now - os.path.getmtime(p) >= older_than_seconds:
+                    os.remove(p)
+                    swept += 1
+            except OSError:
+                pass
+    return swept
 
 
 CHANGE_TYPE_COL = "_change_type"

@@ -421,10 +421,13 @@ def rewrite_lake(
     table reference into a temp view over the lakehouse snapshot read — the
     SQL surface for manifest-pinned time travel. A bare integer second
     argument pins a version (Delta's ``VERSION AS OF`` twin); a quoted
-    string pins by NAMED TAG when the table has one of that name
-    (``create_tag`` — Iceberg tag twin), else as the ISO-8601 instant the
-    snapshot was live at (``TIMESTAMP AS OF`` — resolved via each
-    manifest's monotonic ``committed_at``, naive timestamps read as UTC).
+    string that parses as an ISO-8601 instant pins the snapshot live at
+    that instant (``TIMESTAMP AS OF`` — resolved via each manifest's
+    monotonic ``committed_at``, naive timestamps read as UTC), and any
+    other string pins by NAMED TAG (``create_tag`` — Iceberg tag twin).
+    Timestamp-parse wins the tie so a date-named tag can never shadow
+    time travel (ADVICE r14); such a tag stays reachable via the Python
+    ``read_table(tag=...)`` verb.
     Omitting it reads the latest commit; snapshots
     honor merge-on-read equality deletes and schema evolution exactly like
     the Python ``read_table`` verb (it IS that verb). Views are
@@ -445,17 +448,30 @@ def rewrite_lake(
             if re.fullmatch(r"\d+", arg):
                 version = int(arg)
             else:
-                from seccosql_spark.operators.lakehouse import list_tags
+                from seccosql_spark.operators.lakehouse import (
+                    _parse_commit_ts,
+                    list_tags,
+                )
 
                 s = arg.strip("'\"")
-                # named refs take precedence over timestamps: a tag name
-                # is never a valid ISO instant, so the only true ambiguity
-                # is a MISSING tag mistyped as a timestamp — and that
-                # falls through to version_at's own clear error
-                if s in list_tags(table_dir):
-                    tag = s
-                else:
+                # timestamps take precedence over named refs: date-only
+                # strings like '2026-01-01' are BOTH legal tag names and
+                # valid ISO instants, and shadowing TIMESTAMP AS OF with a
+                # tag would silently change which snapshot a travel query
+                # reads (ADVICE r14). A tag that happens to parse as an
+                # instant stays reachable via read_table(tag=...).
+                try:
+                    _parse_commit_ts(s)
                     timestamp = s
+                except ValueError:
+                    if s in list_tags(table_dir):
+                        tag = s
+                    else:
+                        raise ValueError(
+                            f"LAKE: {s!r} is neither a valid ISO-8601 "
+                            f"instant nor a tag of {table_dir} (tags: "
+                            f"{sorted(list_tags(table_dir)) or 'none'})"
+                        ) from None
         from seccosql_spark.operators.lakehouse import read_table
 
         view = f"__lake_{ref}"

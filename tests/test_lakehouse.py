@@ -1151,3 +1151,225 @@ def test_lake_sql_tag_resolution(sess, tmp_path):
         f"       (SELECT sum(v) FROM LAKE('{d}')) AS head"
     ).df.collect()[0]
     assert (got["tagged"], got["ts"], got["head"]) == (10.0, 10.0, 20.0)
+
+
+# ---------------------------------------------------------------- round 15:
+# crash-recovery of the publish path, tag/VACUUM/compaction interplay, and
+# the ADVICE-r14 regressions (tmp-named tags, date-named tag shadowing,
+# legacy unstamped manifests).
+
+
+def test_tag_name_with_tmp_marker_rejected(spark, table):
+    """ADVICE r14 (medium): a tag named like 'audit.tmp-1' used to be
+    creatable and resolvable but INVISIBLE to list_tags (which skips
+    in-flight '.tmp-' publish files) — so VACUUM would not retain its
+    pinned version. The name is now rejected at creation."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    with pytest.raises(ValueError, match=r"\.tmp-"):
+        lh.create_tag(table, "audit.tmp-1", 0)
+    # and therefore unresolvable everywhere, not half-registered
+    assert lh.list_tags(table) == {}
+
+
+def test_orphan_publish_tmps_ignored_and_swept(spark, table):
+    """Crash recovery (VERDICT r14 task 3): a writer that dies after
+    creating its publish temp but before the os.link publish leaves an
+    orphan tmp. Orphans must be (a) invisible to every committed-state
+    reader and (b) swept by expire_versions once old enough — but never
+    while younger than the sweep threshold (an in-flight commit)."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    head = latest_version(table)
+    mdir = os.path.join(table, "_manifests")
+    rdir = os.path.join(table, "_refs")
+    os.makedirs(rdir, exist_ok=True)
+    # simulate two crashed writers: a half-written manifest attempt and a
+    # tag attempt (content deliberately NOT valid JSON — nobody may parse it)
+    with open(os.path.join(mdir, "_tmp_v00009-deadbeef.json"), "w") as f:
+        f.write('{"version": 9, "files": [')
+    with open(os.path.join(rdir, "rel.json.tmp-deadbeef"), "w") as f:
+        f.write('{"name": "rel"')
+    # (a) invisible everywhere
+    assert latest_version(table) == head
+    assert lh.list_tags(table) == {}
+    assert read_table(spark, table).count() == 4
+    # (b) a young tmp survives the default 1h threshold...
+    rep = lh.expire_versions(table, keep_last=10)
+    assert rep["tmps_swept"] == 0
+    assert os.path.exists(os.path.join(mdir, "_tmp_v00009-deadbeef.json"))
+    # ...and is swept once past the threshold
+    rep = lh.expire_versions(table, keep_last=10, sweep_tmps_older_than=0.0)
+    assert rep["tmps_swept"] == 2
+    assert not os.path.exists(os.path.join(mdir, "_tmp_v00009-deadbeef.json"))
+    assert not os.path.exists(os.path.join(rdir, "rel.json.tmp-deadbeef"))
+    # the table is fully intact after the sweep
+    assert read_table(spark, table).count() == 4
+
+
+def test_expire_crash_never_leaves_half_readable_snapshot(
+    spark, table, monkeypatch
+):
+    """Crash recovery (VERDICT r14 task 3): expire_versions deletes expired
+    MANIFESTS strictly before any data file. A crash between the two
+    phases (here: the first data-file unlink raises) must leave every
+    still-listed manifest fully readable — a reader racing the vacuum sees
+    either a clean missing-manifest error or a complete snapshot, never a
+    manifest pointing at deleted files."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    merge_cow(spark, table,
+              spark.createDataFrame([(1, "a", 99.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])  # v1: rewrites partition a -> v0's a-file becomes expirable
+    real_remove = os.remove
+    state = {"manifests_removed": 0}
+
+    def crashy_remove(path):
+        if "_manifests" in path:
+            state["manifests_removed"] += 1
+            return real_remove(path)
+        raise OSError(f"injected crash before data-file unlink: {path}")
+
+    monkeypatch.setattr(lh.os, "remove", crashy_remove)
+    with pytest.raises(OSError, match="injected crash"):
+        lh.expire_versions(table, keep_last=1)
+    monkeypatch.setattr(lh.os, "remove", real_remove)
+    # the expired manifest is gone (phase 1 completed for it)...
+    assert state["manifests_removed"] == 1
+    with pytest.raises(FileNotFoundError):
+        read_manifest(table, 0)
+    # ...and EVERY remaining manifest's files all still exist on disk
+    for v in [latest_version(table)]:
+        m = read_manifest(table, v)
+        for entry in list(m["files"]) + list(m.get("delete_files") or []):
+            assert os.path.exists(os.path.join(table, entry["path"])), entry
+    # the head snapshot is fully readable, and a retry completes the vacuum
+    assert rows(read_table(spark, table)) == rows(read_table(spark, table, 1))
+    rep = lh.expire_versions(table, keep_last=1)
+    assert rep["expired_versions"] == []  # manifest already gone
+    assert read_table(spark, table).count() == 4
+
+
+def test_tag_compact_expire_read_by_tag(spark, table):
+    """VERDICT r14 task 6: tag a version, COMPACT the table (new head with
+    rewritten files), then VACUUM — the files the tagged manifest
+    references must survive expiry even though the head no longer lists
+    them, and the tag read must serve the exact pre-compaction snapshot."""
+    import seccosql_spark.operators.lakehouse as lh
+    from seccosql_spark.operators.lakehouse import append_commit, compact
+
+    # v1: second file in each partition so compaction has work to do
+    append_commit(spark, table, spark.createDataFrame(
+        [(5, "a", 50.0), (6, "b", 60.0)], "k BIGINT, p STRING, v DOUBLE"
+    ))
+    lh.create_tag(table, "pre-compact")  # pins v1
+    want = rows(read_table(spark, table, tag="pre-compact"))
+    rep_c = compact(spark, table)  # v2: a and b each rewritten to one file
+    assert rep_c["partitions_compacted"] == 2
+    v1_files = {f["path"] for f in read_manifest(table, 1)["files"]}
+    v2_files = {f["path"] for f in read_manifest(table, 2)["files"]}
+    assert v1_files - v2_files  # compaction really retired v1 files from head
+    # VACUUM with keep_last=1: v1 is tagged -> retained; v0 expires
+    rep = lh.expire_versions(table, keep_last=1)
+    assert rep["kept_versions"] == [1, 2]
+    assert rep["expired_versions"] == [0]
+    for rel in v1_files:
+        assert os.path.exists(os.path.join(table, rel)), rel
+    assert rows(read_table(spark, table, tag="pre-compact")) == want
+    # drop the tag -> the next vacuum retires v1 and its unshared files
+    lh.drop_tag(table, "pre-compact")
+    lh.expire_versions(table, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, 1)
+    # head still complete
+    assert rows(read_table(spark, table)) == want
+
+
+def test_version_at_tolerates_older_unstamped_manifests(spark, tmp_path):
+    """ADVICE r14: a pre-pin table that later gained stamped commits can
+    use timestamp travel as long as the probe resolves to a stamped
+    version ABOVE every unstamped one (stamps are monotonic in version,
+    so the unstamped ones cannot be the answer). Probes that could land
+    on an unstamped version still raise."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    d = str(tmp_path / "t")
+    with lh.deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+        create_table(
+            spark.createDataFrame([(1, "a", 10.0)], "k BIGINT, p STRING, v DOUBLE"),
+            d, "p",
+        )  # v0 @ 00:00
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 20.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])  # v1 @ 01:00
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 30.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])  # v2 @ 02:00
+
+    def strip_stamp(version):
+        p = os.path.join(d, "_manifests", f"v{version:05d}.json")
+        with open(p) as f:
+            m = _json.load(f)
+        del m["committed_at"]
+        with open(p, "w") as f:
+            _json.dump(m, f)
+
+    strip_stamp(0)  # legacy pre-pin v0
+    # probe resolves to v1/v2 -> the unstamped v0 is provably not the answer
+    assert lh.version_at(d, "2026-01-01T01:30:00") == 1
+    assert lh.version_at(d, "2026-01-01T02:00:00") == 2
+    got = read_table(spark, d, timestamp="2026-01-01T01:30:00").collect()
+    assert [(r.k, r.v) for r in got] == [(1, 20.0)]
+    # probe BEFORE all stamped commits could only mean the legacy v0 -> raise
+    with pytest.raises(ValueError, match="pin a version"):
+        lh.version_at(d, "2026-01-01T00:30:00")
+    # an unstamped manifest AT/ABOVE the candidate is ambiguous -> raise
+    strip_stamp(2)
+    with pytest.raises(ValueError, match="unambiguously"):
+        lh.version_at(d, "2026-01-01T01:30:00")
+    # ...but probes the stamped head still dominates are unaffected? No —
+    # v2 unstamped sits above ANY stamped candidate, so all probes raise
+    with pytest.raises(ValueError, match="unambiguously"):
+        lh.version_at(d, "2026-06-01T00:00:00")
+
+
+def test_lake_timestamp_precedence_over_date_named_tag(sess, tmp_path):
+    """ADVICE r14: a tag NAMED like a date ('2026-01-01' is a legal tag
+    name AND a valid ISO instant) must not shadow TIMESTAMP AS OF travel:
+    LAKE resolves parseable instants as timestamps first; the date-named
+    tag stays reachable via the Python read_table(tag=...) verb. A string
+    that is neither raises the combined error."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    d = str(tmp_path / "t")
+    spark = sess.spark
+    with lh.deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+        create_table(
+            spark.createDataFrame([(1, "a", 10.0)], "k BIGINT, p STRING, v DOUBLE"),
+            d, "p",
+        )  # v0 @ 2026-01-01T00:00
+        merge_cow(spark, d,
+                  spark.createDataFrame([(1, "a", 20.0)], "k BIGINT, p STRING, v DOUBLE"),
+                  ["k"])  # v1 @ 01:00
+    lh.create_tag(d, "2026-06-01", 1)  # date-named tag pinning the HEAD
+    got = sess.sql(
+        f"SELECT (SELECT sum(v) FROM LAKE('{d}', '2026-06-01')) AS probe"
+    ).df.collect()[0]
+    # timestamp semantics win: snapshot live at 2026-06-01 is v1 (20.0) —
+    # which here AGREES with the tag; the discriminating probe is a
+    # date-named tag pointing somewhere a timestamp read would NOT:
+    assert got["probe"] == 20.0
+    lh.create_tag(d, "2026-01-01", 1)  # tag says v1; timestamp says v0
+    got = sess.sql(
+        f"SELECT (SELECT sum(v) FROM LAKE('{d}', '2026-01-01')) AS probe"
+    ).df.collect()[0]
+    assert got["probe"] == 10.0  # TIMESTAMP AS OF, not the tag
+    # the shadowed tag remains reachable via the Python verb
+    assert lh.read_tag(d, "2026-01-01") == 1
+    got = read_table(spark, d, tag="2026-01-01").collect()
+    assert [(r.k, r.v) for r in got] == [(1, 20.0)]
+    # neither a timestamp nor a tag -> clear combined error
+    with pytest.raises(Exception, match="neither"):
+        sess.sql(f"SELECT * FROM LAKE('{d}', 'no-such-ref')").df.collect()

@@ -1670,3 +1670,78 @@ def test_dhash56_matches_closed_form_and_normalizes_orientation():
     x, c = rem // 3, rem % 3
     px = ((d * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8).tobytes()
     assert dhash56(encode_png(w, h, px, channels=3)) == dhash56(payload)
+
+
+def test_scc_string_id_routing_contract(spark):
+    """VERDICT r14 task 8: the driver-facing contract that survives
+    refactors — the coloring kernel REJECTS non-integral vertex ids with a
+    TypeError that names the closure kernel (never silently NULL-keying
+    after a cast), and the closure kernel genuinely handles string ids."""
+    import pytest
+
+    from seccosql_spark.graph.algorithms import (
+        strongly_connected_components,
+        strongly_connected_components_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src STRING, dst STRING"
+    )
+    with pytest.raises(TypeError, match="strongly_connected_components_closure"):
+        strongly_connected_components(edges)
+    got = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components_closure(edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "c")}
+    # double/decimal ids are equally rejected (a lossy cast, not a refusal
+    # of strings specifically)
+    dbl = spark.createDataFrame([(1.0, 2.0)], "src DOUBLE, dst DOUBLE")
+    with pytest.raises(TypeError, match="integral vertex ids"):
+        strongly_connected_components(dbl)
+
+
+def test_parallelism_first_override_is_per_session():
+    """ADVICE r14: two overlapping kernel runs on DIFFERENT SparkSessions
+    each get their own parallelismFirst override and restore — a module-
+    global depth would skip the second session's set and restore only the
+    first. Exercised with dict-backed fakes so the test needs no second
+    real JVM session."""
+    from seccosql_spark.graph.algorithms import (
+        _PF_KEY,
+        _enter_parallelism_first_off,
+    )
+
+    class FakeConf:
+        def __init__(self, init):
+            self.d = dict(init)
+
+        def get(self, k, default=None):
+            return self.d.get(k, default)
+
+        def set(self, k, v):
+            self.d[k] = v
+
+        def unset(self, k):
+            self.d.pop(k, None)
+
+    class FakeSession:
+        def __init__(self, init):
+            self.conf = FakeConf(init)
+
+    s1 = FakeSession({_PF_KEY: "true"})
+    s2 = FakeSession({})  # unset -> must be restored by unset
+    r1 = _enter_parallelism_first_off(s1)
+    r2 = _enter_parallelism_first_off(s2)  # second SESSION, depth must not short-circuit
+    assert s1.conf.get(_PF_KEY) == "false"
+    assert s2.conf.get(_PF_KEY) == "false"
+    r1_inner = _enter_parallelism_first_off(s1)  # reentrant within a session
+    r1_inner()
+    assert s1.conf.get(_PF_KEY) == "false"  # still held by the outer enter
+    r1()
+    assert s1.conf.get(_PF_KEY) == "true"  # s1 restored to its saved value
+    assert s2.conf.get(_PF_KEY) == "false"  # s2 untouched by s1's release
+    r2()
+    assert _PF_KEY not in s2.conf.d  # restored by unset
+    r2()  # double-release is a no-op, never a negative depth
+    assert _PF_KEY not in s2.conf.d

@@ -59,6 +59,17 @@ PINNED = [
     "lakehouse_equality_deletes",
     "lakehouse_change_feed",
     "lakehouse_merge_cow",
+    # VERDICT r14 task 1: the most expensive headline kernels, whose 100-TB
+    # story previously rested on round-count/state-size ARGUMENTS rather
+    # than a measured ratio — the fixpoint kernels (SCC's trim+color
+    # rounds, k-truss's support-peeling), the stateful streaming
+    # micro-batch harness, the multi-stage curation pipeline, and the
+    # hypercube+LeapFrog WCOJ triangle path.
+    "g_scc",
+    "g_ktruss",
+    "curation_end_to_end",
+    "stream_window_counts",
+    "g_triangle_wcoj",
 ]
 WARMUPS = 2
 
@@ -88,6 +99,31 @@ TRIAGE = {
         "gen_sf1.py, so no broadcast->SMJ flip is possible or observed). "
         "Host-noise artifact, same class as r11's timeseries_gapfill flag "
         "that cleared on re-measure."
+    ),
+    # VERDICT r14 task 4: the two sub-bar rows whose ratios sit above the
+    # fixed-overhead-dominated siblings — expected, and why.
+    "dedup_substring_windows": (
+        "~6x on 10x data is SUB-linear (bar 10x): work is proportional to "
+        "the exploded 10-word-window volume (~= corpus token count), which "
+        "amortizes the fixed session/scan overhead far better than the "
+        "sub-second sibling rows, so the ratio sits closer to linear than "
+        "theirs without any super-linear stage. The shape is two "
+        "key-bounded shuffles ((gh,doc_id) then doc_id) and ZERO joins — "
+        "no candidate-pair growth exists to go quadratic; at 100 TB the "
+        "window explode is embarrassingly parallel and shuffle volume "
+        "scales with token count, not documents squared."
+    ),
+    "knn_cosine_bruteforce": (
+        "~5x on 10x data is SUB-linear (bar 10x): the kernel is the "
+        "documented O(N x probes) brute-force small-probe path (20 "
+        "broadcast probe vectors scored against every corpus row), so "
+        "wall time scales with corpus size by construction; the ratio "
+        "exceeds the bucketed siblings only because the scan-and-score "
+        "work dominates fixed overhead sooner. The 100 TB serving path "
+        "is the ANN family (ann_lsh_clustered 1.3x in this table, "
+        "ann_ivf_kmeans), which buckets candidates instead of scanning; "
+        "brute-force stays as the exact-recall oracle and small-probe "
+        "baseline."
     ),
 }
 

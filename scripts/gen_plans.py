@@ -70,6 +70,9 @@ EXTRA = [
     "dedup_incremental_batch",
     "sample_weighted_quality",
     "funnel_view_click_purchase",
+    # round 15: the SQL maintenance/DML statement surface
+    "lakehouse_sql_maintenance",
+    "lakehouse_sql_tags_ddl",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -1134,7 +1134,8 @@ def _tagged_table(sess: SeccoSession) -> str:
 def lakehouse_tags(sess: SeccoSession):
     """Named refs (Iceberg tag twin): ``create_tag`` pins a snapshot
     version under a name; ``LAKE('<dir>', '<name>')`` resolves it in SQL
-    (names take precedence over timestamp parsing); ``expire_versions``
+    (non-ISO strings only — a parseable instant wins the tie as a
+    timestamp, ADVICE r15); ``expire_versions``
     retains tagged versions past keep-last. The fixture vacuumed with
     keep_last=1 after tagging v1 — this row reads the TAGGED snapshot
     (must equal the v1 oracle replay f1, proving retention kept it
@@ -1470,3 +1471,169 @@ def stream_change_feed_apply(sess: SeccoSession):
         )
     )
     return direct.join(inc, "o_orderpriority", "inner")
+
+
+# ---------------------------------------------------------------- round 15:
+# the SQL maintenance surface (sql/preprocessor.py try_maintenance_sql) —
+# Delta/Iceberg expose the lifecycle verbs as SQL statements (VACUUM,
+# OPTIMIZE [ZORDER BY], RESTORE ... TO VERSION, tag DDL, DESCRIBE HISTORY);
+# these rows prove the statement parser drives the SAME operators with the
+# SAME accounting the Python-verb rows verify.
+
+# Maintenance-fixture append batch: touches whichever partitions %211 keys
+# fall in (k of nparts; the oracle derives k from the data so the row is
+# exact at every sf).
+AM = "o_orderkey % 211 = 0"
+
+SQL_MAINT_ORACLE = f"""
+WITH ap AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_totalprice AS p,
+                   o_orderpriority
+            FROM orders WHERE {AM}),
+f AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders
+      UNION ALL SELECT * FROM ap),
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+k AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {AM})
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM k) AS INTEGER) AS opt_compacted,
+       CAST((SELECT c FROM nparts) - (SELECT c FROM k) AS INTEGER)
+         AS opt_carried,
+       CAST(2 AS INTEGER) AS vac_expired,
+       CAST(2 * (SELECT c FROM k) AS INTEGER) AS vac_files_deleted,
+       CAST((SELECT c FROM nparts) AS INTEGER) AS vac_files_live,
+       'compact' AS history_kinds
+FROM f
+"""
+
+
+def _sql_maintained_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create + v1 append, then ``OPTIMIZE`` and ``VACUUM KEEP 1`` driven
+    through the SQL statement surface (a SEPARATE artifact: vacuum mutates
+    the directory). The statements' operation-metrics rows are saved at
+    build time; the registry row replays them against the oracle's
+    data-derived predictions (k = partitions the append touched)."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import deterministic_commit_clock
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0: one file per partition
+            append_commit(
+                spark, table,
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+                .where(AM)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(50_000_000)),
+            )  # v1: +1 file in each touched partition
+            opt = sess.sql(f"OPTIMIZE LAKE('{table}')").df.collect()[0]
+            vac = sess.sql(f"VACUUM LAKE('{table}') KEEP 1").df.collect()[0]
+        with open(os.path.join(d, "maint_stats.json"), "w") as f:
+            _json.dump(
+                {
+                    "opt_compacted": opt["partitions_compacted"],
+                    "opt_carried": opt["partitions_carried"],
+                    "vac_expired": vac["expired_versions"],
+                    "vac_files_deleted": vac["files_deleted"],
+                    "vac_files_live": vac["files_live"],
+                },
+                f,
+            )
+
+    d = build_once(
+        "secco_lakehouse_sqlmaint", (src,), _build, code=(_self, _ops, _pre)
+    )
+    with open(os.path.join(d, "maint_stats.json")) as f:
+        return os.path.join(d, "table"), _json.load(f)
+
+
+@register("lakehouse_sql_maintenance", SQL_MAINT_ORACLE)
+def lakehouse_sql_maintenance(sess: SeccoSession):
+    """OPTIMIZE + VACUUM + DESCRIBE HISTORY as SQL statements: the
+    compaction must rewrite exactly the k append-touched partitions and
+    carry the rest, the vacuum must retire both pre-compaction versions and
+    exactly their 2k orphaned files, the surviving snapshot must equal the
+    logical replay, and the post-vacuum history must be the single compact
+    commit — file accounting predicted from the data, not recorded."""
+    table, stats = _sql_maintained_table(sess)
+    spark = sess.spark
+    kinds = ",".join(
+        r["kind"]
+        for r in sess.sql(f"DESCRIBE HISTORY LAKE('{table}')")
+        .df.select("kind").collect()
+    )
+    out = (
+        read_table(spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    for col, val in [
+        ("opt_compacted", stats["opt_compacted"]),
+        ("opt_carried", stats["opt_carried"]),
+        ("vac_expired", stats["vac_expired"]),
+        ("vac_files_deleted", stats["vac_files_deleted"]),
+        ("vac_files_live", stats["vac_files_live"]),
+    ]:
+        out = out.withColumn(col, F.lit(val).cast("int"))
+    return out.withColumn("history_kinds", F.lit(kinds))
+
+
+SQL_TAGS_DDL_ORACLE = f"""
+WITH {_REPLAY},
+m AS (SELECT 'merged' AS name, 2 AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+      FROM f2),
+h AS (SELECT 'release-head' AS name, 5 AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+      FROM f4)
+SELECT name, CAST(version AS INTEGER) AS version, n_rows, cents FROM m
+UNION ALL
+SELECT name, CAST(version AS INTEGER) AS version, n_rows, cents FROM h
+"""
+
+
+@register("lakehouse_sql_tags_ddl", SQL_TAGS_DDL_ORACLE)
+def lakehouse_sql_tags_ddl(sess: SeccoSession):
+    """Tag DDL as SQL statements on the shared v0..v5 fixture: CREATE OR
+    REPLACE TAG (idempotent across sweeps), SHOW TAGS listing both refs,
+    and per-tag snapshot reads through LAKE(dir, '<name>') — each tag's
+    row count and cents must equal the oracle's replay of the version it
+    pins (v2 = both merges applied; v5 = the compacted head, content-equal
+    to v4's appends)."""
+    table = _versioned_table(sess)
+    sess.sql(f"CREATE OR REPLACE TAG merged ON LAKE('{table}') AS OF VERSION 2")
+    sess.sql(f"CREATE OR REPLACE TAG 'release-head' ON LAKE('{table}')")
+    tags = (
+        sess.sql(f"SHOW TAGS ON LAKE('{table}')")
+        .df.where(F.col("name").isin("merged", "release-head"))
+    )
+    per_tag = None
+    for name in ("merged", "release-head"):
+        agg = (
+            sess.sql(f"SELECT * FROM LAKE('{table}', '{name}')")
+            .df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            )
+            .withColumn("name", F.lit(name))
+        )
+        per_tag = agg if per_tag is None else per_tag.unionByName(agg)
+    return tags.join(per_tag, "name").select(
+        "name", F.col("version").cast("int").alias("version"), "n_rows", "cents"
+    )

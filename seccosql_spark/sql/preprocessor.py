@@ -483,9 +483,155 @@ def rewrite_lake(
     return _rewrite_table_ref(text, _LAKE_RE, make_view, created)
 
 
+# ------------------------------------------------ lakehouse maintenance DDL
+
+# Statement-level verbs over a manifest-versioned table — the SQL surface
+# for the lifecycle operators Delta/Iceberg expose as SQL (VACUUM /
+# OPTIMIZE [ZORDER BY] / RESTORE ... TO VERSION / tag DDL / DESCRIBE
+# HISTORY). These are whole statements, not table references: Spark cannot
+# parse them, so they are dispatched BEFORE every other rewrite and return
+# the operation-metrics DataFrame directly (Delta's convention: each
+# maintenance command yields a small result relation).
+_L_DIR = r"LAKE\s*\(\s*'(?P<dir>[^']+)'\s*\)"
+_L_TAG = r"(?P<name>'[^']+'|[A-Za-z0-9._-]+)"
+_VACUUM_RE = re.compile(
+    rf"^VACUUM\s+{_L_DIR}(?:\s+KEEP\s+(?P<keep>\d+))?$", re.I)
+_OPTIMIZE_RE = re.compile(
+    rf"^OPTIMIZE\s+{_L_DIR}"
+    r"(?:\s+SORT\s+BY\s+(?P<sort>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|\s+ZORDER\s+BY\s+\((?P<zorder>[^)]+)\))?"
+    r"(?:\s+TARGET\s+(?P<files>\d+)\s+FILES)?$", re.I)
+_RESTORE_RE = re.compile(
+    rf"^RESTORE\s+{_L_DIR}\s+TO\s+VERSION\s+(?P<v>\d+)$", re.I)
+_CREATE_TAG_RE = re.compile(
+    rf"^CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TAG\s+{_L_TAG}\s+ON\s+"
+    rf"{_L_DIR}(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?$", re.I)
+_DROP_TAG_RE = re.compile(rf"^DROP\s+TAG\s+{_L_TAG}\s+ON\s+{_L_DIR}$", re.I)
+_SHOW_TAGS_RE = re.compile(rf"^SHOW\s+TAGS\s+ON\s+{_L_DIR}$", re.I)
+_HISTORY_RE = re.compile(rf"^DESCRIBE\s+HISTORY\s+{_L_DIR}$", re.I)
+_MERGE_RE = re.compile(
+    rf"^MERGE\s+INTO\s+{_L_DIR}\s+KEYS\s*\((?P<keys>[^)]+)\)\s+USING\s+"
+    r"(?P<body>.+)$", re.I | re.S)
+_DELETE_RE = re.compile(
+    rf"^DELETE\s+FROM\s+{_L_DIR}\s+KEYS\s*\((?P<keys>[^)]+)\)\s+WHERE\s+"
+    r"(?P<pred>.+)$", re.I | re.S)
+
+
+def try_maintenance_sql(
+    session: "SeccoSession", text: str
+) -> DataFrame | None:
+    """Dispatch a lakehouse maintenance statement; None if ``text`` is not
+    one (the caller then proceeds with the ordinary rewrite chain). Every
+    verb delegates to the Python operator — this is a parser, never a
+    second implementation of the lifecycle semantics."""
+    from seccosql_spark.operators import lakehouse as lh
+
+    spark = session.spark
+    s = text.strip().rstrip(";").strip()
+
+    m = _VACUUM_RE.match(s)
+    if m:
+        rep = lh.expire_versions(
+            m["dir"], keep_last=int(m["keep"]) if m["keep"] else 1
+        )
+        return spark.createDataFrame(
+            [(len(rep["kept_versions"]), len(rep["expired_versions"]),
+              rep["files_deleted"], rep["files_live"], rep["tmps_swept"])],
+            "kept_versions INT, expired_versions INT, files_deleted INT, "
+            "files_live INT, tmps_swept INT",
+        )
+    m = _OPTIMIZE_RE.match(s)
+    if m:
+        sort_by = m["sort"]
+        zorder = (
+            [c.strip().strip("'\"`") for c in m["zorder"].split(",")]
+            if m["zorder"] else None
+        )
+        clustered = sort_by is not None or zorder is not None
+        target = int(m["files"]) if m["files"] else (2 if clustered else 1)
+        rep = lh.compact(
+            spark, m["dir"], sort_by=sort_by, zorder_by=zorder,
+            target_files=target,
+        )
+        return spark.createDataFrame(
+            [(rep["version"], rep["partitions_compacted"],
+              rep["partitions_carried"], len(rep["files"]))],
+            "version INT, partitions_compacted INT, partitions_carried INT, "
+            "files_live INT",
+        )
+    m = _RESTORE_RE.match(s)
+    if m:
+        rep = lh.restore_table(spark, m["dir"], int(m["v"]))
+        return spark.createDataFrame(
+            [(rep["version"], rep["restored_from"], len(rep["files"]))],
+            "version INT, restored_from INT, files_live INT",
+        )
+    m = _MERGE_RE.match(s)
+    if m:
+        # the USING body is a full dialect query (it may itself use LAKE
+        # refs, QUALIFY, ...): recurse through the ordinary entry point;
+        # rows flagged true in the __deleted column are CDC deletes,
+        # exactly the Python verb's contract
+        keys = [k.strip().strip("`") for k in m["keys"].split(",")]
+        body = m["body"].strip().rstrip(";").strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        rep = lh.merge_cow(
+            spark, m["dir"], execute_dialect_sql(session, body), keys
+        )
+        return spark.createDataFrame(
+            [(rep["version"], rep["partitions_rewritten"],
+              rep["partitions_carried"])],
+            "version INT, partitions_rewritten INT, partitions_carried INT",
+        )
+    m = _DELETE_RE.match(s)
+    if m:
+        # merge-on-read equality delete: the matching keys are computed
+        # from the HEAD snapshot and land as one small key file — no data
+        # file is read back or rewritten by the commit itself
+        keys = [k.strip().strip("`") for k in m["keys"].split(",")]
+        dels = (
+            lh.read_table(spark, m["dir"])
+            .where(m["pred"].strip().rstrip(";"))
+            .select(*keys).distinct()
+        )
+        rep = lh.delete_commit(spark, m["dir"], dels, keys)
+        return spark.createDataFrame(
+            [(rep["version"], len(rep.get("delete_files") or []))],
+            "version INT, delete_files INT",
+        )
+    m = _CREATE_TAG_RE.match(s)
+    if m:
+        doc = lh.create_tag(
+            m["dir"], m["name"].strip("'"),
+            version=int(m["v"]) if m["v"] else None,
+            replace=bool(m["replace"]),
+        )
+        return spark.createDataFrame(
+            [(doc["name"], doc["version"])], "name STRING, version INT"
+        )
+    m = _DROP_TAG_RE.match(s)
+    if m:
+        name = m["name"].strip("'")
+        lh.drop_tag(m["dir"], name)
+        return spark.createDataFrame([(name, True)],
+                                     "name STRING, dropped BOOLEAN")
+    m = _SHOW_TAGS_RE.match(s)
+    if m:
+        tags = sorted(lh.list_tags(m["dir"]).items())
+        return spark.createDataFrame(tags or [], "name STRING, version INT")
+    m = _HISTORY_RE.match(s)
+    if m:
+        return lh.table_history(spark, m["dir"])
+    return None
+
+
 # -------------------------------------------------------------- entry point
 
 def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
+    maint = try_maintenance_sql(session, text)
+    if maint is not None:
+        return maint
     text = rewrite_union_by_update(text)
     match_views: list[str] = []
     try:

@@ -302,3 +302,153 @@ def test_lake_view_names_unique_per_invocation(sess, tmp_path):
     finally:
         for v in a + b:
             sess.spark.catalog.dropTempView(v)
+
+
+# ------------------------------------------------ lakehouse maintenance DDL
+
+
+def _mk_table(sess, tmp_path, parts=(("a", 1.0), ("b", 2.0))):
+    from seccosql_spark.operators.lakehouse import append_commit, create_table
+
+    d = str(tmp_path / "t")
+    df = sess.spark.createDataFrame(
+        [(i + 1, p, v) for i, (p, v) in enumerate(parts)],
+        "k BIGINT, p STRING, v DOUBLE",
+    )
+    create_table(df, d, "p")  # v0
+    append_commit(sess.spark, d, df.withColumn("k", df.k + 10))  # v1
+    return d
+
+
+def test_sql_optimize_vacuum_history(sess, tmp_path):
+    """The maintenance statements drive the Python verbs and return their
+    operation metrics as relations: OPTIMIZE bin-packs the 2-file
+    partitions, VACUUM KEEP 1 retires both pre-compaction versions, and
+    DESCRIBE HISTORY reflects the surviving commit."""
+    d = _mk_table(sess, tmp_path)
+    opt = sess.sql(f"OPTIMIZE LAKE('{d}')").df.collect()[0]
+    assert (opt["version"], opt["partitions_compacted"],
+            opt["partitions_carried"], opt["files_live"]) == (2, 2, 0, 2)
+    vac = sess.sql(f"VACUUM LAKE('{d}') KEEP 1;").df.collect()[0]
+    assert (vac["kept_versions"], vac["expired_versions"],
+            vac["files_deleted"], vac["files_live"]) == (1, 2, 4, 2)
+    hist = sess.sql(f"DESCRIBE HISTORY LAKE('{d}')").df.collect()
+    assert [(r["version"], r["kind"]) for r in hist] == [(2, "compact")]
+    # the data survived the whole lifecycle
+    got = sess.sql(f"SELECT sum(v) AS s FROM LAKE('{d}')").df.collect()[0]
+    assert got["s"] == 6.0
+
+
+def test_sql_optimize_clustered_and_guards(sess, tmp_path):
+    """SORT BY / ZORDER BY map to clustered compaction (default target 2
+    files); the operator's own guards surface through the statement."""
+    import pytest
+
+    d = _mk_table(sess, tmp_path)
+    opt = sess.sql(f"OPTIMIZE LAKE('{d}') SORT BY k").df.collect()[0]
+    assert opt["partitions_compacted"] == 2
+    assert opt["files_live"] == 4  # 2 partitions x target 2 range files
+    with pytest.raises(ValueError, match="target_files"):
+        sess.sql(f"OPTIMIZE LAKE('{d}') ZORDER BY (k, v) TARGET 1 FILES")
+
+
+def test_sql_restore_statement(sess, tmp_path):
+    """RESTORE ... TO VERSION promotes the old snapshot as a new head
+    commit (metadata-only), exactly like the Python verb."""
+    d = _mk_table(sess, tmp_path)
+    rep = sess.sql(f"RESTORE LAKE('{d}') TO VERSION 0").df.collect()[0]
+    assert (rep["version"], rep["restored_from"]) == (2, 0)
+    got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
+    assert got["n"] == 2  # v0 content (the append rolled back)
+
+
+def test_sql_tag_ddl_roundtrip(sess, tmp_path):
+    """CREATE [OR REPLACE] TAG / SHOW TAGS / DROP TAG, bare and quoted
+    names; exclusive create raises through the statement; dropped tags
+    disappear from SHOW TAGS."""
+    import pytest
+
+    d = _mk_table(sess, tmp_path)
+    r = sess.sql(f"CREATE TAG base ON LAKE('{d}') AS OF VERSION 0").df.collect()[0]
+    assert (r["name"], r["version"]) == ("base", 0)
+    sess.sql(f"CREATE TAG 'rel-1.0' ON LAKE('{d}')")  # quoted, head=v1
+    tags = sess.sql(f"SHOW TAGS ON LAKE('{d}')").df.collect()
+    assert [(t["name"], t["version"]) for t in tags] == [("base", 0), ("rel-1.0", 1)]
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql(f"CREATE TAG base ON LAKE('{d}') AS OF VERSION 1")
+    r = sess.sql(
+        f"CREATE OR REPLACE TAG base ON LAKE('{d}') AS OF VERSION 1"
+    ).df.collect()[0]
+    assert r["version"] == 1
+    # the tag read through LAKE sees the pinned snapshot
+    got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}', 'rel-1.0')").df.collect()[0]
+    assert got["n"] == 4
+    r = sess.sql(f"DROP TAG 'rel-1.0' ON LAKE('{d}')").df.collect()[0]
+    assert (r["name"], r["dropped"]) == ("rel-1.0", True)
+    tags = sess.sql(f"SHOW TAGS ON LAKE('{d}')").df.collect()
+    assert [t["name"] for t in tags] == ["base"]
+    with pytest.raises(FileNotFoundError):
+        sess.sql(f"DROP TAG 'rel-1.0' ON LAKE('{d}')")
+
+
+def test_sql_show_tags_empty(sess, tmp_path):
+    d = _mk_table(sess, tmp_path)
+    assert sess.sql(f"SHOW TAGS ON LAKE('{d}')").df.count() == 0
+
+
+def test_maintenance_never_swallows_ordinary_sql(sess, tmp_path):
+    """Statements that merely MENTION the verbs (column aliases, strings,
+    table refs) must flow to spark.sql untouched — the dispatcher matches
+    whole statements only."""
+    d = _mk_table(sess, tmp_path)
+    got = sess.sql(
+        f"SELECT 'VACUUM' AS verb, count(*) AS n FROM LAKE('{d}')"
+    ).df.collect()[0]
+    assert (got["verb"], got["n"]) == ("VACUUM", 4)
+    # a malformed maintenance-ish statement is NOT silently dispatched;
+    # Spark's parser rejects it loudly
+    import pytest
+
+    with pytest.raises(Exception):
+        sess.sql(f"VACUUM LAKE('{d}') KEEP many")
+
+
+def test_sql_merge_into_statement(sess, tmp_path):
+    """MERGE INTO LAKE(d) KEYS (k) USING <query>: the USING body runs
+    through the full dialect entry point and feeds merge_cow; __deleted
+    rows are CDC deletes. The metrics relation carries the COW audit."""
+    d = _mk_table(sess, tmp_path)  # v0 create + v1 append: k=1,2,11,12
+    rep = sess.sql(
+        f"MERGE INTO LAKE('{d}') KEYS (k) USING ("
+        "  SELECT CAST(1 AS BIGINT) AS k, 'a' AS p, 100.0 AS v,"
+        "         false AS __deleted"          # update k=1
+        "  UNION ALL"
+        "  SELECT CAST(12 AS BIGINT), 'b', 0.0, true"  # delete k=12
+        ")"
+    ).df.collect()[0]
+    assert (rep["version"], rep["partitions_rewritten"],
+            rep["partitions_carried"]) == (2, 2, 0)
+    got = {
+        (r["k"], r["v"])
+        for r in sess.sql(f"SELECT k, v FROM LAKE('{d}')").df.collect()
+    }
+    assert got == {(1, 100.0), (2, 2.0), (11, 1.0)}  # k=12 CDC-deleted
+
+
+def test_sql_delete_from_statement(sess, tmp_path):
+    """DELETE FROM LAKE(d) KEYS (k) WHERE <pred>: matching keys from the
+    head snapshot land as ONE merge-on-read equality-delete file; readers
+    stop seeing them; no data file is rewritten."""
+    from seccosql_spark.operators.lakehouse import read_manifest
+
+    d = _mk_table(sess, tmp_path)
+    files_before = {f["path"] for f in read_manifest(d)["files"]}
+    rep = sess.sql(
+        f"DELETE FROM LAKE('{d}') KEYS (k) WHERE v >= 2.0 AND p = 'b'"
+    ).df.collect()[0]
+    assert (rep["version"], rep["delete_files"]) == (2, 1)
+    assert {f["path"] for f in read_manifest(d)["files"]} == files_before
+    got = sorted(
+        r["k"] for r in sess.sql(f"SELECT k FROM LAKE('{d}')").df.collect()
+    )
+    assert got == [1, 11]  # k=2 and k=12 (partition b) merge-on-read deleted

@@ -92,56 +92,56 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "lakehouse_restore",
-    "lakehouse_tags",
-    "lakehouse_time_travel_ts",
-    "entity_resolution_blocked",
-    "events_anomaly_mad",
-    "events_value_percentiles",
-    "g_closeness_centrality",
-    "g_degree_assortativity",
-    "g_hits_2rounds",
-    "g_jaccard_linkpred",
-    "g_maximal_independent_set",
-    "g_maximal_matching",
-    "g_modularity_mod4",
-    "g_personalized_pagerank",
-    "markov_transitions",
-    "orders_cohort_ltv",
-    "pareto_abc_parts",
-    "rfm_segments",
-    "cte_multi",
-    "dedup_minhash_clusters",
-    "g_bfs_distances",
-    "g_house_count",
-    "g_ring5_chords",
-    "g_triangle_count",
-    "grouping_sets_id",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_sole_blame_supplier",
-    "q22_sales_opportunity",
-    "q2_min_acctbal_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "window_first_last_frames",
-    "window_ntile_quartiles",
-    "window_rank_family",
-    "with_recursive_path_counts",
-    "with_recursive_reach",
-    "dedup_edit_distance_verify",
-    "dedup_minhash_estimate_error",
-    "dedup_ppjoin_exact",
-    "dedup_semantic_semdedup",
-    "embedding_pca_power2",
-    "events_max_concurrency",
-    "events_rolling_spikes",
+    "lakehouse_sql_maintenance",
+    "lakehouse_sql_tags_ddl",
+    "events_seasonal_backtest",
+    "events_weekly_retention",
+    "g_bipartite_covisit",
+    "ivm_q1_merge",
+    "multimodal_audio_features",
+    "multimodal_binaryfile_mixed",
+    "multimodal_resize_thumbnail",
+    "orders_interarrival",
+    "pack_sequences_greedy",
+    "pit_status_lookup",
+    "profile_columns",
+    "quality_gate_audit",
+    "sample_balanced_classes",
+    "sample_weighted_ares",
+    "scd2_status_history",
+    "shuffle_pack_shards",
+    "sketch_cms_heavy_hitters",
+    "snapshot_diff_orders",
+    "source_data_card",
+    "split_train_val_test",
+    "exists_subquery",
+    "g_betweenness_sampled",
+    "g_c1_pentagon_agg",
+    "g_c2_pentagon_agg",
+    "g_c3_pentagon_wsum",
+    "g_c4_pentagon_wsum",
+    "g_clique4_count",
+    "g_diameter_doublesweep",
+    "g_diamond_count",
+    "g_ring5_chords_b",
+    "g_tailed_triangle_count",
+    "g_triangle_undirected",
+    "in_subquery",
+    "lateral_top_customers",
+    "match_sql_tableref",
+    "orders_trailing_30d_range",
+    "approx_distinct_users",
+    "asof_latest_purchase",
+    "events_hilbert_topk",
+    "inverted_index_postings",
+    "multiway_natural_ghd",
+    "multiway_stats_filtered",
+    "multiway_stats_ordered",
+    "pack_token_shards",
+    "range_join_next_hour",
+    "sample_temperature_mix",
+    "sessionize_events",
+    "sketch_quantile_mergeable",
 ]
 
 

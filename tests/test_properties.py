@@ -225,3 +225,71 @@ def test_match_ref_shares_the_same_mechanics(n):
     out, created = _fake_ref_rewrite(text, _MATCH_RE)
     assert len(created) == n
     assert out.count("'MATCH(x,y)'") == n
+
+
+# ------------------------------------------------ maintenance-DDL dispatch
+
+from seccosql_spark.sql.preprocessor import (  # noqa: E402
+    _CREATE_TAG_RE,
+    _DELETE_RE,
+    _DROP_TAG_RE,
+    _HISTORY_RE,
+    _MERGE_RE,
+    _OPTIMIZE_RE,
+    _RESTORE_RE,
+    _SHOW_TAGS_RE,
+    _VACUUM_RE,
+)
+
+_MAINT_RES = [
+    _VACUUM_RE, _OPTIMIZE_RE, _RESTORE_RE, _CREATE_TAG_RE, _DROP_TAG_RE,
+    _SHOW_TAGS_RE, _HISTORY_RE, _MERGE_RE, _DELETE_RE,
+]
+
+
+@given(sql_fragment)
+@settings(max_examples=60, deadline=None)
+def test_ordinary_sql_never_matches_maintenance(text):
+    """Dispatch safety: ordinary statements (the same fragment corpus the
+    other rewriter properties use) must never be captured by a
+    maintenance regex — a false positive would hijack a user query into a
+    lifecycle mutation."""
+    s = text.strip().rstrip(";").strip()
+    for rx in _MAINT_RES:
+        assert rx.match(s) is None, (rx.pattern[:40], s)
+
+
+@given(
+    st.sampled_from(["vacuum", "VACUUM", "Vacuum"]),
+    st.integers(1, 9),
+    st.sampled_from(["", " ", "  ", "\n "]),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_vacuum_grammar_whitespace_and_case(verb, keep, pad, with_keep):
+    """Case and internal whitespace never change what parses (the lexing
+    contract every dialect construct follows)."""
+    stmt = f"{verb}{pad} LAKE({pad}'/x/t'{pad}){pad}"
+    if with_keep:
+        stmt += f" KEEP{pad} {keep}"
+    m = _VACUUM_RE.match(stmt.strip())
+    assert m and m["dir"] == "/x/t"
+    assert (m["keep"] == str(keep)) is with_keep
+
+
+@given(st.sampled_from([
+    "OPTIMIZE LAKE('/x') SORT BY k ZORDER BY (a)",   # both cluster modes
+    "VACUUM LAKE('/x') KEEP",                          # dangling KEEP
+    "RESTORE LAKE('/x') TO VERSION",                   # missing number
+    "CREATE TAG ON LAKE('/x')",                        # missing name
+    "SHOW TAGS LAKE('/x')",                            # missing ON
+    "DESCRIBE HISTORY '/x'",                           # missing LAKE()
+    "MERGE INTO LAKE('/x') USING SELECT 1",            # missing KEYS
+    "DELETE FROM LAKE('/x') WHERE k = 1",              # missing KEYS
+]))
+@settings(max_examples=8, deadline=None)
+def test_malformed_maintenance_never_dispatches(stmt):
+    """Near-miss statements fall through to spark.sql (which rejects them
+    loudly) instead of half-parsing into a mutation."""
+    for rx in _MAINT_RES:
+        assert rx.match(stmt) is None, (rx.pattern[:40], stmt)

@@ -185,12 +185,19 @@ def _file_column_stats(path: str) -> dict:
             if name in dropped or "." in name:  # nested leaves: skip
                 continue
             st = md.row_group(rg).column(ci).statistics
-            if (
-                st is None
-                or not st.has_min_max
-                or not isinstance(st.min, _STAT_TYPES)
-                or not isinstance(st.max, _STAT_TYPES)
-            ):
+            try:
+                usable = (
+                    st is not None
+                    and st.has_min_max
+                    and isinstance(st.min, _STAT_TYPES)
+                    and isinstance(st.max, _STAT_TYPES)
+                )
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError from st.min/st.max
+                # themselves for physical types it cannot cast (e.g.
+                # DECIMAL) — same conservative outcome as no stats at all
+                usable = False
+            if not usable:
                 stats.pop(name, None)
                 dropped.add(name)
                 continue
@@ -221,6 +228,40 @@ def _evolved_schema_json(base: dict | None, *dfs: DataFrame) -> str:
                 fields.append(f)
                 names.add(f.name)
     return json.dumps(StructType(fields).jsonValue())
+
+
+def _check_schema_compatible(m: dict, df: DataFrame, context: str) -> None:
+    """Schema enforcement on write (Delta's commit-time contract): a batch
+    column that SHARES A NAME with a manifest-schema column must carry the
+    same type. Without this, an incompatible file (e.g. a DECIMAL literal
+    landing in a DOUBLE column via ``INSERT INTO LAKE(...) SELECT 21.0``)
+    commits fine and every subsequent mergeSchema READ of the table dies
+    with CANNOT_MERGE_SCHEMAS — fail the writer, not the readers. New
+    columns remain allowed (additive evolution); nullability differences
+    are ignored (parquet reconciles them); legacy manifests without a
+    recorded schema skip the check."""
+    if not m.get("schema"):
+        return
+    table_types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(m["schema"])).fields
+    }
+    bad = [
+        (f.name, f.dataType.simpleString(), table_types[f.name].simpleString())
+        for f in df.schema.fields
+        if f.name != DELETE_COL
+        and f.name in table_types
+        and f.dataType != table_types[f.name]
+    ]
+    if bad:
+        detail = ", ".join(
+            f"{n}: batch {got} vs table {want}" for n, got, want in bad
+        )
+        raise ValueError(
+            f"{context}: batch column types are incompatible with the table "
+            f"schema ({detail}) — cast the batch before committing (schema "
+            "evolution is additive-only: new columns yes, type changes no)"
+        )
 
 
 # ------------------------------------------------------------ commit clock
@@ -800,6 +841,10 @@ def delete_commit(
                 f"delete keys {unknown} are not columns of the table "
                 f"(schema: {sorted(table_cols)})"
             )
+    # deliberately NO type check on delete keys: the read-side anti-join
+    # implicit-casts (string '2' erases bigint 2 — pinned by
+    # test_cross_type_delete_stats_never_crash_reads), and the delete file
+    # never enters the mergeSchema data read, so cross-type keys are safe
     ddir = os.path.join(table_dir, "deletes")
     os.makedirs(ddir, exist_ok=True)
     name = f"d{version:05d}-{_write_token()}"
@@ -903,6 +948,7 @@ def append_commit(
     version = m["version"] + 1
     if _partition_source_col(pcol) not in inserts.columns:
         raise ValueError(f"inserts must carry the partition column {pcol!r}")
+    _check_schema_compatible(m, inserts, "append_commit")
     # carry file entries VERBATIM — projecting to a fixed key set silently
     # dropped later-added metadata (column stats) from carried files
     files = [dict(f) for f in m["files"]]
@@ -1493,6 +1539,7 @@ def merge_cow(
     version = m["version"] + 1
     if _partition_source_col(pcol) not in updates.columns:
         raise ValueError(f"updates must carry the partition column {pcol!r}")
+    _check_schema_compatible(m, updates, "merge_cow")
     # the batch feeds the distinct-collect, the anti-join, and the write —
     # materialize it once instead of re-executing its upstream plan 3 times
     updates = updates.persist()

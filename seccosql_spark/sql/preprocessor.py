@@ -515,6 +515,8 @@ _MERGE_RE = re.compile(
 _DELETE_RE = re.compile(
     rf"^DELETE\s+FROM\s+{_L_DIR}\s+KEYS\s*\((?P<keys>[^)]+)\)\s+WHERE\s+"
     r"(?P<pred>.+)$", re.I | re.S)
+_INSERT_RE = re.compile(
+    rf"^INSERT\s+INTO\s+{_L_DIR}\s+(?P<body>.+)$", re.I | re.S)
 
 
 def try_maintenance_sql(
@@ -583,6 +585,21 @@ def try_maintenance_sql(
             [(rep["version"], rep["partitions_rewritten"],
               rep["partitions_carried"])],
             "version INT, partitions_rewritten INT, partitions_carried INT",
+        )
+    m = _INSERT_RE.match(s)
+    if m:
+        # blind append (the cheap pure-insert path: no read, no anti-join,
+        # one new file per touched partition); the body is a full dialect
+        # query, same recursion as MERGE's USING
+        body = m["body"].strip().rstrip(";").strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        rep = lh.append_commit(
+            spark, m["dir"], execute_dialect_sql(session, body)
+        )
+        return spark.createDataFrame(
+            [(rep["version"], rep["appended_files"])],
+            "version INT, files_appended INT",
         )
     m = _DELETE_RE.match(s)
     if m:

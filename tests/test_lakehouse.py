@@ -1373,3 +1373,24 @@ def test_lake_timestamp_precedence_over_date_named_tag(sess, tmp_path):
     # neither a timestamp nor a tag -> clear combined error
     with pytest.raises(Exception, match="neither"):
         sess.sql(f"SELECT * FROM LAKE('{d}', 'no-such-ref')").df.collect()
+
+
+def test_stats_collection_tolerates_unextractable_types(spark, tmp_path):
+    """pyarrow raises ArrowNotImplementedError from Statistics.min for
+    physical types it cannot cast (DECIMAL among them) — the manifest stats
+    collector must degrade to 'no stats entry' (conservative: never
+    skipped), not crash the commit. Surfaced by INSERT INTO LAKE() of an
+    unannotated 21.0 literal (Spark types it DECIMAL(3,1))."""
+    from decimal import Decimal
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", Decimal("1.5")), (2, "b", Decimal("2.5"))],
+        "k BIGINT, p STRING, v DECIMAL(3,1)",
+    )
+    create_table(df, d, "p")
+    m = read_manifest(d)
+    for f in m["files"]:
+        assert "v" not in f.get("stats", {})  # dropped, not crashed
+        assert "k" in f.get("stats", {})      # ordinary columns keep stats
+    assert read_table(spark, d).count() == 2

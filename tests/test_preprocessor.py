@@ -420,10 +420,11 @@ def test_sql_merge_into_statement(sess, tmp_path):
     d = _mk_table(sess, tmp_path)  # v0 create + v1 append: k=1,2,11,12
     rep = sess.sql(
         f"MERGE INTO LAKE('{d}') KEYS (k) USING ("
-        "  SELECT CAST(1 AS BIGINT) AS k, 'a' AS p, 100.0 AS v,"
+        "  SELECT CAST(1 AS BIGINT) AS k, 'a' AS p,"
+        "         CAST(100.0 AS DOUBLE) AS v,"
         "         false AS __deleted"          # update k=1
         "  UNION ALL"
-        "  SELECT CAST(12 AS BIGINT), 'b', 0.0, true"  # delete k=12
+        "  SELECT CAST(12 AS BIGINT), 'b', CAST(0.0 AS DOUBLE), true"  # delete k=12
         ")"
     ).df.collect()[0]
     assert (rep["version"], rep["partitions_rewritten"],
@@ -452,3 +453,28 @@ def test_sql_delete_from_statement(sess, tmp_path):
         r["k"] for r in sess.sql(f"SELECT k FROM LAKE('{d}')").df.collect()
     )
     assert got == [1, 11]  # k=2 and k=12 (partition b) merge-on-read deleted
+
+
+def test_sql_insert_into_statement(sess, tmp_path):
+    """INSERT INTO LAKE(d) <query>: blind append commit — one new file per
+    touched partition, existing files untouched."""
+    from seccosql_spark.operators.lakehouse import read_manifest
+
+    d = _mk_table(sess, tmp_path)
+    files_before = {f["path"] for f in read_manifest(d)["files"]}
+    # schema enforcement on write: an unannotated 21.0 literal is
+    # DECIMAL(3,1), which would brick every later mergeSchema read of the
+    # DOUBLE column — the commit must reject it, not the readers
+    with pytest.raises(ValueError, match="incompatible"):
+        sess.sql(
+            f"INSERT INTO LAKE('{d}') "
+            "SELECT CAST(21 AS BIGINT) AS k, 'a' AS p, 21.0 AS v"
+        )
+    rep = sess.sql(
+        f"INSERT INTO LAKE('{d}') "
+        "SELECT CAST(21 AS BIGINT) AS k, 'a' AS p, CAST(21.0 AS DOUBLE) AS v"
+    ).df.collect()[0]
+    assert (rep["version"], rep["files_appended"]) == (2, 1)
+    assert files_before <= {f["path"] for f in read_manifest(d)["files"]}
+    got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
+    assert got["n"] == 5

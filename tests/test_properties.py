@@ -233,6 +233,7 @@ from seccosql_spark.sql.preprocessor import (  # noqa: E402
     _CREATE_TAG_RE,
     _DELETE_RE,
     _DROP_TAG_RE,
+    _INSERT_RE,
     _HISTORY_RE,
     _MERGE_RE,
     _OPTIMIZE_RE,
@@ -243,7 +244,7 @@ from seccosql_spark.sql.preprocessor import (  # noqa: E402
 
 _MAINT_RES = [
     _VACUUM_RE, _OPTIMIZE_RE, _RESTORE_RE, _CREATE_TAG_RE, _DROP_TAG_RE,
-    _SHOW_TAGS_RE, _HISTORY_RE, _MERGE_RE, _DELETE_RE,
+    _SHOW_TAGS_RE, _HISTORY_RE, _MERGE_RE, _DELETE_RE, _INSERT_RE,
 ]
 
 

@@ -1637,3 +1637,21 @@ def lakehouse_sql_tags_ddl(sess: SeccoSession):
     return tags.join(per_tag, "name").select(
         "name", F.col("version").cast("int").alias("version"), "n_rows", "cents"
     )
+
+
+@register("lakehouse_sql_change_feed", CHANGE_FEED_ORACLE)
+def lakehouse_sql_change_feed(sess: SeccoSession):
+    """The change data feed through its SQL table reference —
+    ``LAKE_CHANGES('<dir>', v_from, v_to)`` (Delta ``table_changes`` TVF
+    twin; sql/preprocessor.py rewrite_lake_changes) — grouped exactly like
+    the Python-verb row ``lakehouse_change_feed`` and verified against the
+    same EXCEPT ALL multiset-diff oracle: the SQL surface and the verb can
+    never drift apart."""
+    table = _versioned_table(sess)
+    return sess.sql(
+        f"""SELECT _change_type AS change_type, o_orderpriority,
+                   CAST(count(*) AS LONG) AS n_rows,
+                   CAST(sum({_CENTS_SPARK}) AS LONG) AS cents
+            FROM LAKE_CHANGES('{table}', 0, 1)
+            GROUP BY _change_type, o_orderpriority"""
+    ).df

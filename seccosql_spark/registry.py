@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_sql_change_feed",
     "lakehouse_sql_maintenance",
     "lakehouse_sql_tags_ddl",
     "events_seasonal_backtest",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "range_join_next_hour",
     "sample_temperature_mix",
     "sessionize_events",
-    "sketch_quantile_mergeable",
 ]
 
 

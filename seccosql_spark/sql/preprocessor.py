@@ -483,6 +483,46 @@ def rewrite_lake(
     return _rewrite_table_ref(text, _LAKE_RE, make_view, created)
 
 
+# ------------------------------------------------------------ LAKE_CHANGES
+
+_LAKE_CHANGES_RE = re.compile(r"\bLAKE_CHANGES\s*\(", re.I)
+
+
+def rewrite_lake_changes(
+    session: "SeccoSession", text: str, created: list[str] | None = None
+) -> str:
+    """Rewrite each ``LAKE_CHANGES('<table_dir>', v_from, v_to)`` table
+    reference into a temp view over the change data feed between the two
+    committed versions (Delta's ``table_changes`` TVF twin): net row-level
+    changes with a ``_change_type`` column ('insert' | 'delete'; updates
+    surface as delete+insert pairs). The diff is manifest-driven — only
+    files added/removed between the versions are read — exactly the Python
+    ``table_changes`` verb (it IS that verb). Statement-scoped views,
+    unique per invocation, same as LAKE/MATCH."""
+
+    def make_view(parts: list[str], ref: str) -> str:
+        if len(parts) != 3:
+            raise ValueError(
+                "LAKE_CHANGES('<table_dir>', v_from, v_to) takes exactly "
+                "three arguments"
+            )
+        table_dir = parts[0].strip().strip("'\"")
+        try:
+            v0, v1 = int(parts[1].strip()), int(parts[2].strip())
+        except ValueError:
+            raise ValueError(
+                f"LAKE_CHANGES: v_from/v_to must be integer versions, got "
+                f"{parts[1].strip()!r}, {parts[2].strip()!r}"
+            ) from None
+        from seccosql_spark.operators.lakehouse import table_changes
+
+        view = f"__lakechanges_{ref}"
+        table_changes(session.spark, table_dir, v0, v1).createOrReplaceTempView(view)
+        return view
+
+    return _rewrite_table_ref(text, _LAKE_CHANGES_RE, make_view, created)
+
+
 # ------------------------------------------------ lakehouse maintenance DDL
 
 # Statement-level verbs over a manifest-versioned table — the SQL surface
@@ -654,6 +694,8 @@ def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
     try:
         if _MATCH_RE.search(text):
             text = rewrite_match(session, text, match_views)
+        if _LAKE_CHANGES_RE.search(text):
+            text = rewrite_lake_changes(session, text, match_views)
         if _LAKE_RE.search(text):
             text = rewrite_lake(session, text, match_views)
         if _WITH_REC_RE.match(text):

@@ -478,3 +478,27 @@ def test_sql_insert_into_statement(sess, tmp_path):
     assert files_before <= {f["path"] for f in read_manifest(d)["files"]}
     got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
     assert got["n"] == 5
+
+
+def test_lake_changes_table_ref(sess, tmp_path):
+    """LAKE_CHANGES(dir, v0, v1) binds the manifest-driven change feed as
+    a table reference; views are statement-scoped; bad arity and non-int
+    versions raise before any IO."""
+    d = _mk_table(sess, tmp_path)  # v0: k=1,2; v1: append k=11,12
+    got = sess.sql(
+        f"SELECT _change_type AS ct, k FROM LAKE_CHANGES('{d}', 0, 1) ORDER BY k"
+    ).df.collect()
+    assert [(r["ct"], r["k"]) for r in got] == [("insert", 11), ("insert", 12)]
+    # joins against the head snapshot in the same statement
+    n = sess.sql(
+        f"SELECT count(*) AS n FROM LAKE_CHANGES('{d}', 0, 1) c "
+        f"JOIN LAKE('{d}') h USING (k)"
+    ).df.collect()[0]["n"]
+    assert n == 2
+    assert not any(
+        t.name.startswith("__lakechanges") for t in sess.spark.catalog.listTables()
+    )
+    with pytest.raises(ValueError, match="three arguments"):
+        sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 1)")
+    with pytest.raises(ValueError, match="integer versions"):
+        sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 'a', 'b')")

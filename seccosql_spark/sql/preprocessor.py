@@ -571,6 +571,16 @@ def try_maintenance_sql(
     spark = session.spark
     s = text.strip().rstrip(";").strip()
 
+    def _unwrap(body: str) -> str:
+        """Strip ONE pair of enclosing parens only when they actually
+        match each other — '(SELECT..) UNION ALL (SELECT..)' starts with
+        '(' and ends with ')' without being parenthesized, and a naive
+        strip would shear both subqueries."""
+        body = body.strip().rstrip(";").strip()
+        if body.startswith("(") and _matching_paren(body, 0) == len(body) - 1:
+            return body[1:-1]
+        return body
+
     m = _VACUUM_RE.match(s)
     if m:
         rep = lh.expire_versions(
@@ -615,9 +625,7 @@ def try_maintenance_sql(
         # rows flagged true in the __deleted column are CDC deletes,
         # exactly the Python verb's contract
         keys = [k.strip().strip("`") for k in m["keys"].split(",")]
-        body = m["body"].strip().rstrip(";").strip()
-        if body.startswith("(") and body.endswith(")"):
-            body = body[1:-1]
+        body = _unwrap(m["body"])
         rep = lh.merge_cow(
             spark, m["dir"], execute_dialect_sql(session, body), keys
         )
@@ -631,9 +639,7 @@ def try_maintenance_sql(
         # blind append (the cheap pure-insert path: no read, no anti-join,
         # one new file per touched partition); the body is a full dialect
         # query, same recursion as MERGE's USING
-        body = m["body"].strip().rstrip(";").strip()
-        if body.startswith("(") and body.endswith(")"):
-            body = body[1:-1]
+        body = _unwrap(m["body"])
         rep = lh.append_commit(
             spark, m["dir"], execute_dialect_sql(session, body)
         )

@@ -502,3 +502,26 @@ def test_lake_changes_table_ref(sess, tmp_path):
         sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 1)")
     with pytest.raises(ValueError, match="integer versions"):
         sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 'a', 'b')")
+
+
+def test_sql_insert_union_body_not_sheared(sess, tmp_path):
+    """'(SELECT..) UNION ALL (SELECT..)' starts with '(' and ends with ')'
+    without BEING parenthesized — the statement dispatcher must only strip
+    enclosing parens that actually match (a naive strip sheared both
+    subqueries into a syntax error)."""
+    d = _mk_table(sess, tmp_path)
+    rep = sess.sql(
+        f"INSERT INTO LAKE('{d}') "
+        "(SELECT CAST(31 AS BIGINT) AS k, 'a' AS p, CAST(31.0 AS DOUBLE) AS v)"
+        " UNION ALL "
+        "(SELECT CAST(32 AS BIGINT) AS k, 'b' AS p, CAST(32.0 AS DOUBLE) AS v)"
+    ).df.collect()[0]
+    assert rep["files_appended"] == 2  # one new file per touched partition
+    got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
+    assert got["n"] == 6
+    # fully parenthesized bodies still unwrap
+    rep = sess.sql(
+        f"INSERT INTO LAKE('{d}') "
+        "(SELECT CAST(33 AS BIGINT) AS k, 'a' AS p, CAST(33.0 AS DOUBLE) AS v)"
+    ).df.collect()[0]
+    assert rep["files_appended"] == 1

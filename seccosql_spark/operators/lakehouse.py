@@ -1328,6 +1328,7 @@ def drop_tag(table_dir: str, name: str) -> None:
 def expire_versions(
     table_dir: str, keep_last: int = 1,
     sweep_tmps_older_than: float = 3600.0,
+    sweep_orphan_data: bool = False,
 ) -> dict:
     """VACUUM: retire history older than the newest ``keep_last`` manifest
     versions — delete the expired manifests and every data file no kept
@@ -1347,8 +1348,20 @@ def expire_versions(
     an IN-FLIGHT commit's tmp (alive for milliseconds between create and
     its finally-unlink) is never yanked out from under the publish.
 
+    ``sweep_orphan_data=True`` additionally reclaims crashed-writer DATA
+    garbage (review r15): in-flight ``_tmp_*`` write directories (table
+    root, partition dirs, deletes/) and finalized ``data/``/``deletes/``
+    files no kept manifest references — a writer that died between
+    finalizing its files and publishing its manifest leaves both shapes,
+    and repeated crashes would otherwise grow storage without bound. This
+    pass LISTS the data directories (O(table files) driver work, unlike
+    the default O(manifest entries) path), so it is opt-in for the
+    routine vacuum cadence; the same age gate protects a live writer's
+    finalize-to-publish window.
+
     Returns {"kept_versions", "expired_versions", "files_deleted",
-    "files_live", "tmps_swept"}."""
+    "files_live", "tmps_swept"[, "orphan_dirs_swept",
+    "orphan_files_swept"]}."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = latest_version(table_dir)
@@ -1379,13 +1392,77 @@ def expire_versions(
         os.remove(_manifest_path(table_dir, v))
     for rel in sorted(dead):
         os.remove(os.path.join(table_dir, rel))
-    return {
+    report = {
         "kept_versions": kept,
         "expired_versions": expired,
         "files_deleted": len(dead),
         "files_live": len(live),
         "tmps_swept": _sweep_orphan_tmps(table_dir, sweep_tmps_older_than),
     }
+    if sweep_orphan_data:
+        n_dirs, n_files = _sweep_orphan_data(
+            table_dir, live, sweep_tmps_older_than
+        )
+        report["orphan_dirs_swept"] = n_dirs
+        report["orphan_files_swept"] = n_files
+    return report
+
+
+def _sweep_orphan_data(
+    table_dir: str, live: set[str], older_than_seconds: float
+) -> tuple[int, int]:
+    """Reclaim crashed-writer data garbage: (a) in-flight ``_tmp_*`` write
+    DIRECTORIES — the root-level partitionBy staging dir
+    (``_tmp_v{N}-{token}``), clustered-compaction per-partition stagings,
+    and the delete-file staging under ``deletes/`` — and (b) FINALIZED
+    ``data/``/``deletes/`` parquet files referenced by no kept manifest (a
+    writer that died after ``os.replace`` but before its manifest commit;
+    ``_commit_or_cleanup`` only cleans on a LOSING RACE, not on process
+    death). Both are invisible to every committed reader (manifest-pinned
+    reads never list directories), so this is pure garbage collection; the
+    age gate keeps a live writer's finalize-to-publish window safe.
+    Returns (dirs_removed, files_removed)."""
+    import shutil
+    import time as _time
+
+    now = _time.time()
+
+    def _old(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) >= older_than_seconds
+        except OSError:
+            return False
+
+    tmp_dirs = [
+        os.path.join(table_dir, fn)
+        for fn in os.listdir(table_dir)
+        if fn.startswith("_tmp_")
+        and os.path.isdir(os.path.join(table_dir, fn))
+    ]
+    n_dirs = n_files = 0
+    for sub in (_DATA, "deletes"):
+        base = os.path.join(table_dir, sub)
+        if not os.path.isdir(base):
+            continue
+        for root, dirs, files_ in os.walk(base):
+            stale = [d for d in dirs if d.startswith("_tmp_")]
+            tmp_dirs.extend(os.path.join(root, d) for d in stale)
+            dirs[:] = [d for d in dirs if not d.startswith("_tmp_")]
+            for fn in files_:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                if os.path.relpath(p, table_dir) not in live and _old(p):
+                    try:
+                        os.remove(p)
+                        n_files += 1
+                    except OSError:
+                        pass
+    for p in tmp_dirs:
+        if _old(p):
+            shutil.rmtree(p, ignore_errors=True)
+            n_dirs += 1
+    return n_dirs, n_files
 
 
 def _sweep_orphan_tmps(table_dir: str, older_than_seconds: float) -> int:

@@ -427,7 +427,10 @@ def rewrite_lake(
     other string pins by NAMED TAG (``create_tag`` — Iceberg tag twin).
     Timestamp-parse wins the tie so a date-named tag can never shadow
     time travel (ADVICE r14); such a tag stays reachable via the Python
-    ``read_table(tag=...)`` verb.
+    ``read_table(tag=...)`` verb. The tie covers BOTH ISO forms
+    ``fromisoformat`` accepts — dashed ('2026-01-01') and, on Python
+    3.11+, basic ('20260101') — so an all-digit 8-char tag name is also
+    treated as a timestamp here.
     Omitting it reads the latest commit; snapshots
     honor merge-on-read equality deletes and schema evolution exactly like
     the Python ``read_table`` verb (it IS that verb). Views are
@@ -600,6 +603,15 @@ def try_maintenance_sql(
             if m["zorder"] else None
         )
         clustered = sort_by is not None or zorder is not None
+        if m["files"] and not clustered:
+            # compact()'s unclustered branch always bin-packs one file per
+            # partition; accepting TARGET here would silently drop the
+            # user's explicit file-count directive (review r15)
+            raise ValueError(
+                "OPTIMIZE: TARGET n FILES requires SORT BY or ZORDER BY "
+                "(unclustered compaction always bin-packs one file per "
+                "partition)"
+            )
         target = int(m["files"]) if m["files"] else (2 if clustered else 1)
         rep = lh.compact(
             spark, m["dir"], sort_by=sort_by, zorder_by=zorder,
@@ -657,11 +669,27 @@ def try_maintenance_sql(
             lh.read_table(spark, m["dir"])
             .where(m["pred"].strip().rstrip(";"))
             .select(*keys).distinct()
+            .persist()
         )
-        rep = lh.delete_commit(spark, m["dir"], dels, keys)
+        try:
+            n_keys = dels.count()
+            if n_keys == 0:
+                # Delta's DELETE with zero matches lands no artifact: an
+                # empty delete file would be carried into every later
+                # manifest and cost a pointless anti-join per read forever
+                # (review r15)
+                return spark.createDataFrame(
+                    [(lh.latest_version(m["dir"]), 0, 0)],
+                    "version INT, delete_files_added INT, delete_keys INT",
+                )
+            rep = lh.delete_commit(spark, m["dir"], dels, keys)
+        finally:
+            dels.unpersist()
+        # operation metrics describe THIS operation (one key file), never
+        # the table's cumulative delete-file count (review r15)
         return spark.createDataFrame(
-            [(rep["version"], len(rep.get("delete_files") or []))],
-            "version INT, delete_files INT",
+            [(rep["version"], 1, n_keys)],
+            "version INT, delete_files_added INT, delete_keys INT",
         )
     m = _CREATE_TAG_RE.match(s)
     if m:

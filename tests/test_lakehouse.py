@@ -1394,3 +1394,41 @@ def test_stats_collection_tolerates_unextractable_types(spark, tmp_path):
         assert "v" not in f.get("stats", {})  # dropped, not crashed
         assert "k" in f.get("stats", {})      # ordinary columns keep stats
     assert read_table(spark, d).count() == 2
+
+
+def test_orphan_data_sweep_reclaims_crashed_writer_garbage(spark, table):
+    """Review r15: beyond publish temps, a crashed writer leaves (a)
+    in-flight _tmp_* write DIRECTORIES and (b) finalized data files no
+    manifest references. The opt-in sweep_orphan_data pass reclaims both —
+    age-gated, never touching live files — while the default vacuum path
+    keeps its O(manifest-entries) contract and leaves them alone."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    # (a) staged write dirs: root-level partitionBy staging + delete staging
+    os.makedirs(os.path.join(table, "_tmp_v00009-deadbeef", "p=a"))
+    os.makedirs(os.path.join(table, "deletes", "_tmp_d00009-deadbeef"))
+    # (b) a finalized-but-unreferenced data file next to live ones
+    part_dir = os.path.dirname(
+        os.path.join(table, read_manifest(table)["files"][0]["path"])
+    )
+    orphan = os.path.join(part_dir, "v00009-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    # default path: data/ is never listed -> everything left in place
+    rep = lh.expire_versions(table, keep_last=10)
+    assert "orphan_files_swept" not in rep
+    assert os.path.exists(orphan)
+    # opt-in pass with age gate 0: all three reclaimed, live files intact
+    rep = lh.expire_versions(
+        table, keep_last=10, sweep_tmps_older_than=0.0, sweep_orphan_data=True
+    )
+    assert rep["orphan_dirs_swept"] == 2
+    assert rep["orphan_files_swept"] == 1
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(table, "_tmp_v00009-deadbeef"))
+    assert read_table(spark, table).count() == 4
+    # idempotent: nothing left to sweep
+    rep = lh.expire_versions(
+        table, keep_last=10, sweep_tmps_older_than=0.0, sweep_orphan_data=True
+    )
+    assert (rep["orphan_dirs_swept"], rep["orphan_files_swept"]) == (0, 0)

@@ -447,12 +447,36 @@ def test_sql_delete_from_statement(sess, tmp_path):
     rep = sess.sql(
         f"DELETE FROM LAKE('{d}') KEYS (k) WHERE v >= 2.0 AND p = 'b'"
     ).df.collect()[0]
-    assert (rep["version"], rep["delete_files"]) == (2, 1)
+    assert (rep["version"], rep["delete_files_added"], rep["delete_keys"]) \
+        == (2, 1, 2)
     assert {f["path"] for f in read_manifest(d)["files"]} == files_before
     got = sorted(
         r["k"] for r in sess.sql(f"SELECT k FROM LAKE('{d}')").df.collect()
     )
     assert got == [1, 11]  # k=2 and k=12 (partition b) merge-on-read deleted
+    # zero matches: NO artifact, NO version churn (Delta's behavior) —
+    # and a second real delete reports ITS one file, not the cumulative
+    rep = sess.sql(
+        f"DELETE FROM LAKE('{d}') KEYS (k) WHERE v > 1e9"
+    ).df.collect()[0]
+    assert (rep["version"], rep["delete_files_added"], rep["delete_keys"]) \
+        == (2, 0, 0)
+    rep = sess.sql(
+        f"DELETE FROM LAKE('{d}') KEYS (k) WHERE k = 11"
+    ).df.collect()[0]
+    assert (rep["version"], rep["delete_files_added"], rep["delete_keys"]) \
+        == (3, 1, 1)
+
+
+def test_sql_optimize_target_requires_clustering(sess, tmp_path):
+    """TARGET n FILES without SORT BY/ZORDER BY must raise: the unclustered
+    compactor always bin-packs one file per partition, so accepting the
+    directive would silently drop it (review r15)."""
+    import pytest
+
+    d = _mk_table(sess, tmp_path)
+    with pytest.raises(ValueError, match="TARGET n FILES requires"):
+        sess.sql(f"OPTIMIZE LAKE('{d}') TARGET 4 FILES")
 
 
 def test_sql_insert_into_statement(sess, tmp_path):

@@ -73,6 +73,7 @@ EXTRA = [
     # round 15: the SQL maintenance/DML statement surface
     "lakehouse_sql_maintenance",
     "lakehouse_sql_tags_ddl",
+    "lakehouse_sql_change_feed",
 ]
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries

@@ -242,6 +242,26 @@ def _check_schema_compatible(m: dict, df: DataFrame, context: str) -> None:
     recorded schema skip the check."""
     if not m.get("schema"):
         return
+
+    def canon(dt):
+        # compare types with ALL nullability stripped: Spark's DataType
+        # equality includes ArrayType.containsNull / MapType.
+        # valueContainsNull / nested StructField.nullable, and a batch
+        # built from literals legitimately differs there from a schema
+        # recorded off a read — parquet + mergeSchema reconcile those
+        # fine (review r15)
+        from pyspark.sql.types import ArrayType, MapType
+        from pyspark.sql.types import StructField as SF
+        from pyspark.sql.types import StructType as ST
+
+        if isinstance(dt, ArrayType):
+            return ArrayType(canon(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(canon(dt.keyType), canon(dt.valueType), True)
+        if isinstance(dt, ST):
+            return ST([SF(f.name, canon(f.dataType), True) for f in dt.fields])
+        return dt
+
     table_types = {
         f.name: f.dataType
         for f in StructType.fromJson(json.loads(m["schema"])).fields
@@ -251,7 +271,7 @@ def _check_schema_compatible(m: dict, df: DataFrame, context: str) -> None:
         for f in df.schema.fields
         if f.name != DELETE_COL
         and f.name in table_types
-        and f.dataType != table_types[f.name]
+        and canon(f.dataType) != canon(table_types[f.name])
     ]
     if bad:
         detail = ", ".join(
@@ -813,6 +833,7 @@ def delete_commit(
     table_dir: str,
     deletes: DataFrame,
     keys: list[str],
+    assume_distinct: bool = False,
 ) -> dict:
     """DELETE as a merge-on-read commit (Iceberg equality-delete twin): the
     keys to delete land as ONE small key-only parquet under ``deletes/``;
@@ -849,9 +870,13 @@ def delete_commit(
     os.makedirs(ddir, exist_ok=True)
     name = f"d{version:05d}-{_write_token()}"
     tmp = os.path.join(ddir, f"_tmp_{name}")
-    deletes.select(*keys).distinct().coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    kdf = deletes.select(*keys)
+    if not assume_distinct:
+        # callers that already distinct-ed (and usually persisted) the key
+        # set pass assume_distinct=True to skip a second exchange over the
+        # same frame (review r15)
+        kdf = kdf.distinct()
+    kdf.coalesce(1).write.mode("overwrite").parquet(tmp)
     data_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
     final = os.path.join(ddir, f"{name}.parquet")
     os.replace(os.path.join(tmp, data_file), final)
@@ -1249,14 +1274,15 @@ _REFS = "_refs"
 
 
 def _tag_path(table_dir: str, name: str) -> str:
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name) or ".tmp-" in name:
-        # '.tmp-' is the in-flight-publish suffix; a tag named with it
-        # would be created fine but skipped by list_tags, so VACUUM would
-        # not retain its pinned version (silent data loss) — reject it at
-        # creation instead (ADVICE r14)
+    # names containing '.tmp-' are safe: temp detection everywhere
+    # (list_tags, the sweep) keys on the '.json' SUFFIX — publish temps are
+    # '<name>.json.tmp-<token>' and never end with '.json' — so a tag file
+    # '<anything>.tmp-1.json' is unambiguously committed state (ADVICE r14
+    # resolved suffix-wise in r15 after the substring guard stranded
+    # legacy tags)
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
         raise ValueError(
-            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-] "
-            "and must not contain '.tmp-'"
+            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
         )
     return os.path.join(table_dir, _REFS, f"{name}.json")
 
@@ -1308,13 +1334,19 @@ def read_tag(table_dir: str, name: str) -> int:
 
 
 def list_tags(table_dir: str) -> dict[str, int]:
-    """name -> pinned version for every tag of the table (empty if none)."""
+    """name -> pinned version for every tag of the table (empty if none).
+
+    Temp detection is by SUFFIX, not substring: publish temps are
+    ``<name>.json.tmp-<token>`` and never end with ``.json``, so a LEGACY
+    tag named with '.tmp-' (creatable before the r15 name guard) stays
+    visible here — and therefore VACUUM-retained — instead of silently
+    losing its pinned version (review r15)."""
     rdir = os.path.join(table_dir, _REFS)
     out: dict[str, int] = {}
     if not os.path.isdir(rdir):
         return out
     for fn in sorted(os.listdir(rdir)):
-        if fn.endswith(".json") and ".tmp-" not in fn:
+        if fn.endswith(".json"):
             with open(os.path.join(rdir, fn)) as f:
                 doc = json.load(f)
             out[doc["name"]] = doc["version"]
@@ -1322,7 +1354,14 @@ def list_tags(table_dir: str) -> dict[str, int]:
 
 
 def drop_tag(table_dir: str, name: str) -> None:
-    os.remove(_tag_path(table_dir, name))
+    """Remove a tag by name. Validation is LOOSER than creation: a legacy
+    tag named with '.tmp-' (pre-guard) must remain droppable/migratable
+    even though new creations reject the name (review r15)."""
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(
+            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
+        )
+    os.remove(os.path.join(table_dir, _REFS, f"{name}.json"))
 
 
 def expire_versions(
@@ -1433,6 +1472,20 @@ def _sweep_orphan_data(
         except OSError:
             return False
 
+    def _tree_old(d: str) -> bool:
+        # age a staging DIRECTORY by its NEWEST entry, not the top dir's
+        # mtime: Spark task output lands in nested subdirs, so a long
+        # in-progress write keeps leaf mtimes fresh while the top dir
+        # stays at job start — gating on the top mtime would rmtree a
+        # LIVE writer's staging mid-job (review r15)
+        if not _old(d):
+            return False
+        for root, dirs, files_ in os.walk(d):
+            for name in dirs + files_:
+                if not _old(os.path.join(root, name)):
+                    return False
+        return True
+
     tmp_dirs = [
         os.path.join(table_dir, fn)
         for fn in os.listdir(table_dir)
@@ -1459,9 +1512,10 @@ def _sweep_orphan_data(
                     except OSError:
                         pass
     for p in tmp_dirs:
-        if _old(p):
+        if _tree_old(p):
             shutil.rmtree(p, ignore_errors=True)
-            n_dirs += 1
+            if not os.path.exists(p):  # count only what was reclaimed
+                n_dirs += 1
     return n_dirs, n_files
 
 
@@ -1480,7 +1534,11 @@ def _sweep_orphan_tmps(table_dir: str, older_than_seconds: float) -> int:
     swept = 0
     for sub, is_tmp in (
         (_MANIFESTS, lambda fn: fn.startswith("_tmp_")),
-        (_REFS, lambda fn: ".tmp-" in fn),
+        # suffix rule, matching list_tags: a publish temp is
+        # '<name>.json.tmp-<token>' (never ends '.json'); a legacy tag
+        # FILE like 'audit.tmp-1.json' ends '.json' and is committed
+        # state the sweep must never destroy (review r15)
+        (_REFS, lambda fn: ".tmp-" in fn and not fn.endswith(".json")),
     ):
         d = os.path.join(table_dir, sub)
         if not os.path.isdir(d):

@@ -639,7 +639,7 @@ def try_maintenance_sql(
         keys = [k.strip().strip("`") for k in m["keys"].split(",")]
         body = _unwrap(m["body"])
         rep = lh.merge_cow(
-            spark, m["dir"], execute_dialect_sql(session, body), keys
+            spark, m["dir"], execute_query_sql(session, body), keys
         )
         return spark.createDataFrame(
             [(rep["version"], rep["partitions_rewritten"],
@@ -653,7 +653,7 @@ def try_maintenance_sql(
         # query, same recursion as MERGE's USING
         body = _unwrap(m["body"])
         rep = lh.append_commit(
-            spark, m["dir"], execute_dialect_sql(session, body)
+            spark, m["dir"], execute_query_sql(session, body)
         )
         return spark.createDataFrame(
             [(rep["version"], rep["appended_files"])],
@@ -682,7 +682,9 @@ def try_maintenance_sql(
                     [(lh.latest_version(m["dir"]), 0, 0)],
                     "version INT, delete_files_added INT, delete_keys INT",
                 )
-            rep = lh.delete_commit(spark, m["dir"], dels, keys)
+            rep = lh.delete_commit(
+                spark, m["dir"], dels, keys, assume_distinct=True
+            )
         finally:
             dels.unpersist()
         # operation metrics describe THIS operation (one key file), never
@@ -723,6 +725,17 @@ def execute_dialect_sql(session: "SeccoSession", text: str) -> DataFrame:
     maint = try_maintenance_sql(session, text)
     if maint is not None:
         return maint
+    return execute_query_sql(session, text)
+
+
+def execute_query_sql(session: "SeccoSession", text: str) -> DataFrame:
+    """The QUERY half of the dialect — every rewrite except the
+    maintenance-statement dispatch. MERGE USING / INSERT INTO bodies
+    recurse through THIS entry point, never ``execute_dialect_sql``: a
+    statement-shaped body (e.g. ``INSERT INTO LAKE('/a') VACUUM
+    LAKE('/b') KEEP 1``) must fail Spark's parser loudly, not execute an
+    irreversible lifecycle mutation on /b before the outer verb's own
+    validation rejects the metrics relation (review r15)."""
     text = rewrite_union_by_update(text)
     match_views: list[str] = []
     try:

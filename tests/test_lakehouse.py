@@ -1159,16 +1159,22 @@ def test_lake_sql_tag_resolution(sess, tmp_path):
 # legacy unstamped manifests).
 
 
-def test_tag_name_with_tmp_marker_rejected(spark, table):
+def test_tag_name_with_tmp_marker_fully_supported(spark, table):
     """ADVICE r14 (medium): a tag named like 'audit.tmp-1' used to be
-    creatable and resolvable but INVISIBLE to list_tags (which skips
-    in-flight '.tmp-' publish files) — so VACUUM would not retain its
-    pinned version. The name is now rejected at creation."""
+    creatable but INVISIBLE to list_tags (which skipped any filename
+    containing '.tmp-'), so VACUUM would not retain its pinned version.
+    Resolved suffix-wise in r15: publish temps never end with '.json',
+    committed tag files always do — so such names are now first-class:
+    created, listed, retained, and dropped like any other."""
     import seccosql_spark.operators.lakehouse as lh
 
-    with pytest.raises(ValueError, match=r"\.tmp-"):
-        lh.create_tag(table, "audit.tmp-1", 0)
-    # and therefore unresolvable everywhere, not half-registered
+    lh.create_tag(table, "audit.tmp-1", 0)
+    assert lh.list_tags(table) == {"audit.tmp-1": 0}
+    assert lh.read_tag(table, "audit.tmp-1") == 0
+    assert rows(read_table(spark, table, tag="audit.tmp-1")) == rows(
+        read_table(spark, table, 0)
+    )
+    lh.drop_tag(table, "audit.tmp-1")
     assert lh.list_tags(table) == {}
 
 
@@ -1432,3 +1438,96 @@ def test_orphan_data_sweep_reclaims_crashed_writer_garbage(spark, table):
         table, keep_last=10, sweep_tmps_older_than=0.0, sweep_orphan_data=True
     )
     assert (rep["orphan_dirs_swept"], rep["orphan_files_swept"]) == (0, 0)
+
+
+def test_legacy_tmp_named_tag_visible_retained_droppable(spark, table):
+    """Review r15: a tag FILE named with '.tmp-' (creatable before the r15
+    name guard) is committed state — list_tags must show it (so VACUUM
+    retains its pinned version), the always-on temp sweep must never
+    delete it, and drop_tag must still be able to remove it even though
+    create_tag now rejects the name."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as lh
+
+    merge_cow(spark, table,
+              spark.createDataFrame([(1, "a", 11.0)], "k BIGINT, p STRING, v DOUBLE"),
+              ["k"])  # v1
+    # simulate the pre-guard tag directly on disk
+    rdir = os.path.join(table, "_refs")
+    os.makedirs(rdir, exist_ok=True)
+    with open(os.path.join(rdir, "audit.tmp-1.json"), "w") as f:
+        _json.dump({"name": "audit.tmp-1", "version": 0}, f)
+    assert lh.list_tags(table) == {"audit.tmp-1": 0}
+    # VACUUM retains the pinned version and the sweep leaves the file alone
+    rep = lh.expire_versions(table, keep_last=1, sweep_tmps_older_than=0.0)
+    assert 0 in rep["kept_versions"]
+    assert os.path.exists(os.path.join(rdir, "audit.tmp-1.json"))
+    assert rows(read_table(spark, table, tag="audit.tmp-1"))  # readable
+    # migration path: droppable despite the creation guard
+    lh.drop_tag(table, "audit.tmp-1")
+    assert lh.list_tags(table) == {}
+    rep = lh.expire_versions(table, keep_last=1)
+    assert rep["expired_versions"] == [0]
+
+
+def test_orphan_data_sweep_spares_active_staging(spark, table, tmp_path):
+    """Review r15: a staging dir whose top-level mtime is old but whose
+    LEAVES are fresh is an in-progress write (Spark tasks write into
+    nested subdirs without touching the top dir) — the sweep must age a
+    directory by its newest entry and leave it alone."""
+    import seccosql_spark.operators.lakehouse as lh
+
+    staging = os.path.join(table, "_tmp_v00009-feedface")
+    os.makedirs(os.path.join(staging, "p=a"))
+    leaf = os.path.join(staging, "p=a", "part-0.parquet")
+    with open(leaf, "wb") as f:
+        f.write(b"in-flight")
+    # top dir looks ancient; the leaf write is recent
+    os.utime(staging, (0, 0))
+    rep = lh.expire_versions(
+        table, keep_last=10, sweep_tmps_older_than=1800.0,
+        sweep_orphan_data=True,
+    )
+    assert rep["orphan_dirs_swept"] == 0
+    assert os.path.exists(leaf)
+    # once the whole tree is old, it goes
+    os.utime(leaf, (0, 0))
+    os.utime(os.path.join(staging, "p=a"), (0, 0))
+    rep = lh.expire_versions(
+        table, keep_last=10, sweep_tmps_older_than=1800.0,
+        sweep_orphan_data=True,
+    )
+    assert rep["orphan_dirs_swept"] == 1
+    assert not os.path.exists(staging)
+
+
+def test_schema_check_ignores_nested_nullability(spark, tmp_path):
+    """Review r15: Spark DataType equality includes ArrayType.containsNull
+    and nested StructField.nullable — a batch built from literals
+    legitimately differs there from a schema recorded off a read, and
+    parquet reconciles it fine. Only genuine TYPE changes reject."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", ["x", "y"])], "k BIGINT, p STRING, tags ARRAY<STRING>"
+    )
+    create_table(base, d, "p")
+    # containsNull=false batch (array of non-null literals) must land
+    from seccosql_spark.operators.lakehouse import append_commit
+
+    batch = spark.range(1).select(
+        F.lit(2).cast("bigint").alias("k"), F.lit("a").alias("p"),
+        F.array(F.lit("z")).alias("tags"),
+    )
+    assert batch.schema["tags"].dataType.containsNull is False
+    append_commit(spark, d, batch)  # must not raise
+    assert read_table(spark, d).count() == 2
+    # a genuine element-type change still rejects
+    bad = spark.range(1).select(
+        F.lit(3).cast("bigint").alias("k"), F.lit("a").alias("p"),
+        F.array(F.lit(1)).alias("tags"),
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        append_commit(spark, d, bad)

@@ -308,6 +308,8 @@ def test_lake_view_names_unique_per_invocation(sess, tmp_path):
 
 
 def _mk_table(sess, tmp_path, parts=(("a", 1.0), ("b", 2.0))):
+    import os as _os
+    _os.makedirs(str(tmp_path), exist_ok=True)
     from seccosql_spark.operators.lakehouse import append_commit, create_table
 
     d = str(tmp_path / "t")
@@ -549,3 +551,20 @@ def test_sql_insert_union_body_not_sheared(sess, tmp_path):
         "(SELECT CAST(33 AS BIGINT) AS k, 'a' AS p, CAST(33.0 AS DOUBLE) AS v)"
     ).df.collect()[0]
     assert rep["files_appended"] == 1
+
+
+def test_statement_body_cannot_nest_maintenance(sess, tmp_path):
+    """Review r15: MERGE USING / INSERT INTO bodies recurse through the
+    QUERY-only entry point — a statement-shaped body must fail Spark's
+    parser loudly, never execute a lifecycle mutation on another table
+    before the outer verb's validation rejects it."""
+    from seccosql_spark.operators.lakehouse import latest_version
+
+    a = _mk_table(sess, tmp_path / "a")
+    b = _mk_table(sess, tmp_path / "b")
+    with pytest.raises(Exception):
+        sess.sql(f"INSERT INTO LAKE('{a}') VACUUM LAKE('{b}') KEEP 1")
+    # /b untouched: both versions still present (no vacuum ran)
+    assert latest_version(b) == 1
+    from seccosql_spark.operators.lakehouse import read_manifest
+    assert read_manifest(b, 0)["version"] == 0  # history intact

@@ -1354,20 +1354,14 @@ def list_tags(table_dir: str) -> dict[str, int]:
 
 
 def drop_tag(table_dir: str, name: str) -> None:
-    """Remove a tag by name. Validation is LOOSER than creation: a legacy
-    tag named with '.tmp-' (pre-guard) must remain droppable/migratable
-    even though new creations reject the name (review r15)."""
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
-        raise ValueError(
-            f"tag name {name!r} must be 1-64 chars of [A-Za-z0-9._-]"
-        )
-    os.remove(os.path.join(table_dir, _REFS, f"{name}.json"))
+    os.remove(_tag_path(table_dir, name))
 
 
 def expire_versions(
     table_dir: str, keep_last: int = 1,
     sweep_tmps_older_than: float = 3600.0,
     sweep_orphan_data: bool = False,
+    sweep_orphan_data_older_than: float = 7 * 24 * 3600.0,
 ) -> dict:
     """VACUUM: retire history older than the newest ``keep_last`` manifest
     versions — delete the expired manifests and every data file no kept
@@ -1395,8 +1389,14 @@ def expire_versions(
     and repeated crashes would otherwise grow storage without bound. This
     pass LISTS the data directories (O(table files) driver work, unlike
     the default O(manifest entries) path), so it is opt-in for the
-    routine vacuum cadence; the same age gate protects a live writer's
-    finalize-to-publish window.
+    routine vacuum cadence. It has its OWN retention threshold
+    (``sweep_orphan_data_older_than``, default 7 days — Delta VACUUM's
+    convention) because a finalized file's mtime freezes at finalize
+    while its commit may publish much later: an IN-FLIGHT job's
+    finalized-but-unmanifested files must never age past the gate, so
+    the threshold must exceed any plausible commit duration — far longer
+    than the millisecond-scale publish-temp window the 1h tmp gate
+    bounds (review r15).
 
     Returns {"kept_versions", "expired_versions", "files_deleted",
     "files_live", "tmps_swept"[, "orphan_dirs_swept",
@@ -1440,7 +1440,7 @@ def expire_versions(
     }
     if sweep_orphan_data:
         n_dirs, n_files = _sweep_orphan_data(
-            table_dir, live, sweep_tmps_older_than
+            table_dir, live, sweep_orphan_data_older_than
         )
         report["orphan_dirs_swept"] = n_dirs
         report["orphan_files_swept"] = n_files

@@ -680,7 +680,7 @@ def try_maintenance_sql(
                 # (review r15)
                 return spark.createDataFrame(
                     [(lh.latest_version(m["dir"]), 0, 0)],
-                    "version INT, delete_files_added INT, delete_keys INT",
+                    "version INT, delete_files_added INT, delete_keys BIGINT",
                 )
             rep = lh.delete_commit(
                 spark, m["dir"], dels, keys, assume_distinct=True
@@ -691,7 +691,7 @@ def try_maintenance_sql(
         # the table's cumulative delete-file count (review r15)
         return spark.createDataFrame(
             [(rep["version"], 1, n_keys)],
-            "version INT, delete_files_added INT, delete_keys INT",
+            "version INT, delete_files_added INT, delete_keys BIGINT",
         )
     m = _CREATE_TAG_RE.match(s)
     if m:

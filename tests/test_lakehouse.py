@@ -1426,7 +1426,8 @@ def test_orphan_data_sweep_reclaims_crashed_writer_garbage(spark, table):
     assert os.path.exists(orphan)
     # opt-in pass with age gate 0: all three reclaimed, live files intact
     rep = lh.expire_versions(
-        table, keep_last=10, sweep_tmps_older_than=0.0, sweep_orphan_data=True
+        table, keep_last=10, sweep_tmps_older_than=0.0,
+        sweep_orphan_data=True, sweep_orphan_data_older_than=0.0,
     )
     assert rep["orphan_dirs_swept"] == 2
     assert rep["orphan_files_swept"] == 1
@@ -1435,7 +1436,8 @@ def test_orphan_data_sweep_reclaims_crashed_writer_garbage(spark, table):
     assert read_table(spark, table).count() == 4
     # idempotent: nothing left to sweep
     rep = lh.expire_versions(
-        table, keep_last=10, sweep_tmps_older_than=0.0, sweep_orphan_data=True
+        table, keep_last=10, sweep_tmps_older_than=0.0,
+        sweep_orphan_data=True, sweep_orphan_data_older_than=0.0,
     )
     assert (rep["orphan_dirs_swept"], rep["orphan_files_swept"]) == (0, 0)
 
@@ -1444,8 +1446,7 @@ def test_legacy_tmp_named_tag_visible_retained_droppable(spark, table):
     """Review r15: a tag FILE named with '.tmp-' (creatable before the r15
     name guard) is committed state — list_tags must show it (so VACUUM
     retains its pinned version), the always-on temp sweep must never
-    delete it, and drop_tag must still be able to remove it even though
-    create_tag now rejects the name."""
+    delete it, and drop_tag must remove it like any other tag."""
     import json as _json
 
     import seccosql_spark.operators.lakehouse as lh
@@ -1464,7 +1465,7 @@ def test_legacy_tmp_named_tag_visible_retained_droppable(spark, table):
     assert 0 in rep["kept_versions"]
     assert os.path.exists(os.path.join(rdir, "audit.tmp-1.json"))
     assert rows(read_table(spark, table, tag="audit.tmp-1"))  # readable
-    # migration path: droppable despite the creation guard
+    # droppable like any other tag
     lh.drop_tag(table, "audit.tmp-1")
     assert lh.list_tags(table) == {}
     rep = lh.expire_versions(table, keep_last=1)
@@ -1486,8 +1487,8 @@ def test_orphan_data_sweep_spares_active_staging(spark, table, tmp_path):
     # top dir looks ancient; the leaf write is recent
     os.utime(staging, (0, 0))
     rep = lh.expire_versions(
-        table, keep_last=10, sweep_tmps_older_than=1800.0,
-        sweep_orphan_data=True,
+        table, keep_last=10, sweep_orphan_data=True,
+        sweep_orphan_data_older_than=1800.0,
     )
     assert rep["orphan_dirs_swept"] == 0
     assert os.path.exists(leaf)
@@ -1495,8 +1496,8 @@ def test_orphan_data_sweep_spares_active_staging(spark, table, tmp_path):
     os.utime(leaf, (0, 0))
     os.utime(os.path.join(staging, "p=a"), (0, 0))
     rep = lh.expire_versions(
-        table, keep_last=10, sweep_tmps_older_than=1800.0,
-        sweep_orphan_data=True,
+        table, keep_last=10, sweep_orphan_data=True,
+        sweep_orphan_data_older_than=1800.0,
     )
     assert rep["orphan_dirs_swept"] == 1
     assert not os.path.exists(staging)

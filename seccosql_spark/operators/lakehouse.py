@@ -1071,10 +1071,33 @@ def _write_zorder_clustered(
     return _write_clustered_files(clustered, table_dir, partition, version)
 
 
+def _partitions_matching(spark: SparkSession, m: dict, where: str) -> set[str]:
+    """Evaluate a partition predicate against the manifest's partition
+    VALUES: pure driver-side metadata — O(#partitions) rows through one
+    tiny local filter, zero data IO (Delta's ``OPTIMIZE ... WHERE``
+    partition-predicate contract). The predicate may reference ONLY the
+    partition source column; it is compared against the stored partition
+    value (for transform specs like ``month(ts)`` that is the DERIVED
+    value, e.g. '2024-01'), with Spark's implicit casts covering
+    int-valued partitions."""
+    col = _partition_source_col(m["partition_by"])
+    parts = sorted({f["partition"] for f in m["files"]})
+    pdf = spark.createDataFrame([(p,) for p in parts], f"`{col}` STRING")
+    try:
+        return {r[0] for r in pdf.where(where).collect()}
+    except Exception as exc:
+        raise ValueError(
+            f"partition predicate {where!r} failed to evaluate — it may "
+            f"reference only the partition column {col!r} (compared "
+            "against the stored partition value as a string)"
+        ) from exc
+
+
 def compact(
     spark: SparkSession, table_dir: str,
     sort_by: str | None = None, target_files: int = 1,
     zorder_by: list[str] | None = None,
+    where: str | None = None,
 ) -> dict:
     """OPTIMIZE / bin-pack commit: rewrite every partition holding more
     than one live file; single-file partitions are carried by reference.
@@ -1089,7 +1112,15 @@ def compact(
     min/max bounds that ``scan_table``'s data skipping needs.
     ``zorder_by`` clusters on the Morton z-value of SEVERAL columns instead
     (mutually exclusive with ``sort_by``), trading perfect 1-D bounds for
-    usable bounds on every listed dimension."""
+    usable bounds on every listed dimension.
+
+    ``where`` scopes the rewrite to the partitions whose VALUE satisfies
+    the predicate (Delta's ``OPTIMIZE ... WHERE`` twin) — at 100 TB nobody
+    compacts a whole table; the steady-state maintenance job targets the
+    partitions the last ingest window touched. Pruning is manifest-only
+    (``_partitions_matching``); non-matching partitions are carried by
+    reference with their small-file debt intact, reported as
+    ``partitions_pruned`` so the deferred debt stays visible."""
     if sort_by is not None and zorder_by is not None:
         raise ValueError("compact: sort_by and zorder_by are mutually exclusive")
     if (sort_by is not None or zorder_by is not None) and target_files < 2:
@@ -1102,13 +1133,23 @@ def compact(
     m = read_manifest(table_dir)
     pcol = m["partition_by"]
     version = m["version"] + 1
+    selected = _partitions_matching(spark, m, where) if where is not None else None
     by_partition: dict[str, list[dict]] = {}
     for f in m["files"]:
         by_partition.setdefault(f["partition"], []).append(f)
     files: list[dict] = []
-    compacted = carried = 0
+    compacted = carried = pruned = 0
     for p in sorted(by_partition):
         group = by_partition[p]
+        if selected is not None and p not in selected:
+            # predicate-pruned: every file carried by reference, zero IO;
+            # count the partitions whose multi-file debt was deliberately
+            # deferred so the audit can prove the scoping
+            files.extend(group)
+            carried += 1
+            if len(group) > 1:
+                pruned += 1
+            continue
         if len(group) == 1:
             files.append(group[0])
             carried += 1
@@ -1145,6 +1186,9 @@ def compact(
         "partitions_compacted": compacted,
         "partitions_carried": carried,
     }
+    if where is not None:
+        manifest["partitions_pruned"] = pruned
+        manifest["optimize_where"] = where
     _commit_or_cleanup(table_dir, version, manifest)
     return manifest
 

@@ -1135,7 +1135,7 @@ def lakehouse_tags(sess: SeccoSession):
     """Named refs (Iceberg tag twin): ``create_tag`` pins a snapshot
     version under a name; ``LAKE('<dir>', '<name>')`` resolves it in SQL
     (non-ISO strings only — a parseable instant wins the tie as a
-    timestamp, ADVICE r15); ``expire_versions``
+    timestamp, ADVICE r14, same decision rewrite_lake documents); ``expire_versions``
     retains tagged versions past keep-last. The fixture vacuumed with
     keep_last=1 after tagging v1 — this row reads the TAGGED snapshot
     (must equal the v1 oracle replay f1, proving retention kept it
@@ -1545,7 +1545,7 @@ def _sql_maintained_table(sess: SeccoSession) -> tuple[str, dict]:
                 {
                     "opt_compacted": opt["partitions_compacted"],
                     "opt_carried": opt["partitions_carried"],
-                    "vac_expired": vac["expired_versions"],
+                    "vac_expired": vac["versions_expired"],
                     "vac_files_deleted": vac["files_deleted"],
                     "vac_files_live": vac["files_live"],
                 },
@@ -1590,6 +1590,122 @@ def lakehouse_sql_maintenance(sess: SeccoSession):
     ]:
         out = out.withColumn(col, F.lit(val).cast("int"))
     return out.withColumn("history_kinds", F.lit(kinds))
+
+
+SQL_OPT_WHERE_ORACLE = f"""
+WITH ap AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_totalprice AS p,
+                   o_orderpriority
+            FROM orders WHERE {AM}),
+f AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders
+      UNION ALL SELECT * FROM ap),
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+tch AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders WHERE {AM}),
+hit AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+        WHERE {AM} AND o_orderpriority < '3')
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST((SELECT c FROM hit) AS INTEGER) AS opt_compacted,
+       CAST((SELECT c FROM nparts) - (SELECT c FROM hit) AS INTEGER)
+         AS opt_carried,
+       CAST((SELECT c FROM tch) - (SELECT c FROM hit) AS INTEGER)
+         AS opt_pruned
+FROM f
+"""
+
+
+def _sql_optimize_where_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create + v1 append (multi-file debt in every AM-touched
+    partition), then ``OPTIMIZE ... WHERE o_orderpriority < '3'`` through
+    the SQL statement surface. The build asserts the carried-by-reference
+    contract structurally — every pruned partition's file entries must be
+    byte-identical across the commit — and saves the statement's metrics
+    for the registry row to replay against the oracle's data-derived
+    predictions."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import (
+            deterministic_commit_clock, read_manifest,
+        )
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0: one file per partition
+            append_commit(
+                spark, table,
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice")
+                .where(AM)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(50_000_000)),
+            )  # v1: +1 file in each touched partition
+            before = {
+                f["path"] for f in read_manifest(table)["files"]
+                if not f["partition"] < "3"
+            }
+            opt = sess.sql(
+                f"OPTIMIZE LAKE('{table}') WHERE o_orderpriority < '3'"
+            ).df.collect()[0]
+            after = {
+                f["path"] for f in read_manifest(table)["files"]
+                if not f["partition"] < "3"
+            }
+            if after != before:
+                raise RuntimeError(
+                    "OPTIMIZE WHERE rewrote a pruned partition: "
+                    f"{sorted(after ^ before)}"
+                )
+        with open(os.path.join(d, "opt_stats.json"), "w") as f:
+            _json.dump(
+                {
+                    "opt_compacted": opt["partitions_compacted"],
+                    "opt_carried": opt["partitions_carried"],
+                    "opt_pruned": opt["partitions_pruned"],
+                },
+                f,
+            )
+
+    d = build_once(
+        "secco_lakehouse_sqloptwhere", (src,), _build, code=(_self, _ops, _pre)
+    )
+    with open(os.path.join(d, "opt_stats.json")) as f:
+        return os.path.join(d, "table"), _json.load(f)
+
+
+@register("lakehouse_sql_optimize_where", SQL_OPT_WHERE_ORACLE)
+def lakehouse_sql_optimize_where(sess: SeccoSession):
+    """Partition-scoped compaction (VERDICT r15 task 4): ``OPTIMIZE
+    LAKE(t) WHERE <partition-pred>`` must rewrite exactly the predicate-
+    matching partitions the append left multi-file, carry everything else
+    by reference (the fixture build raises if any pruned partition's file
+    entries changed), report the deferred small-file debt as
+    ``partitions_pruned``, and leave the snapshot content unchanged — all
+    counts predicted from the data by the oracle, not recorded."""
+    table, stats = _sql_optimize_where_table(sess)
+    out = (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    for col, val in [
+        ("opt_compacted", stats["opt_compacted"]),
+        ("opt_carried", stats["opt_carried"]),
+        ("opt_pruned", stats["opt_pruned"]),
+    ]:
+        out = out.withColumn(col, F.lit(val).cast("int"))
+    return out
 
 
 SQL_TAGS_DDL_ORACLE = f"""

@@ -535,7 +535,11 @@ def rewrite_lake_changes(
 # parse them, so they are dispatched BEFORE every other rewrite and return
 # the operation-metrics DataFrame directly (Delta's convention: each
 # maintenance command yields a small result relation).
-_L_DIR = r"LAKE\s*\(\s*'(?P<dir>[^']+)'\s*\)"
+# Both quote styles, mirroring what rewrite_lake's argument strip accepts
+# (ADVICE r15: a double-quoted dir used to fall through to Spark's parser
+# with an opaque error); the backreference keeps open/close quotes paired.
+# Paths containing a quote character remain unsupported in BOTH surfaces.
+_L_DIR = r"LAKE\s*\(\s*(?P<q>['\"])(?P<dir>[^'\"]+)(?P=q)\s*\)"
 _L_TAG = r"(?P<name>'[^']+'|[A-Za-z0-9._-]+)"
 _VACUUM_RE = re.compile(
     rf"^VACUUM\s+{_L_DIR}(?:\s+KEEP\s+(?P<keep>\d+))?$", re.I)
@@ -543,7 +547,8 @@ _OPTIMIZE_RE = re.compile(
     rf"^OPTIMIZE\s+{_L_DIR}"
     r"(?:\s+SORT\s+BY\s+(?P<sort>[A-Za-z_][A-Za-z0-9_]*)"
     r"|\s+ZORDER\s+BY\s+\((?P<zorder>[^)]+)\))?"
-    r"(?:\s+TARGET\s+(?P<files>\d+)\s+FILES)?$", re.I)
+    r"(?:\s+TARGET\s+(?P<files>\d+)\s+FILES)?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.I | re.S)
 _RESTORE_RE = re.compile(
     rf"^RESTORE\s+{_L_DIR}\s+TO\s+VERSION\s+(?P<v>\d+)$", re.I)
 _CREATE_TAG_RE = re.compile(
@@ -589,10 +594,14 @@ def try_maintenance_sql(
         rep = lh.expire_versions(
             m["dir"], keep_last=int(m["keep"]) if m["keep"] else 1
         )
+        # versions_* are COUNTS here; the Python expire_versions verb
+        # returns LISTS under kept_versions/expired_versions — distinct
+        # names so a caller porting between the surfaces cannot misread
+        # the metric (ADVICE r15)
         return spark.createDataFrame(
             [(len(rep["kept_versions"]), len(rep["expired_versions"]),
               rep["files_deleted"], rep["files_live"], rep["tmps_swept"])],
-            "kept_versions INT, expired_versions INT, files_deleted INT, "
+            "versions_kept INT, versions_expired INT, files_deleted INT, "
             "files_live INT, tmps_swept INT",
         )
     m = _OPTIMIZE_RE.match(s)
@@ -615,13 +624,16 @@ def try_maintenance_sql(
         target = int(m["files"]) if m["files"] else (2 if clustered else 1)
         rep = lh.compact(
             spark, m["dir"], sort_by=sort_by, zorder_by=zorder,
-            target_files=target,
+            target_files=target, where=m["where"],
         )
+        # partitions_pruned: multi-file partitions the WHERE predicate
+        # deliberately left uncompacted (0 without a WHERE clause)
         return spark.createDataFrame(
             [(rep["version"], rep["partitions_compacted"],
-              rep["partitions_carried"], len(rep["files"]))],
+              rep["partitions_carried"], rep.get("partitions_pruned", 0),
+              len(rep["files"]))],
             "version INT, partitions_compacted INT, partitions_carried INT, "
-            "files_live INT",
+            "partitions_pruned INT, files_live INT",
         )
     m = _RESTORE_RE.match(s)
     if m:
@@ -663,11 +675,18 @@ def try_maintenance_sql(
     if m:
         # merge-on-read equality delete: the matching keys are computed
         # from the HEAD snapshot and land as one small key file — no data
-        # file is read back or rewritten by the commit itself
+        # file is read back or rewritten by the commit itself. The WHERE
+        # predicate is evaluated through a rewritten dialect SELECT, not
+        # DataFrame.where, so all three DML verbs accept the same body
+        # language — subqueries, LAKE refs, QUALIFY all work here exactly
+        # as they do in MERGE USING / INSERT bodies (ADVICE r15).
         keys = [k.strip().strip("`") for k in m["keys"].split(",")]
+        pred = m["pred"].strip().rstrip(";")
         dels = (
-            lh.read_table(spark, m["dir"])
-            .where(m["pred"].strip().rstrip(";"))
+            execute_query_sql(
+                session,
+                f"SELECT * FROM LAKE('{m['dir']}') WHERE {pred}",
+            )
             .select(*keys).distinct()
             .persist()
         )
@@ -716,6 +735,34 @@ def try_maintenance_sql(
     m = _HISTORY_RE.match(s)
     if m:
         return lh.table_history(spark, m["dir"])
+    # Near-miss guard (ADVICE r15): a statement that unambiguously *starts*
+    # like a maintenance verb but fails the grammar (wrong quote style,
+    # dangling clause) used to fall through to Spark's parser, which has no
+    # such statement and raises an opaque ParseException. The listed
+    # prefixes have no Spark-SQL meaning — VACUUM/OPTIMIZE/RESTORE/tag DDL/
+    # DESCRIBE HISTORY don't exist there, and MERGE/DELETE/INSERT over a
+    # LAKE(...) target could only ever reach a read-only temp view — so a
+    # targeted dialect error is strictly better than the fall-through.
+    if re.match(
+        r"^(?:VACUUM|OPTIMIZE|RESTORE|DESCRIBE\s+HISTORY|"
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?TAG|DROP\s+TAG|SHOW\s+TAGS|"
+        r"(?:MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO)\s+LAKE\s*\()",
+        s, re.I,
+    ):
+        raise ValueError(
+            f"malformed lakehouse maintenance statement: {s[:120]!r} — "
+            "expected one of: VACUUM LAKE('<dir>') [KEEP n] | "
+            "OPTIMIZE LAKE('<dir>') [SORT BY col | ZORDER BY (cols)] "
+            "[TARGET n FILES] [WHERE <partition-pred>] | "
+            "RESTORE LAKE('<dir>') TO VERSION n | "
+            "CREATE [OR REPLACE] TAG name ON LAKE('<dir>') [AS OF VERSION n] | "
+            "DROP TAG name ON LAKE('<dir>') | SHOW TAGS ON LAKE('<dir>') | "
+            "DESCRIBE HISTORY LAKE('<dir>') | "
+            "MERGE INTO LAKE('<dir>') KEYS (k,..) USING <query> | "
+            "MERGE INTO LAKE('<dir>') USING <query> ON <eq-cond> WHEN ... | "
+            "DELETE FROM LAKE('<dir>') KEYS (k,..) WHERE <pred> | "
+            "INSERT INTO LAKE('<dir>') <query>"
+        )
     return None
 
 

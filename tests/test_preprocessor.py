@@ -332,7 +332,7 @@ def test_sql_optimize_vacuum_history(sess, tmp_path):
     assert (opt["version"], opt["partitions_compacted"],
             opt["partitions_carried"], opt["files_live"]) == (2, 2, 0, 2)
     vac = sess.sql(f"VACUUM LAKE('{d}') KEEP 1;").df.collect()[0]
-    assert (vac["kept_versions"], vac["expired_versions"],
+    assert (vac["versions_kept"], vac["versions_expired"],
             vac["files_deleted"], vac["files_live"]) == (1, 2, 4, 2)
     hist = sess.sql(f"DESCRIBE HISTORY LAKE('{d}')").df.collect()
     assert [(r["version"], r["kind"]) for r in hist] == [(2, "compact")]
@@ -352,6 +352,44 @@ def test_sql_optimize_clustered_and_guards(sess, tmp_path):
     assert opt["files_live"] == 4  # 2 partitions x target 2 range files
     with pytest.raises(ValueError, match="target_files"):
         sess.sql(f"OPTIMIZE LAKE('{d}') ZORDER BY (k, v) TARGET 1 FILES")
+
+
+def test_sql_optimize_where_partition_scoped(sess, tmp_path):
+    """VERDICT r15 task 4: OPTIMIZE ... WHERE <partition-pred> compacts
+    ONLY the matching partitions; the rest are carried by reference with
+    their multi-file debt intact (partitions_pruned), their file entries
+    byte-identical in the new manifest — provably zero IO on the
+    untouched side."""
+    from seccosql_spark.operators.lakehouse import read_manifest
+
+    d = _mk_table(sess, tmp_path)  # v1: partitions a,b with 2 files each
+    before = {
+        f["path"] for f in read_manifest(d)["files"] if f["partition"] == "b"
+    }
+    opt = sess.sql(f"OPTIMIZE LAKE('{d}') WHERE p = 'a'").df.collect()[0]
+    assert (opt["partitions_compacted"], opt["partitions_carried"],
+            opt["partitions_pruned"]) == (1, 1, 1)
+    after_m = read_manifest(d)
+    after_b = {f["path"] for f in after_m["files"] if f["partition"] == "b"}
+    assert after_b == before  # carried by reference, not rewritten
+    assert len([f for f in after_m["files"] if f["partition"] == "a"]) == 1
+    assert after_m["optimize_where"] == "p = 'a'"
+    # content unchanged by construction
+    got = sess.sql(f"SELECT sum(v) AS s FROM LAKE('{d}')").df.collect()[0]
+    assert got["s"] == 6.0
+    # a second, unscoped OPTIMIZE pays down the deferred debt
+    opt2 = sess.sql(f"OPTIMIZE LAKE('{d}')").df.collect()[0]
+    assert (opt2["partitions_compacted"], opt2["partitions_pruned"]) == (1, 0)
+    # predicate referencing a non-partition column fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="partition column"):
+        sess.sql(f"OPTIMIZE LAKE('{d}') WHERE v > 1.0")
+    # WHERE composes with clustered compaction
+    opt3 = sess.sql(
+        f"OPTIMIZE LAKE('{d}') SORT BY k TARGET 2 FILES WHERE p = 'b'"
+    ).df.collect()[0]
+    assert (opt3["partitions_compacted"], opt3["partitions_pruned"]) == (0, 0)
 
 
 def test_sql_restore_statement(sess, tmp_path):

@@ -1708,6 +1708,132 @@ def lakehouse_sql_optimize_where(sess: SeccoSession):
     return out
 
 
+# Clause-form MERGE fixture predicates: update %97 keys, delete %997 keys
+# (excluding updates), insert %301 keys shifted by 10M — all key-unique.
+MU = "o_orderkey % 97 = 0"
+MD = "o_orderkey % 997 = 0 AND o_orderkey % 97 <> 0"
+MI = "o_orderkey % 301 = 0"
+
+SQL_MERGE_CLAUSES_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders
+  WHERE NOT ({MU}) AND NOT ({MD})
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority
+  FROM orders WHERE {MU}
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+  FROM orders WHERE {MI}
+),
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+tch AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+        WHERE ({MU}) OR ({MD}) OR ({MI}))
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST((SELECT count(*) FROM orders WHERE {MU}) AS BIGINT)
+         AS rows_updated,
+       CAST((SELECT count(*) FROM orders WHERE {MD}) AS BIGINT)
+         AS rows_deleted,
+       CAST((SELECT count(*) FROM orders WHERE {MI}) AS BIGINT)
+         AS rows_inserted,
+       CAST((SELECT c FROM tch) AS INTEGER) AS parts_rewritten,
+       CAST((SELECT c FROM nparts) - (SELECT c FROM tch) AS INTEGER)
+         AS parts_carried
+FROM f
+"""
+
+
+def _sql_merge_clauses_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create, then ONE Delta-style clause MERGE through the SQL
+    statement surface: the source unions an update slice (price+1000), a
+    delete slice (sentinel price -1 routes it into the DELETE clause), and
+    an insert slice (keys shifted +10M, NOT MATCHED by construction).
+    Saves the statement's per-action metrics for the registry row."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import deterministic_commit_clock
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0
+            rep = sess.sql(
+                f"""MERGE INTO LAKE('{table}') USING (
+                      SELECT o_orderkey, o_orderpriority,
+                             o_totalprice + 1000.0 AS o_totalprice
+                      FROM orders WHERE {MU}
+                      UNION ALL
+                      SELECT o_orderkey, o_orderpriority,
+                             CAST(-1.0 AS DOUBLE) AS o_totalprice
+                      FROM orders WHERE {MD}
+                      UNION ALL
+                      SELECT o_orderkey + 10000000, o_orderpriority,
+                             o_totalprice
+                      FROM orders WHERE {MI}
+                    ) AS s ON t.o_orderkey = s.o_orderkey
+                    WHEN MATCHED AND s.o_totalprice < 0.0 THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *"""
+            ).df.collect()[0]
+        with open(os.path.join(d, "merge_stats.json"), "w") as f:
+            _json.dump(
+                {
+                    "rows_updated": rep["rows_updated"],
+                    "rows_deleted": rep["rows_deleted"],
+                    "rows_inserted": rep["rows_inserted"],
+                    "parts_rewritten": rep["partitions_rewritten"],
+                    "parts_carried": rep["partitions_carried"],
+                },
+                f,
+            )
+
+    d = build_once(
+        "secco_lakehouse_sqlmergecl", (src,), _build, code=(_self, _ops, _pre)
+    )
+    with open(os.path.join(d, "merge_stats.json")) as f:
+        return os.path.join(d, "table"), _json.load(f)
+
+
+@register("lakehouse_sql_merge_clauses", SQL_MERGE_CLAUSES_ORACLE)
+def lakehouse_sql_merge_clauses(sess: SeccoSession):
+    """Delta-style MERGE clause form (VERDICT r15 task 5): one statement
+    carrying a conditional DELETE clause, a catch-all UPDATE SET *, and a
+    NOT MATCHED INSERT * — clause routing, per-action metrics, and the
+    copy-on-write audit all predicted from the data by the oracle's
+    logical replay. Lowered onto the SAME merge_cow verb as the KEYS form
+    (sql/preprocessor.py _try_merge_clauses — never a second
+    implementation)."""
+    table, stats = _sql_merge_clauses_table(sess)
+    out = (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    for col, val, typ in [
+        ("rows_updated", stats["rows_updated"], "bigint"),
+        ("rows_deleted", stats["rows_deleted"], "bigint"),
+        ("rows_inserted", stats["rows_inserted"], "bigint"),
+        ("parts_rewritten", stats["parts_rewritten"], "int"),
+        ("parts_carried", stats["parts_carried"], "int"),
+    ]:
+        out = out.withColumn(col, F.lit(val).cast(typ))
+    return out
+
+
 SQL_TAGS_DDL_ORACLE = f"""
 WITH {_REPLAY},
 m AS (SELECT 'merged' AS name, 2 AS version,

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from seccosql_spark.operators.recursion import DEFAULT_MAX_ROUNDS, bounded_fixpoint
 
@@ -566,6 +567,198 @@ _DELETE_RE = re.compile(
 _INSERT_RE = re.compile(
     rf"^INSERT\s+INTO\s+{_L_DIR}\s+(?P<body>.+)$", re.I | re.S)
 
+# Delta/Iceberg user-facing MERGE clause form (VERDICT r15 task 5). The
+# CDC-shaped KEYS form above stays the machine surface (__deleted column
+# contract); this is its human twin, lowered onto the SAME merge_cow verb:
+#   MERGE INTO LAKE('<dir>') USING (<query>) [AS s] ON t.k = s.k [AND ..]
+#   WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE
+#   WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+_MERGE_HEAD_RE = re.compile(rf"^MERGE\s+INTO\s+{_L_DIR}\s+USING\s+", re.I | re.S)
+_MERGE_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+    re.I | re.S)
+_MERGE_ALIAS_ON_RE = re.compile(
+    r"\s*(?:AS\s+(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s+)?ON\s+", re.I)
+
+
+def _keys_from_on(on: str) -> list[str]:
+    """The ON condition must be a conjunction of same-named key equalities
+    (``t.k = s.k AND ...``) — that is what makes the clause form lowerable
+    onto merge_cow's key contract with zero new semantics. Qualifiers are
+    stripped; a non-equality or differently-named pair is a loud error, not
+    a silent theta-merge."""
+    keys: list[str] = []
+    for part in re.split(r"\s+AND\s+", on.strip(), flags=re.I):
+        mm = re.fullmatch(
+            r"\s*`?([A-Za-z_][\w]*)`?(?:\s*\.\s*`?([A-Za-z_][\w]*)`?)?"
+            r"\s*=\s*"
+            r"`?([A-Za-z_][\w]*)`?(?:\s*\.\s*`?([A-Za-z_][\w]*)`?)?\s*",
+            part,
+        )
+        if not mm:
+            raise ValueError(
+                f"MERGE ON: {part.strip()!r} is not a key equality — the "
+                "clause form supports only `t.k = s.k [AND ...]` "
+                "conjunctions (use the KEYS (...) USING form for anything "
+                "else)"
+            )
+        lcol = mm.group(2) or mm.group(1)
+        rcol = mm.group(4) or mm.group(3)
+        if lcol.lower() != rcol.lower():
+            raise ValueError(
+                f"MERGE ON: {part.strip()!r} equates differently-named "
+                "columns — the key must carry the same name on both sides"
+            )
+        keys.append(lcol)
+    return keys
+
+
+def _parse_merge_clauses(
+    s: str,
+) -> tuple[str, str, str | None, list[str],
+           list[tuple[bool, str | None, str]]] | None:
+    """Pure parse of the WHEN-clause MERGE (no session, no IO — the
+    property-fuzz surface). Returns ``(table_dir, using_body, source_alias,
+    keys, clauses)`` where each clause is ``(is_matched, condition | None,
+    action)`` with action one of 'UPDATE SET *' / 'DELETE' / 'INSERT *';
+    None when ``s`` is not a clause-form MERGE at all; loud ValueError on
+    a malformed one."""
+    m = _MERGE_HEAD_RE.match(s)
+    if m is None:
+        return None
+    table_dir = m["dir"]
+    rest = s[m.end():].lstrip()
+    if rest.startswith("("):
+        close = _matching_paren(rest, 0)
+        body, rest = rest[1:close], rest[close + 1:]
+    else:
+        mt = re.match(r"[A-Za-z_][A-Za-z0-9_.]*", rest)
+        if not mt:
+            raise ValueError(
+                "MERGE USING: expected a parenthesized query or a table name"
+            )
+        body, rest = mt.group(0), rest[mt.end():]
+    ma = _MERGE_ALIAS_ON_RE.match(rest)
+    if ma is None:
+        raise ValueError(
+            "MERGE: expected [AS alias] ON <key equalities> after the "
+            "USING source"
+        )
+    salias = ma["alias"]
+    rest = rest[ma.end():]
+    first = _MERGE_WHEN_RE.search(rest)
+    if first is None:
+        raise ValueError(
+            "MERGE: at least one WHEN [NOT] MATCHED ... THEN clause required"
+        )
+    keys = _keys_from_on(rest[: first.start()])
+    clauses: list[tuple[bool, str | None, str]] = []
+    pos = first.start()
+    for mw in _MERGE_WHEN_RE.finditer(rest):
+        if rest[pos: mw.start()].strip():
+            raise ValueError(
+                f"MERGE: unparsed text between clauses: "
+                f"{rest[pos: mw.start()].strip()[:80]!r}"
+            )
+        pos = mw.end()
+        act = re.sub(r"\s+", " ", mw["act"].upper())
+        matched = mw["neg"] is None
+        if matched and act == "INSERT *":
+            raise ValueError("MERGE: INSERT is only valid WHEN NOT MATCHED")
+        if not matched and act != "INSERT *":
+            raise ValueError(
+                f"MERGE: {act} is only valid WHEN MATCHED (NOT MATCHED "
+                "supports INSERT *)"
+            )
+        clauses.append((matched, mw["cond"], act))
+    if rest[pos:].strip():
+        raise ValueError(
+            f"MERGE: unparsed trailing text after the last clause: "
+            f"{rest[pos:].strip()[:80]!r}"
+        )
+    return table_dir, body, salias, keys, clauses
+
+
+def _try_merge_clauses(session: "SeccoSession", s: str) -> DataFrame | None:
+    """Lower the WHEN-clause MERGE (Delta's user-facing form). Routing:
+    the source rows are split matched/not-matched against the target's
+    key set once (semi/anti join — AQE broadcasts the O(distinct keys)
+    build side for realistic batches), then each row takes the FIRST
+    clause of its branch whose condition passes (Delta's clause-order
+    semantics; NULL conditions are false); rows passing no clause drop
+    out of the batch, which under merge_cow's anti-join contract leaves
+    their target rows untouched. Conditions may reference SOURCE columns
+    only (the batch is the only relation in scope — target-side
+    conditions would force a full data read that the KEYS form
+    deliberately avoids). The lowered batch feeds the SAME merge_cow verb
+    as the KEYS form — never a second implementation of the
+    copy-on-write."""
+    parsed = _parse_merge_clauses(s)
+    if parsed is None:
+        return None
+    table_dir, body, salias, keys, clauses = parsed
+    from seccosql_spark.operators import lakehouse as lh
+
+    spark = session.spark
+    src = execute_query_sql(session, body)
+    if salias:
+        src = src.alias(salias)
+    src = src.persist()
+    tag = "__mrg_action"
+    try:
+        tgt_keys = lh.read_table(spark, table_dir).select(*keys).distinct()
+        branches = {
+            True: src.join(tgt_keys, keys, "semi"),
+            False: src.join(tgt_keys, keys, "anti"),
+        }
+        parts: list[DataFrame] = []
+        for matched, cond, act in clauses:
+            pool = branches[matched]
+            if cond is not None:
+                hit = pool.where(F.expr(cond))
+                # NULL = false on BOTH sides: a row whose condition is NULL
+                # neither takes this clause nor vanishes from later ones
+                branches[matched] = pool.where(
+                    ~F.coalesce(F.expr(cond), F.lit(False))
+                )
+            else:
+                hit = pool
+                branches[matched] = pool.limit(0)
+            is_delete = act == "DELETE"
+            parts.append(
+                hit.withColumn(lh.DELETE_COL, F.lit(is_delete)).withColumn(
+                    tag,
+                    F.lit(
+                        "deleted" if is_delete
+                        else ("updated" if matched else "inserted")
+                    ),
+                )
+            )
+        updates = parts[0]
+        for p in parts[1:]:
+            updates = updates.unionByName(p)
+        updates = updates.persist()
+        counts = {
+            r[0]: r[1]
+            for r in updates.groupBy(tag).agg(F.count(F.lit(1))).collect()
+        }
+        rep = lh.merge_cow(spark, table_dir, updates.drop(tag), keys)
+    finally:
+        src.unpersist()
+        try:
+            updates.unpersist()
+        except NameError:
+            pass
+    return spark.createDataFrame(
+        [(rep["version"], rep["partitions_rewritten"],
+          rep["partitions_carried"], counts.get("updated", 0),
+          counts.get("deleted", 0), counts.get("inserted", 0))],
+        "version INT, partitions_rewritten INT, partitions_carried INT, "
+        "rows_updated BIGINT, rows_deleted BIGINT, rows_inserted BIGINT",
+    )
+
 
 def try_maintenance_sql(
     session: "SeccoSession", text: str
@@ -658,6 +851,9 @@ def try_maintenance_sql(
               rep["partitions_carried"])],
             "version INT, partitions_rewritten INT, partitions_carried INT",
         )
+    out = _try_merge_clauses(session, s)
+    if out is not None:
+        return out
     m = _INSERT_RE.match(s)
     if m:
         # blind append (the cheap pure-insert path: no read, no anti-join,

@@ -291,6 +291,108 @@ def test_vacuum_grammar_whitespace_and_case(verb, keep, pad, with_keep):
 @settings(max_examples=8, deadline=None)
 def test_malformed_maintenance_never_dispatches(stmt):
     """Near-miss statements fall through to spark.sql (which rejects them
-    loudly) instead of half-parsing into a mutation."""
+    loudly) instead of half-parsing into a mutation. (Since r15's targeted
+    near-miss guard, maintenance-keyword prefixes now raise a dialect
+    error at runtime instead — this property pins only that no REGEX
+    half-matches them into the wrong verb.)"""
     for rx in _MAINT_RES:
         assert rx.match(stmt) is None, (rx.pattern[:40], stmt)
+
+
+# ------------------------------------------------ MERGE clause-form grammar
+
+from seccosql_spark.sql.preprocessor import _parse_merge_clauses  # noqa: E402
+
+_acts_matched = st.sampled_from(["UPDATE SET *", "DELETE"])
+_conds = st.sampled_from([None, "s.v > 0", "flag = 'D'", "a = 1 AND b = 2"])
+_keys_st = st.lists(
+    st.sampled_from(["k", "id", "doc_id"]), min_size=1, max_size=3, unique=True
+)
+
+
+@st.composite
+def _merge_clause_stmt(draw):
+    """Generate a structurally valid clause-form MERGE and its expected
+    parse: random key conjunction (qualified or bare, either side), random
+    clause mix (matched clauses in any order, optional NOT MATCHED INSERT),
+    random whitespace/case, parenthesized or bare-table source."""
+    keys = draw(_keys_st)
+    on = " AND ".join(
+        draw(st.sampled_from([f"t.{k} = s.{k}", f"{k} = {k}", f"s.{k} = t.{k}"]))
+        for k in keys
+    )
+    clauses = []
+    for _ in range(draw(st.integers(1, 2))):
+        cond = draw(_conds)
+        act = draw(_acts_matched)
+        clauses.append((True, cond, act))
+    if draw(st.booleans()):
+        clauses.append((False, draw(_conds), "INSERT *"))
+    paren = draw(st.booleans())
+    body = "(SELECT 1 AS k)" if paren else "updates_view"
+    alias = draw(st.sampled_from(["", " AS s"]))
+    kw = draw(st.sampled_from(["MERGE INTO", "merge into", "Merge Into"]))
+    parts = [f"{kw} LAKE('/tmp/t') USING {body}{alias} ON {on}"]
+    for matched, cond, act in clauses:
+        w = "WHEN MATCHED" if matched else "WHEN NOT MATCHED"
+        if cond is not None:
+            w += f" AND {cond}"
+        parts.append(f"{w} THEN {act}")
+    sep = draw(st.sampled_from([" ", "\n", "\n  "]))
+    expected = (
+        "/tmp/t",
+        "SELECT 1 AS k" if paren else "updates_view",
+        "s" if alias else None,
+        keys,
+        clauses,
+    )
+    return sep.join(parts), expected
+
+
+@given(_merge_clause_stmt())
+@settings(max_examples=60, deadline=None)
+def test_merge_clause_grammar_roundtrip(case):
+    """VERDICT r15 task 5: the clause grammar parses every structurally
+    valid statement back to exactly the structure that generated it —
+    keys from the ON conjunction with qualifiers stripped, clause order
+    preserved, conditions captured verbatim, actions normalized."""
+    stmt, expected = case
+    got = _parse_merge_clauses(stmt)
+    assert got == expected, (stmt, got, expected)
+
+
+@given(st.sampled_from([
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k", "WHEN"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) WHEN MATCHED THEN DELETE", "ON"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = j "
+     "WHEN MATCHED THEN DELETE", "differently-named"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k < k "
+     "WHEN MATCHED THEN DELETE", "key equality"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN MATCHED THEN INSERT *", "NOT MATCHED"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN NOT MATCHED THEN DELETE", "only valid WHEN MATCHED"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k garbage "
+     "WHEN MATCHED THEN DELETE", "key equality"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN MATCHED THEN DELETE trailing junk", "trailing"),
+]))
+@settings(max_examples=8, deadline=None)
+def test_merge_clause_grammar_rejects_malformed(case):
+    """Every malformed clause statement raises a TARGETED dialect error
+    (never None, which would fall through toward a Spark temp-view write
+    attempt; never a half-parse into a mutation)."""
+    import pytest
+
+    stmt, needle = case
+    with pytest.raises(ValueError, match=needle):
+        _parse_merge_clauses(stmt)
+
+
+@given(sql_fragment)
+@settings(max_examples=60, deadline=None)
+def test_ordinary_sql_never_parses_as_merge_clauses(text):
+    """Dispatch safety for the procedural clause parser, mirroring the
+    regex property above: ordinary statements must return None (not a
+    parse, not an error)."""
+    assert _parse_merge_clauses(text.strip().rstrip(";").strip()) is None

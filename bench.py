@@ -103,6 +103,75 @@ def _wait_for_quiet_host() -> float:
     return waited
 
 
+# Headline totals drift gate (VERDICT r15 task 7): per-query BENCH_RAW
+# forensics exist, but nothing compared the headline TOTAL round-over-round
+# — the exact blind spot that let r15's TPC-H artifact inherit a uniform
+# ~1.3x ambient inflation silently. Computed over the COMMON query set so
+# a headliner added/retired between rounds can't fake or mask a move.
+TOTAL_DRIFT_FACTOR = 1.25
+
+
+def compute_total_drift(
+    prev_queries: dict[str, float] | None,
+    new_queries: dict[str, float],
+    prev_source: str | None = None,
+    triage: str | None = None,
+) -> dict | None:
+    """Pure round-over-round headline-totals compare (unit-tested without
+    a Spark run, mirroring scripts/bench_tpch.py compute_drift_flags).
+    Returns None when there is no comparable previous round; otherwise a
+    dict with the common-set totals, the ratio, and ``flagged`` set when
+    the ratio leaves [1/TOTAL_DRIFT_FACTOR, TOTAL_DRIFT_FACTOR] either way
+    (uniform collapse after an inflated round also resets the baseline and
+    deserves its note). A flagged result carries ``triage`` (may be None —
+    the pytest gate fails the suite until one is committed)."""
+    common = sorted(set(prev_queries or {}) & set(new_queries))
+    if not common:
+        return None
+    pt = sum(prev_queries[n] for n in common)
+    nt = sum(new_queries[n] for n in common)
+    if pt <= 0:
+        return None
+    ratio = nt / pt
+    out = {
+        "prev_total": round(pt, 3),
+        "now_total": round(nt, 3),
+        "ratio": round(ratio, 3),
+        "common_queries": len(common),
+        "prev_source": prev_source,
+        "flagged": ratio > TOTAL_DRIFT_FACTOR or ratio < 1 / TOTAL_DRIFT_FACTOR,
+    }
+    if out["flagged"]:
+        out["triage"] = triage
+    return out
+
+
+def _latest_bench_round(repo: str) -> tuple[str, dict] | None:
+    """Newest committed BENCH_r{N}.json (the driver's per-round artifact)
+    with a parseable queries map."""
+    import glob
+    import re as _re
+
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    queries = (doc.get("parsed") or doc).get("queries") if isinstance(doc, dict) else None
+    if not isinstance(queries, dict) or not queries:
+        return None
+    return os.path.basename(best[1]), queries
+
+
 def _read_first(*paths: str) -> str | None:
     for p in paths:
         try:
@@ -325,6 +394,27 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
+    # headline totals drift gate (VERDICT r15 task 7): compare this run's
+    # per-query medians against the newest committed BENCH_r{N}.json over
+    # the common query set; a >1.25x move either way is flagged and must
+    # carry a triage note in BENCH_TRIAGE.json (key "total_vs_prev") —
+    # test_bench_total_drift_is_triaged fails the suite otherwise
+    repo = os.path.dirname(os.path.abspath(__file__))
+    triage_note = None
+    tpath = os.path.join(repo, "BENCH_TRIAGE.json")
+    if os.path.exists(tpath):
+        try:
+            with open(tpath) as f:
+                triage_note = json.load(f).get("total_vs_prev")
+        except (OSError, json.JSONDecodeError):
+            triage_note = None
+    prev = _latest_bench_round(repo)
+    tvp = compute_total_drift(
+        prev[1] if prev else None, timings,
+        prev_source=prev[0] if prev else None, triage=triage_note,
+    )
+    if tvp is not None:
+        result["total_vs_prev"] = tvp
     # scaling-slope table (VERDICT r10 task 6): produced offline by
     # scripts/gen_sf1.py + scripts/bench_slope.py; folded in so the
     # driver's BENCH_r{N}.json carries the per-query sf1/sf0.1 ratios

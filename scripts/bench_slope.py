@@ -113,6 +113,23 @@ TRIAGE = {
         "window explode is embarrassingly parallel and shuffle volume "
         "scales with token count, not documents squared."
     ),
+    # VERDICT r15 task 3: the last >2.5x row without a self-defense; the
+    # gate below now REQUIRES a triage above TRIAGE_REQUIRED_BAR so the
+    # next naked row cannot ship.
+    "curation_end_to_end": (
+        "4.9x on 10x data is SUB-linear (bar 10x): the composed pipeline "
+        "is semi-joins on doc_id (broadcast at realistic dedup-survivor "
+        "rates), a map-only quality/chunking stage, and ONE range shuffle "
+        "in the packing step whose driver-side offset collect is "
+        "O(#partitions), never O(rows). The ratio sits above the "
+        "sub-second siblings only because the multi-stage work amortizes "
+        "the fixed session overhead sooner (same class as "
+        "dedup_substring_windows below). No stage grows super-linearly: "
+        "near-dup candidates are banded LSH (dedup_minhash_lsh 1.17x in "
+        "this same table), decontamination is a bloom-filter semi-join, "
+        "and packing is a distributed prefix-sum — at 100 TB every stage "
+        "scales with corpus tokens, not documents squared."
+    ),
     "knn_cosine_bruteforce": (
         "~5x on 10x data is SUB-linear (bar 10x): the kernel is the "
         "documented O(N x probes) brute-force small-probe path (20 "
@@ -131,6 +148,12 @@ TRIAGE = {
 SLOPE_START = "<!-- sf1-slope:start -->"
 SLOPE_END = "<!-- sf1-slope:end -->"
 TRIAGE_BAR = 15.0  # ratio above this flags a super-linear stage
+# VERDICT r15 task 3: any ratio above this must carry a triage note IN
+# SLOPE.json (test_coverage_slope_section_is_current enforces it) — the
+# old gate only bit above TRIAGE_BAR, so sub-linear-but-elevated rows
+# (curation_end_to_end 4.9x) could ship naked while the table's own
+# discipline says self-defend everything that stands out.
+TRIAGE_REQUIRED_BAR = 2.5
 
 
 def slope_markdown(data: dict | None = None) -> str:
@@ -146,8 +169,9 @@ def slope_markdown(data: dict | None = None) -> str:
         SLOPE_START,
         f"Measured ratios ({len(q)} rows; regenerate: `python "
         "scripts/bench_slope.py` then `--write-coverage`); 10x data, so "
-        f"~10x is linear; > {TRIAGE_BAR:g}x flags a super-linear stage and "
-        "must carry a triage note:",
+        f"~10x is linear; > {TRIAGE_BAR:g}x flags a super-linear stage; "
+        f"every ratio > {TRIAGE_REQUIRED_BAR:g}x must carry a triage note "
+        "(the suite fails on a naked one):",
         "",
         "| query | sf0.1 | sf1 | ratio | flag |",
         "|---|---|---|---|---|",
@@ -155,8 +179,12 @@ def slope_markdown(data: dict | None = None) -> str:
     triaged = []
     for name, v in q.items():
         flag = ""
-        if v["ratio"] is not None and v["ratio"] > TRIAGE_BAR:
-            flag = "TRIAGED below" if "triage" in v else "**UNTRIAGED**"
+        if v["ratio"] is not None and v["ratio"] > TRIAGE_REQUIRED_BAR:
+            sup = v["ratio"] > TRIAGE_BAR
+            flag = (
+                ("TRIAGED below" if sup else "triaged below")
+                if "triage" in v else "**UNTRIAGED**"
+            )
         if "triage" in v:
             triaged.append((name, v["triage"]))
             flag = flag or "triaged below"

@@ -41,6 +41,11 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SECCO_SF1_DIR", "/tmp/secco_testdata_sf1")
 WARMUPS = 2
 DRIFT_FACTOR = 2.0
+# Totals-level gate (VERDICT r15 task 2): the per-query 2x gate is blind to
+# UNIFORM creep — r15 committed a ~1.3x ambient inflation on all 22 rows
+# without a single flag. A >1.25x move of the sf0.1 TOTAL (either way)
+# flags as '__total__' and needs a triage note like any other flag.
+TOTAL_DRIFT_FACTOR = 1.25
 
 
 def tpch_names() -> list[str]:
@@ -63,14 +68,30 @@ def compute_drift_flags(
     """Round-over-round drift detection, extracted pure so the gate's
     compare logic is unit-testable without a Spark run: returns
     (drift_flags, carried_triage). A row flags when its new sf0.1 median
-    falls outside [prev/DRIFT_FACTOR, prev*DRIFT_FACTOR]; triage entries
-    survive only while their row is still flagged (stale notes drop)."""
+    falls outside [prev/DRIFT_FACTOR, prev*DRIFT_FACTOR]; the common-set
+    TOTAL flags as '__total__' outside the tighter TOTAL_DRIFT_FACTOR
+    (uniform ambient creep the per-query gate cannot see — VERDICT r15
+    task 2); triage entries survive only while their row is still flagged
+    (stale notes drop)."""
     drift_flags: dict[str, dict] = {}
     prev_medians = (prev or {}).get("medians", {}).get("sf0.1", {})
     for name, t in sf01_medians.items():
         p = prev_medians.get(name)
         if p and p > 0 and (t / p > DRIFT_FACTOR or t / p < 1 / DRIFT_FACTOR):
             drift_flags[name] = {"prev": p, "now": t, "ratio": round(t / p, 2)}
+    # totals gate: compare over the COMMON query set so a newly added or
+    # retired row can never fake (or mask) a totals move
+    common = sorted(set(prev_medians) & set(sf01_medians))
+    if common:
+        pt = sum(prev_medians[n] for n in common)
+        nt = sum(sf01_medians[n] for n in common)
+        if pt > 0 and (
+            nt / pt > TOTAL_DRIFT_FACTOR or nt / pt < 1 / TOTAL_DRIFT_FACTOR
+        ):
+            drift_flags["__total__"] = {
+                "prev": round(pt, 3), "now": round(nt, 3),
+                "ratio": round(nt / pt, 2), "common_queries": len(common),
+            }
     triage = {
         k: v for k, v in (prev or {}).get("triage", {}).items()
         if k in drift_flags

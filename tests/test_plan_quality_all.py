@@ -275,18 +275,21 @@ def test_coverage_slope_section_is_current():
         "COVERAGE.md sf1-slope section diverges from SLOPE.json — run "
         "`python scripts/bench_slope.py --write-coverage`"
     )
-    # every super-linear ratio must carry its triage IN SLOPE.json
+    # every elevated ratio must carry its triage IN SLOPE.json (VERDICT
+    # r15 task 3: the bar is TRIAGE_REQUIRED_BAR, not just the
+    # super-linear TRIAGE_BAR — a 4.9x row shipping naked was the gap)
     import json
 
     data = json.load(open(os.path.join(root, "SLOPE.json")))
     untriaged = [
         n for n, v in data["queries"].items()
-        if v["ratio"] is not None and v["ratio"] > bs.TRIAGE_BAR
+        if v["ratio"] is not None and v["ratio"] > bs.TRIAGE_REQUIRED_BAR
         and "triage" not in v
     ]
     assert not untriaged, (
-        f"super-linear sf1 slopes without a triage note: {untriaged} — "
-        "add TRIAGE entries in scripts/bench_slope.py and re-run it"
+        f"elevated sf1 slopes (> {bs.TRIAGE_REQUIRED_BAR}x) without a "
+        f"triage note: {untriaged} — add TRIAGE entries in "
+        "scripts/bench_slope.py and re-run it"
     )
 
 
@@ -373,6 +376,72 @@ def test_tpch_bench_drift_flags_are_triaged():
     )
 
 
+def test_bench_total_drift_computation():
+    """Pure-python check of bench.py's headline totals gate (VERDICT r15
+    task 7): common-set compare, symmetric 1.25x flag, None when no
+    comparable previous round, triage riding only on flagged results."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # no previous round / disjoint baskets: no verdict at all
+    assert mod.compute_total_drift(None, {"q1": 1.0}) is None
+    assert mod.compute_total_drift({"qX": 1.0}, {"q1": 1.0}) is None
+
+    prev = {"q1": 1.0, "q2": 2.0, "q3": 3.0}
+    # within the band: recorded but not flagged, no triage key
+    out = mod.compute_total_drift(prev, {"q1": 1.1, "q2": 2.2, "q3": 3.0},
+                                  prev_source="BENCH_r09.json")
+    assert out["flagged"] is False and "triage" not in out
+    assert out["prev_total"] == 6.0 and out["now_total"] == 6.3
+    assert out["prev_source"] == "BENCH_r09.json"
+    # uniform 1.3x creep: flagged, triage=None until one is committed
+    out = mod.compute_total_drift(prev, {n: t * 1.3 for n, t in prev.items()})
+    assert out["flagged"] is True and out["triage"] is None
+    assert out["ratio"] == 1.3 and out["common_queries"] == 3
+    # a query added this round is EXCLUDED from the compare
+    out = mod.compute_total_drift(prev, {"q1": 1.0, "q2": 2.0, "q3": 3.0,
+                                         "q_new": 99.0})
+    assert out["flagged"] is False and out["common_queries"] == 3
+    # symmetric: a uniform collapse also flags (new baseline needs a note)
+    out = mod.compute_total_drift(prev, {n: t / 1.4 for n, t in prev.items()},
+                                  triage="quiet-host re-measure")
+    assert out["flagged"] is True and out["triage"] == "quiet-host re-measure"
+
+
+def test_bench_total_drift_is_triaged():
+    """The committed BENCH_RAW.json snapshot must never carry a FLAGGED
+    headline-totals drift without a triage note (BENCH_TRIAGE.json key
+    'total_vs_prev') — same discipline as the TPC-H gate below."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    path = os.path.join(root, "BENCH_RAW.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no BENCH_RAW.json committed yet")
+    with open(path) as f:
+        doc = json.load(f)
+    tvp = (doc.get("result") or {}).get("total_vs_prev")
+    if not tvp:
+        import pytest
+
+        pytest.skip("BENCH_RAW.json predates the totals gate")
+    assert not (tvp.get("flagged") and not tvp.get("triage")), (
+        f"headline total moved {tvp['ratio']}x vs {tvp.get('prev_source')} "
+        "without a triage note — re-measure on a quiet host or commit "
+        "BENCH_TRIAGE.json with a 'total_vs_prev' explanation"
+    )
+
+
 def test_tpch_drift_computation():
     """Pure-python check of scripts/bench_tpch.py's round-over-round
     compare: flags exactly the rows outside 2x (both directions), first
@@ -399,10 +468,29 @@ def test_tpch_drift_computation():
     flags, triage = mod.compute_drift_flags(prev, now)
     # q1 within 2x: clean; q2 2.25x up: flagged; q3 2.5x DOWN: flagged
     # (a sudden speedup is also a plan change worth explaining); q4 flat;
-    # q5 new row with no previous: never flags
-    assert sorted(flags) == ["q2", "q3"]
+    # q5 new row with no previous: never flags. The common-set total
+    # (1.4 -> 1.82 = 1.3x) exceeds TOTAL_DRIFT_FACTOR and flags too —
+    # q5 is excluded from the total so a new row can't fake creep.
+    assert sorted(flags) == ["__total__", "q2", "q3"]
     assert flags["q2"]["ratio"] == 2.25 and flags["q2"]["prev"] == 0.4
+    assert flags["__total__"] == {
+        "prev": 1.4, "now": 1.82, "ratio": 1.3, "common_queries": 4,
+    }
     # triage carried only for still-flagged rows
     assert triage == {"q2": "known host burst", "q3": "stale note"}
     flags2, triage2 = mod.compute_drift_flags(prev, {"q2": 0.41})
     assert flags2 == {} and triage2 == {}
+    # VERDICT r15 task 2: UNIFORM creep — every row inflated 1.35x, no
+    # per-query flag possible, but the totals gate catches it; and a
+    # uniform collapse (quiet-host re-measure after an inflated round)
+    # flags symmetrically so the new baseline is also explained
+    uniform = {n: round(t * 1.35, 3) for n, t in prev["medians"]["sf0.1"].items()}
+    flags3, _ = mod.compute_drift_flags(prev, uniform)
+    assert list(flags3) == ["__total__"] and flags3["__total__"]["ratio"] == 1.35
+    shrunk = {n: round(t / 1.4, 4) for n, t in prev["medians"]["sf0.1"].items()}
+    flags4, _ = mod.compute_drift_flags(prev, shrunk)
+    assert list(flags4) == ["__total__"]
+    # totals triage carried while flagged
+    prev_t = dict(prev, triage={"__total__": "ambient load note"})
+    _, triage5 = mod.compute_drift_flags(prev_t, uniform)
+    assert triage5 == {"__total__": "ambient load note"}

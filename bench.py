@@ -233,31 +233,45 @@ def _once(name: str, spark: SparkSession) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def timed_median_call(
+    once, warmups: int = 2, spark: SparkSession | None = None
+) -> tuple[float, int, bool]:
+    """The ONE measurement loop behind timed_median, generalized to any
+    ``once() -> rows`` callable so write-path measurements (each rep
+    commits a DIFFERENT slice — scripts/bench_slope.py's DELETE/INSERT
+    rows) share the identical discipline instead of pasting it: `warmups`
+    warmup calls, TIMED_RUNS timed calls extended by TIMED_RUNS_EXTRA when
+    the spread exceeds VARIANCE_SPREAD_FACTOR, cache cleared after when a
+    session is given. Returns (median_sec, rows, extended)."""
+    n = 0
+    timed: list[float] = []
+    for _ in range(warmups):
+        n = once()
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        n = once()
+        timed.append(time.perf_counter() - t0)
+    extended = max(timed) > VARIANCE_SPREAD_FACTOR * min(timed)
+    if extended:
+        for _ in range(TIMED_RUNS_EXTRA):
+            t0 = time.perf_counter()
+            n = once()
+            timed.append(time.perf_counter() - t0)
+    if spark is not None:
+        spark.catalog.clearCache()
+    return sorted(timed)[len(timed) // 2], n, extended
+
+
 def timed_median(
     name: str, spark: SparkSession, sf_dir: str, warmups: int = 2
 ) -> tuple[float, int, bool]:
     """Fixed-warmup median timing — the ONE loop the offline artifacts
     (scripts/bench_slope.py, scripts/bench_tpch.py) share, so their
     'same measurement discipline as bench.py' claim cannot drift
-    (review r14): `warmups` warmup runs, TIMED_RUNS timed runs extended
-    by TIMED_RUNS_EXTRA when the spread exceeds VARIANCE_SPREAD_FACTOR,
-    cache cleared after. Returns (median_sec, rows, extended)."""
-    n = 0
-    timed: list[float] = []
-    for _ in range(warmups):
-        n = run(name, spark, sf_dir).count()
-    for _ in range(TIMED_RUNS):
-        t0 = time.perf_counter()
-        n = run(name, spark, sf_dir).count()
-        timed.append(time.perf_counter() - t0)
-    extended = max(timed) > VARIANCE_SPREAD_FACTOR * min(timed)
-    if extended:
-        for _ in range(TIMED_RUNS_EXTRA):
-            t0 = time.perf_counter()
-            n = run(name, spark, sf_dir).count()
-            timed.append(time.perf_counter() - t0)
-    spark.catalog.clearCache()
-    return sorted(timed)[len(timed) // 2], n, extended
+    (review r14). Returns (median_sec, rows, extended)."""
+    return timed_median_call(
+        lambda: run(name, spark, sf_dir).count(), warmups, spark
+    )
 
 
 def build_session(app_name: str = "seccosql_spark_bench") -> SparkSession:

@@ -71,6 +71,13 @@ PINNED = [
     "stream_window_counts",
     "g_triangle_wcoj",
 ]
+# VERDICT r15 task 6: the statement-surface WRITE paths. Unlike the
+# registry rows above (build-once fixtures; timed runs measure reads),
+# each rep here COMMITS a different slice against a per-sf fixture table,
+# so the measured wall time IS the write path: DELETE FROM = head-scan for
+# matching keys + one merge-on-read key file; INSERT INTO = blind append,
+# no read, one new file per touched partition.
+WRITE_PATHS = ["lakehouse_sql_delete_from", "lakehouse_sql_insert_into"]
 WARMUPS = 2
 
 # Known slope excesses with their root cause (VERDICT r11 task 5: "any
@@ -220,6 +227,50 @@ def _median_time(name: str, spark, sf_dir: str) -> tuple[float, int, bool]:
     return bench.timed_median(name, spark, sf_dir, warmups=WARMUPS)
 
 
+def _write_path_runner(name: str, spark, sf_dir: str):
+    """Build a fresh fixture lakehouse table for this sf and return a
+    ``once() -> metric`` callable for bench.timed_median_call. Every call
+    commits a DIFFERENT key slice (modulus residue advances per call), so
+    reps measure steady-state write cost, never a zero-match fast path or
+    a duplicate commit."""
+    import itertools
+    import tempfile
+
+    from seccosql_spark.operators.lakehouse import create_table
+    from seccosql_spark.registry import session_for
+
+    sess = session_for(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix=f"secco_slope_{name}_")
+    table = os.path.join(d, "t")
+    create_table(
+        sess.spark.table("orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        table, "o_orderpriority",
+    )
+    counter = itertools.count(1)
+
+    if name == "lakehouse_sql_delete_from":
+        def once() -> int:
+            i = next(counter)
+            rep = sess.sql(
+                f"DELETE FROM LAKE('{table}') KEYS (o_orderkey) "
+                f"WHERE o_orderkey % 211 = {i}"
+            ).df.collect()[0]
+            return int(rep["delete_keys"])
+    else:
+        def once() -> int:
+            i = next(counter)
+            rep = sess.sql(
+                f"INSERT INTO LAKE('{table}') "
+                f"SELECT o_orderkey + {i} * 100000000 AS o_orderkey, "
+                "o_orderpriority, o_totalprice "
+                f"FROM orders WHERE o_orderkey % 211 = {i}"
+            ).df.collect()[0]
+            return int(rep["files_appended"])
+    return once, d
+
+
 def main() -> None:
     if "--write-coverage" in sys.argv:
         write_coverage_section()
@@ -227,9 +278,23 @@ def main() -> None:
         return
     if not os.path.exists(os.path.join(SF1, "_DONE")):
         raise SystemExit(f"run scripts/gen_sf1.py first (no {SF1}/_DONE)")
+    # --only a,b,c: re-measure a subset and MERGE into the existing
+    # SLOPE.json (other rows keep their committed numbers) — adding a row
+    # must not force a full ~30-min re-measure of all the others
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(PINNED) - set(WRITE_PATHS)
+        if unknown:
+            raise SystemExit(f"--only: unknown slope rows {sorted(unknown)}")
     spark = bench.build_session("seccosql_spark_slope")
     out = {}
+    if only is not None and os.path.exists(os.path.join(REPO, "SLOPE.json")):
+        with open(os.path.join(REPO, "SLOPE.json")) as f:
+            out = json.load(f)["queries"]
     for name in PINNED:
+        if only is not None and name not in only:
+            continue
         wait = bench._wait_for_quiet_host()
         load0 = os.getloadavg()[0]
         t01, n01, ext01 = _median_time(name, spark, SF01)
@@ -248,11 +313,44 @@ def main() -> None:
             out[name]["triage"] = TRIAGE[name]
         print(f"# {name}: {t01:.2f}s -> {t1:.2f}s (x{t1 / t01:.1f})",
               file=sys.stderr)
+    for name in WRITE_PATHS:
+        if only is not None and name not in only:
+            continue
+        import shutil
+
+        wait = bench._wait_for_quiet_host()
+        load0 = os.getloadavg()[0]
+        pair = {}
+        tmp_dirs = []
+        for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            once, d = _write_path_runner(name, spark, sf_dir)
+            tmp_dirs.append(d)
+            pair[sf_name] = bench.timed_median_call(once, WARMUPS, spark)
+        (t01, n01, ext01), (t1, n1, ext1) = pair["sf0.1"], pair["sf1"]
+        out[name] = {
+            "sf0.1_sec": round(t01, 3),
+            "sf1_sec": round(t1, 3),
+            "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+            "rows_sf0.1": n01,
+            "rows_sf1": n1,
+            "load_before": round(load0, 1),
+            "quiet_wait_sec": round(wait, 1),
+            "extended": ext01 or ext1,
+            "write_path": True,
+        }
+        if name in TRIAGE:
+            out[name]["triage"] = TRIAGE[name]
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        print(f"# {name}: {t01:.2f}s -> {t1:.2f}s (x{t1 / t01:.1f})",
+              file=sys.stderr)
     with open(os.path.join(REPO, "SLOPE.json"), "w") as f:
         json.dump(
             {
                 "note": "headliner + risk-shape + lakehouse wall-time "
-                        "sf1/sf0.1 ratios; sf1 = 10x "
+                        "sf1/sf0.1 ratios (rows with write_path: true time "
+                        "the DML WRITE paths — each rep commits a fresh key "
+                        "slice); sf1 = 10x "
                         "replicated sf0.1 (scripts/gen_sf1.py); folded into "
                         "bench.py output as sf1_slope; measurement shares "
                         "bench.py's session config, quiet-host guard, and "

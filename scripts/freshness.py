@@ -488,16 +488,26 @@ def ledger() -> list[dict]:
     return rows
 
 
-def changed_query_names() -> set[str]:
+def changed_query_names(include_stale: bool = True) -> set[str]:
     """Queries worth re-running locally (the `--changed-only` pytest mode,
     VERDICT r06 task 6): stale or hot per ledger(), PLUS any query whose dep
     files carry uncommitted working-tree edits — ledger() reads git history,
-    which cannot see unstaged work-in-progress."""
+    which cannot see unstaged work-in-progress.
+
+    ``include_stale=False`` narrows to hot-or-dirty only (changed since the
+    latest driver run / uncommitted) — the basis of verify_queries.py
+    ``--window`` (VERDICT r15 task 8): at ~300 registry rows a full sweep
+    is the builder's wall-time bottleneck, and window + changed preserves
+    the all-rows-eventually invariant because the full-registry pytest
+    differential still covers every row each session."""
     import inspect
 
     from seccosql_spark.registry import REGISTRY
 
-    names = {r["name"] for r in ledger() if r["stale"] or r["hot"]}
+    names = {
+        r["name"] for r in ledger()
+        if r["hot"] or (include_stale and r["stale"])
+    }
     dirty = set(
         subprocess.run(
             ["git", "diff", "--name-only", "HEAD"],

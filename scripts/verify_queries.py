@@ -5,6 +5,17 @@ covers the whole registry).
 
     python scripts/verify_queries.py text_bm25_topk corpus_source_overlap \
         [--sf /root/testdata/sf0.01]
+
+``--window`` (VERDICT r15 task 8, the registry-growth guard) expands the
+name list to the driver's priority window PLUS every row whose dependency
+files changed since the latest driver run or carry uncommitted edits
+(freshness.changed_query_names(include_stale=False)) — the per-round sweep
+at ~300 registry rows was the builder's wall-time bottleneck, and this is
+the subset whose greenness is actually at risk. The all-rows-eventually
+invariant is preserved by the full-registry pytest differential (every
+session) and the window rotation (every row driver-green within 6 rounds).
+
+    python scripts/verify_queries.py --window --sf /root/testdata/sf0.1
 """
 
 from __future__ import annotations
@@ -24,7 +35,14 @@ from seccosql_spark.session import TESTDATA_TABLES
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("names", nargs="+")
+    ap.add_argument("names", nargs="*")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="sweep the driver priority window + every hot/dirty row "
+        "(changed since the latest driver run or uncommitted) instead of "
+        "an explicit name list",
+    )
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument(
         "--no-lint",
@@ -37,6 +55,35 @@ def main() -> int:
         import os
 
         os.environ.setdefault("SECCO_LINT_ON_BUILD", "1")
+    if args.window:
+        import importlib.util
+        import os as _os
+
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "freshness", _os.path.join(repo, "scripts", "freshness.py")
+        )
+        fr = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fr)
+        from seccosql_spark.registry import _PRIORITY_WINDOW
+
+        extra = fr.changed_query_names(include_stale=False)
+        # window order first (the driver's verification order), then the
+        # hot/dirty tail alphabetically; explicit names are honored too
+        args.names = list(
+            dict.fromkeys(
+                [*args.names, *_PRIORITY_WINDOW,
+                 *sorted(extra - set(_PRIORITY_WINDOW))]
+            )
+        )
+        print(
+            f"# --window: {len(args.names)} rows "
+            f"({len(_PRIORITY_WINDOW)} window + "
+            f"{len(args.names) - len(_PRIORITY_WINDOW)} hot/dirty/explicit)",
+            flush=True,
+        )
+    elif not args.names:
+        ap.error("provide query names or --window")
 
     spark = (
         SparkSession.builder.master("local[8]")

@@ -1834,6 +1834,117 @@ def lakehouse_sql_merge_clauses(sess: SeccoSession):
     return out
 
 
+# Full-sync fixture predicates: source = %3 keys (updated), victims among
+# the non-source rows = %5 keys (target-side condition).
+FS = "o_orderkey % 3 = 0"
+FV = "o_orderkey % 5 = 0"
+
+SQL_MERGE_FULL_SYNC_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS p, o_orderpriority
+  FROM orders WHERE {FS}
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE NOT ({FS}) AND NOT ({FV})
+),
+nparts AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders),
+tch AS (SELECT count(DISTINCT o_orderpriority) AS c FROM orders
+        WHERE ({FS}) OR ({FV}))
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST((SELECT count(*) FROM orders WHERE {FS}) AS BIGINT)
+         AS rows_updated,
+       CAST((SELECT count(*) FROM orders WHERE NOT ({FS}) AND ({FV}))
+            AS BIGINT) AS rows_deleted_by_source,
+       CAST((SELECT c FROM tch) AS INTEGER) AS parts_rewritten,
+       CAST((SELECT c FROM nparts) - (SELECT c FROM tch) AS INTEGER)
+         AS parts_carried
+FROM f
+"""
+
+
+def _sql_merge_full_sync_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create, then one full-sync clause MERGE: UPDATE SET * for the
+    source slice, NOT MATCHED BY SOURCE + a TARGET-column condition
+    deleting a subset of the rows the source lacks — one atomic
+    copy-on-write commit (the build raises if more than one version
+    landed)."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import (
+            deterministic_commit_clock, latest_version,
+        )
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0
+            rep = sess.sql(
+                f"""MERGE INTO LAKE('{table}') USING (
+                      SELECT o_orderkey, o_orderpriority,
+                             o_totalprice + 100.0 AS o_totalprice
+                      FROM orders WHERE {FS}
+                    ) AS s ON t.o_orderkey = s.o_orderkey
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED BY SOURCE AND {FV} THEN DELETE"""
+            ).df.collect()[0]
+            if latest_version(table) != 1:
+                raise RuntimeError("full-sync MERGE must be ONE commit")
+        with open(os.path.join(d, "sync_stats.json"), "w") as f:
+            _json.dump(
+                {
+                    "rows_updated": rep["rows_updated"],
+                    "rows_deleted_by_source": rep["rows_deleted_by_source"],
+                    "parts_rewritten": rep["partitions_rewritten"],
+                    "parts_carried": rep["partitions_carried"],
+                },
+                f,
+            )
+
+    d = build_once(
+        "secco_lakehouse_sqlfullsync", (src,), _build, code=(_self, _ops, _pre)
+    )
+    with open(os.path.join(d, "sync_stats.json")) as f:
+        return os.path.join(d, "table"), _json.load(f)
+
+
+@register("lakehouse_sql_merge_full_sync", SQL_MERGE_FULL_SYNC_ORACLE)
+def lakehouse_sql_merge_full_sync(sess: SeccoSession):
+    """Full-sync MERGE (Delta's WHEN NOT MATCHED BY SOURCE): target rows
+    the source lacks are deleted — subject to a TARGET-column condition —
+    inside the SAME atomic copy-on-write commit as the updates; snapshot
+    content, per-action metrics, and the COW audit all predicted from the
+    data by the oracle replay."""
+    table, stats = _sql_merge_full_sync_table(sess)
+    out = (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    for col, val, typ in [
+        ("rows_updated", stats["rows_updated"], "bigint"),
+        ("rows_deleted_by_source", stats["rows_deleted_by_source"], "bigint"),
+        ("parts_rewritten", stats["parts_rewritten"], "int"),
+        ("parts_carried", stats["parts_carried"], "int"),
+    ]:
+        out = out.withColumn(col, F.lit(val).cast(typ))
+    return out
+
+
 SQL_TAGS_DDL_ORACLE = f"""
 WITH {_REPLAY},
 m AS (SELECT 'merged' AS name, 2 AS version,

@@ -92,56 +92,56 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "lakehouse_sql_change_feed",
-    "lakehouse_sql_maintenance",
-    "lakehouse_sql_tags_ddl",
-    "events_seasonal_backtest",
-    "events_weekly_retention",
-    "g_bipartite_covisit",
-    "ivm_q1_merge",
-    "multimodal_audio_features",
-    "multimodal_binaryfile_mixed",
-    "multimodal_resize_thumbnail",
-    "orders_interarrival",
-    "pack_sequences_greedy",
-    "pit_status_lookup",
-    "profile_columns",
-    "quality_gate_audit",
-    "sample_balanced_classes",
-    "sample_weighted_ares",
-    "scd2_status_history",
-    "shuffle_pack_shards",
-    "sketch_cms_heavy_hitters",
-    "snapshot_diff_orders",
-    "source_data_card",
-    "split_train_val_test",
-    "exists_subquery",
-    "g_betweenness_sampled",
-    "g_c1_pentagon_agg",
-    "g_c2_pentagon_agg",
-    "g_c3_pentagon_wsum",
-    "g_c4_pentagon_wsum",
-    "g_clique4_count",
-    "g_diameter_doublesweep",
-    "g_diamond_count",
-    "g_ring5_chords_b",
-    "g_tailed_triangle_count",
-    "g_triangle_undirected",
-    "in_subquery",
-    "lateral_top_customers",
-    "match_sql_tableref",
-    "orders_trailing_30d_range",
-    "approx_distinct_users",
-    "asof_latest_purchase",
-    "events_hilbert_topk",
-    "inverted_index_postings",
-    "multiway_natural_ghd",
-    "multiway_stats_filtered",
-    "multiway_stats_ordered",
-    "pack_token_shards",
-    "range_join_next_hour",
-    "sample_temperature_mix",
-    "sessionize_events",
+    "lakehouse_sql_merge_clauses",
+    "lakehouse_sql_merge_full_sync",
+    "lakehouse_sql_optimize_where",
+    "g_labeled_pattern",
+    "g_message_passing_2rounds",
+    "g_message_passing_wsum",
+    "g_pattern_weighted_agg",
+    "g_random_walks_3step",
+    "g_self_loop_pattern",
+    "g_subgraph_filter",
+    "g_triangle_wcoj",
+    "g_wedge_sampled_cc",
+    "q10_returned_items",
+    "q12_priority_buckets",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q7_nation_volume",
+    "qualify_top_orders_sql",
+    "scalar_subquery",
+    "udf_rowwise_registered",
+    "union_by_update",
+    "w1_star_high_skew",
+    "w1_star_low_skew",
+    "w2_snowflake_high_skew",
+    "w2_snowflake_low_skew",
+    "w3_chain_high_skew",
+    "w3_chain_low_skew",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_topk_per_user",
+    "sketch_quantile_mergeable",
+    "stats_corr_by_source",
+    "stream_incremental_dedup",
+    "stream_session_windows",
+    "text_bm25_topk",
+    "text_bpe_merges",
+    "text_cooccurrence_pmi",
+    "text_gopher_filter",
+    "text_length_percentile_band",
+    "text_novelty_curve",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_winnowing_fingerprint",
+    "aggregate_global",
+    "aggregate_group_having",
+    "ann_ivf_pq",
 ]
 
 

@@ -573,9 +573,10 @@ _INSERT_RE = re.compile(
 #   MERGE INTO LAKE('<dir>') USING (<query>) [AS s] ON t.k = s.k [AND ..]
 #   WHEN MATCHED [AND <cond>] THEN UPDATE SET * | DELETE
 #   WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+#   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE   (full-sync)
 _MERGE_HEAD_RE = re.compile(rf"^MERGE\s+INTO\s+{_L_DIR}\s+USING\s+", re.I | re.S)
 _MERGE_WHEN_RE = re.compile(
-    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<act>UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
     re.I | re.S)
@@ -618,13 +619,14 @@ def _keys_from_on(on: str) -> list[str]:
 def _parse_merge_clauses(
     s: str,
 ) -> tuple[str, str, str | None, list[str],
-           list[tuple[bool, str | None, str]]] | None:
+           list[tuple[str, str | None, str]]] | None:
     """Pure parse of the WHEN-clause MERGE (no session, no IO — the
     property-fuzz surface). Returns ``(table_dir, using_body, source_alias,
-    keys, clauses)`` where each clause is ``(is_matched, condition | None,
-    action)`` with action one of 'UPDATE SET *' / 'DELETE' / 'INSERT *';
-    None when ``s`` is not a clause-form MERGE at all; loud ValueError on
-    a malformed one."""
+    keys, clauses)`` where each clause is ``(kind, condition | None,
+    action)`` with kind 'matched' / 'not_matched' / 'not_matched_by_source'
+    and action one of 'UPDATE SET *' / 'DELETE' / 'INSERT *'; None when
+    ``s`` is not a clause-form MERGE at all; loud ValueError on a
+    malformed one."""
     m = _MERGE_HEAD_RE.match(s)
     if m is None:
         return None
@@ -654,7 +656,7 @@ def _parse_merge_clauses(
             "MERGE: at least one WHEN [NOT] MATCHED ... THEN clause required"
         )
     keys = _keys_from_on(rest[: first.start()])
-    clauses: list[tuple[bool, str | None, str]] = []
+    clauses: list[tuple[str, str | None, str]] = []
     pos = first.start()
     for mw in _MERGE_WHEN_RE.finditer(rest):
         if rest[pos: mw.start()].strip():
@@ -664,15 +666,32 @@ def _parse_merge_clauses(
             )
         pos = mw.end()
         act = re.sub(r"\s+", " ", mw["act"].upper())
-        matched = mw["neg"] is None
-        if matched and act == "INSERT *":
-            raise ValueError("MERGE: INSERT is only valid WHEN NOT MATCHED")
-        if not matched and act != "INSERT *":
-            raise ValueError(
-                f"MERGE: {act} is only valid WHEN MATCHED (NOT MATCHED "
-                "supports INSERT *)"
-            )
-        clauses.append((matched, mw["cond"], act))
+        if mw["bysrc"] is not None:
+            if mw["neg"] is None:
+                raise ValueError(
+                    "MERGE: BY SOURCE is only valid as WHEN NOT MATCHED "
+                    "BY SOURCE"
+                )
+            kind = "not_matched_by_source"
+            if act != "DELETE":
+                raise ValueError(
+                    f"MERGE: {act} is not valid WHEN NOT MATCHED BY SOURCE "
+                    "(only DELETE — there is no source row to update from)"
+                )
+        elif mw["neg"] is None:
+            kind = "matched"
+            if act == "INSERT *":
+                raise ValueError(
+                    "MERGE: INSERT is only valid WHEN NOT MATCHED"
+                )
+        else:
+            kind = "not_matched"
+            if act != "INSERT *":
+                raise ValueError(
+                    f"MERGE: {act} is only valid WHEN MATCHED (NOT MATCHED "
+                    "supports INSERT *)"
+                )
+        clauses.append((kind, mw["cond"], act))
     if rest[pos:].strip():
         raise ValueError(
             f"MERGE: unparsed trailing text after the last clause: "
@@ -689,12 +708,14 @@ def _try_merge_clauses(session: "SeccoSession", s: str) -> DataFrame | None:
     clause of its branch whose condition passes (Delta's clause-order
     semantics; NULL conditions are false); rows passing no clause drop
     out of the batch, which under merge_cow's anti-join contract leaves
-    their target rows untouched. Conditions may reference SOURCE columns
-    only (the batch is the only relation in scope — target-side
-    conditions would force a full data read that the KEYS form
-    deliberately avoids). The lowered batch feeds the SAME merge_cow verb
-    as the KEYS form — never a second implementation of the
-    copy-on-write."""
+    their target rows untouched. Conditions on the matched/not-matched
+    clauses may reference SOURCE columns only (the batch is the only
+    relation in scope — target-side conditions there would force a full
+    data read that the KEYS form deliberately avoids); conditions on the
+    full-sync NOT MATCHED BY SOURCE clause see TARGET columns, since that
+    branch IS a snapshot read by construction. The lowered batch feeds
+    the SAME merge_cow verb as the KEYS form — never a second
+    implementation of the copy-on-write."""
     parsed = _parse_merge_clauses(s)
     if parsed is None:
         return None
@@ -708,37 +729,55 @@ def _try_merge_clauses(session: "SeccoSession", s: str) -> DataFrame | None:
     src = src.persist()
     tag = "__mrg_action"
     try:
-        tgt_keys = lh.read_table(spark, table_dir).select(*keys).distinct()
+        tgt = lh.read_table(spark, table_dir)
+        tgt_keys = tgt.select(*keys).distinct()
         branches = {
-            True: src.join(tgt_keys, keys, "semi"),
-            False: src.join(tgt_keys, keys, "anti"),
+            "matched": src.join(tgt_keys, keys, "semi"),
+            "not_matched": src.join(tgt_keys, keys, "anti"),
         }
+        if any(k == "not_matched_by_source" for k, _c, _a in clauses):
+            # full-sync branch: TARGET rows whose keys the source lacks.
+            # Folding them into the batch as __deleted rows keeps the whole
+            # statement ONE atomic copy-on-write commit (Delta semantics) —
+            # at the price Delta also pays: every partition holding a
+            # victim is rewritten. Conditions on this branch see TARGET
+            # columns (the rows come from the snapshot read).
+            branches["not_matched_by_source"] = tgt.join(
+                src.select(*keys).distinct(), keys, "anti"
+            )
         parts: list[DataFrame] = []
-        for matched, cond, act in clauses:
-            pool = branches[matched]
+        for kind, cond, act in clauses:
+            pool = branches[kind]
             if cond is not None:
                 hit = pool.where(F.expr(cond))
                 # NULL = false on BOTH sides: a row whose condition is NULL
                 # neither takes this clause nor vanishes from later ones
-                branches[matched] = pool.where(
+                branches[kind] = pool.where(
                     ~F.coalesce(F.expr(cond), F.lit(False))
                 )
             else:
                 hit = pool
-                branches[matched] = pool.limit(0)
+                branches[kind] = pool.limit(0)
             is_delete = act == "DELETE"
             parts.append(
                 hit.withColumn(lh.DELETE_COL, F.lit(is_delete)).withColumn(
                     tag,
                     F.lit(
-                        "deleted" if is_delete
-                        else ("updated" if matched else "inserted")
+                        "inserted" if kind == "not_matched" else (
+                            "deleted_by_source"
+                            if kind == "not_matched_by_source"
+                            else ("deleted" if is_delete else "updated")
+                        )
                     ),
                 )
             )
         updates = parts[0]
         for p in parts[1:]:
-            updates = updates.unionByName(p)
+            # allowMissingColumns: the by-source branch carries the TABLE
+            # schema, source parts carry the source schema — an additive
+            # evolution between them NULL-fills; merge_cow's commit-time
+            # schema enforcement still rejects true incompatibilities
+            updates = updates.unionByName(p, allowMissingColumns=True)
         updates = updates.persist()
         counts = {
             r[0]: r[1]
@@ -754,9 +793,11 @@ def _try_merge_clauses(session: "SeccoSession", s: str) -> DataFrame | None:
     return spark.createDataFrame(
         [(rep["version"], rep["partitions_rewritten"],
           rep["partitions_carried"], counts.get("updated", 0),
-          counts.get("deleted", 0), counts.get("inserted", 0))],
+          counts.get("deleted", 0), counts.get("inserted", 0),
+          counts.get("deleted_by_source", 0))],
         "version INT, partitions_rewritten INT, partitions_carried INT, "
-        "rows_updated BIGINT, rows_deleted BIGINT, rows_inserted BIGINT",
+        "rows_updated BIGINT, rows_deleted BIGINT, rows_inserted BIGINT, "
+        "rows_deleted_by_source BIGINT",
     )
 
 

@@ -559,6 +559,34 @@ def test_sql_merge_when_clauses_routing_and_guards(sess, tmp_path):
         )
 
 
+def test_sql_merge_not_matched_by_source(sess, tmp_path):
+    """Full-sync MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE removes
+    target rows absent from the source — folded into the SAME atomic
+    copy-on-write commit; the branch's condition sees TARGET columns."""
+    d = _mk_table(sess, tmp_path)  # k=1,2 (v0) + 11,12 (v1); parts a,b
+    rep = sess.sql(
+        f"MERGE INTO LAKE('{d}') USING ("
+        "  SELECT CAST(1 AS BIGINT) AS k, 'a' AS p, CAST(10.0 AS DOUBLE) AS v"
+        "  UNION ALL"
+        "  SELECT CAST(12 AS BIGINT), 'b', CAST(12.5 AS DOUBLE)"
+        ") AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND v < 2.0 THEN DELETE"
+    ).df.collect()[0]
+    # k=1,12 updated; victims = target keys {2,11} minus source; condition
+    # v < 2.0 keeps only k=11 (v=1.0) — k=2 (v=2.0) survives untouched
+    assert (rep["rows_updated"], rep["rows_deleted_by_source"]) == (2, 1)
+    assert rep["rows_deleted"] == 0 and rep["rows_inserted"] == 0
+    got = {
+        (r["k"], r["v"])
+        for r in sess.sql(f"SELECT k, v FROM LAKE('{d}')").df.collect()
+    }
+    assert got == {(1, 10.0), (2, 2.0), (12, 12.5)}
+    # exactly ONE new commit: atomic, not a merge followed by a delete
+    from seccosql_spark.operators.lakehouse import latest_version
+    assert latest_version(d) == 2
+
+
 def test_sql_delete_from_statement(sess, tmp_path):
     """DELETE FROM LAKE(d) KEYS (k) WHERE <pred>: matching keys from the
     head snapshot land as ONE merge-on-read equality-delete file; readers

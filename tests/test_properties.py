@@ -325,16 +325,23 @@ def _merge_clause_stmt(draw):
     for _ in range(draw(st.integers(1, 2))):
         cond = draw(_conds)
         act = draw(_acts_matched)
-        clauses.append((True, cond, act))
+        clauses.append(("matched", cond, act))
     if draw(st.booleans()):
-        clauses.append((False, draw(_conds), "INSERT *"))
+        clauses.append(("not_matched", draw(_conds), "INSERT *"))
+    if draw(st.booleans()):
+        clauses.append(("not_matched_by_source", draw(_conds), "DELETE"))
     paren = draw(st.booleans())
     body = "(SELECT 1 AS k)" if paren else "updates_view"
     alias = draw(st.sampled_from(["", " AS s"]))
     kw = draw(st.sampled_from(["MERGE INTO", "merge into", "Merge Into"]))
     parts = [f"{kw} LAKE('/tmp/t') USING {body}{alias} ON {on}"]
-    for matched, cond, act in clauses:
-        w = "WHEN MATCHED" if matched else "WHEN NOT MATCHED"
+    heads = {
+        "matched": "WHEN MATCHED",
+        "not_matched": "WHEN NOT MATCHED",
+        "not_matched_by_source": "WHEN NOT MATCHED BY SOURCE",
+    }
+    for kind, cond, act in clauses:
+        w = heads[kind]
         if cond is not None:
             w += f" AND {cond}"
         parts.append(f"{w} THEN {act}")
@@ -372,12 +379,17 @@ def test_merge_clause_grammar_roundtrip(case):
      "WHEN MATCHED THEN INSERT *", "NOT MATCHED"),
     ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
      "WHEN NOT MATCHED THEN DELETE", "only valid WHEN MATCHED"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+     "only DELETE"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN MATCHED BY SOURCE THEN DELETE", "BY SOURCE is only valid"),
     ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k garbage "
      "WHEN MATCHED THEN DELETE", "key equality"),
     ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
      "WHEN MATCHED THEN DELETE trailing junk", "trailing"),
 ]))
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=12, deadline=None)
 def test_merge_clause_grammar_rejects_malformed(case):
     """Every malformed clause statement raises a TARGETED dialect error
     (never None, which would fall through toward a Spark temp-view write

@@ -1406,6 +1406,7 @@ def expire_versions(
     sweep_tmps_older_than: float = 3600.0,
     sweep_orphan_data: bool = False,
     sweep_orphan_data_older_than: float = 7 * 24 * 3600.0,
+    dry_run: bool = False,
 ) -> dict:
     """VACUUM: retire history older than the newest ``keep_last`` manifest
     versions — delete the expired manifests and every data file no kept
@@ -1442,9 +1443,14 @@ def expire_versions(
     than the millisecond-scale publish-temp window the 1h tmp gate
     bounds (review r15).
 
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN`` twin) computes the
+    identical retention/tag/liveness decision and reports what WOULD be
+    retired, mutating nothing — no manifest or file removal, no tmp or
+    orphan sweeps.
+
     Returns {"kept_versions", "expired_versions", "files_deleted",
     "files_live", "tmps_swept"[, "orphan_dirs_swept",
-    "orphan_files_swept"]}."""
+    "orphan_files_swept"][, "dry_run"]}."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = latest_version(table_dir)
@@ -1468,6 +1474,19 @@ def expire_versions(
             f["path"]
             for f in list(me["files"]) + list(me.get("delete_files") or [])
             if f["path"] not in live
+        }
+    if dry_run:
+        # Delta's VACUUM ... DRY RUN twin: report exactly what a real run
+        # would retire — same retention/tag/liveness computation, ZERO
+        # mutation (no manifest/file removal, no tmp or orphan sweeps,
+        # which are side effects a dry run must not have)
+        return {
+            "kept_versions": kept,
+            "expired_versions": expired,
+            "files_deleted": len(dead),
+            "files_live": len(live),
+            "tmps_swept": 0,
+            "dry_run": True,
         }
     # manifests first: a crash mid-expiry must not leave a manifest whose
     # files are already gone
@@ -1677,6 +1696,64 @@ def table_changes(
         net_ins, net_del = outs.limit(0), outs
     return net_ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")).unionByName(
         net_del.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+    )
+
+
+def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL twin (Delta's one-row table summary): head version,
+    partition spec, live file / delete-file / partition counts, row total,
+    on-disk bytes of the live files, retained-version and tag counts, and
+    the head commit instant. Manifest metadata plus O(live files) driver
+    ``stat`` calls for the byte total — zero data IO."""
+    m = read_manifest(table_dir)
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    n_versions = sum(
+        1 for fn in os.listdir(mdir)
+        if fn.startswith("v") and fn.endswith(".json")
+    )
+    size = 0
+    for f in list(m["files"]) + list(m.get("delete_files") or []):
+        try:
+            size += os.path.getsize(os.path.join(table_dir, f["path"]))
+        except OSError:
+            pass  # a concurrent VACUUM may retire an old delete file
+    return spark.createDataFrame(
+        [(
+            os.path.abspath(table_dir),
+            m["version"],
+            m["partition_by"],
+            len(m["files"]),
+            len(m.get("delete_files") or []),
+            len({f["partition"] for f in m["files"]}),
+            sum(f["rows"] for f in m["files"]),
+            size,
+            n_versions,
+            len(list_tags(table_dir)),
+            m.get("committed_at"),
+        )],
+        "location STRING, version INT, partition_by STRING, num_files INT, "
+        "num_delete_files INT, num_partitions INT, file_rows BIGINT, "
+        "size_bytes BIGINT, num_versions_retained INT, num_tags INT, "
+        "committed_at STRING",
+    )
+
+
+def table_partitions(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """SHOW PARTITIONS twin: one row per partition VALUE of a snapshot
+    with its live file count and row total — the small-file-debt /
+    skew-audit surface (which partitions need an ``OPTIMIZE ... WHERE``).
+    Pure manifest metadata."""
+    m = read_manifest(table_dir, version)
+    agg: dict[str, list[int]] = {}
+    for f in m["files"]:
+        e = agg.setdefault(f["partition"], [0, 0])
+        e[0] += 1
+        e[1] += f["rows"]
+    rows = [(p, n, r) for p, (n, r) in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows or [], "partition STRING, n_files INT, n_rows BIGINT"
     )
 
 

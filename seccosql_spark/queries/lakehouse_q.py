@@ -1708,6 +1708,34 @@ def lakehouse_sql_optimize_where(sess: SeccoSession):
     return out
 
 
+SQL_SHOW_PARTS_ORACLE = f"""
+WITH base AS (SELECT o_orderpriority AS part, count(*) AS n
+              FROM orders GROUP BY 1),
+app AS (SELECT o_orderpriority AS part, count(*) AS n
+        FROM orders WHERE {AM} GROUP BY 1)
+SELECT b.part AS "partition",
+       CAST(CASE WHEN b.part < '3' THEN 1
+                 WHEN a.part IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS n_files,
+       CAST(b.n + COALESCE(a.n, 0) AS BIGINT) AS n_rows
+FROM base b LEFT JOIN app a ON b.part = a.part
+"""
+
+
+@register("lakehouse_sql_show_partitions", SQL_SHOW_PARTS_ORACLE)
+def lakehouse_sql_show_partitions(sess: SeccoSession):
+    """SHOW PARTITIONS on the partition-scoped-OPTIMIZE fixture: the
+    per-partition file counts must reflect exactly the layout history the
+    oracle predicts from the data — predicate-matching partitions
+    compacted to one file, append-touched non-matching partitions still
+    carrying their two-file debt, untouched partitions at one — and the
+    row totals must equal base + append per partition. This is the audit
+    surface that tells an operator WHICH partitions need the next
+    ``OPTIMIZE ... WHERE``."""
+    table, _stats = _sql_optimize_where_table(sess)
+    return sess.sql(f"SHOW PARTITIONS LAKE('{table}')").df
+
+
 # Clause-form MERGE fixture predicates: update %97 keys, delete %997 keys
 # (excluding updates), insert %301 keys shifted by 10M — all key-unique.
 MU = "o_orderkey % 97 = 0"

@@ -95,6 +95,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_sql_merge_clauses",
     "lakehouse_sql_merge_full_sync",
     "lakehouse_sql_optimize_where",
+    "lakehouse_sql_show_partitions",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "text_winnowing_fingerprint",
     "aggregate_global",
     "aggregate_group_having",
-    "ann_ivf_pq",
 ]
 
 

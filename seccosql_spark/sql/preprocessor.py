@@ -543,7 +543,8 @@ def rewrite_lake_changes(
 _L_DIR = r"LAKE\s*\(\s*(?P<q>['\"])(?P<dir>[^'\"]+)(?P=q)\s*\)"
 _L_TAG = r"(?P<name>'[^']+'|[A-Za-z0-9._-]+)"
 _VACUUM_RE = re.compile(
-    rf"^VACUUM\s+{_L_DIR}(?:\s+KEEP\s+(?P<keep>\d+))?$", re.I)
+    rf"^VACUUM\s+{_L_DIR}(?:\s+KEEP\s+(?P<keep>\d+))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?$", re.I)
 _OPTIMIZE_RE = re.compile(
     rf"^OPTIMIZE\s+{_L_DIR}"
     r"(?:\s+SORT\s+BY\s+(?P<sort>[A-Za-z_][A-Za-z0-9_]*)"
@@ -558,6 +559,8 @@ _CREATE_TAG_RE = re.compile(
 _DROP_TAG_RE = re.compile(rf"^DROP\s+TAG\s+{_L_TAG}\s+ON\s+{_L_DIR}$", re.I)
 _SHOW_TAGS_RE = re.compile(rf"^SHOW\s+TAGS\s+ON\s+{_L_DIR}$", re.I)
 _HISTORY_RE = re.compile(rf"^DESCRIBE\s+HISTORY\s+{_L_DIR}$", re.I)
+_DETAIL_RE = re.compile(rf"^DESCRIBE\s+DETAIL\s+{_L_DIR}$", re.I)
+_SHOW_PARTS_RE = re.compile(rf"^SHOW\s+PARTITIONS\s+{_L_DIR}$", re.I)
 _MERGE_RE = re.compile(
     rf"^MERGE\s+INTO\s+{_L_DIR}\s+KEYS\s*\((?P<keys>[^)]+)\)\s+USING\s+"
     r"(?P<body>.+)$", re.I | re.S)
@@ -826,7 +829,8 @@ def try_maintenance_sql(
     m = _VACUUM_RE.match(s)
     if m:
         rep = lh.expire_versions(
-            m["dir"], keep_last=int(m["keep"]) if m["keep"] else 1
+            m["dir"], keep_last=int(m["keep"]) if m["keep"] else 1,
+            dry_run=m["dry"] is not None,
         )
         # versions_* are COUNTS here; the Python expire_versions verb
         # returns LISTS under kept_versions/expired_versions — distinct
@@ -834,9 +838,10 @@ def try_maintenance_sql(
         # the metric (ADVICE r15)
         return spark.createDataFrame(
             [(len(rep["kept_versions"]), len(rep["expired_versions"]),
-              rep["files_deleted"], rep["files_live"], rep["tmps_swept"])],
+              rep["files_deleted"], rep["files_live"], rep["tmps_swept"],
+              bool(rep.get("dry_run", False)))],
             "versions_kept INT, versions_expired INT, files_deleted INT, "
-            "files_live INT, tmps_swept INT",
+            "files_live INT, tmps_swept INT, dry_run BOOLEAN",
         )
     m = _OPTIMIZE_RE.match(s)
     if m:
@@ -972,6 +977,12 @@ def try_maintenance_sql(
     m = _HISTORY_RE.match(s)
     if m:
         return lh.table_history(spark, m["dir"])
+    m = _DETAIL_RE.match(s)
+    if m:
+        return lh.table_detail(spark, m["dir"])
+    m = _SHOW_PARTS_RE.match(s)
+    if m:
+        return lh.table_partitions(spark, m["dir"])
     # Near-miss guard (ADVICE r15): a statement that unambiguously *starts*
     # like a maintenance verb but fails the grammar (wrong quote style,
     # dangling clause) used to fall through to Spark's parser, which has no

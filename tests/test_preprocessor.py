@@ -392,6 +392,48 @@ def test_sql_optimize_where_partition_scoped(sess, tmp_path):
     assert (opt3["partitions_compacted"], opt3["partitions_pruned"]) == (0, 0)
 
 
+def test_sql_vacuum_dry_run(sess, tmp_path):
+    """VACUUM ... DRY RUN reports exactly what a real run would retire and
+    mutates NOTHING — then the real run retires exactly that."""
+    from seccosql_spark.operators.lakehouse import latest_version, read_manifest
+
+    d = _mk_table(sess, tmp_path)  # v0 + v1 append
+    dry = sess.sql(f"VACUUM LAKE('{d}') KEEP 1 DRY RUN").df.collect()[0]
+    assert (dry["versions_kept"], dry["versions_expired"],
+            dry["files_deleted"], dry["dry_run"]) == (1, 1, 0, True)
+    # v0's 2 files are still referenced by v1 (append carries them), so a
+    # real vacuum deletes manifests only — files_deleted 0 is correct
+    assert latest_version(d) == 1
+    assert read_manifest(d, 0)["version"] == 0  # v0 manifest still there
+    real = sess.sql(f"VACUUM LAKE('{d}') KEEP 1").df.collect()[0]
+    assert (real["versions_kept"], real["versions_expired"],
+            real["files_deleted"], real["dry_run"]) == (1, 1, 0, False)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_manifest(d, 0)  # now actually expired
+
+
+def test_sql_describe_detail_and_show_partitions(sess, tmp_path):
+    """DESCRIBE DETAIL (one-row table summary) and SHOW PARTITIONS
+    (per-partition file/row counts) — pure manifest introspection, the
+    audit surface that tells you WHICH partitions need OPTIMIZE WHERE."""
+    d = _mk_table(sess, tmp_path)  # parts a,b; 2 files each after append
+    det = sess.sql(f"DESCRIBE DETAIL LAKE('{d}')").df.collect()[0]
+    assert (det["version"], det["partition_by"], det["num_files"],
+            det["num_partitions"], det["file_rows"]) == (1, "p", 4, 2, 4)
+    assert det["num_versions_retained"] == 2 and det["num_tags"] == 0
+    assert det["size_bytes"] > 0 and det["num_delete_files"] == 0
+    parts = sess.sql(f"SHOW PARTITIONS LAKE('{d}')").df.collect()
+    assert [(r["partition"], r["n_files"], r["n_rows"]) for r in parts] \
+        == [("a", 2, 2), ("b", 2, 2)]
+    # after a scoped compaction the debt report reflects it
+    sess.sql(f"OPTIMIZE LAKE('{d}') WHERE p = 'a'")
+    parts = sess.sql(f"SHOW PARTITIONS LAKE('{d}')").df.collect()
+    assert [(r["partition"], r["n_files"]) for r in parts] \
+        == [("a", 1), ("b", 2)]
+
+
 def test_sql_restore_statement(sess, tmp_path):
     """RESTORE ... TO VERSION promotes the old snapshot as a new head
     commit (metadata-only), exactly like the Python verb."""

@@ -1623,7 +1623,8 @@ CHANGE_TYPE_COL = "_change_type"
 
 
 def table_changes(
-    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int,
+    pair_updates: bool = False,
 ) -> DataFrame:
     """Change data feed between two committed versions (Delta CDF / Iceberg
     incremental-read twin): returns the NET row-level changes with a
@@ -1636,7 +1637,16 @@ def table_changes(
     partitions costs ~6 partition files of IO to difference — never a
     two-full-snapshot compare. Net semantics come from a multiset
     ``exceptAll`` of the added vs removed file contents: rows a rewrite
-    carried through unchanged cancel out exactly."""
+    carried through unchanged cancel out exactly.
+
+    ``pair_updates=True`` (Delta CDF's ``update_preimage`` /
+    ``update_postimage`` twin): a net delete and a net insert of the SAME
+    key are re-labeled as the two halves of an update. Delta gets the
+    pairing for free by logging change files at write time; a post-hoc
+    manifest diff needs to know what "same row" meant to the writer, so
+    the pairing key is the ``merge_keys`` the range's merge commits
+    recorded — ValueError when the range recorded none (append/compact
+    only) or the commits disagree on the key."""
     if v_from >= v_to:
         raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
     m0 = read_manifest(table_dir, v_from)
@@ -1694,8 +1704,44 @@ def table_changes(
         net_ins, net_del = ins, ins.limit(0)
     else:
         net_ins, net_del = outs.limit(0), outs
-    return net_ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")).unionByName(
-        net_del.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+    if not pair_updates:
+        return net_ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")).unionByName(
+            net_del.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+        )
+    keys: list[str] | None = None
+    for v in range(v_from + 1, v_to + 1):
+        mk = read_manifest(table_dir, v).get("merge_keys")
+        if mk:
+            if keys is not None and list(keys) != list(mk):
+                raise ValueError(
+                    f"pair_updates: commits in ({v_from}, {v_to}] recorded "
+                    f"conflicting merge keys {keys} vs {mk} — pair within a "
+                    "single writer's range instead"
+                )
+            keys = list(mk)
+    if not keys:
+        raise ValueError(
+            f"pair_updates: no commit in ({v_from}, {v_to}] recorded merge "
+            "keys (append/compact/delete-only range) — there is no key to "
+            "pair a delete with its re-insert"
+        )
+    ikeys = net_ins.select(*keys).distinct()
+    dkeys = net_del.select(*keys).distinct()
+    return (
+        net_del.join(ikeys, keys, "semi")
+        .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        .unionByName(
+            net_del.join(ikeys, keys, "anti")
+            .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+        )
+        .unionByName(
+            net_ins.join(dkeys, keys, "semi")
+            .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+        )
+        .unionByName(
+            net_ins.join(dkeys, keys, "anti")
+            .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+        )
     )
 
 
@@ -1861,6 +1907,11 @@ def merge_cow(
         "txns": dict(m.get("txns", {})),
         "partitions_rewritten": rewritten,
         "partitions_carried": carried,
+        # recorded so table_changes(pair_updates=True) can pair a net
+        # delete+insert of the same key into update_pre/postimage — Delta
+        # CDF gets this for free by logging at write time; a post-hoc
+        # manifest diff needs to know what "same row" meant to the writer
+        "merge_keys": list(keys),
     }
     _commit_or_cleanup(table_dir, version, manifest)
     return manifest

@@ -1708,6 +1708,55 @@ def lakehouse_sql_optimize_where(sess: SeccoSession):
     return out
 
 
+CHANGE_FEED_PAIRED_ORACLE = f"""
+WITH {_REPLAY},
+base AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders),
+ins AS (SELECT * FROM f1 EXCEPT ALL SELECT * FROM base),
+del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM f1),
+post AS (SELECT * FROM ins WHERE o_orderkey IN (SELECT o_orderkey FROM del)),
+pure_ins AS (SELECT * FROM ins
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+pre AS (SELECT * FROM del WHERE o_orderkey IN (SELECT o_orderkey FROM ins)),
+pure_del AS (SELECT * FROM del
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ins))
+SELECT 'update_preimage' AS change_type, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents
+FROM pre GROUP BY o_orderpriority
+UNION ALL
+SELECT 'update_postimage', o_orderpriority, CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT)
+FROM post GROUP BY o_orderpriority
+UNION ALL
+SELECT 'insert', o_orderpriority, CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT)
+FROM pure_ins GROUP BY o_orderpriority
+UNION ALL
+SELECT 'delete', o_orderpriority, CAST(count(*) AS BIGINT),
+       CAST(sum({_CENTS_P}) AS BIGINT)
+FROM pure_del GROUP BY o_orderpriority
+"""
+
+
+@register("lakehouse_sql_change_feed_paired", CHANGE_FEED_PAIRED_ORACLE)
+def lakehouse_sql_change_feed_paired(sess: SeccoSession):
+    """Delta CDF's update_preimage/update_postimage through
+    ``LAKE_CHANGES('<dir>', 0, 1, PAIRED)``: a net delete and net insert
+    of the same key (the merge commit's recorded merge_keys) are
+    re-labeled as the two halves of the update — the v1 MERGE's upserts
+    of existing keys must surface as pre/postimage pairs with the old and
+    new prices, its fresh inserts and CDC deletes keep their labels, and
+    every group must equal the oracle's key-split EXCEPT ALL replay."""
+    table = _versioned_table(sess)
+    return sess.sql(
+        f"""SELECT _change_type AS change_type, o_orderpriority,
+                   CAST(count(*) AS LONG) AS n_rows,
+                   CAST(sum({_CENTS_SPARK}) AS LONG) AS cents
+            FROM LAKE_CHANGES('{table}', 0, 1, PAIRED)
+            GROUP BY _change_type, o_orderpriority"""
+    ).df
+
+
 SQL_SHOW_PARTS_ORACLE = f"""
 WITH base AS (SELECT o_orderpriority AS part, count(*) AS n
               FROM orders GROUP BY 1),

@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_sql_change_feed_paired",
     "lakehouse_sql_merge_clauses",
     "lakehouse_sql_merge_full_sync",
     "lakehouse_sql_optimize_where",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "text_unigram_logprob",
     "text_winnowing_fingerprint",
     "aggregate_global",
-    "aggregate_group_having",
 ]
 
 

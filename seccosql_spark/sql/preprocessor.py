@@ -495,20 +495,22 @@ _LAKE_CHANGES_RE = re.compile(r"\bLAKE_CHANGES\s*\(", re.I)
 def rewrite_lake_changes(
     session: "SeccoSession", text: str, created: list[str] | None = None
 ) -> str:
-    """Rewrite each ``LAKE_CHANGES('<table_dir>', v_from, v_to)`` table
-    reference into a temp view over the change data feed between the two
-    committed versions (Delta's ``table_changes`` TVF twin): net row-level
-    changes with a ``_change_type`` column ('insert' | 'delete'; updates
-    surface as delete+insert pairs). The diff is manifest-driven — only
+    """Rewrite each ``LAKE_CHANGES('<table_dir>', v_from, v_to[, PAIRED])``
+    table reference into a temp view over the change data feed between the
+    two committed versions (Delta's ``table_changes`` TVF twin): net
+    row-level changes with a ``_change_type`` column ('insert' | 'delete';
+    updates surface as delete+insert pairs — or, with the PAIRED flag, as
+    'update_preimage'/'update_postimage' re-labeled by the merge commits'
+    recorded keys). The diff is manifest-driven — only
     files added/removed between the versions are read — exactly the Python
     ``table_changes`` verb (it IS that verb). Statement-scoped views,
     unique per invocation, same as LAKE/MATCH."""
 
     def make_view(parts: list[str], ref: str) -> str:
-        if len(parts) != 3:
+        if len(parts) not in (3, 4):
             raise ValueError(
-                "LAKE_CHANGES('<table_dir>', v_from, v_to) takes exactly "
-                "three arguments"
+                "LAKE_CHANGES('<table_dir>', v_from, v_to[, PAIRED]) takes "
+                "three or four arguments"
             )
         table_dir = parts[0].strip().strip("'\"")
         try:
@@ -518,10 +520,21 @@ def rewrite_lake_changes(
                 f"LAKE_CHANGES: v_from/v_to must be integer versions, got "
                 f"{parts[1].strip()!r}, {parts[2].strip()!r}"
             ) from None
+        paired = False
+        if len(parts) == 4:
+            flag = parts[3].strip().strip("'\"").upper()
+            if flag != "PAIRED":
+                raise ValueError(
+                    f"LAKE_CHANGES: fourth argument must be PAIRED, got "
+                    f"{parts[3].strip()!r}"
+                )
+            paired = True
         from seccosql_spark.operators.lakehouse import table_changes
 
         view = f"__lakechanges_{ref}"
-        table_changes(session.spark, table_dir, v0, v1).createOrReplaceTempView(view)
+        table_changes(
+            session.spark, table_dir, v0, v1, pair_updates=paired
+        ).createOrReplaceTempView(view)
         return view
 
     return _rewrite_table_ref(text, _LAKE_CHANGES_RE, make_view, created)

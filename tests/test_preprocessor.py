@@ -715,10 +715,50 @@ def test_lake_changes_table_ref(sess, tmp_path):
     assert not any(
         t.name.startswith("__lakechanges") for t in sess.spark.catalog.listTables()
     )
-    with pytest.raises(ValueError, match="three arguments"):
+    with pytest.raises(ValueError, match="three or four arguments"):
         sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 1)")
     with pytest.raises(ValueError, match="integer versions"):
         sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 'a', 'b')")
+
+
+def test_lake_changes_paired_updates(sess, tmp_path):
+    """LAKE_CHANGES(d, v0, v1, PAIRED): net delete+insert of the same key
+    re-labeled update_preimage/update_postimage using the merge commit's
+    recorded keys; ranges with no recorded merge keys refuse loudly."""
+    d = _mk_table(sess, tmp_path)  # v0: k=1,2; v1: append k=11,12
+    # v1 was an append — no merge keys recorded, pairing must refuse
+    with pytest.raises(ValueError, match="no commit.*recorded merge keys"):
+        sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 0, 1, PAIRED)")
+    sess.sql(
+        f"MERGE INTO LAKE('{d}') KEYS (k) USING ("
+        "  SELECT CAST(1 AS BIGINT) AS k, 'a' AS p,"
+        "         CAST(100.0 AS DOUBLE) AS v, false AS __deleted"
+        "  UNION ALL SELECT CAST(12 AS BIGINT), 'b', CAST(0.0 AS DOUBLE), true"
+        "  UNION ALL SELECT CAST(99 AS BIGINT), 'a', CAST(9.0 AS DOUBLE), false"
+        ")"
+    )  # v2: update k=1, delete k=12, insert k=99
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in sess.sql(
+            f"SELECT _change_type, k, v FROM LAKE_CHANGES('{d}', 1, 2, PAIRED)"
+        ).df.collect()
+    }
+    assert got == {
+        ("update_preimage", 1, 1.0),
+        ("update_postimage", 1, 100.0),
+        ("delete", 12, 2.0),
+        ("insert", 99, 9.0),
+    }
+    # unpaired view of the same range keeps the raw delete/insert labels
+    raw = {
+        (r["_change_type"], r["k"])
+        for r in sess.sql(
+            f"SELECT _change_type, k FROM LAKE_CHANGES('{d}', 1, 2)"
+        ).df.collect()
+    }
+    assert raw == {("delete", 1), ("delete", 12), ("insert", 1), ("insert", 99)}
+    with pytest.raises(ValueError, match="fourth argument"):
+        sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 1, 2, bogus)")
 
 
 def test_sql_insert_union_body_not_sheared(sess, tmp_path):

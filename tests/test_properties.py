@@ -232,19 +232,22 @@ def test_match_ref_shares_the_same_mechanics(n):
 from seccosql_spark.sql.preprocessor import (  # noqa: E402
     _CREATE_TAG_RE,
     _DELETE_RE,
+    _DETAIL_RE,
     _DROP_TAG_RE,
     _INSERT_RE,
     _HISTORY_RE,
     _MERGE_RE,
     _OPTIMIZE_RE,
     _RESTORE_RE,
+    _SHOW_PARTS_RE,
     _SHOW_TAGS_RE,
     _VACUUM_RE,
 )
 
 _MAINT_RES = [
     _VACUUM_RE, _OPTIMIZE_RE, _RESTORE_RE, _CREATE_TAG_RE, _DROP_TAG_RE,
-    _SHOW_TAGS_RE, _HISTORY_RE, _MERGE_RE, _DELETE_RE, _INSERT_RE,
+    _SHOW_TAGS_RE, _HISTORY_RE, _DETAIL_RE, _SHOW_PARTS_RE, _MERGE_RE,
+    _DELETE_RE, _INSERT_RE,
 ]
 
 

@@ -565,7 +565,9 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+TARGET\s+(?P<files>\d+)\s+FILES)?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.I | re.S)
 _RESTORE_RE = re.compile(
-    rf"^RESTORE\s+{_L_DIR}\s+TO\s+VERSION\s+(?P<v>\d+)$", re.I)
+    rf"^RESTORE\s+{_L_DIR}\s+TO\s+(?:VERSION\s+(?P<v>\d+)"
+    rf"|TAG\s+{_L_TAG}"
+    r"|TIMESTAMP\s+'(?P<ts>[^']+)')$", re.I)
 _CREATE_TAG_RE = re.compile(
     rf"^CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TAG\s+{_L_TAG}\s+ON\s+"
     rf"{_L_DIR}(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?$", re.I)
@@ -707,6 +709,19 @@ def _parse_merge_clauses(
                     f"MERGE: {act} is only valid WHEN MATCHED (NOT MATCHED "
                     "supports INSERT *)"
                 )
+        prior_unconditional = any(
+            k == kind and c is None for k, c, _a in clauses
+        )
+        if prior_unconditional:
+            # an unconditional clause routes its branch's ENTIRE remainder;
+            # anything after it of the same kind can never fire — reject
+            # at parse (Delta likewise forces conditions on all but the
+            # last clause) instead of silently shipping dead DML
+            raise ValueError(
+                f"MERGE: unreachable clause — a prior unconditional "
+                f"{kind.replace('_', ' ').upper()} clause already routes "
+                "every such row"
+            )
         clauses.append((kind, mw["cond"], act))
     if rest[pos:].strip():
         raise ValueError(
@@ -889,7 +904,17 @@ def try_maintenance_sql(
         )
     m = _RESTORE_RE.match(s)
     if m:
-        rep = lh.restore_table(spark, m["dir"], int(m["v"]))
+        # VERSION n | TAG name | TIMESTAMP '<iso>' — tag and timestamp
+        # resolve to a version through the same read_tag/version_at verbs
+        # LAKE('<dir>', <arg>) time travel uses, then one metadata-only
+        # restore commit
+        if m["v"] is not None:
+            v = int(m["v"])
+        elif m["name"] is not None:
+            v = lh.read_tag(m["dir"], m["name"].strip("'"))
+        else:
+            v = lh.version_at(m["dir"], m["ts"])
+        rep = lh.restore_table(spark, m["dir"], v)
         return spark.createDataFrame(
             [(rep["version"], rep["restored_from"], len(rep["files"]))],
             "version INT, restored_from INT, files_live INT",

@@ -436,12 +436,22 @@ def test_sql_describe_detail_and_show_partitions(sess, tmp_path):
 
 def test_sql_restore_statement(sess, tmp_path):
     """RESTORE ... TO VERSION promotes the old snapshot as a new head
-    commit (metadata-only), exactly like the Python verb."""
+    commit (metadata-only), exactly like the Python verb; TO TAG resolves
+    through read_tag — the same refs LAKE(dir, '<name>') reads."""
     d = _mk_table(sess, tmp_path)
     rep = sess.sql(f"RESTORE LAKE('{d}') TO VERSION 0").df.collect()[0]
     assert (rep["version"], rep["restored_from"]) == (2, 0)
     got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
     assert got["n"] == 2  # v0 content (the append rolled back)
+    sess.sql(f"CREATE TAG full ON LAKE('{d}') AS OF VERSION 1")
+    rep = sess.sql(f"RESTORE LAKE('{d}') TO TAG full").df.collect()[0]
+    assert (rep["version"], rep["restored_from"]) == (3, 1)
+    got = sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]
+    assert got["n"] == 4  # the tagged pre-rollback snapshot is head again
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        sess.sql(f"RESTORE LAKE('{d}') TO TAG nope")
 
 
 def test_sql_tag_ddl_roundtrip(sess, tmp_path):

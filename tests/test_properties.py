@@ -308,6 +308,7 @@ from seccosql_spark.sql.preprocessor import _parse_merge_clauses  # noqa: E402
 
 _acts_matched = st.sampled_from(["UPDATE SET *", "DELETE"])
 _conds = st.sampled_from([None, "s.v > 0", "flag = 'D'", "a = 1 AND b = 2"])
+_conds_nonnull = st.sampled_from(["s.v > 0", "flag = 'D'", "a = 1 AND b = 2"])
 _keys_st = st.lists(
     st.sampled_from(["k", "id", "doc_id"]), min_size=1, max_size=3, unique=True
 )
@@ -325,8 +326,12 @@ def _merge_clause_stmt(draw):
         for k in keys
     )
     clauses = []
-    for _ in range(draw(st.integers(1, 2))):
-        cond = draw(_conds)
+    n_matched = draw(st.integers(1, 2))
+    for i in range(n_matched):
+        # all but the LAST clause of a kind must carry a condition — an
+        # unconditional clause makes every later same-kind clause
+        # unreachable and the parser rejects it
+        cond = draw(_conds if i == n_matched - 1 else _conds_nonnull)
         act = draw(_acts_matched)
         clauses.append(("matched", cond, act))
     if draw(st.booleans()):
@@ -391,6 +396,9 @@ def test_merge_clause_grammar_roundtrip(case):
      "WHEN MATCHED THEN DELETE", "key equality"),
     ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
      "WHEN MATCHED THEN DELETE trailing junk", "trailing"),
+    ("MERGE INTO LAKE('/t') USING (SELECT 1) ON k = k "
+     "WHEN MATCHED THEN UPDATE SET * "
+     "WHEN MATCHED AND v > 0 THEN DELETE", "unreachable"),
 ]))
 @settings(max_examples=12, deadline=None)
 def test_merge_clause_grammar_rejects_malformed(case):

@@ -1030,22 +1030,28 @@ def try_maintenance_sql(
     # LAKE(...) target could only ever reach a read-only temp view — so a
     # targeted dialect error is strictly better than the fall-through.
     if re.match(
-        r"^(?:VACUUM|OPTIMIZE|RESTORE|DESCRIBE\s+HISTORY|"
+        r"^(?:VACUUM|OPTIMIZE|RESTORE|DESCRIBE\s+(?:HISTORY|DETAIL)|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TAG|DROP\s+TAG|SHOW\s+TAGS|"
+        # SHOW PARTITIONS <catalog-table> is valid Spark SQL — only the
+        # LAKE() form is ours to reject
+        r"SHOW\s+PARTITIONS\s+LAKE\s*\(|"
         r"(?:MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO)\s+LAKE\s*\()",
         s, re.I,
     ):
         raise ValueError(
             f"malformed lakehouse maintenance statement: {s[:120]!r} — "
-            "expected one of: VACUUM LAKE('<dir>') [KEEP n] | "
+            "expected one of: VACUUM LAKE('<dir>') [KEEP n] [DRY RUN] | "
             "OPTIMIZE LAKE('<dir>') [SORT BY col | ZORDER BY (cols)] "
             "[TARGET n FILES] [WHERE <partition-pred>] | "
-            "RESTORE LAKE('<dir>') TO VERSION n | "
+            "RESTORE LAKE('<dir>') TO VERSION n | TO TAG t | "
+            "TO TIMESTAMP '<iso>' | "
             "CREATE [OR REPLACE] TAG name ON LAKE('<dir>') [AS OF VERSION n] | "
             "DROP TAG name ON LAKE('<dir>') | SHOW TAGS ON LAKE('<dir>') | "
-            "DESCRIBE HISTORY LAKE('<dir>') | "
+            "SHOW PARTITIONS LAKE('<dir>') | "
+            "DESCRIBE HISTORY|DETAIL LAKE('<dir>') | "
             "MERGE INTO LAKE('<dir>') KEYS (k,..) USING <query> | "
-            "MERGE INTO LAKE('<dir>') USING <query> ON <eq-cond> WHEN ... | "
+            "MERGE INTO LAKE('<dir>') USING <query> ON <eq-cond> "
+            "WHEN [NOT] MATCHED [BY SOURCE] [AND c] THEN ... | "
             "DELETE FROM LAKE('<dir>') KEYS (k,..) WHERE <pred> | "
             "INSERT INTO LAKE('<dir>') <query>"
         )

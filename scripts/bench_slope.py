@@ -59,6 +59,9 @@ PINNED = [
     "lakehouse_equality_deletes",
     "lakehouse_change_feed",
     "lakehouse_merge_cow",
+    # r16: the PAIRED change feed adds two broadcast semi-joins over the
+    # net diff — its slope should track lakehouse_change_feed's
+    "lakehouse_sql_change_feed_paired",
     # VERDICT r14 task 1: the most expensive headline kernels, whose 100-TB
     # story previously rested on round-count/state-size ARGUMENTS rather
     # than a measured ratio — the fixpoint kernels (SCC's trim+color

@@ -361,10 +361,44 @@ def deterministic_commit_clock(
 
 def _carried_meta(m: dict) -> dict:
     """Table-level metadata every commit carries forward verbatim from the
-    base manifest — currently the partition-transform semantics version
-    (see TRANSFORM_VERSION: a table keeps the derivation rule it was
-    created with, forever)."""
-    return {"transform_version": m.get("transform_version", 1)}
+    base manifest — the partition-transform semantics version (see
+    TRANSFORM_VERSION: a table keeps the derivation rule it was created
+    with, forever) and the CHECK-constraint map (enforced on every
+    row-adding commit until dropped)."""
+    meta = {"transform_version": m.get("transform_version", 1)}
+    if m.get("constraints"):
+        meta["constraints"] = dict(m["constraints"])
+    return meta
+
+
+def _check_constraints(m: dict, df: DataFrame, context: str) -> None:
+    """Commit-time CHECK-constraint enforcement (Delta's contract): every
+    row-ADDING commit validates its batch against the manifest's
+    constraint map and REJECTS the whole commit on any violating row —
+    fail the writer, never land bad data for the readers. SQL-standard
+    semantics: a row satisfies a constraint when the expression is TRUE
+    or NULL; only FALSE violates. One combined job probes for any
+    violation (limit-1 early exit); the per-constraint breakdown is
+    computed only on the failure path."""
+    cons = m.get("constraints") or {}
+    if not cons:
+        return
+    checks = {name: ~F.expr(expr) for name, expr in sorted(cons.items())}
+    combined = None
+    for c in checks.values():
+        combined = c if combined is None else (combined | c)
+    if df.where(combined).limit(1).count() == 0:
+        return
+    bad = []
+    for name, c in checks.items():
+        n = df.where(c).count()
+        if n:
+            bad.append(f"{name} ({cons[name]!r}): {n} violating rows")
+    raise ValueError(
+        f"{context}: batch violates CHECK constraint(s) — "
+        + "; ".join(bad)
+        + " — the commit was rejected, the table is unchanged"
+    )
 
 
 class CommitConflictError(RuntimeError):
@@ -974,6 +1008,7 @@ def append_commit(
     if _partition_source_col(pcol) not in inserts.columns:
         raise ValueError(f"inserts must carry the partition column {pcol!r}")
     _check_schema_compatible(m, inserts, "append_commit")
+    _check_constraints(m, inserts, "append_commit")
     # carry file entries VERBATIM — projecting to a fixed key set silently
     # dropped later-added metadata (column stats) from carried files
     files = [dict(f) for f in m["files"]]
@@ -1239,6 +1274,8 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         m = read_manifest(table_dir, int(fn[1:6]))
         if "restored_from" in m:
             kind = "restore"
+        elif "constraint_change" in m:
+            kind = f"constraint_{m['constraint_change']['op']}"
         elif "appended_files" in m:
             kind = "append"
         elif "partitions_compacted" in m:
@@ -1399,6 +1436,88 @@ def list_tags(table_dir: str) -> dict[str, int]:
 
 def drop_tag(table_dir: str, name: str) -> None:
     os.remove(_tag_path(table_dir, name))
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> dict:
+    """ALTER ... ADD CONSTRAINT ... CHECK (Delta twin): record a CHECK
+    expression in the manifest so every subsequent row-adding commit
+    (append/merge/insert) validates its batch and rejects violations at
+    the writer — the data-quality gate a 100 TB ingest pipeline runs at
+    commit time instead of in a post-hoc audit. Delta's contract on ADD:
+    the CURRENT snapshot must already satisfy the constraint (one
+    limit-1 probe; the full violation count is computed only on the
+    failure path), then the constraint lands as a metadata-only commit —
+    every file carried by reference, zero data IO."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"constraint name must be an identifier, got {name!r}")
+    m = read_manifest(table_dir)
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists on {table_dir} "
+            f"(CHECK {cons[name]!r}) — DROP it first"
+        )
+    snap = read_table(spark, table_dir)
+    if snap.where(~F.expr(expr)).limit(1).count():
+        n = snap.where(~F.expr(expr)).count()
+        raise ValueError(
+            f"cannot add constraint {name!r}: {n} existing rows violate "
+            f"CHECK ({expr}) — a constraint must hold on the data it "
+            "starts guarding (Delta's ADD CONSTRAINT contract)"
+        )
+    cons[name] = expr
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "partition_by": m["partition_by"],
+        **_carried_meta(m),
+        "schema": m.get("schema"),
+        "files": [dict(f) for f in m["files"]],
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": dict(m.get("txns", {})),
+        "constraints": cons,
+        "constraint_change": {"op": "add", "name": name},
+    }
+    _commit_or_cleanup(table_dir, version, manifest)
+    return manifest
+
+
+def drop_constraint(table_dir: str, name: str) -> dict:
+    """Remove a CHECK constraint as a metadata-only commit; later commits
+    stop validating it. Unknown names raise (matching drop_tag's
+    loudness)."""
+    m = read_manifest(table_dir)
+    cons = dict(m.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(
+            f"no constraint {name!r} on {table_dir} "
+            f"(have: {sorted(cons) or 'none'})"
+        )
+    del cons[name]
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "partition_by": m["partition_by"],
+        **_carried_meta(m),
+        "schema": m.get("schema"),
+        "files": [dict(f) for f in m["files"]],
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": dict(m.get("txns", {})),
+        "constraints": cons,
+        "constraint_change": {"op": "drop", "name": name},
+    }
+    # the explicit "constraints" key sits after **_carried_meta in the
+    # literal, so it overrides the carried (pre-drop) map — including
+    # down to {} on the last drop
+    _commit_or_cleanup(table_dir, version, manifest)
+    return manifest
+
+
+def list_constraints(table_dir: str) -> dict:
+    """Head snapshot's constraint map name -> CHECK expression."""
+    return dict(read_manifest(table_dir).get("constraints") or {})
 
 
 def expire_versions(
@@ -1874,6 +1993,8 @@ def merge_cow(
     else:
         deletes = None
         upserts = updates
+    # constraints gate the rows being ADDED — deletes are erasure, not data
+    _check_constraints(m, upserts, "merge_cow")
     if touched_files:
         # mergeSchema: the touched partitions' live files may straddle an
         # additive schema evolution; outstanding equality deletes are

@@ -1757,6 +1757,119 @@ def lakehouse_sql_change_feed_paired(sess: SeccoSession):
     ).df
 
 
+# Constraint fixture: the clean batch appends %211 keys shifted +50M; the
+# REJECTED batch is the %113 slice with negated prices — if enforcement
+# ever let it land, both n_rows and cents shift and the oracle catches it.
+AC = "o_orderkey % 113 = 0"
+
+SQL_CONSTRAINTS_ORACLE = f"""
+WITH ap AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_totalprice AS p,
+                   o_orderpriority
+            FROM orders WHERE {AM}),
+f AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority FROM orders
+      UNION ALL SELECT * FROM ap)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST(1 AS INTEGER) AS n_constraints,
+       CAST(1 AS INTEGER) AS batches_rejected,
+       CAST(2 AS INTEGER) AS head_version
+FROM f
+"""
+
+
+def _sql_constrained_table(sess: SeccoSession) -> tuple[str, dict]:
+    """v0 create, v1 ADD CONSTRAINT (metadata-only), v2 clean append —
+    then a VIOLATING insert (negated prices) that the commit-time check
+    must reject whole. The build raises if the rejection does not happen
+    or if it lands anything (head must stay at v2)."""
+    import json as _json
+
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import (
+            deterministic_commit_clock, latest_version,
+        )
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0
+            sess.sql(
+                f"ALTER LAKE('{table}') ADD CONSTRAINT price_pos "
+                "CHECK (o_totalprice > 0.0)"
+            )  # v1, metadata-only
+            sess.sql(
+                f"""INSERT INTO LAKE('{table}')
+                    SELECT o_orderkey + 50000000 AS o_orderkey,
+                           o_orderpriority, o_totalprice
+                    FROM orders WHERE {AM}"""
+            )  # v2, clean
+            rejected = 0
+            try:
+                sess.sql(
+                    f"""INSERT INTO LAKE('{table}')
+                        SELECT o_orderkey + 90000000 AS o_orderkey,
+                               o_orderpriority, -o_totalprice AS o_totalprice
+                        FROM orders WHERE {AC}"""
+                )
+            except ValueError as exc:
+                if "price_pos" not in str(exc):
+                    raise
+                rejected = 1
+            if rejected != 1 or latest_version(table) != 2:
+                raise RuntimeError(
+                    "constraint enforcement failed to reject the violating "
+                    f"batch (head v{latest_version(table)})"
+                )
+        with open(os.path.join(d, "con_stats.json"), "w") as f:
+            _json.dump({"batches_rejected": rejected}, f)
+
+    d = build_once(
+        "secco_lakehouse_sqlconstraints", (src,), _build,
+        code=(_self, _ops, _pre),
+    )
+    with open(os.path.join(d, "con_stats.json")) as f:
+        return os.path.join(d, "table"), _json.load(f)
+
+
+@register("lakehouse_sql_constraints", SQL_CONSTRAINTS_ORACLE)
+def lakehouse_sql_constraints(sess: SeccoSession):
+    """Commit-time CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT
+    twin): the constraint lands as a metadata-only commit, a clean append
+    passes, and the violating batch is rejected WHOLE — proven by the
+    oracle's replay: the snapshot must equal base + clean append exactly
+    (a leaked violating row shifts both n_rows and cents), the head must
+    still be v2, and SHOW CONSTRAINTS must list the one guard."""
+    from seccosql_spark.operators.lakehouse import latest_version
+
+    table, stats = _sql_constrained_table(sess)
+    n_cons = sess.sql(f"SHOW CONSTRAINTS ON LAKE('{table}')").df.count()
+    out = (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+        )
+    )
+    for col, val in [
+        ("n_constraints", n_cons),
+        ("batches_rejected", stats["batches_rejected"]),
+        ("head_version", latest_version(table)),
+    ]:
+        out = out.withColumn(col, F.lit(val).cast("int"))
+    return out
+
+
 SQL_SHOW_PARTS_ORACLE = f"""
 WITH base AS (SELECT o_orderpriority AS part, count(*) AS n
               FROM orders GROUP BY 1),

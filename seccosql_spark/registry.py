@@ -93,6 +93,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
     "lakehouse_sql_change_feed_paired",
+    "lakehouse_sql_constraints",
     "lakehouse_sql_merge_clauses",
     "lakehouse_sql_merge_full_sync",
     "lakehouse_sql_optimize_where",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "text_repetition_stats",
     "text_unigram_logprob",
     "text_winnowing_fingerprint",
-    "aggregate_global",
 ]
 
 

@@ -576,6 +576,15 @@ _SHOW_TAGS_RE = re.compile(rf"^SHOW\s+TAGS\s+ON\s+{_L_DIR}$", re.I)
 _HISTORY_RE = re.compile(rf"^DESCRIBE\s+HISTORY\s+{_L_DIR}$", re.I)
 _DETAIL_RE = re.compile(rf"^DESCRIBE\s+DETAIL\s+{_L_DIR}$", re.I)
 _SHOW_PARTS_RE = re.compile(rf"^SHOW\s+PARTITIONS\s+{_L_DIR}$", re.I)
+_ADD_CONSTRAINT_RE = re.compile(
+    rf"^ALTER\s+{_L_DIR}\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.I | re.S)
+_DROP_CONSTRAINT_RE = re.compile(
+    rf"^ALTER\s+{_L_DIR}\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)$", re.I)
+_SHOW_CONSTRAINTS_RE = re.compile(
+    rf"^SHOW\s+CONSTRAINTS\s+ON\s+{_L_DIR}$", re.I)
 _MERGE_RE = re.compile(
     rf"^MERGE\s+INTO\s+{_L_DIR}\s+KEYS\s*\((?P<keys>[^)]+)\)\s+USING\s+"
     r"(?P<body>.+)$", re.I | re.S)
@@ -1021,6 +1030,24 @@ def try_maintenance_sql(
     m = _SHOW_PARTS_RE.match(s)
     if m:
         return lh.table_partitions(spark, m["dir"])
+    m = _ADD_CONSTRAINT_RE.match(s)
+    if m:
+        rep = lh.add_constraint(spark, m["dir"], m["name"], m["expr"].strip())
+        return spark.createDataFrame(
+            [(m["name"], rep["constraints"][m["name"]], rep["version"])],
+            "name STRING, check_expr STRING, version INT",
+        )
+    m = _DROP_CONSTRAINT_RE.match(s)
+    if m:
+        rep = lh.drop_constraint(m["dir"], m["name"])
+        return spark.createDataFrame(
+            [(m["name"], True, rep["version"])],
+            "name STRING, dropped BOOLEAN, version INT",
+        )
+    m = _SHOW_CONSTRAINTS_RE.match(s)
+    if m:
+        cons = sorted(lh.list_constraints(m["dir"]).items())
+        return spark.createDataFrame(cons or [], "name STRING, check_expr STRING")
     # Near-miss guard (ADVICE r15): a statement that unambiguously *starts*
     # like a maintenance verb but fails the grammar (wrong quote style,
     # dangling clause) used to fall through to Spark's parser, which has no
@@ -1034,7 +1061,9 @@ def try_maintenance_sql(
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TAG|DROP\s+TAG|SHOW\s+TAGS|"
         # SHOW PARTITIONS <catalog-table> is valid Spark SQL — only the
         # LAKE() form is ours to reject
-        r"SHOW\s+PARTITIONS\s+LAKE\s*\(|"
+        r"SHOW\s+PARTITIONS\s+LAKE\s*\(|SHOW\s+CONSTRAINTS|"
+        # ALTER TABLE <catalog-table> is valid Spark SQL — only LAKE() ours
+        r"ALTER\s+LAKE\s*\(|"
         r"(?:MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO)\s+LAKE\s*\()",
         s, re.I,
     ):
@@ -1048,6 +1077,9 @@ def try_maintenance_sql(
             "CREATE [OR REPLACE] TAG name ON LAKE('<dir>') [AS OF VERSION n] | "
             "DROP TAG name ON LAKE('<dir>') | SHOW TAGS ON LAKE('<dir>') | "
             "SHOW PARTITIONS LAKE('<dir>') | "
+            "SHOW CONSTRAINTS ON LAKE('<dir>') | "
+            "ALTER LAKE('<dir>') ADD CONSTRAINT n CHECK (<expr>) | "
+            "ALTER LAKE('<dir>') DROP CONSTRAINT n | "
             "DESCRIBE HISTORY|DETAIL LAKE('<dir>') | "
             "MERGE INTO LAKE('<dir>') KEYS (k,..) USING <query> | "
             "MERGE INTO LAKE('<dir>') USING <query> ON <eq-cond> "

@@ -731,6 +731,72 @@ def test_lake_changes_table_ref(sess, tmp_path):
         sess.sql(f"SELECT * FROM LAKE_CHANGES('{d}', 'a', 'b')")
 
 
+def test_sql_check_constraints_lifecycle(sess, tmp_path):
+    """ALTER ... ADD CONSTRAINT ... CHECK: a metadata-only commit (files
+    carried) that every later row-adding commit enforces — violating
+    INSERT/MERGE batches are rejected whole with the table unchanged;
+    NULL evaluations pass (SQL-standard CHECK); DROP stops enforcement;
+    ADD on already-violating data refuses."""
+    from seccosql_spark.operators.lakehouse import read_manifest
+
+    d = _mk_table(sess, tmp_path)  # k=1,2,11,12; v in 1.0..2.0
+    files_before = {f["path"] for f in read_manifest(d)["files"]}
+    rep = sess.sql(
+        f"ALTER LAKE('{d}') ADD CONSTRAINT v_pos CHECK (v > 0.0)"
+    ).df.collect()[0]
+    assert (rep["name"], rep["check_expr"], rep["version"]) \
+        == ("v_pos", "v > 0.0", 2)
+    assert {f["path"] for f in read_manifest(d)["files"]} == files_before
+    # history shows the metadata-only commit
+    hist = sess.sql(f"DESCRIBE HISTORY LAKE('{d}')").df.collect()
+    assert hist[-1]["kind"] == "constraint_add"
+    # violating insert: whole batch rejected, table unchanged
+    with pytest.raises(ValueError, match="v_pos.*violating rows.*unchanged"):
+        sess.sql(
+            f"INSERT INTO LAKE('{d}') "
+            "SELECT CAST(50 AS BIGINT) AS k, 'a' AS p, CAST(-1.0 AS DOUBLE) AS v"
+        )
+    assert sess.sql(f"SELECT count(*) AS n FROM LAKE('{d}')").df.collect()[0]["n"] == 4
+    # violating MERGE upsert: also rejected
+    with pytest.raises(ValueError, match="merge_cow.*v_pos"):
+        sess.sql(
+            f"MERGE INTO LAKE('{d}') USING ("
+            "SELECT CAST(1 AS BIGINT) AS k, 'a' AS p, CAST(-5.0 AS DOUBLE) AS v"
+            ") ON k = k WHEN MATCHED THEN UPDATE SET *"
+        )
+    # NULL evaluation passes; a clean batch lands
+    rep = sess.sql(
+        f"INSERT INTO LAKE('{d}') "
+        "SELECT CAST(51 AS BIGINT) AS k, 'a' AS p, CAST(NULL AS DOUBLE) AS v"
+    ).df.collect()[0]
+    assert rep["files_appended"] == 1
+    # a MERGE delete of a low-v row is erasure, not data — never checked
+    sess.sql(
+        f"MERGE INTO LAKE('{d}') KEYS (k) USING ("
+        "SELECT CAST(2 AS BIGINT) AS k, 'b' AS p, CAST(0.0 AS DOUBLE) AS v,"
+        " true AS __deleted)"
+    )
+    # second constraint must hold on CURRENT data — k=51 has NULL v, fine,
+    # but v < 1.5 fails on existing rows
+    with pytest.raises(ValueError, match="existing rows violate"):
+        sess.sql(f"ALTER LAKE('{d}') ADD CONSTRAINT v_small CHECK (v < 1.5)")
+    cons = sess.sql(f"SHOW CONSTRAINTS ON LAKE('{d}')").df.collect()
+    assert [(c["name"], c["check_expr"]) for c in cons] == [("v_pos", "v > 0.0")]
+    # duplicate add refuses; drop stops enforcement
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql(f"ALTER LAKE('{d}') ADD CONSTRAINT v_pos CHECK (v > 10.0)")
+    rep = sess.sql(f"ALTER LAKE('{d}') DROP CONSTRAINT v_pos").df.collect()[0]
+    assert rep["dropped"] is True
+    assert sess.sql(f"SHOW CONSTRAINTS ON LAKE('{d}')").df.count() == 0
+    rep = sess.sql(
+        f"INSERT INTO LAKE('{d}') "
+        "SELECT CAST(52 AS BIGINT) AS k, 'a' AS p, CAST(-9.0 AS DOUBLE) AS v"
+    ).df.collect()[0]
+    assert rep["files_appended"] == 1  # no longer enforced
+    with pytest.raises(ValueError, match="no constraint"):
+        sess.sql(f"ALTER LAKE('{d}') DROP CONSTRAINT v_pos")
+
+
 def test_lake_changes_paired_updates(sess, tmp_path):
     """LAKE_CHANGES(d, v0, v1, PAIRED): net delete+insert of the same key
     re-labeled update_preimage/update_postimage using the merge commit's

@@ -526,13 +526,16 @@ def test_table_changes_delete_only_commit(spark, table):
 @pytest.mark.parametrize("seed", [7, 23, 41])
 def test_random_commit_sequences_match_model(spark, tmp_path, seed):
     """Model-based sequence test: a random interleaving of MERGE, blind
-    APPEND, equality DELETE, COMPACT and PURGE commits must keep every
+    APPEND, equality DELETE, COMPACT (unscoped / clustered / WHERE-scoped),
+    PURGE, RESTORE, and constraint ADD/DROP commits must keep every
     snapshot equal to a trivial Python dict replay — and the change feed
     between EVERY consecutive version pair must equal the model's diff.
     This is the whole-family invariant the single-scenario tests can't
     give: deletes interact with later re-inserts (sequence rule), compact
-    interacts with outstanding deletes, purges retire them, and time
-    travel must keep serving every historical state."""
+    interacts with outstanding deletes, purges retire them, time travel
+    must keep serving every historical state, a live CHECK constraint
+    must reject violating batches whole (no version advance) while a
+    restore resurrects the restored version's constraint map."""
     import random
 
     import seccosql_spark.operators.lakehouse as lh
@@ -552,12 +555,14 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
         d, "p",
     )
     history = [dict(state)]  # model per version
+    cons_history: list[bool] = [False]  # r16: constraint live per version
     dead_keys: set[int] = set()
+    cons_live = False
 
-    for _ in range(8):
+    for _ in range(10):
         op = rng.choice(
             ["merge", "append", "delete", "compact", "zcompact", "purge",
-             "restore"]
+             "restore", "optimize_where", "constraint", "bad_append"]
         )
         if op == "merge":
             ups = [mkrow(rng.randint(1, 40)) for _ in range(rng.randint(1, 4))]
@@ -618,14 +623,54 @@ def test_random_commit_sequences_match_model(spark, tmp_path, seed):
         elif op == "restore":
             # rollback to a random historical version: the model state
             # becomes that version's dict; later ops build on top of it
-            # (delete sequence rule, appends, feeds all must stay exact)
+            # (delete sequence rule, appends, feeds all must stay exact).
+            # Constraints are table metadata — the restore resurrects the
+            # restored version's map (carried via _carried_meta), so the
+            # model's live-constraint flag follows cons_history.
             rv = rng.randrange(len(history))
             lh.restore_table(spark, d, rv)
             state = dict(history[rv])
+            cons_live = cons_history[rv]
             dead_keys = set(range(1, 81)) - set(state)
+        elif op == "optimize_where":
+            # partition-scoped compaction is content-neutral like the
+            # unscoped one: the model and the change feed see NOTHING,
+            # whichever partition the predicate selects
+            lh.compact(spark, d, where=f"p = '{rng.choice(parts)}'")
+        elif op == "constraint":
+            # metadata-only commit either way; generated row values are
+            # 1..99 so the live snapshot always satisfies v > 0
+            if cons_live:
+                lh.drop_constraint(d, "v_pos")
+                cons_live = False
+            else:
+                lh.add_constraint(spark, d, "v_pos", "v > 0.0")
+                cons_live = True
+        elif op == "bad_append":
+            # a violating batch must be rejected WHOLE with no version
+            # advance while the constraint is live — and land normally
+            # (negative v and all) the moment it is not
+            bad = [(rng.randint(200, 240), rng.choice(parts), -5.0)]
+            if cons_live:
+                with pytest.raises(ValueError, match="v_pos"):
+                    lh.append_commit(
+                        spark, d,
+                        spark.createDataFrame(
+                            bad, "k BIGINT, p STRING, v DOUBLE"),
+                    )
+                assert rows(read_table(spark, d)) == sorted(state.values())
+                continue  # no commit, no history entry
+            if bad[0][0] in state:
+                continue
+            lh.append_commit(
+                spark, d,
+                spark.createDataFrame(bad, "k BIGINT, p STRING, v DOUBLE"),
+            )
+            state[bad[0][0]] = bad[0]
         else:
             lh.purge_deletes(spark, d)
         history.append(dict(state))
+        cons_history.append(cons_live)
         got = rows(read_table(spark, d))
         assert got == sorted(state.values()), f"snapshot diverged after {op}"
 

@@ -230,15 +230,18 @@ def test_match_ref_shares_the_same_mechanics(n):
 # ------------------------------------------------ maintenance-DDL dispatch
 
 from seccosql_spark.sql.preprocessor import (  # noqa: E402
+    _ADD_CONSTRAINT_RE,
     _CREATE_TAG_RE,
     _DELETE_RE,
     _DETAIL_RE,
+    _DROP_CONSTRAINT_RE,
     _DROP_TAG_RE,
     _INSERT_RE,
     _HISTORY_RE,
     _MERGE_RE,
     _OPTIMIZE_RE,
     _RESTORE_RE,
+    _SHOW_CONSTRAINTS_RE,
     _SHOW_PARTS_RE,
     _SHOW_TAGS_RE,
     _VACUUM_RE,
@@ -246,8 +249,9 @@ from seccosql_spark.sql.preprocessor import (  # noqa: E402
 
 _MAINT_RES = [
     _VACUUM_RE, _OPTIMIZE_RE, _RESTORE_RE, _CREATE_TAG_RE, _DROP_TAG_RE,
-    _SHOW_TAGS_RE, _HISTORY_RE, _DETAIL_RE, _SHOW_PARTS_RE, _MERGE_RE,
-    _DELETE_RE, _INSERT_RE,
+    _SHOW_TAGS_RE, _HISTORY_RE, _DETAIL_RE, _SHOW_PARTS_RE,
+    _ADD_CONSTRAINT_RE, _DROP_CONSTRAINT_RE, _SHOW_CONSTRAINTS_RE,
+    _MERGE_RE, _DELETE_RE, _INSERT_RE,
 ]
 
 

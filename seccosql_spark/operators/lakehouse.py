@@ -684,8 +684,11 @@ def _read_entries(
     single mergeSchema read — the fast path is unchanged."""
     dels = m.get("delete_files") or []
     if not dels:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, f["path"]) for f in entries]
+        return _reconcile_declared_schema(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_dir, f["path"]) for f in entries]
+            ),
+            m,
         )
     groups: dict[tuple[int, ...], list[str]] = {}
     for f in entries:
@@ -704,7 +707,26 @@ def _read_entries(
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True
         )
-    return out
+    return _reconcile_declared_schema(out, m)
+
+
+def _reconcile_declared_schema(df: DataFrame, m: dict) -> DataFrame:
+    """NULL-fill columns the manifest SCHEMA declares but no selected file
+    carries. Two ways that happens: a metadata-only ``add_column`` commit
+    (no file has the column until a later write), and a pruned subset read
+    (scan_table / change-feed) that happens to skip every file carrying an
+    evolved column. Without this, a snapshot's schema would depend on
+    WHICH files survived pruning — reconciliation pins it to the declared
+    schema, exactly what mergeSchema already does when at least one
+    selected file has the column."""
+    if not m.get("schema"):
+        return df
+    declared = StructType.fromJson(json.loads(m["schema"]))
+    have = {c.lower() for c in df.columns}
+    for f in declared.fields:
+        if f.name.lower() not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def version_at(table_dir: str, timestamp: str) -> int:
@@ -1276,6 +1298,8 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
             kind = "restore"
         elif "constraint_change" in m:
             kind = f"constraint_{m['constraint_change']['op']}"
+        elif "schema_change" in m:
+            kind = m["schema_change"]["op"]
         elif "appended_files" in m:
             kind = "append"
         elif "partitions_compacted" in m:
@@ -1479,6 +1503,46 @@ def add_constraint(
         "txns": dict(m.get("txns", {})),
         "constraints": cons,
         "constraint_change": {"op": "add", "name": name},
+    }
+    _commit_or_cleanup(table_dir, version, manifest)
+    return manifest
+
+
+def add_column(table_dir: str, name: str, ddl_type: str) -> dict:
+    """ALTER ... ADD COLUMN (Delta/Iceberg additive schema evolution as
+    explicit DDL): append a nullable column to the manifest schema as a
+    metadata-only commit — zero data IO, every file carried. Readers
+    NULL-fill it immediately (``_reconcile_declared_schema``); later
+    writes may populate it (the same additive path implicit evolution
+    already takes when a batch carries a new column). The implicit path
+    stays available; this is the declare-first twin."""
+    m = read_manifest(table_dir)
+    if not m.get("schema"):
+        raise ValueError(
+            f"{table_dir} records no schema — legacy tables cannot take "
+            "metadata-only column additions (write a batch carrying the "
+            "column instead)"
+        )
+    st = StructType.fromJson(json.loads(m["schema"]))
+    if name.lower() in {f.name.lower() for f in st.fields}:
+        raise ValueError(f"column {name!r} already exists")
+    try:
+        new_field = StructType.fromDDL(f"`{name}` {ddl_type}").fields[0]
+    except Exception as exc:
+        raise ValueError(
+            f"add_column: {ddl_type!r} is not a parseable DDL type"
+        ) from exc
+    evolved = StructType(list(st.fields) + [new_field])
+    version = m["version"] + 1
+    manifest = {
+        "version": version,
+        "partition_by": m["partition_by"],
+        **_carried_meta(m),
+        "schema": json.dumps(evolved.jsonValue()),
+        "files": [dict(f) for f in m["files"]],
+        "delete_files": [dict(d) for d in m.get("delete_files") or []],
+        "txns": dict(m.get("txns", {})),
+        "schema_change": {"op": "add_column", "name": name, "type": ddl_type},
     }
     _commit_or_cleanup(table_dir, version, manifest)
     return manifest

@@ -1757,6 +1757,84 @@ def lakehouse_sql_change_feed_paired(sess: SeccoSession):
     ).df
 
 
+SQL_ADD_COLUMN_ORACLE = f"""
+WITH ap AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_totalprice AS p,
+                   o_orderpriority, o_totalprice AS note
+            FROM orders WHERE {AM}),
+f AS (SELECT o_orderkey, o_totalprice AS p, o_orderpriority,
+             CAST(NULL AS DOUBLE) AS note
+      FROM orders
+      UNION ALL SELECT * FROM ap)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_CENTS_P}) AS BIGINT) AS cents,
+       CAST(sum(CAST(floor(note * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS note_cents,
+       CAST(sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS note_nulls
+FROM f
+"""
+
+
+def _sql_add_column_table(sess: SeccoSession) -> str:
+    """v0 create, v1 metadata-only ADD COLUMN note DOUBLE, v2 append that
+    POPULATES it for the AM slice — the declare-first evolution path."""
+    import seccosql_spark.operators.lakehouse as _ops
+    import seccosql_spark.queries.lakehouse_q as _self
+    import seccosql_spark.sql.preprocessor as _pre
+    from seccosql_spark.operators.artifact import build_once
+
+    spark = sess.spark
+    ords = spark.table("orders")
+    src = sorted(ords.inputFiles())[0]
+
+    def _build(d: str) -> None:
+        from seccosql_spark.operators.lakehouse import deterministic_commit_clock
+
+        table = os.path.join(d, "table")
+        with deterministic_commit_clock("2026-01-01T00:00:00+00:00", 3600):
+            create_table(
+                ords.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+                table, "o_orderpriority",
+            )  # v0
+            sess.sql(f"ALTER LAKE('{table}') ADD COLUMN note DOUBLE")  # v1
+            sess.sql(
+                f"""INSERT INTO LAKE('{table}')
+                    SELECT o_orderkey + 50000000 AS o_orderkey,
+                           o_orderpriority, o_totalprice,
+                           o_totalprice AS note
+                    FROM orders WHERE {AM}"""
+            )  # v2
+    return os.path.join(
+        build_once(
+            "secco_lakehouse_sqladdcol", (src,), _build,
+            code=(_self, _ops, _pre),
+        ),
+        "table",
+    )
+
+
+@register("lakehouse_sql_add_column", SQL_ADD_COLUMN_ORACLE)
+def lakehouse_sql_add_column(sess: SeccoSession):
+    """Declare-first additive schema evolution (Delta/Iceberg ALTER TABLE
+    ADD COLUMN twin): the column lands as a metadata-only commit, base
+    rows serve NULL through the declared-schema reconciliation, the next
+    append populates it — every aggregate (row totals, cents over both
+    columns, NULL count = exactly the base rows) predicted by the oracle
+    replay."""
+    table = _sql_add_column_table(sess)
+    return (
+        read_table(sess.spark, table)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_CENTS_SPARK)).cast("long").alias("cents"),
+            F.sum(F.expr("CAST(floor(note * 100 + 0.5) AS BIGINT)"))
+            .cast("long").alias("note_cents"),
+            F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+            .cast("long").alias("note_nulls"),
+        )
+    )
+
+
 # Constraint fixture: the clean batch appends %211 keys shifted +50M; the
 # REJECTED batch is the %113 slice with negated prices — if enforcement
 # ever let it land, both n_rows and cents shift and the oracle catches it.

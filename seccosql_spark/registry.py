@@ -92,6 +92,7 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "lakehouse_sql_add_column",
     "lakehouse_sql_change_feed_paired",
     "lakehouse_sql_constraints",
     "lakehouse_sql_merge_clauses",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "text_redact_pii",
     "text_repetition_stats",
     "text_unigram_logprob",
-    "text_winnowing_fingerprint",
 ]
 
 

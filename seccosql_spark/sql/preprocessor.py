@@ -583,6 +583,10 @@ _ADD_CONSTRAINT_RE = re.compile(
 _DROP_CONSTRAINT_RE = re.compile(
     rf"^ALTER\s+{_L_DIR}\s+DROP\s+CONSTRAINT\s+"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)$", re.I)
+_ADD_COLUMN_RE = re.compile(
+    rf"^ALTER\s+{_L_DIR}\s+ADD\s+COLUMN\s+"
+    r"`?(?P<name>[A-Za-z_][A-Za-z0-9_]*)`?\s+(?P<type>.+?)\s*$",
+    re.I | re.S)
 _SHOW_CONSTRAINTS_RE = re.compile(
     rf"^SHOW\s+CONSTRAINTS\s+ON\s+{_L_DIR}$", re.I)
 _MERGE_RE = re.compile(
@@ -1044,6 +1048,13 @@ def try_maintenance_sql(
             [(m["name"], True, rep["version"])],
             "name STRING, dropped BOOLEAN, version INT",
         )
+    m = _ADD_COLUMN_RE.match(s)
+    if m:
+        rep = lh.add_column(m["dir"], m["name"], m["type"])
+        return spark.createDataFrame(
+            [(m["name"], m["type"], rep["version"])],
+            "name STRING, col_type STRING, version INT",
+        )
     m = _SHOW_CONSTRAINTS_RE.match(s)
     if m:
         cons = sorted(lh.list_constraints(m["dir"]).items())
@@ -1080,6 +1091,7 @@ def try_maintenance_sql(
             "SHOW CONSTRAINTS ON LAKE('<dir>') | "
             "ALTER LAKE('<dir>') ADD CONSTRAINT n CHECK (<expr>) | "
             "ALTER LAKE('<dir>') DROP CONSTRAINT n | "
+            "ALTER LAKE('<dir>') ADD COLUMN name <ddl-type> | "
             "DESCRIBE HISTORY|DETAIL LAKE('<dir>') | "
             "MERGE INTO LAKE('<dir>') KEYS (k,..) USING <query> | "
             "MERGE INTO LAKE('<dir>') USING <query> ON <eq-cond> "

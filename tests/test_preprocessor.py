@@ -797,6 +797,47 @@ def test_sql_check_constraints_lifecycle(sess, tmp_path):
         sess.sql(f"ALTER LAKE('{d}') DROP CONSTRAINT v_pos")
 
 
+def test_sql_add_column_metadata_only(sess, tmp_path):
+    """ALTER ... ADD COLUMN: declare-first additive evolution as a
+    metadata-only commit — readers NULL-fill immediately with the right
+    type, old snapshots stay narrow, later writes populate it, and a
+    stats-pruned subset read serves the SAME schema as the full read."""
+    from seccosql_spark.operators.lakehouse import read_manifest, scan_table
+
+    d = _mk_table(sess, tmp_path)  # v1 head: k,p,v
+    files_before = {f["path"] for f in read_manifest(d)["files"]}
+    rep = sess.sql(f"ALTER LAKE('{d}') ADD COLUMN note STRING").df.collect()[0]
+    assert (rep["name"], rep["col_type"], rep["version"]) \
+        == ("note", "STRING", 2)
+    assert {f["path"] for f in read_manifest(d)["files"]} == files_before
+    head = sess.sql(f"SELECT * FROM LAKE('{d}')").df
+    assert dict(head.dtypes)["note"] == "string"
+    assert head.where("note IS NOT NULL").count() == 0
+    # time travel to the pre-DDL snapshot stays narrow
+    assert "note" not in sess.sql(f"SELECT * FROM LAKE('{d}', 1)").df.columns
+    hist = sess.sql(f"DESCRIBE HISTORY LAKE('{d}')").df.collect()
+    assert hist[-1]["kind"] == "add_column"
+    # a later write populates it; NULL-filled and real values coexist
+    sess.sql(
+        f"INSERT INTO LAKE('{d}') SELECT CAST(21 AS BIGINT) AS k, 'a' AS p,"
+        " CAST(21.0 AS DOUBLE) AS v, 'fresh' AS note"
+    )
+    got = {
+        (r["k"], r["note"])
+        for r in sess.sql(f"SELECT k, note FROM LAKE('{d}')").df.collect()
+    }
+    assert (21, "fresh") in got and (1, None) in got
+    # pruned subset read (only pre-DDL files survive the probe) serves the
+    # declared schema, not a file-dependent narrow one
+    sub, audit = scan_table(sess.spark, d, "k", 1, 2)
+    assert "note" in sub.columns and audit["files_skipped"] >= 1
+    # guards: duplicate and unparseable type refuse
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql(f"ALTER LAKE('{d}') ADD COLUMN v DOUBLE")
+    with pytest.raises(ValueError, match="parseable DDL type"):
+        sess.sql(f"ALTER LAKE('{d}') ADD COLUMN zz NOT_A_TYPE<>")
+
+
 def test_lake_changes_paired_updates(sess, tmp_path):
     """LAKE_CHANGES(d, v0, v1, PAIRED): net delete+insert of the same key
     re-labeled update_preimage/update_postimage using the merge commit's

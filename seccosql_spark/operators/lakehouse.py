@@ -1958,12 +1958,13 @@ def table_detail(spark: SparkSession, table_dir: str) -> DataFrame:
             size,
             n_versions,
             len(list_tags(table_dir)),
+            len(m.get("constraints") or {}),
             m.get("committed_at"),
         )],
         "location STRING, version INT, partition_by STRING, num_files INT, "
         "num_delete_files INT, num_partitions INT, file_rows BIGINT, "
         "size_bytes BIGINT, num_versions_retained INT, num_tags INT, "
-        "committed_at STRING",
+        "num_constraints INT, committed_at STRING",
     )
 
 

@@ -424,6 +424,10 @@ def test_sql_describe_detail_and_show_partitions(sess, tmp_path):
             det["num_partitions"], det["file_rows"]) == (1, "p", 4, 2, 4)
     assert det["num_versions_retained"] == 2 and det["num_tags"] == 0
     assert det["size_bytes"] > 0 and det["num_delete_files"] == 0
+    assert det["num_constraints"] == 0
+    sess.sql(f"ALTER LAKE('{d}') ADD CONSTRAINT v_pos CHECK (v > 0.0)")
+    det = sess.sql(f"DESCRIBE DETAIL LAKE('{d}')").df.collect()[0]
+    assert det["num_constraints"] == 1 and det["version"] == 2
     parts = sess.sql(f"SHOW PARTITIONS LAKE('{d}')").df.collect()
     assert [(r["partition"], r["n_files"], r["n_rows"]) for r in parts] \
         == [("a", 2, 2), ("b", 2, 2)]

@@ -237,9 +237,13 @@ def ktruss(
     two surviving partner edges of each. Per-round cost is proportional to
     the removed edges' triangle counts, not the graph's; a triangle whose
     edges die in the same round is distinct-ed so it decrements once. State
-    is the shrinking (a, b, support) set, checkpointed each round; ONE
-    count job per round (the delta size). Raises on budget exhaustion
-    instead of returning a non-truss.
+    is the shrinking (a, b, support) set, checkpointed each round; r16: the
+    round's peel count rides that SAME checkpoint as an ``Observation``
+    metric (the SCC kernel's job-economy discipline), so a peel round costs
+    exactly one action — the old separate ``removed.count()`` job is gone —
+    and shuffle partitions are re-derived from the observed remainder size
+    per round (scale-adaptive, clamped to the session's configured value).
+    Raises on budget exhaustion instead of returning a non-truss.
 
     If ``stats`` is a list, appends one dict per peel round with
     ``n_removed`` (delta edges) and ``n_destroyed`` (triangles enumerated
@@ -250,15 +254,22 @@ def ktruss(
         raise ValueError(f"ktruss needs k >= 3, got {k}")
     if max_rounds < 1:
         raise ValueError(f"ktruss needs max_rounds >= 1, got {max_rounds}")
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    _pf_release, _tune_parts = _enter_parallelism_first_off(spark)
+
+    def _ckpt_peel(df: DataFrame):
+        """Checkpoint the (a, b, support) state with the NEXT round's peel
+        count riding the same action — one job per round."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("__n"),
+            F.sum((F.col("support") < k - 2).cast("long")).alias("__peel"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return out, got["__n"], got["__peel"] or 0
 
     def _edge_roles(tri: DataFrame) -> DataFrame:
         """The three edges of each canonical triangle (a < b < c)."""
@@ -268,59 +279,72 @@ def ktruss(
             .unionByName(tri.select("a", F.col("c").alias("b")))
         )
 
-    # one-time full enumeration: initial per-edge supports (0 for edges in
-    # no triangle — materialized via left join so they peel in round 1)
-    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = e.select("a", F.col("b").alias("c"))
-    tri0 = e.join(bc, "b").join(ac, ["a", "c"])  # (a < b < c)
-    sup0 = _edge_roles(tri0).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
-    state = (
-        e.join(sup0, ["a", "b"], "left")
-        .na.fill({"support": 0})
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_rounds):
-        removed = state.filter(F.col("support") < k - 2).select("a", "b")
-        n_removed = removed.count()
-        if n_removed == 0:
-            return state.select(
-                F.col("a").cast("long"), F.col("b").cast("long"),
-                F.col("support").cast("long"),
+    try:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
             )
-        keep = state.filter(F.col("support") >= k - 2)
-        if stats is not None:
-            removed = removed.localCheckpoint(eager=True)
-        # triangles (in the PRE-removal graph) containing >= 1 removed edge:
-        # join the delta into each of the three edge roles; distinct so a
-        # triangle losing 2-3 edges at once is destroyed exactly once
-        e_cur = state.select("a", "b")
-        ebc = e_cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
-        eac = e_cur.select("a", F.col("b").alias("c"))
-        r_bc = removed.select(F.col("a").alias("b"), F.col("b").alias("c"))
-        r_ac = removed.select("a", F.col("b").alias("c"))
-        destroyed = (
-            removed.join(ebc, "b").join(eac, ["a", "c"])       # delta in ab role
-            .unionByName(e_cur.join(r_bc, "b").join(eac, ["a", "c"]))  # bc role
-            .unionByName(e_cur.join(r_ac, "a").join(ebc, ["b", "c"]))  # ac role
+            .filter(F.col("a") != F.col("b"))
             .distinct()
-        )
-        if stats is not None:
-            destroyed = destroyed.localCheckpoint(eager=True)
-            stats.append({"n_removed": n_removed, "n_destroyed": destroyed.count()})
-        dec = (
-            _edge_roles(destroyed)
-            .join(removed, ["a", "b"], "left_anti")  # dying edges need no update
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("__dec"))
-        )
-        state = (
-            keep.join(dec, ["a", "b"], "left")
-            .select(
-                "a", "b",
-                (F.col("support") - F.coalesce(F.col("__dec"), F.lit(0))).alias("support"),
-            )
             .localCheckpoint(eager=True)
         )
+
+        # one-time full enumeration: initial per-edge supports (0 for edges
+        # in no triangle — materialized via left join so they peel in round 1)
+        bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = e.select("a", F.col("b").alias("c"))
+        tri0 = e.join(bc, "b").join(ac, ["a", "c"])  # (a < b < c)
+        sup0 = _edge_roles(tri0).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        state, n_edges, n_peel = _ckpt_peel(
+            e.join(sup0, ["a", "b"], "left").na.fill({"support": 0})
+        )
+        _tune_parts(n_edges)
+        for _ in range(max_rounds):
+            if n_peel == 0:
+                return state.select(
+                    F.col("a").cast("long"), F.col("b").cast("long"),
+                    F.col("support").cast("long"),
+                )
+            removed = state.filter(F.col("support") < k - 2).select("a", "b")
+            n_removed = n_peel
+            keep = state.filter(F.col("support") >= k - 2)
+            if stats is not None:
+                removed = removed.localCheckpoint(eager=True)
+            # triangles (in the PRE-removal graph) containing >= 1 removed
+            # edge: join the delta into each of the three edge roles;
+            # distinct so a triangle losing 2-3 edges at once is destroyed
+            # exactly once
+            e_cur = state.select("a", "b")
+            ebc = e_cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+            eac = e_cur.select("a", F.col("b").alias("c"))
+            r_bc = removed.select(F.col("a").alias("b"), F.col("b").alias("c"))
+            r_ac = removed.select("a", F.col("b").alias("c"))
+            destroyed = (
+                removed.join(ebc, "b").join(eac, ["a", "c"])       # delta in ab role
+                .unionByName(e_cur.join(r_bc, "b").join(eac, ["a", "c"]))  # bc role
+                .unionByName(e_cur.join(r_ac, "a").join(ebc, ["b", "c"]))  # ac role
+                .distinct()
+            )
+            if stats is not None:
+                destroyed = destroyed.localCheckpoint(eager=True)
+                stats.append({"n_removed": n_removed, "n_destroyed": destroyed.count()})
+            dec = (
+                _edge_roles(destroyed)
+                .join(removed, ["a", "b"], "left_anti")  # dying edges need no update
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("__dec"))
+            )
+            state, n_edges, n_peel = _ckpt_peel(
+                keep.join(dec, ["a", "b"], "left")
+                .select(
+                    "a", "b",
+                    (F.col("support") - F.coalesce(F.col("__dec"), F.lit(0))).alias("support"),
+                )
+            )
+            _tune_parts(n_edges)
+    finally:
+        _pf_release()
     raise RuntimeError(
         f"ktruss did not converge within max_rounds={max_rounds} "
         f"(peel depth exceeds the budget); raise max_rounds"
@@ -550,6 +574,14 @@ def strongly_connected_components_closure(
 
 
 _PF_KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+_SP_KEY = "spark.sql.shuffle.partitions"
+# Target shuffle rows per partition for fixpoint state (narrow (id, color)
+# rows, ~16-32 bytes each -> ~2M rows is a few tens of MB per partition —
+# inside the guide's 100MB-1GB advisory once overheads are counted, and
+# small enough that a 1B-node state still fans out over ~500 partitions).
+# Overridable per deployment: spark.seccosql.fixpoint.rowsPerPartition.
+_FIXPOINT_ROWS_PER_PARTITION = 2_000_000
+_FP_ROWS_KEY = "spark.seccosql.fixpoint.rowsPerPartition"
 _PF_LOCK = threading.Lock()
 # per-SparkSession depth/saved-value, keyed by the live session object so
 # two sessions' overlapping kernel runs each get their own override and
@@ -560,18 +592,49 @@ _PF_STATE: dict[int, list] = {}
 
 
 def _enter_parallelism_first_off(spark):
-    """Depth-counted, per-session conf override: the OUTERMOST kernel run
-    on a given SparkSession saves that session's current value and sets
-    'false'; only the matching release restores it. Reentrant and
-    thread-safe per session, and independent across sessions. Returns the
-    release callable for a try/finally."""
+    """Depth-counted, per-session conf override for the fixpoint kernels:
+    the OUTERMOST kernel run on a given SparkSession saves that session's
+    current values and sets parallelismFirst='false'; only the matching
+    release restores them. Reentrant and thread-safe per session, and
+    independent across sessions. Returns (release, tune_partitions):
+    ``release`` for a try/finally, and ``tune_partitions(n_rows)`` to
+    re-derive spark.sql.shuffle.partitions from the OBSERVED round state
+    size (guide §2: make partitioning scale-adaptive — derive from input
+    size, never a constant tuned for one deployment). The derived count is
+    clamped to [1, saved session value]: big early rounds keep the
+    deployment's parallelism, shrunken remainders stop paying hundreds of
+    empty-task launches per round (measured r16: 60-row SCC state under 32
+    static partitions spent 2.6x the kernel's wall time on task launches).
+    Rows-per-partition is conf-overridable (``_FP_ROWS_KEY``)."""
     key = id(spark)
     with _PF_LOCK:
         st = _PF_STATE.get(key)
         if st is None:
-            st = _PF_STATE[key] = [0, spark.conf.get(_PF_KEY, None), spark]
+            st = _PF_STATE[key] = [
+                0,
+                spark.conf.get(_PF_KEY, None),
+                spark,
+                spark.conf.get(_SP_KEY, None),
+            ]
             spark.conf.set(_PF_KEY, "false")
         st[0] += 1
+    try:
+        saved_parts = int(st[3])
+    except (TypeError, ValueError):
+        try:
+            saved_parts = int(spark.sparkContext.defaultParallelism)
+        except Exception:  # conf-only session doubles in unit tests
+            saved_parts = 200
+    try:
+        rows_per_part = int(spark.conf.get(_FP_ROWS_KEY, ""))
+    except (TypeError, ValueError):
+        rows_per_part = _FIXPOINT_ROWS_PER_PARTITION
+
+    def tune_partitions(n_rows: int) -> None:
+        parts = max(1, min(saved_parts, -(-int(n_rows) // rows_per_part)))
+        with _PF_LOCK:
+            if _PF_STATE.get(key) is not None:
+                spark.conf.set(_SP_KEY, str(parts))
 
     def release() -> None:
         with _PF_LOCK:
@@ -581,12 +644,13 @@ def _enter_parallelism_first_off(spark):
             st[0] -= 1
             if st[0] == 0:
                 del _PF_STATE[key]
-                if st[1] is None:
-                    spark.conf.unset(_PF_KEY)
-                else:
-                    spark.conf.set(_PF_KEY, st[1])
+                for k, saved in ((_PF_KEY, st[1]), (_SP_KEY, st[3])):
+                    if saved is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, saved)
 
-    return release
+    return release, tune_partitions
 
 
 def strongly_connected_components(
@@ -665,8 +729,15 @@ def strongly_connected_components(
     # parallelism that tiny per-round states cannot use; large states
     # still split by size). Scoped via a depth-counted, lock-guarded
     # save/restore (review r14): two overlapping kernel runs on one
-    # session must not leave the conf permanently overridden.
-    _pf_release = _enter_parallelism_first_off(spark)
+    # session must not leave the conf permanently overridden. r16: the
+    # same scope now also re-derives shuffle.partitions per round from the
+    # OBSERVED remainder edge count (AQE coalescing fixes the read side of
+    # each exchange but every map stage still launched a full static
+    # partition fan-out of reducers' worth of shuffle writers; on a tiny
+    # remainder that task-launch overhead was ~2.6x the kernel's real
+    # work). Clamped to the session's configured value, so large graphs
+    # keep full parallelism and the driver's low-core bench is unaffected.
+    _pf_release, _tune_parts = _enter_parallelism_first_off(spark)
 
     def _ckpt(df: DataFrame, *metrics):
         """Materialize via localCheckpoint with the probe metrics riding the
@@ -686,6 +757,9 @@ def strongly_connected_components(
             F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
         )
         e0, got = _ckpt(ecast.filter(F.col("a") != F.col("b")).distinct())
+        # every in-kernel shuffle is bounded by the remainder edge count;
+        # size reducer counts from it (re-tuned as the remainder shrinks)
+        _tune_parts(got["__n"])
         # ALL nodes, including self-loop-only ones (their edges are dropped
         # from e0): with no in/out edge in the remainder, the FIRST trim
         # round peels them as singleton SCCs — which lets the final result
@@ -742,11 +816,12 @@ def strongly_connected_components(
                 rem_nodes = marked.filter(F.col("__keep") == 1).select("id")
                 if n_rem == 0:
                     break
-                rem_e, _ = _ckpt(
+                rem_e, got_e = _ckpt(
                     rem_e.join(trimmed.withColumnRenamed("id", "a"), "a", "left_anti")
                     .join(trimmed.withColumnRenamed("id", "b"), "b", "left_anti")
                     .select("a", "b")
                 )
+                _tune_parts(got_e["__n"])
             if not converged and n_rem > 0:
                 raise RuntimeError(
                     f"SCC trim did not reach fixpoint within max_rounds={max_rounds} "
@@ -839,11 +914,12 @@ def strongly_connected_components(
             rem_nodes, _ = _ckpt(
                 rem_nodes.join(found.select("id"), "id", "left_anti")
             )
-            rem_e, _ = _ckpt(
+            rem_e, got_e = _ckpt(
                 rem_e.join(found.select(F.col("id").alias("a")), "a", "left_anti")
                 .join(found.select(F.col("id").alias("b")), "b", "left_anti")
                 .select("a", "b")
             )
+            _tune_parts(got_e["__n"])
         if stats is not None:
             stats.update(st)
     finally:

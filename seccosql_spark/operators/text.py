@@ -43,10 +43,24 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_expr(text_col: Column) -> Column:
+    """The quality heuristic as a single COLUMN expression, so pipelines can
+    filter on it inline (scan-side, no projection to (id, score) + semi-join
+    back — r16: that join recomputed the whole upstream for the id side).
+    Must stay the byte-exact expression ``quality_score`` rounds, or the two
+    surfaces drift."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    len_score = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    return F.round((uniq_ratio + len_score) / 2.0, 6)
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, uniq_ratio, len_score, quality): length/uniqueness-ratio quality
     heuristic (punctuation ratio omitted — the synthetic corpus has none;
-    the ratio shape is what matters). All ratios are int/int divisions."""
+    the ratio shape is what matters). All ratios are int/int divisions.
+    ``quality`` must equal ``quality_expr`` exactly (shared subexpressions)."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
@@ -55,7 +69,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         F.round(len_score, 6).alias("len_score"),
-        F.round((uniq_ratio + len_score) / 2.0, 6).alias("quality"),
+        quality_expr(F.col(text_col)).alias("quality"),
     )
 
 

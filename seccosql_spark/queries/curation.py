@@ -229,7 +229,7 @@ def curation_end_to_end(sess: SeccoSession):
     VERDICT r07 finding 1). The oracle replays the full chain, packing via
     the single-node window formulation (exclusive prefix sum // budget)."""
     from seccosql_spark.operators.packing import pack_by_budget
-    from seccosql_spark.operators.text import chunk_documents, quality_score
+    from seccosql_spark.operators.text import chunk_documents, quality_expr
 
     docs = sess.spark.table("documents")
     norm = docs.select(
@@ -238,10 +238,11 @@ def curation_end_to_end(sess: SeccoSession):
     )
     keep = norm.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     kept = norm.join(keep.select("doc_id"), "doc_id", "left_semi")
-    good_ids = (
-        quality_score(kept).filter(F.col("quality") >= 0.6).select("doc_id")
-    )
-    good = kept.join(good_ids, "doc_id", "left_semi")
+    # Quality floor applied INLINE on the surviving rows (r16, guide §2.3-2.4:
+    # the old quality_score(kept) -> semi-join-back shape re-derived the whole
+    # normalize+dedup subtree a second time just to carry ids; same rows,
+    # identical `quality` expression, one full text pass and one join fewer).
+    good = kept.where(quality_expr(F.col("text")) >= 0.6)
     chunks = chunk_documents(good, chunk_tokens=32, overlap=8)
     packed = pack_by_budget(
         chunks.select(F.col("id").alias("doc_id"), "chunk_id", "n_tokens"),

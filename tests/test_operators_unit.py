@@ -1709,6 +1709,7 @@ def test_parallelism_first_override_is_per_session():
     real JVM session."""
     from seccosql_spark.graph.algorithms import (
         _PF_KEY,
+        _SP_KEY,
         _enter_parallelism_first_off,
     )
 
@@ -1729,19 +1730,28 @@ def test_parallelism_first_override_is_per_session():
         def __init__(self, init):
             self.conf = FakeConf(init)
 
-    s1 = FakeSession({_PF_KEY: "true"})
+    s1 = FakeSession({_PF_KEY: "true", _SP_KEY: "200"})
     s2 = FakeSession({})  # unset -> must be restored by unset
-    r1 = _enter_parallelism_first_off(s1)
-    r2 = _enter_parallelism_first_off(s2)  # second SESSION, depth must not short-circuit
+    r1, tune1 = _enter_parallelism_first_off(s1)
+    r2, _ = _enter_parallelism_first_off(s2)  # second SESSION, depth must not short-circuit
     assert s1.conf.get(_PF_KEY) == "false"
     assert s2.conf.get(_PF_KEY) == "false"
-    r1_inner = _enter_parallelism_first_off(s1)  # reentrant within a session
+    # r16: state-sized partition tuning — clamped to [1, saved value]
+    tune1(1)
+    assert s1.conf.get(_SP_KEY) == "1"
+    tune1(10**12)
+    assert s1.conf.get(_SP_KEY) == "200"  # never above the saved session value
+    r1_inner, _ = _enter_parallelism_first_off(s1)  # reentrant within a session
     r1_inner()
     assert s1.conf.get(_PF_KEY) == "false"  # still held by the outer enter
     r1()
     assert s1.conf.get(_PF_KEY) == "true"  # s1 restored to its saved value
+    assert s1.conf.get(_SP_KEY) == "200"  # shuffle partitions restored too
+    tune1(1)  # tuning after release must not resurrect the override
+    assert s1.conf.get(_SP_KEY) == "200"
     assert s2.conf.get(_PF_KEY) == "false"  # s2 untouched by s1's release
     r2()
     assert _PF_KEY not in s2.conf.d  # restored by unset
+    assert _SP_KEY not in s2.conf.d
     r2()  # double-release is a no-op, never a negative depth
     assert _PF_KEY not in s2.conf.d

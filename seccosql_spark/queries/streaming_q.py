@@ -23,6 +23,7 @@ from seccosql_spark.streaming.ops import (
     finalized_sessions,
     foreach_batch_upsert,
     run_available_now,
+    scaled_stream_partitions,
     session_window_agg,
     stream_dedup,
     stream_events_dir,
@@ -62,7 +63,8 @@ def stream_window_counts(sess: SeccoSession):
     sf_dir = _events_sf_dir(sess)
     agg = windowed_agg(stream_events_dir(spark, sf_dir), window="1 hour")
     sink = f"__stream_window_counts_{next(_SINK_SEQ)}"
-    run_available_now(agg, sink, output_mode="complete")
+    run_available_now(agg, sink, output_mode="complete",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     out = spark.table(sink).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -129,7 +131,8 @@ def stream_session_windows(sess: SeccoSession):
         stream_events_dir(spark, sf_dir), gap="30 minutes", watermark="2 hours"
     )
     sink = f"__stream_session_windows_{next(_SINK_SEQ)}"
-    run_available_now(agg, sink, output_mode="append")
+    run_available_now(agg, sink, output_mode="append",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     out = spark.table(sink).select(
         "user_id",
         F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
@@ -193,7 +196,8 @@ def stream_stream_join_q(sess: SeccoSession):
     right = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = stream_stream_join(left, right, interval_seconds=3600, watermark="2 hours")
     sink = f"__stream_stream_join_{next(_SINK_SEQ)}"
-    run_available_now(joined, sink, output_mode="append")
+    run_available_now(joined, sink, output_mode="append",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     return sess.from_spark(spark.table(sink))
 
 
@@ -219,7 +223,9 @@ def stream_dedup_q(sess: SeccoSession):
         stream_events_dir(spark, sf_dir), ["user_id", "event_type"], watermark="2 hours"
     )
     sink = f"__stream_dedup_{next(_SINK_SEQ)}"
-    run_available_now(deduped.select("user_id", "event_type"), sink, output_mode="append")
+    run_available_now(deduped.select("user_id", "event_type"), sink,
+                  output_mode="append",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     return sess.from_spark(spark.table(sink))
 
 
@@ -252,8 +258,12 @@ def foreach_batch_upsert_q(sess: SeccoSession):
     sf_dir = _events_sf_dir(sess)
     sink = f"__febu_state_{next(_SINK_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="seccosql_febu_ckpt_")
-    q = foreach_batch_upsert(stream_events_dir(spark, sf_dir), spark, sink, ckpt)
-    q.awaitTermination()
+    restore = scaled_stream_partitions(spark, f"{sf_dir}/events.parquet")
+    try:
+        q = foreach_batch_upsert(stream_events_dir(spark, sf_dir), spark, sink, ckpt)
+        q.awaitTermination()
+    finally:
+        restore()
     out = spark.table(f"global_temp.{sink}").select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
@@ -287,7 +297,8 @@ def stream_static_enrich_q(sess: SeccoSession):
         stream_events_dir(spark, sf_dir), dim, key="user_id"
     ).select("event_id", "user_id", "c_name")
     sink = f"__stream_enrich_{next(_SINK_SEQ)}"
-    run_available_now(enriched, sink, output_mode="append")
+    run_available_now(enriched, sink, output_mode="append",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     return sess.from_spark(spark.table(sink))
 
 
@@ -317,7 +328,8 @@ def stream_upsert_state_q(sess: SeccoSession):
     sf_dir = _events_sf_dir(sess)
     up = stream_upsert_state(stream_events_dir(spark, sf_dir), watermark="2 hours")
     sink = f"__stream_upsert_{next(_SINK_SEQ)}"
-    run_available_now(up, sink, output_mode="update")
+    run_available_now(up, sink, output_mode="update",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     return sess.from_spark(spark.table(sink))
 
 
@@ -363,7 +375,8 @@ def stream_left_outer_join_q(sess: SeccoSession):
     right = stream_events_dir(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = stream_stream_left_join(left, right, interval_seconds=3600, watermark="2 hours")
     sink = f"__stream_left_outer_join_{next(_SINK_SEQ)}"
-    run_available_now(joined, sink, output_mode="append")
+    run_available_now(joined, sink, output_mode="append",
+                  input_paths=(f"{sf_dir}/events.parquet",))
     return sess.from_spark(spark.table(sink))
 
 
@@ -434,13 +447,17 @@ def stream_incremental_dedup_q(sess: SeccoSession):
 
     sink = f"__sid_pairs_{next(_SINK_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="seccosql_sid_ckpt_")
-    q = foreach_batch_incremental_dedup(
-        _stream_documents_dir(spark, sf_dir),
-        f"{sf_dir}/documents.parquet",
-        sink,
-        ckpt,
-        split_id=INCREMENTAL_SPLIT_ID,
-        threshold=0.5,
-    )
-    q.awaitTermination()
+    restore = scaled_stream_partitions(spark, f"{sf_dir}/documents.parquet")
+    try:
+        q = foreach_batch_incremental_dedup(
+            _stream_documents_dir(spark, sf_dir),
+            f"{sf_dir}/documents.parquet",
+            sink,
+            ckpt,
+            split_id=INCREMENTAL_SPLIT_ID,
+            threshold=0.5,
+        )
+        q.awaitTermination()
+    finally:
+        restore()
     return sess.from_spark(spark.table(f"global_temp.{sink}"))

@@ -99,6 +99,7 @@ _PRIORITY_WINDOW = [
     "lakehouse_sql_merge_full_sync",
     "lakehouse_sql_optimize_where",
     "lakehouse_sql_show_partitions",
+    "text_quality_score",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
     "g_message_passing_wsum",
@@ -141,7 +142,6 @@ _PRIORITY_WINDOW = [
     "text_novelty_curve",
     "text_redact_pii",
     "text_repetition_stats",
-    "text_unigram_logprob",
 ]
 
 

@@ -171,11 +171,14 @@ class SeccoGraphFrame:
 
     # ---- pattern matching (SeccoGraphFrame.pattern, SeccoGraphFrame.scala:80-94) ----
 
-    def _edge_copy(self, e: EdgePat) -> DataFrame:
+    def _edge_copy(self, e: EdgePat, df: DataFrame | None = None) -> DataFrame:
         """One filtered, variable-renamed copy of the edge relation per pattern
         edge (resolve.scala:400-421). Undirected edges = union of both
-        directions (resolve.scala:386-397)."""
-        df = self.edges
+        directions (resolve.scala:386-397). `df` overrides the edge relation
+        the copy projects (pattern() passes the once-materialized edges so a
+        k-edge pattern does not recompute the edge plan k times)."""
+        if df is None:
+            df = self.edges
         if e.label is not None and self.label_col in df.columns:
             df = df.filter(F.col(self.label_col) == e.label)
         for k, v in e.props.items():
@@ -246,7 +249,21 @@ class SeccoGraphFrame:
         edges = parse_pattern(text)
         if not edges:
             raise ValueError(f"empty pattern: {text!r}")
-        copies = [self._edge_copy(e) for e in edges]
+        # A k-edge pattern projects the edge relation k times; Spark plans
+        # each copy as its own scan of the edge plan (the dedup/filter
+        # pipeline under it runs k times — measured 3 scans + 3 dedup
+        # shuffles for the triangle shapes at sf0.1). Materialize the edge
+        # relation ONCE for multi-edge patterns and let every copy project
+        # the checkpointed rows: one scan, one dedup, k cheap projections.
+        # O(edges) storage — the same bound any k-way edge join already
+        # touches per copy. localCheckpoint (not persist): per-invocation
+        # materialization, nothing registered in the cache manager, so
+        # repeated runs still compute from source. The graph-stats probe
+        # below still keys off `self.edges` so its memoization survives.
+        edge_df = self.edges
+        if len(edges) >= 2:
+            edge_df = edge_df.localCheckpoint(eager=True)
+        copies = [self._edge_copy(e, edge_df) for e in edges]
 
         constraints = node_constraints(edges)
         for var, pat in constraints.items():
@@ -286,7 +303,9 @@ class SeccoGraphFrame:
             if simple_set and choose_multiway_algorithm(attr_sets, stats) == "wcoj":
                 from seccosql_spark.plans.wcoj import wcoj_natural_join
 
-                joined = wcoj_natural_join(copies)
+                # the probe already paid for the edge count — feed it to
+                # the hypercube so the cell count adapts to the data
+                joined = wcoj_natural_join(copies, rel_sizes=[m] * len(copies))
                 if distinct_nodes:
                     vars_ = list(constraints)
                     for i in range(len(vars_)):

@@ -215,12 +215,21 @@ def resample_gapfill(
     ).withColumn("hidx", F.expr(f"(us - pmod(us, {bucket_us})) div {bucket_us}"))
     # Everything below derives from the (key, bucket)-sized aggregate — the
     # ONE corpus shuffle. Bounds and the key dimension are computed from
-    # `agg`, not from `ev`, so the fact stream is scanned once and Spark's
-    # ReusedExchange serves all three consumers from the same shuffle.
+    # `agg`, not from `ev`. ReusedExchange does NOT serve them from one
+    # shuffle in practice: Catalyst prunes each consumer differently
+    # (keys-only distinct, hidx-only min/max, the full fill join), so the
+    # three exchanges stop being plan-identical and the fact stream was
+    # scanned three times (measured: 3 parquet scans / 10 exchanges at
+    # sf0.1). Materializing the keys×buckets-bounded aggregate once makes
+    # every consumer read the tiny checkpointed relation instead — one
+    # fact scan + one fact shuffle total, which is the operator's design
+    # claim. localCheckpoint (not persist) so the materialization is
+    # per-invocation: nothing is registered in the cache manager that a
+    # later identical plan could silently reuse across runs.
     agg = ev.groupBy("key", "hidx").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.round(F.col("val"), 9).cast("decimal(28,9)")).cast("double").alias("sv"),
-    )
+    ).localCheckpoint(eager=True)
     # Null-safe spine cap: on EMPTY input lo/hi are NULL — the WHEN must
     # fall through to the (null) hi so sequence(null, null) yields an empty
     # spine, not a null-message raise.

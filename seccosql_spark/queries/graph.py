@@ -388,11 +388,21 @@ def g_triangle_wcoj(sess: SeccoSession):
     plan."""
     from seccosql_spark.plans.wcoj import wcoj_natural_join
 
-    e = sess.spark.sql(EDGES_SPARSE)
+    # Materialize the deduped edge set ONCE: the three role projections
+    # otherwise each re-run the lineitem scan + dedup shuffle (measured 3
+    # scans / 3 exchanges at sf0.1). Same rationale as pattern()'s
+    # multi-edge materialization; per-invocation localCheckpoint, nothing
+    # cached across runs. The edge count (a cheap count over the
+    # materialized rows) feeds rel_sizes so the hypercube's cell count
+    # adapts to the data and the cluster instead of a local-mode constant
+    # (share choice never changes the result set — every binding lands in
+    # exactly one cell for any share vector).
+    e = sess.spark.sql(EDGES_SPARSE).localCheckpoint(eager=True)
+    m = e.count()
     r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
-    joined = wcoj_natural_join([r, s, t], num_tasks=16)
+    joined = wcoj_natural_join([r, s, t], rel_sizes=[m, m, m])
     return sess.from_spark(joined.agg(F.count(F.lit(1)).alias("n")))
 
 

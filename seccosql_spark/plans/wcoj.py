@@ -52,6 +52,16 @@ from pyspark.sql import types as T
 # parallelism, so this only decides how fast the cell count ramps up.
 _ROWS_PER_CELL = 65536
 
+
+def adaptive_num_tasks(parallelism: int, rel_sizes: list[int] | None) -> int:
+    """Cell count for the hypercube: ~1 cell per _ROWS_PER_CELL input rows,
+    clamped to [1, parallelism]; full parallelism when sizes are unknown
+    (the safe choice at scale). Pure so the sizing rule is unit-testable
+    without a Spark job."""
+    if rel_sizes is None:
+        return max(1, parallelism)
+    return max(1, min(parallelism, sum(rel_sizes) // _ROWS_PER_CELL + 1))
+
 _SUPPORTED_KEY_TYPES = (
     T.ByteType,
     T.ShortType,
@@ -264,17 +274,12 @@ def wcoj_natural_join(
         # data, not a constant): each hypercube cell is one Arrow round-trip
         # + one pandas LeapFrog task, and that per-cell overhead dominates
         # small inputs (measured at sf0.1: the same 2.7k-edge triangle takes
-        # 0.6s with 4 cells, 0.9s with 16, 1.4s with 32). When rel_sizes is
-        # known, size cells so each holds ~ _ROWS_PER_CELL input rows,
-        # clamped to the cluster's parallelism so large inputs keep every
-        # core busy; with no size information fall back to full parallelism
-        # (the safe choice at scale). The share vector never changes the
-        # result set — every binding lands in exactly one cell.
-        par = dfs[0].sparkSession.sparkContext.defaultParallelism
-        if rel_sizes is not None:
-            num_tasks = max(1, min(par, sum(rel_sizes) // _ROWS_PER_CELL + 1))
-        else:
-            num_tasks = par
+        # 0.6s with 4 cells, 0.9s with 16, 1.4s with 32). The share vector
+        # never changes the result set — every binding lands in exactly one
+        # cell.
+        num_tasks = adaptive_num_tasks(
+            dfs[0].sparkSession.sparkContext.defaultParallelism, rel_sizes
+        )
     attr_sets = [set(d.columns) for d in dfs]
     order = attribute_order(attr_sets)
 

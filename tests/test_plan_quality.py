@@ -294,3 +294,22 @@ def test_lint_on_build_gates_new_rows(sess, monkeypatch):
         for n in ("__lint_probe_bnlj", "__lint_probe_complex", "__lint_probe_clean"):
             REGISTRY.pop(n, None)
             _LINTED.discard(n)
+
+
+def test_gapfill_consumers_read_materialized_agg(sess):
+    """r16: Catalyst prunes resample_gapfill's three agg consumers
+    differently, so exchange reuse broke and the fact stream was scanned
+    three times. The keys/bounds/fill-join must now all read the
+    once-materialized (key,bucket) aggregate — no parquet scan may remain
+    in the final plan (the single fact scan lives in the checkpoint job)."""
+    plan = formatted_plan(sess, "timeseries_gapfill_hourly")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_multi_edge_pattern_materializes_edges_once(sess):
+    """r16: a k-edge pattern must project the once-materialized edge
+    relation k times instead of re-running the edge scan+dedup per copy."""
+    plan = formatted_plan(sess, "g_triangle_count")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan

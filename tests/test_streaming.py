@@ -447,3 +447,32 @@ def test_checkpoint_resume_processes_only_new_files(sess, tmp_path):
     spark.range(10, 15).select(F.col("id")).coalesce(1).write.parquet(str(src / "f1"))
     drain()
     assert sorted(seen) == list(range(15))  # f0 NOT reprocessed
+
+
+def test_scaled_stream_partitions_sizing_and_restore(spark, events_dir):
+    """r16: a bounded drain's shuffle/state partition count is derived from
+    the input's bytes (ceil(bytes/target) clamped to the session value) and
+    restored afterwards; unknowable inputs are a no-op."""
+    from seccosql_spark.streaming.ops import _local_bytes, scaled_stream_partitions
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    size = _local_bytes(events_dir)
+    assert size and size > 0
+    # small local input -> 1 partition while scoped, restored on release
+    restore = scaled_stream_partitions(spark, events_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    restore()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    # a tiny bytes-per-partition target ramps the count but never exceeds
+    # the session's configured value
+    spark.conf.set("spark.seccosql.streaming.bytesPerPartition", "1")
+    try:
+        restore = scaled_stream_partitions(spark, events_dir)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+        restore()
+    finally:
+        spark.conf.unset("spark.seccosql.streaming.bytesPerPartition")
+    # non-local URI -> no-op
+    restore = scaled_stream_partitions(spark, "s3://bucket/path")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    restore()

@@ -221,3 +221,21 @@ def test_router_pk_inputs_skip_probe(sess):
     assert out.count() == 2
     with pytest.raises(ValueError, match="unknown on_duplicates"):
         a.multiway_join([b, c], algorithm="wcoj", on_duplicates="nope")
+
+
+def test_adaptive_num_tasks_sizing():
+    """r16 cell-count rule: ~1 cell per _ROWS_PER_CELL input rows, clamped
+    to [1, parallelism]; full parallelism when sizes are unknown."""
+    from seccosql_spark.plans.wcoj import _ROWS_PER_CELL, adaptive_num_tasks
+
+    # unknown sizes -> full parallelism (never less than 1)
+    assert adaptive_num_tasks(32, None) == 32
+    assert adaptive_num_tasks(0, None) == 1
+    # tiny input -> one cell, regardless of cluster size
+    assert adaptive_num_tasks(32, [1000, 1000, 1000]) == 1
+    # ramps with rows, one extra cell per _ROWS_PER_CELL
+    assert adaptive_num_tasks(32, [_ROWS_PER_CELL * 3]) == 4
+    # clamped above by parallelism
+    assert adaptive_num_tasks(8, [_ROWS_PER_CELL * 100]) == 8
+    # empty relation list still yields a valid count
+    assert adaptive_num_tasks(16, []) == 1

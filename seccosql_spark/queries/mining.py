@@ -901,25 +901,37 @@ def text_novelty_curve(sess: SeccoSession):
     crawl has started re-collecting the same content — the go/no-go signal
     for continued ingestion.
 
-    Scale: grams explode map-side; first-occurrence is ONE shuffle on the
-    gram (min doc_id, map-side combined); the join back is gram-keyed and
-    AQE-skew-safe. Nothing is pairwise — the same discipline as the
-    decontamination family. The ntile runs per source over per-doc rows."""
+    Scale: tokens are materialized as a column BEFORE the gram transform
+    (r16: the inlined filter(split(text)) was re-evaluated inside the
+    per-position lambda — O(tokens²) re-tokenization per document; as a
+    named non-cheap multi-referenced projection CollapseProject keeps it
+    evaluated once, the same discipline as dedup.py's hs column). Grams
+    explode map-side ONCE; first-occurrence is a min window over the gram
+    partition riding the same gram shuffle the old agg+join formulation
+    paid twice (r16: the join-back formulation exploded the corpus twice —
+    two parquet scans in the plan — and at scale the first-doc side of
+    that join outgrows a broadcast, forcing a second gram shuffle anyway).
+    Nothing is pairwise — the same discipline as the decontamination
+    family. The ntile runs per source over per-doc rows."""
     d = sess.spark.table("documents")
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    toked = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+    )
     grams = F.when(
-        F.size(ws) >= 8,
+        F.size("ws") >= 8,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(ws) - 7, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 8)),
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 7, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, 8)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = (
-        d.select("doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram"))
+    g = toked.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram")
     )
-    fst = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    wgram = Window.partitionBy("gram")
     per_doc = (
-        g.join(fst, "gram")
+        g.withColumn("first_doc", F.min("doc_id").over(wgram))
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_grams"),

@@ -304,20 +304,35 @@ def minhash_near_dups(
     # at sf0.1) and again after the exchange.
     min_toks = 1 if shingle_n is None else shingle_n
     src = df.filter(F.size(toks) >= min_toks)
-    if shingle_n is None:
-        feat_arr = F.array_distinct(toks)
-    else:
+
+    # Features over a MATERIALIZED token column, never the inline split
+    # expression (r16): referenced inside the per-position shingle lambda,
+    # the inlined filter(split(text)) re-ran for every gram position —
+    # O(tokens²) re-tokenization per document. As a named projection the
+    # non-cheap multi-referenced token array is evaluated once per row
+    # (CollapseProject keeps it — the same discipline as the hs column
+    # below). Both the signature arm and the verify arm go through this.
+    def _feat_expr(tok_col):
+        if shingle_n is None:
+            return F.array_distinct(tok_col)
         n = shingle_n
         gram = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + k) for k in range(n)]
+            ),
         )
         # descending-sequence guard (redundant after the pre-filter, kept as
         # defense in depth): < n tokens → no shingles
-        feat_arr = F.array_distinct(
-            F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(
+            F.when(F.size(tok_col) >= n, gram).otherwise(
+                F.array().cast("array<string>")
+            )
         )
-    base = _spread(src).select(F.col(id_col).alias("id"), feat_arr.alias("feats"))
+
+    base = _spread(src).select(F.col(id_col).alias("id"), toks.alias("__t")).select(
+        "id", _feat_expr(F.col("__t")).alias("feats")
+    )
 
     if num_hashes > len(MINHASH_COEFFS):
         raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} needs more MINHASH_COEFFS")
@@ -353,9 +368,9 @@ def minhash_near_dups(
     # duplicates, so the dedup shuffle would be pure latency.
     cand_ids = buckets.select(F.explode("ids").alias(id_col))
     feats_cand = _tracked_persist(
-        src.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-            F.col(id_col).alias("id"), feat_arr.alias("feats")
-        )
+        src.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), toks.alias("__t"))
+        .select("id", _feat_expr(F.col("__t")).alias("feats"))
     )
     # explicit broadcast hints: both sides are candidate-sized; without the
     # hint AQE must materialize the shuffle first to discover that

@@ -192,8 +192,14 @@ def stream_upsert_state(events: DataFrame, watermark: str = "2 hours") -> DataFr
 # configured value so a large input keeps full parallelism — cut the
 # headline stream_window_counts drain ~2x at sf0.1 (32 stores -> 1 for a
 # 2 MB input; measured interleaved A/B 1.5-1.76s vs 0.73-0.9s). Target
-# bytes/partition is conf-overridable for deployments.
-_STREAM_BYTES_PER_PARTITION = 64 * 1024 * 1024
+# bytes/partition is conf-overridable for deployments. 8 MB default —
+# windowed-aggregation state is much denser per input byte than a plain
+# shuffle, so the target must ramp partitions up sooner than a batch
+# 64-128 MB rule: measured at sf1 (9.4 MB input) the drain runs 2.25s
+# with a 64 MB target (1 store), 1.50s with 8 MB (2 stores), 1.71s with
+# 2 MB (5 stores) — and at sf0.1 (2 MB) both 8 and 64 MB give the same
+# single-store 2x win.
+_STREAM_BYTES_PER_PARTITION = 8 * 1024 * 1024
 _STREAM_BYTES_KEY = "spark.seccosql.streaming.bytesPerPartition"
 
 

@@ -127,7 +127,8 @@ TRIAGE = {
     # gate below now REQUIRES a triage above TRIAGE_REQUIRED_BAR so the
     # next naked row cannot ship.
     "curation_end_to_end": (
-        "4.9x on 10x data is SUB-linear (bar 10x): the composed pipeline "
+        "SUB-linear on 10x data (1.3-2.3x across quiet r16 re-measures; was "
+        "4.9x in r15 before the single-text-pass refactor): the composed pipeline "
         "is semi-joins on doc_id (broadcast at realistic dedup-survivor "
         "rates), a map-only quality/chunking stage, and ONE range shuffle "
         "in the packing step whose driver-side offset collect is "

@@ -99,6 +99,18 @@ _PRIORITY_WINDOW = [
     "lakehouse_sql_merge_full_sync",
     "lakehouse_sql_optimize_where",
     "lakehouse_sql_show_partitions",
+    "stream_incremental_dedup",
+    "stream_session_windows",
+    "text_novelty_curve",
+    "dedup_cross_source_overlap",
+    "foreach_batch_upsert",
+    "split_leakage_report",
+    "stream_dedup",
+    "stream_left_outer_join",
+    "stream_session_finalized_batch",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_upsert_state",
     "text_quality_score",
     "g_labeled_pattern",
     "g_message_passing_2rounds",
@@ -106,6 +118,7 @@ _PRIORITY_WINDOW = [
     "g_pattern_weighted_agg",
     "g_random_walks_3step",
     "g_self_loop_pattern",
+    "g_skew_hub_auto_wcoj",
     "g_subgraph_filter",
     "g_triangle_wcoj",
     "g_wedge_sampled_cc",
@@ -129,19 +142,6 @@ _PRIORITY_WINDOW = [
     "w3_chain_low_skew",
     "window_lag_delta",
     "window_running_sum",
-    "window_topk_per_user",
-    "sketch_quantile_mergeable",
-    "stats_corr_by_source",
-    "stream_incremental_dedup",
-    "stream_session_windows",
-    "text_bm25_topk",
-    "text_bpe_merges",
-    "text_cooccurrence_pmi",
-    "text_gopher_filter",
-    "text_length_percentile_band",
-    "text_novelty_curve",
-    "text_redact_pii",
-    "text_repetition_stats",
 ]
 
 

@@ -520,12 +520,21 @@ def test_scc_coloring_matches_closure_random(spark):
     pairs = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(130)})
     pairs = [(a, b) for a, b in pairs if a != b]
     edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
-    got = {(r["id"], r["scc"]) for r in strongly_connected_components(edges).collect()}
+    got = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(edges, local_finish_edges=0).collect()
+    }
     want = {
         (r["id"], r["scc"])
         for r in strongly_connected_components_closure(edges, max_rounds=60).collect()
     }
     assert got == want
+    # the FCS serial finish (default-on for small remainders) must agree
+    # with the pure distributed path on the same graph
+    local = {
+        (r["id"], r["scc"]) for r in strongly_connected_components(edges).collect()
+    }
+    assert local == want
 
 
 def test_scc_scale_shape_no_quadratic_intermediate(spark):
@@ -541,7 +550,12 @@ def test_scc_scale_shape_no_quadratic_intermediate(spark):
     pairs += [(3, 100), (7, 100), (50, 0), (50, 100)]  # hub 50 + bridges
     edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
     stats = {}
-    scc = {r["id"]: r["scc"] for r in strongly_connected_components(edges, stats=stats).collect()}
+    scc = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            edges, stats=stats, local_finish_edges=0
+        ).collect()
+    }
     assert scc[0] == scc[7] == 0 and scc[100] == scc[119] == 100 and scc[50] == 50
     n_nodes, n_edges = 41, len(pairs)
     # reach-pairs would be >= 20*20*2 + cross-cycle pairs ~ 1200; O(n+m) is ~85
@@ -566,10 +580,60 @@ def test_scc_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, (i + 1) % 12) for i in range(12)], "src BIGINT, dst BIGINT"
     )
+    # local_finish_edges=0 pins the distributed path: the FCS serial finish
+    # (exact, no truncation) would otherwise solve this tiny graph locally
     with pytest.raises(RuntimeError, match="did not converge"):
-        strongly_connected_components(edges, max_rounds=3)
+        strongly_connected_components(edges, max_rounds=3, local_finish_edges=0)
     with pytest.raises(RuntimeError, match="did not converge"):
         strongly_connected_components_closure(edges, max_rounds=3)
+
+
+def test_scc_local_finish_serial_tarjan(spark):
+    """r16 FCS optimization (Salihoglu & Widom VLDB'14): small remainders
+    are finished serially. The serial Tarjan must agree with the closure
+    oracle, fire exactly when the post-trim remainder fits the threshold,
+    and compose with trim peeling (trimmed singletons + local core)."""
+    import random
+
+    from seccosql_spark.graph.algorithms import (
+        _local_scc,
+        strongly_connected_components,
+        strongly_connected_components_closure,
+    )
+
+    # pure serial kernel: two cycles + a bridge + an isolated node
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10)]
+    got = dict(_local_scc([1, 2, 3, 10, 11, 99], pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    # kernel-level: a chain into a cycle — trim peels the chain, FCS
+    # finishes the cycle; stats must record the local remainder size
+    edges = spark.createDataFrame(
+        [(20, 21), (21, 22), (22, 5), (5, 6), (6, 7), (7, 5)],
+        "src BIGINT, dst BIGINT",
+    )
+    stats = {}
+    scc = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(edges, stats=stats).collect()
+    }
+    assert scc == {20: 20, 21: 21, 22: 22, 5: 5, 6: 5, 7: 5}
+    assert stats["local_finish_edges"] == 3  # the 3-cycle remains after trim
+    assert stats["color_rounds"] == 0 and stats["bw_rounds"] == 0
+
+    # differential on a random digraph: FCS-on must equal the closure oracle
+    rng = random.Random(20260817)
+    rpairs = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(110)})
+    rpairs = [(a, b) for a, b in rpairs if a != b]
+    redges = spark.createDataFrame(rpairs, "src BIGINT, dst BIGINT")
+    got_fcs = {
+        (r["id"], r["scc"]) for r in strongly_connected_components(redges).collect()
+    }
+    want = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components_closure(redges, max_rounds=60).collect()
+    }
+    assert got_fcs == want
 
 
 def test_bloom_bitmap_fold_is_word_bounded(spark):

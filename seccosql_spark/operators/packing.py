@@ -44,9 +44,18 @@ def pack_by_budget(
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the (ids, weight) projection ONCE before the range
+    # partition (r16, guide §2.4/§8): repartitionByRange SAMPLES its input in
+    # a separate pass to pick boundaries, so an unmaterialized input has its
+    # whole upstream derived twice (sample pass + shuffle pass) — for the
+    # curation pipeline that is a second full normalize→dedup→chunk
+    # derivation just to pick 32 split points. The projection is pure pack
+    # metadata (id columns + one integer weight), the guide §8 "decide with
+    # small rows" shape, so the materialization is bounded at any corpus
+    # scale.
+    meta = df.select(*id_cols, weight_col).localCheckpoint(eager=True)
     ranged = (
-        df.select(*id_cols, weight_col)
-        .repartitionByRange(n_part, *[F.col(c) for c in id_cols])
+        meta.repartitionByRange(n_part, *[F.col(c) for c in id_cols])
         .sortWithinPartitions(*id_cols)
         .withColumn("__pid", F.spark_partition_id())
         # freeze partition assignment: repartitionByRange samples boundaries,

@@ -313,3 +313,41 @@ def test_multi_edge_pattern_materializes_edges_once(sess):
     plan = formatted_plan(sess, "g_triangle_count")
     assert plan.count("Scan parquet") == 0, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_pack_by_budget_materializes_input_before_range_sample(sess, monkeypatch):
+    """r16: repartitionByRange picks its boundaries by SAMPLING the input in
+    a separate pass, so an unmaterialized pack input has its whole upstream
+    derived twice (sample + shuffle). pack_by_budget must checkpoint the
+    (ids, weight) metadata projection BEFORE the range partition — the first
+    checkpoint carries no range exchange, the second is the ranged rows."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.operators.packing import pack_by_budget
+
+    # patch the RUNTIME DataFrame class (pyspark.sql.DataFrame is an ABC in
+    # Spark 4; the classic subclass overrides localCheckpoint)
+    df_cls = type(sess.spark.range(1))
+    plans: list[str] = []
+    orig = df_cls.localCheckpoint
+
+    def spy(self, eager=True):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", spy)
+    df = (
+        sess.spark.range(200)
+        .groupBy((F.col("id") % 50).alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"))
+    )
+    out = pack_by_budget(df, budget=7).collect()
+    assert len(plans) == 2, plans
+    assert "rangepartitioning" not in plans[0].lower(), plans[0]
+    assert "rangepartitioning" in plans[1].lower(), plans[1]
+    # semantics unchanged: shard = floor(weight-before / budget) in id order
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    run_sum = 0
+    for r in rows:
+        assert r["shard"] == run_sum // 7, rows
+        run_sum += r["n_tokens"]

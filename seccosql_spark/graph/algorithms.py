@@ -75,9 +75,18 @@ def pagerank(
     sum is slightly below 1.0. Acceptable for differential testing; not
     for consumers expecting an exact probability distribution.
     """
-    nodes = _nodes(edges, src, dst).localCheckpoint(eager=True)
+    # Materialize the pruned edge list and the O(n) degree vector ONCE (r16,
+    # guide §2.4/§5): both are consumed in EVERY superstep (edges in the
+    # contribution join, out_deg twice — shares + dangling), and an
+    # unmaterialized plan re-derives the caller's edge pipeline per use.
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    nodes = _nodes(e, src, dst).localCheckpoint(eager=True)
     n_nodes = nodes.count()
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        e.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     # (1-d)/n at fixed point; Python bigints keep it exact at plan time.
     base_fp = (damping_den - damping_num) * scale // (damping_den * n_nodes)
     init = nodes.select("id", F.lit(scale // n_nodes).cast("long").alias("v"))
@@ -88,7 +97,7 @@ def pagerank(
             F.col("id").alias("__sid"), F.expr("v DIV deg").alias("t")
         )
         contrib = (
-            edges.join(shares, F.col(src) == F.col("__sid"))
+            e.join(shares, F.col(src) == F.col("__sid"))
             .groupBy(F.col(dst).alias("id"))
             .agg(F.sum("t").cast("long").alias("c"))
         )
@@ -488,10 +497,22 @@ def connected_components(
     (the budget discipline of the other iterative kernels)."""
     if max_rounds < 1:
         raise ValueError(f"connected_components needs max_rounds >= 1, got {max_rounds}")
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the symmetric edge view ONCE (r16, guide §2.4/§5): it is
+    # joined every round (plus the strict probe), and an unmaterialized plan
+    # re-derives the caller's whole edge pipeline per round — for the LSH
+    # near-dup clustering rows that was the full shingle/signature/band/verify
+    # chain once per propagation round. O(2|E|) rows of 2 pruned columns, the
+    # same bound connected_components_star already materializes.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
-    state = _nodes(edges, src, dst).select("id", F.col("id").alias("component"))
+    # node set = distinct sources of the symmetric view (both orientations
+    # are present, so this is src ∪ dst without another upstream derivation)
+    state = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
     state = state.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         candidates = (
@@ -1059,7 +1080,14 @@ def hits(
     every engine agrees on the full vector."""
     if rounds < 1:
         raise ValueError(f"hits needs rounds >= 1, got {rounds}")
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # materialized once (r16): e feeds two joins per round, and its count
+    # seeds the overflow guard — an unmaterialized plan re-derives the
+    # caller's edge pipeline per use
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("id"))
         .unionByName(e.select(F.col("d").alias("id")))
@@ -1133,8 +1161,14 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs a non-empty source set")
     n_s = len(seeds)
     in_s = F.col("id").isin(seeds)
-    nodes = _nodes(edges, src, dst).localCheckpoint(eager=True)
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # same once-materialized static relations as global pagerank (r16)
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    nodes = _nodes(e, src, dst).localCheckpoint(eager=True)
+    out_deg = (
+        e.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     base_fp = (damping_den - damping_num) * scale // (damping_den * n_s)
     init = nodes.select(
         "id", F.when(in_s, F.lit(scale // n_s)).otherwise(F.lit(0)).cast("long").alias("v")
@@ -1145,7 +1179,7 @@ def personalized_pagerank(
             F.col("id").alias("__sid"), F.expr("v DIV deg").alias("t")
         )
         contrib = (
-            edges.join(shares, F.col(src) == F.col("__sid"))
+            e.join(shares, F.col(src) == F.col("__sid"))
             .groupBy(F.col(dst).alias("id"))
             .agg(F.sum("t").cast("long").alias("c"))
         )

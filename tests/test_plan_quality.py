@@ -315,6 +315,51 @@ def test_multi_edge_pattern_materializes_edges_once(sess):
     assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
+def test_iterative_kernels_materialize_static_relations_once(sess, monkeypatch):
+    """r16: connected_components / pagerank / hits consume their static
+    relations (symmetric edge view, pruned edge list, degree vector) in
+    EVERY round; unmaterialized they re-derive the caller's whole edge
+    pipeline per round (for the LSH clustering rows: the full
+    shingle/signature/band/verify chain). Pin the materialize-once shape:
+    the kernels checkpoint the static relation(s) before iterating."""
+    from pyspark.sql import functions as F
+
+    from seccosql_spark.graph import algorithms as alg
+
+    df_cls = type(sess.spark.range(1))
+    counts: list[int] = []
+    orig = df_cls.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager)
+        counts.append(out.count())
+        return out
+
+    edges = sess.spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src LONG, dst LONG"
+    )
+    monkeypatch.setattr(df_cls, "localCheckpoint", spy)
+
+    counts.clear()
+    comp = alg.connected_components(edges)
+    # first checkpoint = the symmetric view: exactly 2|E| rows
+    assert counts[0] == 6, counts
+    got = {(r["id"], r["component"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}, got
+
+    counts.clear()
+    pr = alg.pagerank(edges, rounds=1)
+    # pruned edge list (|E|), node set (|V|), degree vector (#sources) all
+    # materialized before the first superstep
+    assert counts[:3] == [3, 5, 3], counts
+    assert pr.count() == 5
+
+    counts.clear()
+    ha = alg.hits(edges, rounds=1)
+    assert counts[0] == 3, counts  # distinct (s,d) pairs materialized first
+    assert ha.count() == 5
+
+
 def test_pack_by_budget_materializes_input_before_range_sample(sess, monkeypatch):
     """r16: repartitionByRange picks its boundaries by SAMPLING the input in
     a separate pass, so an unmaterialized pack input has its whole upstream

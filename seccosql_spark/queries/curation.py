@@ -209,6 +209,32 @@ FROM ch
 """
 
 
+def normalized_keep_first(docs):
+    """normalize (lowercase, whitespace collapse) -> exact-dedup keeping the
+    smallest doc_id per content digest, as ONE pass: min-over-window on
+    md5(text) (r16, guide §2.4). The old groupBy(md5).agg(min) ->
+    semi-join-back shape derived the normalized relation twice — two
+    documents scans and two regexp-normalize passes over the corpus just to
+    carry the keep ids. The window rides ONE md5 exchange and normalizes
+    once; at scale the semi-join's broadcast breaks anyway and its fallback
+    shuffles the normalized text by doc_id ON TOP of the digest-agg
+    exchange, so the window shape is never worse there either. Shape pinned
+    by test_curation_keep_first_is_one_scan_one_exchange."""
+    from pyspark.sql import Window as _W
+
+    norm = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")).alias("text"),
+    )
+    return (
+        norm.withColumn(
+            "__keep", F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+        )
+        .where(F.col("__keep") == F.col("doc_id"))
+        .drop("__keep")
+    )
+
+
 @register("curation_end_to_end", END_TO_END_ORACLE, headline=True)
 def curation_end_to_end(sess: SeccoSession):
     """The WHOLE curation pipeline as one composed plan — what a user
@@ -232,12 +258,9 @@ def curation_end_to_end(sess: SeccoSession):
     from seccosql_spark.operators.text import chunk_documents, quality_expr
 
     docs = sess.spark.table("documents")
-    norm = docs.select(
-        "doc_id",
-        F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")).alias("text"),
-    )
-    keep = norm.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    kept = norm.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # normalize + keep-first dedup in ONE pass (min-over-window on the
+    # content digest — see normalized_keep_first for the r16 rationale)
+    kept = normalized_keep_first(docs)
     # Quality floor applied INLINE on the surviving rows (r16, guide §2.3-2.4:
     # the old quality_score(kept) -> semi-join-back shape re-derived the whole
     # normalize+dedup subtree a second time just to carry ids; same rows,

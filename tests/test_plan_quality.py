@@ -315,6 +315,29 @@ def test_multi_edge_pattern_materializes_edges_once(sess):
     assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
+def test_curation_keep_first_is_one_scan_one_exchange(sess):
+    """r16: curation_end_to_end's normalize + keep-first dedup must be ONE
+    documents scan riding ONE md5 exchange (min-over-window on the content
+    digest). The old groupBy(md5) -> semi-join-back shape scanned and
+    regexp-normalized the corpus twice; its final query plan hides the
+    subtree behind the packing localCheckpoint, so pin the shape on the
+    extracted helper directly."""
+    from seccosql_spark.queries.curation import normalized_keep_first
+
+    df = normalized_keep_first(sess.spark.table("documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # tree + detail listing each print a node once -> counts are doubled
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" in plan, plan
+    # keep-first semantics unchanged: smallest doc_id per normalized digest
+    rows = df.count()
+    assert rows > 0 and rows <= sess.spark.table("documents").count()
+
+
 def test_iterative_kernels_materialize_static_relations_once(sess, monkeypatch):
     """r16: connected_components / pagerank / hits consume their static
     relations (symmetric edge view, pruned edge list, degree vector) in

@@ -92,56 +92,56 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
-    "lakehouse_sql_add_column",
-    "lakehouse_sql_change_feed_paired",
-    "lakehouse_sql_constraints",
-    "lakehouse_sql_merge_clauses",
-    "lakehouse_sql_merge_full_sync",
-    "lakehouse_sql_optimize_where",
-    "lakehouse_sql_show_partitions",
-    "stream_incremental_dedup",
-    "stream_session_windows",
-    "text_novelty_curve",
-    "dedup_cross_source_overlap",
-    "foreach_batch_upsert",
-    "split_leakage_report",
-    "stream_dedup",
-    "stream_left_outer_join",
-    "stream_session_finalized_batch",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_upsert_state",
-    "text_quality_score",
-    "g_labeled_pattern",
-    "g_message_passing_2rounds",
-    "g_message_passing_wsum",
-    "g_pattern_weighted_agg",
-    "g_random_walks_3step",
-    "g_self_loop_pattern",
-    "g_skew_hub_auto_wcoj",
-    "g_subgraph_filter",
-    "g_triangle_wcoj",
-    "g_wedge_sampled_cc",
-    "q10_returned_items",
-    "q12_priority_buckets",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q7_nation_volume",
-    "qualify_top_orders_sql",
-    "scalar_subquery",
-    "udf_rowwise_registered",
-    "union_by_update",
-    "w1_star_high_skew",
-    "w1_star_low_skew",
-    "w2_snowflake_high_skew",
-    "w2_snowflake_low_skew",
-    "w3_chain_high_skew",
-    "w3_chain_low_skew",
-    "window_lag_delta",
-    "window_running_sum",
+    "sketch_quantile_mergeable",
+    "stats_corr_by_source",
+    "text_bm25_topk",
+    "text_bpe_merges",
+    "text_cooccurrence_pmi",
+    "text_gopher_filter",
+    "text_length_percentile_band",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "text_winnowing_fingerprint",
+    "aggregate_global",
+    "aggregate_group_having",
+    "ann_ivf_pq",
+    "approx_quantiles_sketch",
+    "events_cusum_changepoint",
+    "events_decayed_engagement",
+    "events_json_extract",
+    "ivm_join_delta",
+    "orders_monthly_trend",
+    "pkfk_star_planned",
+    "skew_salted_join",
+    "table_checksum_buckets",
+    "text_bpe_encode",
+    "text_bpe_tokens",
+    "text_bpe_vocab_coverage",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_length_histogram",
+    "text_tfidf_top3",
+    "text_token_stats",
+    "text_vocab_top20",
+    "udf_pandas_vector_norm",
+    "update_rows",
+    "ann_index_persisted",
+    "ann_matryoshka_prefix",
+    "cdc_merge_apply",
+    "embed_centroid_margin",
+    "events_interval_overlaps",
+    "events_ks_drift_test",
+    "events_winsorized_mean",
+    "fk_orphan_audit",
+    "multimodal_audio_fingerprint",
+    "multimodal_phash_dedup",
+    "orders_bucketed_join",
+    "orders_partition_pruned",
+    "sample_bootstrap_ci",
+    "shard_rendezvous_stability",
+    "sketch_distinct_kmv",
 ]
 
 

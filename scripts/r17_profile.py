@@ -81,6 +81,11 @@ def profile(spark, name: str, tag: str, out_dir: str, warmups: int = 2,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra session conf key=value (e.g. the r17 materialization "
+             "gate, to capture the pre-gate shape from gated code)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -88,6 +93,9 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     names = args.names or [n for n, s in REGISTRY.items() if s.headline]
     spark = build_session("r17_profile")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     results = []
     for name in names:
         results.append(profile(spark, name, args.tag, out_dir))

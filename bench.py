@@ -21,7 +21,12 @@ JIT-warmup artifacts as engine time):
   min-based numbers — cross-round ratios against those rounds must use the
   *_min fields (VERDICT r06 task 4);
 - persisted intermediates are dropped between queries (clearCache) so one
-  query's working set cannot inflate its successors' GC time.
+  query's working set cannot inflate its successors' GC time;
+- a measured CPU canary (single-thread + all-cores forked loop) runs before
+  each query and lands in BENCH_RAW.json as `canary_before` — this host's
+  hypervisor bursts are invisible to loadavg/steal, so the canary is the
+  only artifact-visible proof a run was clean (r17 task 7; the acceptance
+  thresholds live in OPTIMIZATION_r17.md's quiet-window rule).
 """
 
 from __future__ import annotations
@@ -227,6 +232,53 @@ def _host_snapshot() -> dict:
     return snap
 
 
+# Active CPU-contention canary (VERDICT r16 task 7): this host's 2-4 min
+# hypervisor bursts are invisible to loadavg AND steal jiffies (BENCH_RAW
+# r16 forensics: steal% <= 1.7 while identical runs swung 2.5x), so the
+# passive _host_snapshot cannot prove a driver run was clean. Measure CPU
+# throughput directly instead: one fixed single-thread loop (per-core
+# speed) and the same loop forked across all cores (whole-host headroom —
+# wall time inflates when the hypervisor caps the container). Recorded per
+# query in BENCH_RAW next to host_before, additions-only; the quiet-window
+# acceptance rule in OPTIMIZATION_r17.md reads these fields.
+CANARY_LOOP_N = 2_000_000
+
+
+def _canary_loop(n: int = CANARY_LOOP_N) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _cpu_canary(nproc: int) -> dict:
+    """{"single_sec", "nproc", "nproc_wall_sec"} — pure-compute probe.
+    Children are raw os.fork + os._exit (no multiprocessing.Pool locks, so
+    forking from the threaded py4j driver is safe: the child only runs an
+    arithmetic loop and exits)."""
+    t0 = time.perf_counter()
+    _canary_loop()
+    single = time.perf_counter() - t0
+    pids = []
+    t0 = time.perf_counter()
+    for _ in range(max(1, nproc)):
+        pid = os.fork()
+        if pid == 0:
+            try:
+                _canary_loop()
+            finally:
+                os._exit(0)
+        pids.append(pid)
+    for pid in pids:
+        os.waitpid(pid, 0)
+    wall = time.perf_counter() - t0
+    return {
+        "single_sec": round(single, 3),
+        "nproc": nproc,
+        "nproc_wall_sec": round(wall, 3),
+    }
+
+
 def _once(name: str, spark: SparkSession) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = run(name, spark, SF_DIR).count()
@@ -314,6 +366,7 @@ def main() -> None:
             wait_sec = _wait_for_quiet_host()
             load0 = os.getloadavg()[0]
             host0 = _host_snapshot()
+            canary0 = _cpu_canary(int(CPUS))
             # adaptive warmup: run until two consecutive times agree within
             # 20% — that's when codegen+JIT have converged and we are
             # measuring the engine, not the JVM ramp
@@ -370,6 +423,10 @@ def main() -> None:
             # jiffies + cgroup throttle counters, so "uniform ambient
             # drift" vs "engine regression" is decidable from the artifact
             "spread": round(max(timed) / min(timed), 2) if min(timed) > 0 else None,
+            # measured CPU-throughput canary before the query's warmup
+            # (r17 task 7): contention that loadavg/steal cannot see shows
+            # as an inflated single_sec or nproc_wall_sec here
+            "canary_before": canary0,
             "host_before": host0,
             "host_after": _host_snapshot(),
         }
@@ -404,7 +461,7 @@ def main() -> None:
         "raw_file": "BENCH_RAW.json",
         "notes": "loadavg guard active (wait-for-quiet before each query, "
                  "2-step plateau detection); timed runs auto-extend 3->7 on "
-                 ">2x spread; per-run arrays in BENCH_RAW.json",
+                 ">2x spread; per-run arrays + CPU canary in BENCH_RAW.json",
     }
     if failures:
         result["failures"] = failures

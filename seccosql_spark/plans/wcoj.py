@@ -267,6 +267,34 @@ def wcoj_natural_join(
     `rel_sizes` (row counts aligned with `dfs`) switches share computation
     to the communication-minimizing greedy; omit to use frequency doubling.
     Returns columns in global attribute order."""
+    union, rel_cols, order, field_type = hypercube_union(dfs, num_tasks, rel_sizes)
+    out_schema = T.StructType([T.StructField(a, field_type[a]) for a in order])
+
+    def join_cell(key: tuple, cell: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas delivers the WHOLE cell (mapInPandas batches could
+        # split one, silently dropping matches)
+        rels = []
+        for i, cols in enumerate(rel_cols):
+            rows = cell.loc[cell["__rel"] == i, cols]
+            if len(rows) == 0:
+                return pd.DataFrame(columns=order)
+            rels.append((cols, rows))
+        return _leapfrog(rels, order)
+
+    return union.groupBy("__cell").applyInPandas(join_cell, out_schema)
+
+
+def hypercube_union(
+    dfs: list[DataFrame],
+    num_tasks: int | None = None,
+    rel_sizes: list[int] | None = None,
+) -> tuple[DataFrame, list[list[str]], list[str], dict]:
+    """The hypercube-shuffle input relation: every row of every input
+    exploded to its grid cells, tagged (__cell, __rel), all attributes as
+    typed columns. Returns (union, per-relation column lists, global
+    attribute order, attribute->type map). Split out of wcoj_natural_join
+    (r17) so measurement harnesses and alternative cell implementations
+    reuse the identical shuffle plan."""
     if not dfs:
         raise ValueError("wcoj_natural_join needs at least one input")
     if num_tasks is None:
@@ -346,17 +374,4 @@ def wcoj_natural_join(
         union = union.unionByName(p)
 
     rel_cols = [list(d.columns) for d in dfs]
-    out_schema = T.StructType([T.StructField(a, field_type[a]) for a in order])
-
-    def join_cell(key: tuple, cell: pd.DataFrame) -> pd.DataFrame:
-        # applyInPandas delivers the WHOLE cell (mapInPandas batches could
-        # split one, silently dropping matches)
-        rels = []
-        for i, cols in enumerate(rel_cols):
-            rows = cell.loc[cell["__rel"] == i, cols]
-            if len(rows) == 0:
-                return pd.DataFrame(columns=order)
-            rels.append((cols, rows))
-        return _leapfrog(rels, order)
-
-    return union.groupBy("__cell").applyInPandas(join_cell, out_schema)
+    return union, rel_cols, order, field_type

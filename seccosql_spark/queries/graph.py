@@ -397,8 +397,17 @@ def g_triangle_wcoj(sess: SeccoSession):
     # adapts to the data and the cluster instead of a local-mode constant
     # (share choice never changes the result set — every binding lands in
     # exactly one cell for any share vector).
-    e = sess.spark.sql(EDGES_SPARSE).localCheckpoint(eager=True)
-    m = e.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    e = (
+        sess.spark.sql(EDGES_SPARSE)
+        .observe(obs, F.count(F.lit(1)).alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    # edge count rides the checkpoint job as an Observation (r17: one job
+    # saved per run vs a separate .count() — the pack_by_budget pattern)
+    m = int(obs.get["__m"] or 0)
     r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))

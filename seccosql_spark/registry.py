@@ -92,6 +92,13 @@ from seccosql_spark.queries import lakehouse_q  # noqa: E402,F401
 # every session; overdue-beats-hot guarantees the rotation keeps closing.
 # ---------------------------------------------------------------------------
 _PRIORITY_WINDOW = [
+    "events_interval_overlaps",
+    "window_topk_per_user",
+    "cube_agg",
+    "curation_end_to_end",
+    "timeseries_gapfill_hourly",
+    "w5_cycle_join",
+    "w6_theta_chain",
     "sketch_quantile_mergeable",
     "stats_corr_by_source",
     "text_bm25_topk",
@@ -131,17 +138,10 @@ _PRIORITY_WINDOW = [
     "ann_matryoshka_prefix",
     "cdc_merge_apply",
     "embed_centroid_margin",
-    "events_interval_overlaps",
     "events_ks_drift_test",
     "events_winsorized_mean",
     "fk_orphan_audit",
     "multimodal_audio_fingerprint",
-    "multimodal_phash_dedup",
-    "orders_bucketed_join",
-    "orders_partition_pruned",
-    "sample_bootstrap_ci",
-    "shard_rendezvous_stability",
-    "sketch_distinct_kmv",
 ]
 
 

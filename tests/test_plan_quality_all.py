@@ -442,6 +442,31 @@ def test_bench_total_drift_is_triaged():
     )
 
 
+def test_bench_cpu_canary_shape():
+    """The r17 contention canary (VERDICT r16 task 7): _cpu_canary must
+    return the documented fields with sane values, and the forked all-cores
+    arm must not lose children (wall >= the single-thread floor / an
+    unforked pool would return near-instantly). Kept tiny (nproc=2) so the
+    test costs well under a second."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_canary", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod._cpu_canary(2)
+    assert set(out) == {"single_sec", "nproc", "nproc_wall_sec"}
+    assert out["nproc"] == 2
+    assert 0 < out["single_sec"] < 30
+    # the forked arm runs the same loop per child, so its wall time cannot
+    # be materially below one single-thread pass (children really ran)
+    assert out["nproc_wall_sec"] >= out["single_sec"] * 0.5
+
+
 def test_tpch_drift_computation():
     """Pure-python check of scripts/bench_tpch.py's round-over-round
     compare: flags exactly the rows outside 2x (both directions), first

@@ -8,9 +8,12 @@ the heavy array-codegen pipelines into early timed slots and published 20x
 JIT-warmup artifacts as engine time):
 
 - the headline ORDER is pinned here, independent of registry order;
-- each query is warmed ADAPTIVELY — re-run until two consecutive runs agree
-  within 20% (max 5 runs), because a single warmup pass does not reach C2
-  steady state for the giant generated methods (md5-array minhash, the
+- each query is warmed ADAPTIVELY — re-run until THREE consecutive runs
+  pairwise agree within 20% (max 7 runs; two-in-a-row through r16, which
+  declared convergence on the C2 ramp's shoulder and timed
+  dedup_minhash_lsh's compilation hump as engine time — r16 driver 1.37s vs
+  0.85 steady-state), because a single warmup pass does not reach C2 steady
+  state for the giant generated methods (md5-array minhash, the
   zip_with/aggregate cosine fold);
 - then timed 3 runs (extended to 7 when the 3 disagree by more than 2x —
   a median-of-3 can still land on a steal-perturbed run; 7 gives the median
@@ -60,8 +63,17 @@ HEADLINE_ORDER = [
     "q7_nation_volume",
 ]
 
-WARMUP_MAX_RUNS = 5
+WARMUP_MAX_RUNS = 7
 WARMUP_STABLE_RTOL = 0.20
+# Consecutive warmup runs that must pairwise agree within RTOL before timing
+# starts (r17, VERDICT r16 task 2): two-within-20% declared convergence on
+# the JIT RAMP of the generated md5-array loop (dedup_minhash_lsh's warmup
+# arrays show 0.9 -> 1.6 -> 2.4 -> 2.9 -> 0.8 humps: two adjacent ramp
+# points agree while C2 compilation still runs on background threads, and
+# the driver then timed the hump at 1.37s vs 0.85 steady-state). Three in a
+# row cannot all sit on the ramp's shoulder; the cap rises 5 -> 7 so the
+# stricter rule still has room to converge. Timed-run methodology unchanged.
+WARMUP_STABLE_RUNS = 3
 TIMED_RUNS = 3
 # Variance-adaptive extension (VERDICT r10 task 1): if the spread within the
 # timed runs exceeds this factor, at least one run was perturbed (host steal
@@ -374,7 +386,13 @@ def main() -> None:
             for _ in range(WARMUP_MAX_RUNS):
                 dt, _n = _once(name, spark)
                 times.append(dt)
-                if len(times) >= 2 and abs(dt - times[-2]) <= WARMUP_STABLE_RTOL * times[-2]:
+                # converged = the last WARMUP_STABLE_RUNS runs pairwise agree
+                # within RTOL (three-in-a-row; see the constant's comment)
+                if len(times) >= WARMUP_STABLE_RUNS and all(
+                    abs(times[-k] - times[-k - 1])
+                    <= WARMUP_STABLE_RTOL * times[-k - 1]
+                    for k in range(1, WARMUP_STABLE_RUNS)
+                ):
                     break
 
             n = 0

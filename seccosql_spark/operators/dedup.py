@@ -795,9 +795,12 @@ def ppjoin_pairs(
     yield hundreds). Shingles are also what the MinHash row banded, so
     this operator is its exact twin.
     Scale shape: one df aggregation (broadcast back), one per-doc window
-    for the prefix rank, one prefix-bucket join with PPJoin's length AND
-    positional filters pruning per shared-token row, then ONE row per
-    surviving candidate pair through an ``array_intersect`` verification
+    for the prefix rank, one prefix-bucket join with PPJoin's length filter
+    pruning per shared-token row and the positional filter applied
+    PER PAIR on the aggregated (cnt, max rn1, max rn2) — the r17 tightening:
+    O <= cnt + min(n1-max(rn1), n2-max(rn2)) via the last common prefix
+    token — then ONE row per surviving candidate pair through an
+    ``array_intersect`` verification
     (each doc's shingle set is collected once; the old shape re-exploded
     every pair into its ~|doc| shared-token rows before a groupBy) — never
     an all-pairs product."""
@@ -845,24 +848,36 @@ def ppjoin_pairs(
             threshold_num * F.greatest("n1", "n2")
             <= threshold_den * F.least("n1", "n2")
         )
-        # PPJoin's POSITIONAL filter (the "P" — Xiao et al. 2008 §3.2; was
-        # the missing piece behind the r12 76x sf1 slope): a shared token at
-        # 1-based positions rn1/rn2 of the frequency-ordered lists bounds
-        # the overlap via the FIRST common token w of a pair — tokens before
-        # w on either side are pairwise distinct across the pair, so
-        # O <= 1 + min(n1-rn1, n2-rn2); J >= t needs
-        # O >= alpha = ceil(t/(1+t) * (n1+n2)). Applied per shared-token row
-        # BEFORE the distinct: a true pair always survives through its
-        # first-common-token row (whose bound is tight), while head-token
-        # collisions late in both prefixes — the N^2/V degenerate case on
-        # low-entropy vocabularies — die here instead of reaching
-        # verification. Integer-exact: alpha cross-multiplied, no floats.
+        # PPJoin's POSITIONAL filter (the "P" — Xiao et al. 2008 §3.2),
+        # AGGREGATED per pair (r17, VERDICT r16 task 6): both token lists
+        # are sorted by the same global (df, w) order, so the shared prefix
+        # token with the largest rn1 is also the one with the largest rn2
+        # — the pair's LAST common prefix token w_k at positions (i, j).
+        # Every shared token globally before w_k sits below (i, j), hence
+        # inside BOTH prefixes, hence is one of the cnt counted rows; every
+        # shared token globally after w_k sits above i in x AND above j in
+        # y, so there are at most min(n1-i, n2-j) of them. Therefore
+        # O <= cnt + min(n1 - max(rn1), n2 - max(rn2)) — strictly tighter
+        # than r16's per-row first-common-token bound 1 + min(n1-rn1,
+        # n2-rn2) whenever the suffix slack, not the credit, binds. J >= t
+        # needs O >= alpha = ceil(t/(1+t) * (n1+n2)), cross-multiplied so
+        # the gate stays integer-exact. The groupBy replaces the old
+        # .distinct() — same single exchange, map-side partial aggregation
+        # collapses the per-token rows the row-filter used to drop, and the
+        # per-row filter CANNOT be kept in front (dropping rows would
+        # undercount cnt and could kill a true pair).
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max("rn1").alias("__mr1"),
+            F.max("rn2").alias("__mr2"),
+        )
         .filter(
-            F.lit(1) + F.least(F.col("n1") - F.col("rn1"), F.col("n2") - F.col("rn2"))
+            F.col("__cnt")
+            + F.least(F.col("n1") - F.col("__mr1"), F.col("n2") - F.col("__mr2"))
             >= F.expr(f"({num} * (n1 + n2) + {num + den - 1}) DIV {num + den}")
         )
         .select("id1", "id2")
-        .distinct()
     )
     # only docs that survived candidate generation need their shingle set
     # materialized — on selective prefixes this skips most of the corpus

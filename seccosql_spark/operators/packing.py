@@ -89,6 +89,31 @@ def pack_by_budget(
                 -(-n_rows // max(1, rows_per_part)),
             ),
         )
+    if n_part == 1:
+        # Degenerate fan-out (observed rows fit one range partition): the
+        # general path below would still pay a repartitionByRange(1), a
+        # freeze checkpoint, an O(1)-row collect and an offsets broadcast
+        # join just to compute offset 0 for the single partition (r17;
+        # measured 3 driver sync points on the curation pipeline). One
+        # single-task window over the total order is the identical
+        # computation — bounded by the same observed-size derivation that
+        # chose n_part == 1, exactly like repartitionByRange(1)'s own
+        # single-task window was.
+        win1 = Window.orderBy(*id_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            meta.withColumn(
+                "__cum_before", F.sum(weight_col).over(win1) - F.col(weight_col)
+            )
+            .select(
+                *id_cols,
+                weight_col,
+                F.expr(f"CAST(__cum_before DIV {int(budget)} AS BIGINT)").alias(
+                    "shard"
+                ),
+            )
+        )
     ranged = (
         meta.repartitionByRange(n_part, *[F.col(c) for c in id_cols])
         .sortWithinPartitions(*id_cols)

@@ -267,18 +267,51 @@ def wcoj_natural_join(
     `rel_sizes` (row counts aligned with `dfs`) switches share computation
     to the communication-minimizing greedy; omit to use frequency doubling.
     Returns columns in global attribute order."""
-    union, rel_cols, order, field_type = hypercube_union(dfs, num_tasks, rel_sizes)
+    union, rel_cols, order, field_type, shares = hypercube_union(
+        dfs, num_tasks, rel_sizes
+    )
     out_schema = T.StructType([T.StructField(a, field_type[a]) for a in order])
 
-    def join_cell(key: tuple, cell: pd.DataFrame) -> pd.DataFrame:
-        # applyInPandas delivers the WHOLE cell (mapInPandas batches could
-        # split one, silently dropping matches)
+    def _cell_rels(cell: pd.DataFrame):
         rels = []
         for i, cols in enumerate(rel_cols):
             rows = cell.loc[cell["__rel"] == i, cols]
             if len(rows) == 0:
-                return pd.DataFrame(columns=order)
+                return None
             rels.append((cols, rows))
+        return rels
+
+    if all(s == 1 for s in shares.values()):
+        # Degenerate grid: every row maps to the ONE cell, so the hypercube
+        # exchange would shuffle everything into a single partition just to
+        # regroup what is already a single group. Run the cell as one
+        # coalesced mapInPandas task instead — no exchange, no AQE stage
+        # job (r17; measured ~0.4s of pure job/exchange overhead on the
+        # sf0.1 triangle). This branch only fires when the share vector is
+        # all-ones, i.e. adaptive_num_tasks derived a single cell from the
+        # input size (< _ROWS_PER_CELL rows) — the same bounded small-input
+        # fast path as the SCC serial finish; any real-scale input fans out
+        # exactly as before. The iterator form accumulates ALL of the
+        # partition's batches before joining, so the whole-cell invariant
+        # mapInPandas batching would otherwise break is preserved.
+        def one_cell(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            cell = pd.concat(pdfs, ignore_index=True)
+            rels = _cell_rels(cell)
+            yield _leapfrog(rels, order) if rels is not None else pd.DataFrame(
+                columns=order
+            )
+
+        return union.coalesce(1).mapInPandas(one_cell, out_schema)
+
+    def join_cell(key: tuple, cell: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas delivers the WHOLE cell (mapInPandas batches could
+        # split one, silently dropping matches)
+        rels = _cell_rels(cell)
+        if rels is None:
+            return pd.DataFrame(columns=order)
         return _leapfrog(rels, order)
 
     return union.groupBy("__cell").applyInPandas(join_cell, out_schema)
@@ -288,13 +321,13 @@ def hypercube_union(
     dfs: list[DataFrame],
     num_tasks: int | None = None,
     rel_sizes: list[int] | None = None,
-) -> tuple[DataFrame, list[list[str]], list[str], dict]:
+) -> tuple[DataFrame, list[list[str]], list[str], dict, dict]:
     """The hypercube-shuffle input relation: every row of every input
     exploded to its grid cells, tagged (__cell, __rel), all attributes as
     typed columns. Returns (union, per-relation column lists, global
-    attribute order, attribute->type map). Split out of wcoj_natural_join
-    (r17) so measurement harnesses and alternative cell implementations
-    reuse the identical shuffle plan."""
+    attribute order, attribute->type map, share vector). Split out of
+    wcoj_natural_join (r17) so measurement harnesses and alternative cell
+    implementations reuse the identical shuffle plan."""
     if not dfs:
         raise ValueError("wcoj_natural_join needs at least one input")
     if num_tasks is None:
@@ -357,9 +390,18 @@ def hypercube_union(
         offsets = [
             sum(c * strides[a] for c, a in zip(combo, missing)) for combo in combos
         ]
+        # single-offset relations (nothing to replicate: the relation lacks
+        # no attribute, or every lacked attribute has share 1) skip the
+        # explode — a Generate node per piece that only ever emitted one
+        # row per input row (r17)
+        off = (
+            F.lit(offsets[0])
+            if len(offsets) == 1
+            else F.explode(F.array(*[F.lit(o) for o in offsets]))
+        )
         piece = df.select(
             own.alias("__own"),
-            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("__off"),
+            off.alias("__off"),
             F.lit(i).alias("__rel"),
             *[
                 (F.col(a) if a in cols else F.lit(None).cast(field_type[a])).alias(a)
@@ -374,4 +416,4 @@ def hypercube_union(
         union = union.unionByName(p)
 
     rel_cols = [list(d.columns) for d in dfs]
-    return union, rel_cols, order, field_type
+    return union, rel_cols, order, field_type, shares

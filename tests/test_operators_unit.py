@@ -257,7 +257,10 @@ def test_pack_by_budget_fanout_derived_from_observed_rows(spark):
     try:
         mp.setattr(df_cls, "repartitionByRange", spy)
         got = {r["doc_id"]: r["shard"] for r in pack_by_budget(df, budget=300).collect()}
-        assert seen == [1], seen  # 200 rows << rowsPerPartition -> 1 partition
+        # 200 rows << rowsPerPartition -> derived fan-out 1, which since r17
+        # takes the single-window fast path: NO repartitionByRange at all
+        # (no freeze checkpoint, no subtotal collect, no offsets join)
+        assert seen == [], seen
         spark.conf.set(_PACK_ROWS_KEY, "50")
         try:
             seen.clear()

@@ -96,7 +96,16 @@ TRIAGE = {
         "candidate distinct) and one-row-per-pair array_intersect "
         "verification replacing the candidate-times-shared-tokens "
         "re-explosion — sf1 wall time 317s -> 56s median (warm ~35s), ratio ~9x ≈ linear "
-        "under 10x data. Note kept because this flat token distribution "
+        "under 10x data. r17 tightened the positional filter to the "
+        "aggregated last-common-prefix-token bound (cnt + min suffix "
+        "slack, per pair via map-side partial agg replacing the "
+        "distinct): identical 256/2560 output pairs, candidates "
+        "124,979->119,907 at sf0.1 and 15.73M->15.05M at sf1, sf1 wall "
+        "40.8->35.3s interleaved median. The residual elevation is the "
+        "candidate count itself growing ~126x on 10x data — a fixture "
+        "property (31-word vocabulary keeps every prefix bucket hot and "
+        "gen_sf1's shift-cipher trigrams collide across copies), not "
+        "filter slack. Note kept because this flat token distribution "
         "is PPJoin's worst case; Zipfian corpora are strictly friendlier, "
         "and the 100 TB near-dup scale path remains banded MinHash-LSH "
         "(slope 1.07x in this same table)."

@@ -456,16 +456,28 @@ def test_pack_by_budget_materializes_input_before_range_sample(sess, monkeypatch
         .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"))
     )
     out = pack_by_budget(df, budget=7).collect()
-    assert len(plans) == 2, plans
-    p0, p1 = plans[0].lower(), plans[1].lower()
+    # r17: derived fan-out 1 (tiny input) takes the single-window fast path
+    # — ONLY the metadata projection is checkpointed; there is no range
+    # partition to sample and no freeze checkpoint at all
+    assert len(plans) == 1, plans
+    p0 = plans[0].lower()
     assert "rangepartitioning" not in p0 and "singlepartition" not in p0, plans[0]
-    # r17: the fan-out is derived from the observed row count, so a tiny
-    # input's range partition degenerates to Exchange SinglePartition —
-    # still the boundary-sampling exchange this test pins the ORDER of
-    assert "rangepartitioning" in p1 or "singlepartition" in p1, plans[1]
     # semantics unchanged: shard = floor(weight-before / budget) in id order
     rows = sorted(out, key=lambda r: r["doc_id"])
     run_sum = 0
     for r in rows:
         assert r["shard"] == run_sum // 7, rows
         run_sum += r["n_tokens"]
+    # the general >=2-partition path still materializes meta FIRST (no
+    # range exchange in the first checkpoint) and then the ranged rows —
+    # the r16 sample-pass guarantee this test originally pinned
+    plans.clear()
+    out2 = pack_by_budget(df, budget=7, num_partitions=2).collect()
+    assert len(plans) == 2, plans
+    p0, p1 = plans[0].lower(), plans[1].lower()
+    assert "rangepartitioning" not in p0 and "singlepartition" not in p0, plans[0]
+    assert "rangepartitioning" in p1 or "singlepartition" in p1, plans[1]
+    rows2 = sorted(out2, key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["shard"]) for r in rows2] == [
+        (r["doc_id"], r["shard"]) for r in rows
+    ]

@@ -5,10 +5,17 @@ materialization (scan+distinct+checkpoint), the hypercube shuffle, or the
 per-cell Python LeapFrog?
 
 Phases timed separately, interleaved across reps:
-  A  edges: sql(EDGES_SPARSE) -> observe -> localCheckpoint(eager)
-  B  hypercube+leapfrog: wcoj_natural_join(...).agg(count) .count()
-  B1 same, but the pandas cell replaced with a no-op returning 0 rows
-     (isolates Arrow transport + shuffle from the LeapFrog compute)
+  A  edges: sql(EDGES_SPARSE) -> localCheckpoint(eager) + count
+  B  full: wcoj_natural_join(...).agg(count) .count()
+  B1 shuffle-only: the same hypercube union through groupBy(count) — no
+     Python at all (the exchange + AQE floor)
+  B2 arrow-noop: the same union through the OLD exchange+applyInPandas
+     shape with a no-op cell (isolates Arrow/worker cost from LeapFrog)
+
+Finding (r17): the off-Spark LeapFrog on the whole sf0.1 triangle cell is
+~0.05s (cProfile: pandas merge constants); B ≈ B1 ≈ B2 after the
+single-cell fast path landed — job/exchange overhead was the cost, not
+Python compute.
 
 Usage: python scripts/r17_wcoj_breakdown.py [reps=5]
 """
@@ -54,7 +61,7 @@ def main() -> None:
         r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
         t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
-        union, _, _, _ = W.hypercube_union([r, s, t], rel_sizes=[m, m, m])
+        union, _, _, _, _ = W.hypercube_union([r, s, t], rel_sizes=[m, m, m])
         return union.groupBy("__cell").agg(F.count(F.lit(1)))
 
     def arrow_noop(e, m):
@@ -64,7 +71,7 @@ def main() -> None:
         r = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         s = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
         t = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
-        union, rel_cols, order, field_type = W.hypercube_union(
+        union, rel_cols, order, field_type, _shares = W.hypercube_union(
             [r, s, t], rel_sizes=[m, m, m]
         )
         from pyspark.sql import types as T
